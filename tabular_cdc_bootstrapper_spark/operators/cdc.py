@@ -1,0 +1,123 @@
+"""CDC core: latest-record-per-key reduction and changelog application.
+
+This is the engine's flagship operator — the data plane the reference
+*delegates* to a managed service via table properties (reference
+tabular.py:58-62: ``etl.job-type=cdc``, ``cdc.type=DMS``, ``cdc.ts-column``,
+``cdc.key-column``; semantics documented in the reference docstring
+tabular.py:44-49: the ts column "tells tabular which records are the latest"
+and the key column "whether to update or insert a row"). Here it is native
+Spark.
+
+Scale design (100 TB):
+
+- ``strategy='max_by'`` (default) reduces with a single hash aggregation —
+  one shuffle on the key, map-side partial aggregation, no sort. At 1000
+  executors this is the plan you want: partial ``max_by`` runs inside
+  whole-stage codegen before the exchange, so shuffle volume is ~|distinct
+  keys|, not |rows|.
+- ``strategy='window'`` (``row_number() OVER (PARTITION BY key ORDER BY ts
+  DESC)``) shuffles the *full* event stream and sorts each partition —
+  strictly more work, but it keeps every column without a struct round-trip
+  and is the shape the DuckDB oracle uses. Exposed for parity testing.
+- Ordering is by *data time* (ts column), never arrival time, so
+  late/out-of-order files resolve correctly (reference README.md:57 uses
+  ``loaded_at``; batch_bootstrapper.py:21 uses ``transact_seq`` — both are
+  just config here).
+- Deterministic tie-breaks: callers pass ``tiebreak_cols`` (e.g. a file
+  sequence number) appended to the ordering; without one, ties on (key, ts)
+  would be nondeterministic under retries — SURVEY.md §7 watch list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_cols: str | Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+    strategy: str = "max_by",
+) -> DataFrame:
+    """Reduce a change stream to the single latest row per key.
+
+    Implements the reduction the reference configures at tabular.py:61-62
+    (``cdc.ts-column`` / ``cdc.key-column``). Output columns == input
+    columns, one row per distinct key.
+    """
+    keys = _as_list(key_cols)
+    order = _as_list(ts_cols) + list(tiebreak_cols)
+    if strategy == "max_by":
+        payload = [c for c in df.columns if c not in keys]
+        ord_col = F.struct(*[F.col(c) for c in order])
+        agg = df.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("__latest")
+        )
+        return agg.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload])
+    if strategy == "window":
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def apply_changelog(
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_cols: str | Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    mirror: DataFrame | None = None,
+    mirror_ts: Column | None = None,
+    tiebreak_cols: Sequence[str] = (),
+    strategy: str = "max_by",
+    drop_envelope: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a DMS-style I/U/D changelog, yielding the mirror's new state.
+
+    Semantics (the reference's delegated CDC contract, tabular.py:58-62 +
+    the DMS op codes written by the sample generator,
+    generate_sample_dms_parquet.py:22,37,52):
+
+    1. optionally union the existing mirror state (as implied inserts) with
+       the new changelog — the recompute path of SURVEY.md §3;
+    2. keep the latest event per key ordered by ts (+ tie-breaks);
+    3. drop keys whose latest op is the delete op — delete-then-reinsert
+       inside one batch resolves by ts, not by op (SURVEY.md §7 watch list);
+    4. drop envelope columns (``table``/``op``/``ts``) for the mirror schema
+       (FIXTURES.md A2).
+
+    ``mirror_ts``: ordering value given to existing mirror rows when
+    unioning (default: floor — any changelog event beats current state only
+    if its ts is higher; pass a column to resume from a stored ts).
+    """
+    keys = _as_list(key_cols)
+    ts = _as_list(ts_cols)
+    events = changelog
+    if mirror is not None:
+        base = mirror
+        if op_col not in base.columns:
+            base = base.withColumn(op_col, F.lit("I"))
+        for c in ts:
+            if c not in base.columns:
+                base = base.withColumn(
+                    c, mirror_ts if mirror_ts is not None else F.lit(None)
+                )
+        for c in changelog.columns:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None))
+        events = base.select(*changelog.columns).unionByName(changelog)
+    latest = latest_by_key(events, keys, ts, tiebreak_cols, strategy)
+    live = latest.filter(F.col(op_col) != F.lit(delete_op))
+    return live.drop(*[c for c in drop_envelope if c in live.columns])

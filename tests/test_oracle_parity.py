@@ -1,0 +1,59 @@
+"""Local mirror of the driver's correctness gate: every registry query with
+an oracle runs on Spark AND DuckDB at the smoke scale factor; results must
+match on row count, column names, and (order-insensitively) values."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tabular_cdc_bootstrapper_spark import queries as q
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else round(float(v), 6))
+        out[c] = s.astype(str)
+    res = pd.DataFrame(out)
+    return res.sort_values(by=list(res.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(q.ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spark_df = q.QUERIES[name](spark, sf_dir).toPandas()
+    duck_df = duck.execute(q.ORACLE_SQL[name]).df()
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
+    )
+    a, b = _normalize(spark_df), _normalize(duck_df)
+    if not a.equals(b):
+        diff = a.compare(b) if a.shape == b.shape else None
+        raise AssertionError(f"{name}: value mismatch\n{diff}\n{a.head()}\n{b.head()}")
+
+
+def test_all_queries_return_rows(spark, sf_dir):
+    for name, fn in q.QUERIES.items():
+        n = fn(spark, sf_dir).count()
+        assert n >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
