@@ -1,0 +1,229 @@
+"""Streaming CDC pipeline: the reference's delegated data plane, natively.
+
+The reference configures a SaaS to (a) detect new S3 files — by polling a
+24 h-refresh inventory table (reference README.md:37-40) — (b) append them
+to the changelog table, and (c) CDC-merge into the mirror (reference
+tabular.py:58-62). Here:
+
+- (a)+(b): Structured Streaming file source — checkpointed incremental
+  listing gives exactly-once per-file ingest (SURVEY.md §2.9 T1-T2) at
+  trigger-interval freshness instead of ≤24 h (README.md:38).
+- (c): ``foreachBatch`` merge — each micro-batch reduces to latest-per-key
+  (map-side partial agg, one shuffle) and upserts into the mirror.
+
+Mirror storage: ``ParquetStateTable`` — a minimal snapshot-pointer table
+(versioned parquet dirs + atomic CURRENT pointer, the same
+commit-by-pointer-swap idea as an Iceberg snapshot). Plain parquet can't be
+overwritten while being read; versioning gives atomic replace, readers
+never see partial state, and failed batches leave the pointer untouched.
+At cluster scale the same merge lands on Iceberg/Delta ``MERGE INTO`` with
+key-partitioned dynamic overwrite — the operator code is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+
+
+class ParquetStateTable:
+    """Versioned parquet table with an atomic CURRENT pointer.
+
+    Layout: ``root/v-<n>-<uuid>/*.parquet`` + ``root/_CURRENT`` (JSON:
+    {"version": n, "dir": ..., "ts": ...}). Commits write a new version dir
+    then atomically rename the pointer — readers resolve the pointer first,
+    so replace is atomic and crash-safe; stale versions are pruned after
+    commit (best-effort, like snapshot expiry).
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2) -> None:
+        self.root = root
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current() is not None
+
+    def read(self, spark: SparkSession, schema: T.StructType | None = None) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return None
+        return spark.read.parquet(cur["dir"])
+
+    def commit(self, df: DataFrame) -> dict:
+        cur = self.current()
+        version = (cur["version"] + 1) if cur else 0
+        vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(vdir)
+        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "dir": vdir, "ts": time.time()}, fh)
+        os.replace(tmp, self._pointer)  # atomic on posix
+        self._expire(keep=vdir)
+        return {"version": version, "dir": vdir}
+
+    def _expire(self, keep: str) -> None:
+        versions = sorted(
+            d for d in os.listdir(self.root)
+            if d.startswith("v-") and os.path.join(self.root, d) != keep
+        )
+        for d in versions[: -max(self.keep_versions - 1, 0) or None]:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+
+def cdc_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    mirror: ParquetStateTable,
+    target: CdcTarget,
+    tiebreak_cols: Sequence[str] = (),
+) -> dict:
+    """Merge one micro-batch of changelog events into the mirror.
+
+    Incremental-merge shape (not full recompute): reduce the batch to
+    latest-per-key, then union with current mirror rows and reduce again.
+    The second reduce is cheap — |mirror ∩ batch keys| + |batch keys| rows
+    per key at most 2. At 100 TB the mirror side would be key-partitioned
+    so only partitions containing batch keys are rewritten (dynamic
+    partition overwrite); locally the state table swaps whole snapshots.
+    """
+    ts_col = target.ts_column
+    current = mirror.read(spark)
+    new_state = apply_changelog(
+        batch_df,
+        key_cols=target.key_column,
+        ts_cols=ts_col,
+        op_col=target.op_column,
+        delete_op=target.delete_op,
+        mirror=current,
+        tiebreak_cols=tiebreak_cols,
+        drop_envelope=(),
+    )
+    return mirror.commit(new_state)
+
+
+def start_changelog_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    exclude_glob: str | None = None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-arrival detection → append-only changelog (SURVEY.md S1-S4).
+
+    The checkpointed file-source offset log IS the "detect new s3 files"
+    feature (reference README.md:7) — each file ingested exactly once,
+    freshness = trigger interval. ``AvailableNow`` drains the backlog then
+    stops (batch-ish runs); omit for continuous tailing.
+    """
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_dir)
+    if exclude_glob:
+        stream = stream.filter(exclude_glob_filter(exclude_glob))
+    stream = stream.withColumn("_src_file", F.input_file_name())
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", changelog_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_cdc_pipeline_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    work_dir: str,
+    target: CdcTarget,
+) -> dict:
+    """End-to-end one-shot CDC run over whatever files currently exist.
+
+    1. initial load → mirror state (files NOT matching the incremental
+       pattern; reference batch_bootstrapper.py:85 excludes ``**/*-*``)
+    2. stream incrementals → changelog (excluding ``**/LOAD*``,
+       reference batch_bootstrapper.py:69), then
+    3. foreachBatch merge into the mirror.
+
+    Returns {"mirror": ParquetStateTable, "changelog_dir": ...}.
+    Re-running with the same work_dir is incremental: the checkpoint skips
+    already-ingested files (T2 exactly-once).
+    """
+    changelog_dir = os.path.join(work_dir, "changelog")
+    checkpoint = os.path.join(work_dir, "_checkpoint")
+    mirror = ParquetStateTable(os.path.join(work_dir, "mirror"))
+
+    if not mirror.exists():
+        initial = (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(source_dir)
+            .filter(exclude_glob_filter(target.initial_load_exclude_glob))
+            .withColumn("_src_file", F.input_file_name())
+        )
+        mirror.commit(initial)
+
+    def _merge(batch_df: DataFrame, _epoch: int) -> None:
+        cdc_merge_batch(
+            batch_df.sparkSession, batch_df, mirror, target,
+            tiebreak_cols=("_src_file",),
+        )
+
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(T.StructType(list(schema.fields) + [T.StructField("_src_file", T.StringType())]))
+    )
+    # ingest stage writes _src_file; merge stream reads the changelog dir
+    ingest = start_changelog_ingest(
+        spark, source_dir, schema, changelog_dir, checkpoint + "-ingest",
+        exclude_glob=target.changelog_exclude_glob,
+    )
+    ingest.awaitTermination()
+
+    os.makedirs(changelog_dir, exist_ok=True)  # zero-incremental runs
+    merge_stream = reader.load(changelog_dir)
+    q = (
+        merge_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint + "-merge")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"mirror": mirror, "changelog_dir": changelog_dir}

@@ -1,0 +1,115 @@
+"""Golden end-to-end CDC tests (SURVEY.md §5): the deterministic DMS
+scenario must replay to the expected final state through both the batch
+recompute path and the streaming (checkpointed file source + foreachBatch)
+path, and replaying must be idempotent."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog, latest_by_key
+from tabular_cdc_bootstrapper_spark.sources.files import (
+    exclude_glob_filter,
+    list_files,
+    read_with_exclusion,
+)
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    run_cdc_pipeline_available_now,
+)
+from tests.dms_scenario import generate
+
+DMS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("modification_date", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    src = tmp_path_factory.mktemp("dms_src")
+    expected = generate(str(src), seed=42)
+    return str(src), expected
+
+
+def _mirror_dict(df) -> dict[int, dict]:
+    rows = df.select("id", "name", "modification_date").collect()
+    return {r["id"]: {"id": r["id"], "name": r["name"], "modification_date": r["modification_date"]} for r in rows}
+
+
+def test_batch_recompute_matches_golden(spark, scenario):
+    src, expected = scenario
+    events = read_with_exclusion(spark, src, schema=DMS_SCHEMA, with_source_file=True)
+    mirror = apply_changelog(
+        events, key_cols="id", ts_cols="ts", tiebreak_cols=("_src_file",),
+        drop_envelope=("table", "op", "ts", "_src_file"),
+    )
+    assert _mirror_dict(mirror) == expected
+
+
+def test_batch_recompute_window_strategy_agrees(spark, scenario):
+    src, expected = scenario
+    events = read_with_exclusion(spark, src, schema=DMS_SCHEMA, with_source_file=True)
+    mirror = apply_changelog(
+        events, key_cols="id", ts_cols="ts", tiebreak_cols=("_src_file",),
+        strategy="window", drop_envelope=("table", "op", "ts", "_src_file"),
+    )
+    assert _mirror_dict(mirror) == expected
+
+
+def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path):
+    src, expected = scenario
+    target = CdcTarget(source_uri=f"file://{src}", key_column="id", ts_column="ts")
+    res = run_cdc_pipeline_available_now(spark, src, DMS_SCHEMA, str(tmp_path / "wk"), target)
+    mirror = res["mirror"].read(spark)
+    assert _mirror_dict(mirror) == expected
+    # idempotency: re-running consumes nothing new, state unchanged (T2)
+    res2 = run_cdc_pipeline_available_now(spark, src, DMS_SCHEMA, str(tmp_path / "wk"), target)
+    assert _mirror_dict(res2["mirror"].read(spark)) == expected
+
+
+def test_exclusion_glob_routing(spark, scenario):
+    """LOAD* files feed the mirror initial load; incrementals feed the
+    changelog (reference batch_bootstrapper.py:69,85)."""
+    src, _ = scenario
+    all_files = list_files(src)
+    incr = list_files(src, exclude_glob="**/LOAD*")
+    load = list_files(src, exclude_glob="**/*-*")
+    assert set(incr) | set(load) == set(all_files)
+    assert set(incr).isdisjoint(load)
+    assert all("LOAD" not in f.rsplit("/", 1)[-1] for f in incr)
+
+    df = read_with_exclusion(spark, src, schema=DMS_SCHEMA, exclude_glob="**/LOAD*")
+    assert df.select(F.input_file_name()).distinct().count() == len(incr)
+
+
+def test_latest_by_key_tiebreak_deterministic(spark):
+    """Same (key, ts) from two files → the tie-break column decides."""
+    rows = [(1, "a", "2024", "f1"), (1, "b", "2024", "f2")]
+    df = spark.createDataFrame(rows, "id long, name string, ts string, src string")
+    for strategy in ("max_by", "window"):
+        out = latest_by_key(df, "id", "ts", tiebreak_cols=("src",), strategy=strategy)
+        assert out.collect()[0]["name"] == "b", strategy
+
+
+def test_delete_then_reinsert_resolves_by_ts(spark):
+    """SURVEY.md §7 watch list: D then I inside one batch → row lives."""
+    rows = [
+        (1, "x", "t1", "I"),
+        (1, "x", "t2", "D"),
+        (1, "back", "t3", "I"),
+        (2, "y", "t1", "I"),
+        (2, "y", "t2", "D"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, ts string, op string")
+    out = apply_changelog(df, "id", "ts", drop_envelope=("ts", "op"))
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "back"}
