@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, same contract:
+
+- ``cosine_topk``: brute-force exact top-k. All arithmetic is native
+  higher-order functions (zip_with + aggregate) in DOUBLE — JVM-side,
+  codegen'd, no Python/Arrow hop — and the query side is broadcast, so the
+  corpus is scanned once with no shuffle of the embedding column at all.
+  Per-query top-k uses a ranking window over a (query × corpus) stream
+  that carries only (ids, sim), not vectors.
+- ``lsh_bucketed_topk``: the 100 TB path. Sign-random-projection LSH:
+  b deterministic hyperplanes → b-bit bucket id; queries only score
+  against corpus rows in the same (or neighboring, via multi-probe)
+  bucket. Recall is tunable with n_planes/n_probes; the candidate scan
+  shrinks by ~2^b.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: (qid, vec_id, cos_sim, rn).
+
+    ``queries`` must be small enough to broadcast (the usual ANN serving
+    shape); the corpus side streams through unshuffled."""
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny, broadcast)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket: one bit per hyperplane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates.
+
+    Multi-probe: each query also probes the ``n_probes - 1`` buckets at
+    Hamming distance 1 (flipping the lowest bits), trading extra candidate
+    scans for recall. At scale the corpus would be written bucket-
+    partitioned so a probe is a partition-pruned read."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    probe_offsets = [0] + [1 << i for i in range(max(n_probes - 1, 0))]
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        bucket_id(F.col(vec_col), planes).alias("qbucket"),
+    ).select(
+        "qid",
+        "qv",
+        F.explode(
+            F.array_distinct(
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(o)) for o in probe_offsets])
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )

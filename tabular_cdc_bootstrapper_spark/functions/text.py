@@ -1,0 +1,124 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators are built from JVM-side ``pyspark.sql.functions`` (no Python
+UDFs): at 100 TB the text column dominates I/O, and keeping tokenization/
+scoring inside whole-stage codegen means the only cost is the scan itself.
+North-star surface per BASELINE.json: language-ID (marker heuristic),
+quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Common high-frequency marker words per language. A real pipeline swaps in
+# a trained n-gram model (e.g. fastText) via mapInPandas; the heuristic
+# keeps the operator UDF-free and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-document stats: chars, tokens, avg token length, punctuation
+    /digit/whitespace ratios, and a composite quality score.
+
+    The quality score is a cheap filter for corpus cleaning: long-enough
+    documents with low punctuation/digit noise score near 1.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    avg_token_len = F.when(
+        n_tokens > 0, (n_chars - n_space).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0))
+        * (1 - F.least(punct_ratio * 4, F.lit(1.0)))
+        * (1 - F.least(digit_ratio * 4, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("stat_n_chars", n_chars.cast("bigint"))
+        .withColumn("stat_n_tokens", n_tokens.cast("bigint"))
+        .withColumn("stat_avg_token_len", avg_token_len)
+        .withColumn("stat_punct_ratio", punct_ratio)
+        .withColumn("stat_digit_ratio", digit_ratio)
+        .withColumn("stat_quality", quality)
+    )
+
+
+def marker_count(text: Column, words: list[str]) -> Column:
+    """Whole-word marker occurrences, codegen'd regex count."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker counts,
+    deterministic tie-break by language code; 'und' when nothing matches."""
+    t = F.col(text_col)
+    # struct comparison is lexicographic by field order: score first, then
+    # lang code — so ties resolve deterministically to the greatest code
+    scored = F.array(
+        *[
+            F.struct(
+                marker_count(t, LANG_MARKERS[lang]).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(
+        "lang_guess",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("lang_guess_score", best["score"].cast("bigint"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Order-insensitive document fingerprint: min/max/size digest of the
+    word k-shingle hash set (winnowing-lite). Two documents share a
+    fingerprint iff their shingle sets hash identically — a fast pre-filter
+    for near-dup mining; pairs agreeing here go to MinHash verification.
+
+    Staged projections so the tokens array is an attribute before any
+    lambda references it (see dedup._shingles_from_tokens perf note)."""
+    staged = df.withColumn("__toks", _tokens(F.col(text_col)))
+    n = F.size(F.col("__toks"))
+    staged = staged.withColumn(
+        "__shingle_hashes",
+        F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))
+                    ),
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.col(text_col)))),
+    )
+    return staged.withColumn(
+        "fingerprint",
+        F.xxhash64(
+            F.array_min("__shingle_hashes"),
+            F.array_max("__shingle_hashes"),
+            F.size("__shingle_hashes"),
+        ),
+    ).drop("__toks", "__shingle_hashes")
