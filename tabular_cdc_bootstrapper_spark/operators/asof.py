@@ -1,0 +1,75 @@
+"""As-of (time-travel) join — an operator Spark lacks natively
+(SURVEY.md §2.3 J5).
+
+Semantics: for each left row, attach the single right row with the same key
+whose timestamp is the greatest one ≤ the left timestamp (backward as-of,
+the pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` default).
+
+Implementation is the union-window form, chosen for scale:
+
+    tag(left=1, right=0) → union → window last_value(right payload)
+    over (partition by key order by (ts, tag) rows unbounded preceding)
+
+One shuffle on the key (the same shuffle any keyed join needs), no range
+explosion, no per-group Python. The naive alternatives — non-equi join
+(BroadcastNestedLoop, O(n·m)) or per-key ``merge_asof`` via applyInPandas
+(Arrow hop + Python) — both collapse at 100 TB; this stays whole-stage
+JVM with a single sort per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join; right payload columns arrive as ``<col><suffix>``
+    (null when no right row precedes the left row)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = (
+        list(right_payload)
+        if right_payload is not None
+        else [c for c in right.columns if c not in keys and c != right_ts]
+    )
+
+    lhs = left.withColumn("__evt_ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("__evt_ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    for c in left.columns:
+        if c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None))
+    for c in payload:
+        lhs = lhs.withColumn(f"__p_{c}", F.lit(None).cast(rhs.schema[f"__p_{c}"].dataType))
+    merged = lhs.select(rhs.columns).unionByName(rhs)
+
+    # right rows sort before left rows at equal ts (__is_left ascending), so
+    # a right row with ts == left ts IS matched (inclusive as-of)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__evt_ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged
+    for c in payload:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w)
+        )
+    return (
+        out.filter(F.col("__is_left") == 1)
+        .drop("__evt_ts", "__is_left", *[f"__p_{c}" for c in payload])
+    )

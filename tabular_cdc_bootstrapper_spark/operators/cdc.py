@@ -10,15 +10,17 @@ Spark.
 
 Scale design (100 TB):
 
-- ``strategy='max_by'`` (default) reduces with a single hash aggregation —
-  one shuffle on the key, map-side partial aggregation, no sort. At 1000
-  executors this is the plan you want: partial ``max_by`` runs inside
-  whole-stage codegen before the exchange, so shuffle volume is ~|distinct
-  keys|, not |rows|.
+- ``strategy='max_by'`` (default): single aggregation — one shuffle on the
+  key with a map-side partial, so shuffle volume is ~|distinct keys|, not
+  |rows|. Note the physical op is SortAggregate (struct-typed buffers
+  can't use HashAggregate's primitive mutable buffer), so each side sorts
+  locally by the grouping key; the shuffle-volume reduction still
+  dominates at scale, which is why this is the default.
 - ``strategy='window'`` (``row_number() OVER (PARTITION BY key ORDER BY ts
-  DESC)``) shuffles the *full* event stream and sorts each partition —
-  strictly more work, but it keeps every column without a struct round-trip
-  and is the shape the DuckDB oracle uses. Exposed for parity testing.
+  DESC)``): also one shuffle, and Spark's WindowGroupLimit prunes to the
+  per-key top-1 map-side. Keeps every column without a struct round-trip;
+  shuffles slightly more than max_by when many events share a key.
+  Measured at sf0.1 the two are within ~10% (plan tests pin both shapes).
 - Ordering is by *data time* (ts column), never arrival time, so
   late/out-of-order files resolve correctly (reference README.md:57 uses
   ``loaded_at``; batch_bootstrapper.py:21 uses ``transact_seq`` — both are

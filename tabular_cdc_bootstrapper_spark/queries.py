@@ -41,11 +41,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # oracle comparisons line up. The conf is dynamic (scan-time).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # integral `div`, NOT `/`: ns epoch values (~1.7e18) exceed double's
+        # 2^53 integer range, so float division silently drifts by ±1 µs
         return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -777,3 +776,269 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "n_bytes", "content_digest")
+
+
+# ---------------------------------------------------------------------------
+# Extended relational/temporal surface: as-of join, sessionization, pivot,
+# exact percentiles, statistical aggregates, string distance, array scalars.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_signup",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, MAX(value) AS sv
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           s.ts AS signup_ts,
+           ROUND(s.sv, 4) AS signup_value
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the user's most recent
+    signup at-or-before it (operators/asof.py union-window form — one
+    keyed shuffle, no range explosion)."""
+    from tabular_cdc_bootstrapper_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("sv"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = as_of_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["signup_ts", "sv"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("signup_ts"),
+        F.round("sv", 4).alias("signup_value"),
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits sessions (lag + flag +
+    aggregate; the streaming twin is session_window in streaming/windows)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "pivot_revenue_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one output column per pivoted key value."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    piv = (
+        l.select("l_returnflag", "l_linestatus", rev)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.round(F.sum("rev"), 2), F.lit(0.0)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("rev_O"),
+        F.col("F").alias("rev_F"),
+    )
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (approx_percentile is the sketch
+    variant for 100 TB — same API shape, oracle uses the exact form)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "stats_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/correlation/covariance."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+    )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           CAST(NTILE(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: lead, first_value, ntile."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )
+
+
+@query(
+    "customer_order_years",
+    oracle="""
+    SELECT c.c_custkey,
+           array_to_string(list_sort(list(DISTINCT EXTRACT(year FROM o.o_orderdate))), ',') AS order_years,
+           CAST(COUNT(DISTINCT EXTRACT(year FROM o.o_orderdate)) AS BIGINT) AS n_years
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def customer_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation scalars: collect_set → sort → join to string
+    (string-valued so cross-engine hashing is stable)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set(yr)), ",").alias("order_years"),
+            F.countDistinct(yr).alias("n_years"),
+        )
+    )
+
+
+@query(
+    "brand_name_distance",
+    oracle="""
+    WITH brands AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, b.p_brand) AS INT) AS edit_dist
+    FROM brands a JOIN brands b ON a.p_brand < b.p_brand
+    """,
+)
+def brand_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance scalar (levenshtein) over a distinct self-join."""
+    b = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.withColumnRenamed("p_brand", "brand_a")
+    c = b.withColumnRenamed("p_brand", "brand_b")
+    return (
+        a.join(c, F.col("brand_a") < F.col("brand_b"))
+        .withColumn("edit_dist", F.levenshtein("brand_a", "brand_b"))
+    )
+
+
+@query(
+    "distinct_count_dims",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS BIGINT) AS n_years,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def distinct_count_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (Catalyst expands to a single pass;
+    approx_count_distinct is the HLL sketch swap-in at 100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )

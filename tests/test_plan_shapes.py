@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the 100 TB design properties, pinned.
+
+Each assertion here encodes a scale decision documented in the operator's
+docstring — filter pushdown to the scan, column pruning, broadcast of dim
+tables, bounded shuffle counts for the CDC reduction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark import queries as q
+from tabular_cdc_bootstrapper_spark.operators.cdc import latest_by_key
+from tabular_cdc_bootstrapper_spark.plans.inspect import (
+    broadcast_join_count,
+    exchange_count,
+    has_pushed_filters,
+    physical_plan,
+    scan_read_columns,
+    sort_merge_join_count,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q.q1_pricing_summary(spark, sf_dir)
+    assert has_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the other 9 lineitem columns."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = l.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    (cols,) = scan_read_columns(df)
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    df = q.q3_shipping_priority(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    # the selective dim filter must also push to the customer scan
+    assert has_pushed_filters(df, "EqualTo(c_mktsegment,BUILDING)")
+
+
+def test_q5_all_dims_broadcast_no_smj(spark, sf_dir):
+    df = q.q5_region_revenue(spark, sf_dir)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 4
+    assert sort_merge_join_count(df) == 0, plan
+
+
+def test_cdc_latest_single_shuffle(spark, sf_dir):
+    """The flagship reduction: one hash aggregation = one exchange on the
+    key (plus partial agg map-side). More exchanges = regression."""
+    changelog = q.derived_orders_changelog(spark, sf_dir)
+    latest = latest_by_key(changelog, "o_orderkey", "ts")
+    assert exchange_count(latest) == 1
+    plan = physical_plan(latest)
+    assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_cdc_strategies_both_single_shuffle(spark, sf_dir):
+    """Both reduction strategies are single-shuffle with map-side pruning:
+    max_by does partial SortAggregate (shuffle volume ~|keys|); window gets
+    WindowGroupLimit (map-side top-1 per key). Either regressing to a
+    second exchange or losing the partial step is a scale bug."""
+    changelog = q.derived_orders_changelog(spark, sf_dir)
+    mb = latest_by_key(changelog, "o_orderkey", "ts")
+    win = latest_by_key(changelog, "o_orderkey", "ts", strategy="window")
+    assert exchange_count(mb) == 1
+    assert exchange_count(win) == 1
+    assert "WindowGroupLimit" in physical_plan(win)
+    # partial (map-side) aggregate must appear before the exchange
+    assert physical_plan(mb).count("SortAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy + limit must compile to TakeOrderedAndProject — no global
+    sort of the full aggregate output."""
+    df = q.q3_shipping_priority(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_events_json_scan_prunes_columns(spark, sf_dir):
+    df = q.events_json_extract(spark, sf_dir)
+    scans = scan_read_columns(df)
+    assert any(cols <= {"event_type", "props"} for cols in scans)

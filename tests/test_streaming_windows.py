@@ -1,0 +1,136 @@
+"""Streaming window tests: the streaming results must agree with their
+batch twins (same logical op, different execution), including with
+out-of-order input, and watermarks must actually drop too-late rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.streaming.windows import (
+    EVENTS_STREAM_SCHEMA,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    with_ingest_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events fixture re-written as multiple parquet files with TimestampType
+    (µs) so the streaming file source can read it, deliberately NOT ordered
+    by time (files are split by event_id ranges interleaved)."""
+    out = tmp_path_factory.mktemp("events_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    # interleave: odd ids then even ids → per-file time ranges overlap fully
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(out / "f1"))
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(out / "f2"))
+    return str(out)
+
+
+def _stream(spark, events_dir):
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+
+def _batch(spark, events_dir):
+    return (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+
+def _final_watermark(spark, events_dir, delay_minutes=30):
+    """Append-mode streams only emit windows whose END precedes the final
+    watermark (global max event time - delay); later windows stay in state.
+    The batch expectation must apply the same cutoff."""
+    from datetime import timedelta
+
+    mx = _batch(spark, events_dir).agg(F.max("ts")).collect()[0][0]
+    return mx - timedelta(minutes=delay_minutes)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    from datetime import timedelta
+
+    q = run_stream_to_memory(
+        tumbling_counts(_stream(spark, events_dir)), "tumbling_out"
+    )
+    wm = _final_watermark(spark, events_dir)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("tumbling_out").collect()
+    }
+    exp = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in tumbling_counts(_batch(spark, events_dir)).collect()
+        if r["bucket_start"] + timedelta(minutes=10) <= wm
+    }
+    assert got == exp and len(got) > 0
+    q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from datetime import timedelta
+
+    q = run_stream_to_memory(sliding_counts(_stream(spark, events_dir)), "sliding_out")
+    wm = _final_watermark(spark, events_dir)
+    got = {tuple(r) for r in spark.table("sliding_out").collect()}
+    exp = {
+        tuple(r)
+        for r in sliding_counts(_batch(spark, events_dir)).collect()
+        if r["bucket_start"] + timedelta(minutes=10) <= wm
+    }
+    assert got == exp and len(got) > 0
+    q.stop()
+
+
+def test_session_stream_produces_sessions(spark, events_dir):
+    q = run_stream_to_memory(session_counts(_stream(spark, events_dir)), "session_out")
+    rows = spark.table("session_out").collect()
+    wm = _final_watermark(spark, events_dir, 60)
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # emitted sessions must exactly match the batch session_window twin,
+    # up to the final watermark (later sessions remain unfinalized)
+    exp = {
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in session_counts(_batch(spark, events_dir)).collect()
+        if r["session_end"] <= wm
+    }
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in rows
+    }
+    assert got == exp
+    q.stop()
+
+
+def test_observe_metrics_reported(spark, events_dir):
+    stream = with_ingest_metrics(_stream(spark, events_dir))
+    # pass-through observation: write raw rows, metrics ride on progress
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("observed_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["observedMetrics"].get("ingest")]
+    assert progress, "no observed metrics in any micro-batch"
+    total_rows = sum(p["observedMetrics"]["ingest"]["rows"] for p in progress)
+    assert total_rows == _batch(spark, events_dir).count()
+    q.stop()
