@@ -234,3 +234,134 @@ def verified_near_duplicates(
     return pairs.filter(F.col("jaccard_sim") >= threshold).select(
         "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: near-dup detection via Hamming distance on a 64-bit sketch.
+# ---------------------------------------------------------------------------
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash of the token multiset.
+
+    Each token's 64-bit hash votes ±1 per bit position; the sign of each
+    position's total becomes that bit. All JVM-side: token hashes staged
+    once (attribute), then one aggregate per bit over the long array —
+    cheap shifts/masks, no string re-hashing (same staging discipline as
+    minhash_signatures_df).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    th = toks.select(
+        "id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    bit_votes = [
+        F.aggregate(
+            "__th",
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        for i in range(bits)
+    ]
+    sim = F.lit(0).cast("long")
+    for i, v in enumerate(bit_votes):
+        sim = sim.bitwiseOR(
+            F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return th.select("id", sim.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
+
+    Blocking: the 64-bit sketch splits into 4 16-bit bands; any pair within
+    Hamming distance 3 agrees exactly on ≥1 band (pigeonhole), so the
+    candidate join is an equi-join on (band_id, band_value) — same skew-
+    guarded bucket shape as MinHash-LSH, no O(n²) scan.
+    """
+    sh = simhash_df(df, text_col, id_col).persist()
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_id", "band_value"),
+    )
+    counts = bands.groupBy("band_id", "band_value").agg(F.count("*").alias("sz"))
+    small = bands.join(
+        counts.filter(F.col("sz") <= max_bucket_size), ["band_id", "band_value"]
+    )
+    left = small.select("band_id", "band_value", F.col("id").alias("id_a"),
+                        F.col("simhash").alias("sim_a"))
+    right = small.select("band_id", "band_value", F.col("id").alias("id_b"),
+                         F.col("simhash").alias("sim_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold) via sign-random-
+    projection buckets: highly similar vectors land in the same bucket with
+    probability (1 - θ/π)^n_planes, so only same-bucket pairs are scored.
+    Exact cosine verifies each candidate (same verify-after-block shape as
+    MinHash → Jaccard)."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        bucket_id,
+        cosine_similarity,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket_id(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+    counts = b.groupBy("bucket").agg(F.count("*").alias("sz"))
+    small = b.join(counts.filter(F.col("sz") <= max_bucket_size), "bucket")
+    left = small.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    right = small.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
+    )

@@ -1042,3 +1042,30 @@ def distinct_count_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query("simhash_near_duplicates")  # rows-only: xxhash64-based sketch
+def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 on a 64-bit sketch) with
+    16-bit-band blocking; planted-dup correctness in tests."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_near_duplicates")  # rows-only: approximate blocking
+def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9) via sign-random-
+    projection blocking + exact verification. Random fixture vectors have
+    no natural near-dups at this threshold, so every 100th vector is
+    re-appended (scaled by 1.000001) under an offset id — the pipeline
+    must find exactly those planted pairs."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    planted = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.000001)))
+    )
+    return embedding_near_duplicates(e.unionByName(planted), threshold=0.9)

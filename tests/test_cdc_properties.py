@@ -1,0 +1,80 @@
+"""Property-based CDC invariants (SURVEY.md §5, hypothesis):
+
+For ANY random I/U/D event sequence:
+  (i)  mirror keys == keys whose latest event is non-delete
+  (ii) every mirror row equals its latest non-D event's payload
+  (iii) applying the changelog is idempotent (replay-safe), and
+        splitting the changelog into any prefix/suffix batches and
+        merging incrementally equals the one-shot batch result.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # key (small → collisions)
+        st.sampled_from(["I", "U", "D"]),
+        st.text(alphabet="abc", min_size=0, max_size=3),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _expected(seq):
+    """Reference semantics in plain Python: last event per key wins."""
+    latest = {}
+    for ts, (key, op, payload) in enumerate(seq):
+        latest[key] = (ts, op, payload)
+    return {k: (ts, payload) for k, (ts, op, payload) in latest.items() if op != "D"}
+
+
+def _df(spark, seq):
+    rows = [(key, op, payload, ts) for ts, (key, op, payload) in enumerate(seq)]
+    return spark.createDataFrame(rows, "id long, op string, payload string, ts long")
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seq=events_strategy)
+def test_mirror_matches_reference_semantics(spark, seq):
+    out = apply_changelog(_df(spark, seq), "id", "ts").collect()
+    got = {r["id"]: (r["ts"], r["payload"]) for r in out}
+    assert got == _expected(seq)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seq=events_strategy, split=st.integers(min_value=0, max_value=30))
+def test_incremental_merge_equals_batch(spark, seq, split):
+    split = min(split, len(seq))
+    full = apply_changelog(_df(spark, seq), "id", "ts")
+
+    first = apply_changelog(_df(spark, seq[:split]), "id", "ts") if split else None
+    if split and seq[split:]:
+        merged = apply_changelog(
+            _df(spark, seq[split:]), "id", "ts", mirror=first,
+        )
+    elif split:
+        merged = first
+    else:
+        merged = apply_changelog(_df(spark, seq), "id", "ts")
+
+    as_dict = lambda df: {r["id"]: r["payload"] for r in df.collect()}
+    assert as_dict(merged) == as_dict(full)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seq=events_strategy)
+def test_replay_idempotent(spark, seq):
+    """Re-applying the same changelog on top of the mirror changes nothing
+    (exactly-once violations must not corrupt state)."""
+    df = _df(spark, seq)
+    once = apply_changelog(df, "id", "ts")
+    twice = apply_changelog(df, "id", "ts", mirror=once)
+    a = {r["id"]: r["payload"] for r in once.collect()}
+    b = {r["id"]: r["payload"] for r in twice.collect()}
+    assert a == b

@@ -139,3 +139,41 @@ def test_multimodal_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_simhash_finds_planted_dups(spark, docs_with_planted_dups):
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        simhash_df,
+        simhash_near_duplicates,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs_with_planted_dups).collect()
+    }
+    assert pairs.get((0, 100000)) == 0  # identical text → identical sketch
+    assert (1, 100001) in pairs  # one-word change → within hamming budget
+    # sketch is deterministic
+    a = {r["id"]: r["simhash"] for r in simhash_df(docs_with_planted_dups).collect()}
+    b = {r["id"]: r["simhash"] for r in simhash_df(docs_with_planted_dups).collect()}
+    assert a == b
+
+
+def test_embedding_near_duplicates_planted(spark, sf_dir):
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        embedding_near_duplicates,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clone = (
+        e.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(900000))
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.000001)))
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(e.unionByName(clone), threshold=0.99).collect()
+    }
+    assert pairs.get((0, 900000)) == pytest.approx(1.0)
+    # random vectors must NOT appear as near-dups at this threshold
+    assert all(a == 0 or b == 900000 for (a, b) in pairs)
