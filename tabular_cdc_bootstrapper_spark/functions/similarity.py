@@ -156,3 +156,67 @@ def lsh_bucketed_topk(
             "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids_stride: int = 50,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid; queries scan only their ``n_probes``
+    closest lists.
+
+    Centroids are sampled deterministically from the corpus itself (every
+    ``n_centroids_stride``-th vector) — no iterative training, which keeps
+    the operator a pure DataFrame pipeline; swapping in k-means centroids
+    (pyspark.ml) changes only the centroid DataFrame. At warehouse scale
+    the corpus is written partitioned by ``centroid_id`` so a probe is a
+    partition-pruned scan.
+    """
+    cents = (
+        corpus.filter(F.col(id_col) % n_centroids_stride == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+
+    def nearest_lists(df: DataFrame, vcol: str, n: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "__sim", cosine_similarity(F.col(vcol), F.col("cv"))
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("__sim").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(*df.columns, F.col("cid").alias(out))
+        )
+
+    c_assigned = nearest_lists(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "v", 1, "list_id",
+    )
+    q_assigned = nearest_lists(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", n_probes, "list_id",
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("v")))
+        .select("qid", "vec_id", "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )

@@ -1069,3 +1069,135 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.000001)))
     )
     return embedding_near_duplicates(e.unionByName(planted), threshold=0.9)
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left_semi join."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    qualifying = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return qualifying.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery → self-join against
+    a pre-aggregated per-key threshold (the decorrelated plan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(thresholds, l.l_partkey == thresholds.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "orders_above_global_avg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND(MIN(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: filter against a single-row aggregate (broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+               ROUND(MIN(o_totalprice), 2) AS min_above
+        FROM __orders_sq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __orders_sq)
+        """
+    )
+
+
+@query(
+    "brand_having_filter",
+    oracle="""
+    SELECT p_brand,
+           ROUND(AVG(p_retailprice), 4) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 5 AND AVG(p_retailprice) > 900
+    """,
+)
+def brand_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.count("*").alias("n_parts"),
+        )
+        .filter((F.col("n_parts") >= 5) & (F.col("avg_price") > 900))
+    )
+
+
+@query(
+    "nations_with_presence",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (
+        SELECT c_nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def nations_with_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) + IN-subquery (semi join)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    present = c.union(s).distinct()
+    return n.join(present, n.n_nationkey == present.k, "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+@query("ann_ivf_topk")  # rows-only: approximate by design (recall-tested)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (inverted lists by nearest sampled
+    centroid, multi-probe) — the partition-pruned scale path."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_topk(emb, q, k=10)

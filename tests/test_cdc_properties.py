@@ -34,8 +34,13 @@ def _expected(seq):
     return {k: (ts, payload) for k, (ts, op, payload) in latest.items() if op != "D"}
 
 
-def _df(spark, seq):
-    rows = [(key, op, payload, ts) for ts, (key, op, payload) in enumerate(seq)]
+def _df(spark, seq, ts_offset=0):
+    # ts is global data-time: a suffix batch must carry its original
+    # positions (offset), not restart at 0 — CDC ordering is by data time.
+    rows = [
+        (key, op, payload, ts + ts_offset)
+        for ts, (key, op, payload) in enumerate(seq)
+    ]
     return spark.createDataFrame(rows, "id long, op string, payload string, ts long")
 
 
@@ -56,7 +61,7 @@ def test_incremental_merge_equals_batch(spark, seq, split):
     first = apply_changelog(_df(spark, seq[:split]), "id", "ts") if split else None
     if split and seq[split:]:
         merged = apply_changelog(
-            _df(spark, seq[split:]), "id", "ts", mirror=first,
+            _df(spark, seq[split:], ts_offset=split), "id", "ts", mirror=first,
         )
     elif split:
         merged = first

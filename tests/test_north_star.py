@@ -177,3 +177,25 @@ def test_embedding_near_duplicates_planted(spark, sf_dir):
     assert pairs.get((0, 900000)) == pytest.approx(1.0)
     # random vectors must NOT appear as near-dups at this threshold
     assert all(a == 0 or b == 900000 for (a, b) in pairs)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = cosine_topk(emb, q, k=10).collect()
+    approx = ivf_topk(emb, q, k=10, n_centroids_stride=50, n_probes=4).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(ex[qid] & ap.get(qid, set())) / len(ex[qid]) for qid in ex]
+    assert sum(recalls) / len(recalls) > 0.3
+    # sims reported by IVF are exact cosines → must match brute force values
+    exact_vals = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_vals:
+            assert r["cos_sim"] == pytest.approx(exact_vals[key], abs=1e-6)
