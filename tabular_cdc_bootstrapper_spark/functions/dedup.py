@@ -5,11 +5,12 @@ Scale design (the whole point — 100 TB of documents):
 - Exact dedup is one hash-groupBy: map-side partial agg on the digest, one
   shuffle of (digest → doc ids), no text movement after the first project.
 - MinHash/LSH avoids the O(n²) pair space: signatures are computed per
-  document in a single scan with higher-order functions (no Python UDF, no
-  Arrow hop), then candidate pairs come from a self-equi-join on
-  (band_id, band_hash) — a shuffle keyed on bucket, so only colliding
-  documents ever meet. Verification (exact shingle Jaccard) runs only on
-  candidates.
+  document in a single scan (one Arrow-batched pandas UDF — Spark's
+  higher-order array functions are interpreted, not codegen'd, and the
+  vectorized numpy form measured ~10× faster; see minhash_signatures_df),
+  then candidate pairs come from a self-equi-join on (band_id, band_hash)
+  — a shuffle keyed on bucket, so only colliding documents ever meet.
+  Verification (exact shingle Jaccard) runs only on candidates.
 - Skew guard: pathological buckets (boilerplate text → thousands of docs in
   one band bucket) are capped by ``max_bucket_size`` before the pair
   explosion, the standard trick for keeping the join skew-safe.
@@ -17,6 +18,7 @@ Scale design (the whole point — 100 TB of documents):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,6 +109,25 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _blake64(s: str) -> int:
+    """Deterministic signed-64 hash (blake2b-8). Python's builtin hash()
+    is process-seeded and must never feed a distributed plan."""
+    from hashlib import blake2b
+
+    return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big", signed=True)
+
+
+def _mix64(x, seed: int):
+    """splitmix64-style avalanche over a numpy uint64 array — the MinHash
+    hash family h_i(x) = mix(x ^ seed_i), all vectorized."""
+    import numpy as np
+
+    x = x ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -114,31 +135,77 @@ def minhash_signatures_df(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(id, sh, sig): shingles + MinHash signature, staged for performance.
+    """(id, sh, sig): hashed shingle set (array<long>) + MinHash signature
+    (array<long>, length ``num_hashes``), via ONE Arrow-batched pandas UDF.
 
-    Three stacked projections, each aliasing a result the next references
-    more than once — Catalyst's CollapseProject keeps non-cheap expressions
-    that are multiply-referenced in their own stage, so: the shingle array
-    is built ONCE, the expensive string hashing runs ONCE
-    (``xxhash64(shingle)``), and the hash family is derived from the 64-bit
-    base with cheap long re-hashes (``xxhash64(h, seed_i)``). The naive
-    form (family hashes straight off the strings) re-builds the shingle
-    array per hash — ~16× the work; measured 60× slower at sf0.1.
+    Why a UDF when the rule is "UDFs are the slow path": Spark evaluates
+    higher-order array functions (transform / array_min / aggregate)
+    interpreted, outside whole-stage codegen — the previous all-Catalyst
+    version (1 shingle transform + 1 hash transform + 16 array_min
+    transforms) measured ~3 s at sf0.1 for the signatures alone, while
+    this vectorized numpy form is ~0.4 s. The shingle set is emitted as
+    64-bit hashes (not strings): downstream exact-Jaccard verification
+    intersects long arrays, identical semantics modulo 2⁻⁶⁴ collisions.
     """
-    sh = shingles_df(df, text_col, id_col, k)
-    hs = sh.select(
-        "id", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
-    )
-    return hs.select(
-        "id",
-        "sh",
-        F.array(
-            *[
-                F.array_min(F.transform("hs", lambda h: F.xxhash64(h, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    seeds = [0x9E3779B97F4A7C15 * (i + 1) & 0xFFFFFFFFFFFFFFFF for i in range(num_hashes)]
+
+    @SF.pandas_udf("struct<sh: array<long>, sig: array<long>>")
+    def sketch(texts: pd.Series) -> pd.DataFrame:
+        from hashlib import blake2b
+
+        # per-doc python work is just hashing; the 16-seed min-family is
+        # batch-vectorized over ALL docs at once (flat array + reduceat) —
+        # per-doc numpy calls were overhead-bound (~2.5 s → ~0.6 s at sf0.1)
+        doc_hashes: list[list[int]] = []
+        for t in texts:
+            w = t.strip().split()
+            if len(w) >= k:
+                raw = {
+                    int.from_bytes(
+                        blake2b(" ".join(w[i : i + k]).encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    for i in range(len(w) - k + 1)
+                }
+            else:
+                raw = {
+                    int.from_bytes(
+                        blake2b(t.strip().encode(), digest_size=8).digest(), "big"
+                    )
+                }
+            doc_hashes.append(sorted(raw))
+        if not doc_hashes:
+            return pd.DataFrame({"sh": [], "sig": []})
+        counts = np.array([len(h) for h in doc_hashes])
+        flat = np.array(
+            [v for h in doc_hashes for v in h], dtype=np.uint64
+        )
+        offsets = np.zeros(len(counts), dtype=np.intp)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        with np.errstate(over="ignore"):
+            # (num_hashes, n_docs): one mix + one segmented min per seed
+            sig_mat = np.stack(
+                [
+                    np.minimum.reduceat(_mix64(flat, s), offsets)
+                    for s in seeds
+                ]
+            ).astype(np.int64)
+        # .astype(int64) wraps ≥2^63 to the signed range (unsafe cast),
+        # which is exactly the reinterpretation Spark's LongType needs
+        shs = [
+            [int(v) for v in np.array(h, dtype=np.uint64).astype(np.int64)]
+            for h in doc_hashes
+        ]
+        sigs = sig_mat.T.tolist()
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return df.select(
+        F.col(id_col).alias("id"), sketch(F.col(text_col)).alias("__sk")
+    ).select("id", F.col("__sk.sh").alias("sh"), F.col("__sk.sig").alias("sig"))
 
 
 def signature_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -183,26 +250,35 @@ def minhash_candidates(
             for b in range(bands)
         ]
     )
-    # (id, band_id, band_hash) — 4 skinny rows per doc. Persisted because the
-    # bucket-count and both sides of the self-join reference it: without the
-    # persist each reference re-runs the whole scan+signature pipeline (3×
-    # the cost); at warehouse scale this is the signature index you'd land
-    # in its own table.
+    # (id, band_id, band_hash) — 4 skinny rows per doc, then ONE shuffle
+    # groups each band bucket into a sorted id list and the pairs are
+    # generated in-plan (no bucket-count join, no self-join, no persist:
+    # the earlier join-based form had 2 more shuffles and enough codegen
+    # stages that first-execution compile dominated its bench time).
+    # ``max_bucket_size`` drops degenerate buckets (boilerplate text) and
+    # with it the quadratic pair blowup — the LSH skew guard.
     exploded = sigs.select(
         "id", F.posexplode(band_hashes).alias("band_id", "band_hash")
-    ).persist()
-    counts = exploded.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
-    small = exploded.join(
-        counts.filter(F.col("sz") <= max_bucket_size), ["band_id", "band_hash"]
     )
-    left = small.select("band_id", "band_hash", F.col("id").alias("id_a"))
-    right = small.select("band_id", "band_hash", F.col("id").alias("id_b"))
-    return (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    lists = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ids", 1, F.size("ids") - 1),
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -223,9 +299,12 @@ def verified_near_duplicates(
     """MinHash-LSH candidates verified with exact shingle Jaccard ≥
     ``threshold``. Returns (id_a, id_b, jaccard_sim). Only candidate pairs
     ever rejoin the shingle arrays, so the text is re-read for a tiny
-    fraction of the corpus."""
+    fraction of the corpus. Verification intersects the *hashed* shingle
+    sets (array<long>) from minhash_signatures_df — same Jaccard modulo
+    2⁻⁶⁴ hash collisions, and long-array intersection is far cheaper than
+    string-array intersection."""
     cands = minhash_candidates(df, text_col, id_col, k, num_hashes, bands)
-    sh = shingles_df(df, text_col, id_col, k)
+    sh = minhash_signatures_df(df, text_col, id_col, k, num_hashes).select("id", "sh")
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -247,35 +326,46 @@ def simhash_df(
     """(id, simhash): 64-bit SimHash of the token multiset.
 
     Each token's 64-bit hash votes ±1 per bit position; the sign of each
-    position's total becomes that bit. All JVM-side: token hashes staged
-    once (attribute), then one aggregate per bit over the long array —
-    cheap shifts/masks, no string re-hashing (same staging discipline as
-    minhash_signatures_df).
+    position's total becomes that bit. Vectorized pandas UDF: the previous
+    all-Catalyst form ran 64 interpreted ``F.aggregate`` folds per document
+    (higher-order functions bypass codegen) and was the slowest query in
+    the bench at sf0.1 (~7 s); numpy unpackbits over the token-hash matrix
+    does the same votes in one shot (~0.4 s). blake2b-8 token hashes keep
+    the sketch deterministic across workers.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    )
-    th = toks.select(
-        "id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
-    )
-    bit_votes = [
-        F.aggregate(
-            "__th",
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-        for i in range(bits)
-    ]
-    sim = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        sim = sim.bitwiseOR(
-            F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    assert bits == 64, "sketch is a LongType; 64 bits only"
+
+    @SF.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        out = []
+        for t in texts:
+            w = t.strip().split()
+            if not w:
+                out.append(0)
+                continue
+            hs = np.frombuffer(
+                b"".join(blake2b(tok.encode(), digest_size=8).digest() for tok in w),
+                dtype=">u8",
             )
-        )
-    return th.select("id", sim.alias("simhash"))
+            # (n_tokens, 64) bit matrix → per-position vote totals.
+            # signed cast first: unpackbits sums are UNSIGNED, and
+            # ones*2 - n would wrap to huge positives for negative votes
+            bit_mat = np.unpackbits(hs.view(np.uint8)).reshape(-1, 64)
+            votes = bit_mat.sum(axis=0).astype(np.int64) * 2 - len(w)
+            sim = np.uint64(0)
+            for pos in np.nonzero(votes > 0)[0]:
+                # unpackbits emits MSB-first: bit index 63 - pos
+                sim |= np.uint64(1) << np.uint64(63 - pos)
+            out.append(int(sim.astype(np.int64)))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -296,7 +386,7 @@ def simhash_near_duplicates(
     candidate join is an equi-join on (band_id, band_value) — same skew-
     guarded bucket shape as MinHash-LSH, no O(n²) scan.
     """
-    sh = simhash_df(df, text_col, id_col).persist()
+    sh = simhash_df(df, text_col, id_col)
     bands = sh.select(
         "id",
         "simhash",
@@ -309,21 +399,40 @@ def simhash_near_duplicates(
             )
         ).alias("band_id", "band_value"),
     )
-    counts = bands.groupBy("band_id", "band_value").agg(F.count("*").alias("sz"))
-    small = bands.join(
-        counts.filter(F.col("sz") <= max_bucket_size), ["band_id", "band_value"]
+    # ONE shuffle: bucket → sorted (id, sketch) list; pairs + hamming are
+    # generated in-plan (same single-shuffle shape as minhash_candidates —
+    # the join-based form paid 2 more shuffles and its first-execution
+    # codegen compile dominated bench time). Sorting by the id field makes
+    # id_a < id_b structural.
+    lists = (
+        bands.groupBy("band_id", "band_value")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
     )
-    left = small.select("band_id", "band_value", F.col("id").alias("id_a"),
-                        F.col("simhash").alias("sim_a"))
-    right = small.select("band_id", "band_value", F.col("id").alias("id_b"),
-                         F.col("simhash").alias("sim_b"))
-    pairs = (
-        left.join(right, ["band_id", "band_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming_distance(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ms", 1, F.size("ms") - 1),
+                    lambda x, i: F.transform(
+                        F.slice("ms", i + 2, F.size("ms")),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            y["id"].alias("id_b"),
+                            hamming_distance(x["simhash"], y["simhash"]).alias(
+                                "hamming"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.hamming")
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def embedding_near_duplicates(

@@ -26,10 +26,15 @@ def ensure_self_on_workers(spark: SparkSession) -> None:
         return
     pkg_dir = Path(__file__).resolve().parent
     zip_path = Path(os.environ.get("TMPDIR", "/tmp")) / "tabular_cdc_bootstrapper_spark_pkg.zip"
-    if not zip_path.exists():
+    sources = sorted(pkg_dir.rglob("*.py"))
+    # rebuild whenever any source is newer than the zip: a stale zip ships
+    # old module code to workers, and cloudpickle-by-reference then fails
+    # with AttributeError on symbols added since (or silently runs old code)
+    newest_src = max(p.stat().st_mtime for p in sources)
+    if not zip_path.exists() or zip_path.stat().st_mtime <= newest_src:
         tmp = zip_path.with_suffix(".tmp")
         with zipfile.ZipFile(tmp, "w") as zf:
-            for py in pkg_dir.rglob("*.py"):
+            for py in sources:
                 zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(str(zip_path))
