@@ -459,18 +459,37 @@ def embedding_near_duplicates(
     planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         bucket_id(F.col(vec_col), planes).alias("bucket"),
-    ).persist()
-    counts = b.groupBy("bucket").agg(F.count("*").alias("sz"))
-    small = b.join(counts.filter(F.col("sz") <= max_bucket_size), "bucket")
-    left = small.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = small.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    )
+    # one skinny shuffle (id, bucket) → sorted id lists with the skew-guard
+    # cap, candidate pairs generated in-plan; the vectors are joined back
+    # for candidates ONLY (same verify-after-block shape as MinHash →
+    # Jaccard — at corpus scale the candidate set ≪ corpus, so the verify
+    # join moves almost nothing)
+    lists = (
+        b.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    cands = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("ids", 1, F.size("ids") - 1),
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-        .distinct()
     )

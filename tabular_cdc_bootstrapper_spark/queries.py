@@ -1965,3 +1965,148 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= 0.5)
         .select("id1", "id2", F.round("jac", 4).alias("jac"))
     )
+
+
+@query(
+    "rolling_30d_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+    FROM orders
+    """,
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: trailing 30-day revenue per customer. Spark's
+    rangeBetween needs a numeric ordering key, so the timestamp becomes
+    epoch days in BOTH engines (same truncation → same frames)."""
+    o = _t(spark, sf_dir, "orders")
+    days = (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.alias("d"))
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+@query(
+    "set_ops_multiset",
+    oracle="""
+    SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    ) a
+    UNION ALL
+    SELECT 'except_all', CAST(COUNT(*) AS BIGINT) FROM (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    ) b
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — the
+    bag-semantics complements of the distinct set ops query."""
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    inter = r.intersectAll(a).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = r.exceptAll(a).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
+
+
+@query(
+    "session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_events,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization with per-session rollup: lag flags
+    session starts, a running sum assigns session ids, then two stacked
+    aggregations. Extends user_sessions with session-level durations."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.unix_micros(F.min("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+
+
+@query("hll_distinct_counts")  # rows-only: sketch cardinality is approximate
+def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch surface (the 100 TB path for COUNT DISTINCT:
+    mergeable partial sketches, no exact shuffle of the distinct values):
+    hll_sketch_agg per group + hll_union_agg across groups. Accuracy vs
+    exact is asserted in tests (±5%)."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    per_group = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
+    )
+    total = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
+    return per_group.unionByName(total)

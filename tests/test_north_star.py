@@ -199,3 +199,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         key = (r["qid"], r["vec_id"])
         if key in exact_vals:
             assert r["cos_sim"] == pytest.approx(exact_vals[key], abs=1e-6)
+
+
+def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
+    """hll_sketch_agg / hll_union_agg estimates must track exact
+    countDistinct within the sketch's error envelope."""
+    from tabular_cdc_bootstrapper_spark.queries import hll_distinct_counts
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = l.select("l_partkey").distinct().count()
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in hll_distinct_counts(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

@@ -83,3 +83,77 @@ def test_events_json_scan_prunes_columns(spark, sf_dir):
     df = q.events_json_extract(spark, sf_dir)
     scans = scan_read_columns(df)
     assert any(cols <= {"event_type", "props"} for cols in scans)
+
+
+# --- TPC-H shape sweep + north-star additions -----------------------------
+
+
+def test_q7_dims_broadcast(spark, sf_dir):
+    """supplier + both nation role aliases carry explicit broadcast hints;
+    at 100 TB the fact-fact (lineitem ⋈ orders) side may shuffle, the dims
+    must not."""
+    df = q.q7_nation_volume(spark, sf_dir)
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q14_pushdown_and_broadcast(spark, sf_dir):
+    """The one-month shipdate range must reach the lineitem scan, and the
+    part dim must broadcast — the scan should touch one month, not the
+    whole fact table."""
+    df = q.q14_promo_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+    assert has_pushed_filters(df, "LessThan(l_shipdate")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q19_prunes_fact_columns(spark, sf_dir):
+    """Disjunctive brand/size/quantity predicates: the lineitem scan must
+    read only the join key + predicate + measure columns (4), never the
+    full 11-column schema."""
+    df = q.q19_disjunctive_revenue(spark, sf_dir)
+    scans = scan_read_columns(df)
+    li = [c for c in scans if "l_partkey" in c]
+    assert li and all(
+        cols <= {"l_partkey", "l_quantity", "l_extendedprice", "l_discount"}
+        for cols in li
+    )
+
+
+def test_q10_topk_take_ordered(spark, sf_dir):
+    df = q.q10_returned_revenue(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    # selective predicates reach both fact scans
+    assert has_pushed_filters(df, "EqualTo(l_returnflag,R)")
+    assert has_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_simhash_pipeline_is_join_free(spark, sf_dir):
+    """The LSH candidate path is bucket-groupBy + in-plan pair generation:
+    a single shuffle, and NO join of any kind (the join-based form cost 2
+    extra shuffles). A Join node reappearing here is a regression."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        simhash_near_duplicates,
+    )
+
+    df = simhash_near_duplicates(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert exchange_count(df) <= 2  # bucket groupBy + final distinct
+
+
+def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
+    """The inverted-index similarity join must never degrade to a nested
+    loop / cartesian product (the naive all-pairs form)."""
+    df = q.ngram_jaccard_pairs(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_token_counts_prunes_scan(spark, sf_dir):
+    df = q.bpe_token_counts(spark, sf_dir)
+    scans = scan_read_columns(df)
+    assert any(cols <= {"text", "lang"} for cols in scans)
+    assert exchange_count(df) == 1
