@@ -116,10 +116,12 @@ def apply_changelog(
                 base = base.withColumn(
                     c, mirror_ts if mirror_ts is not None else F.lit(None)
                 )
-        for c in changelog.columns:
-            if c not in base.columns:
-                base = base.withColumn(c, F.lit(None))
-        events = base.select(*changelog.columns).unionByName(changelog)
+        # schema evolution, both directions (the DMS reality: new files grow
+        # columns, old files lack them): the merged schema is the COLUMN
+        # UNION — changelog-only columns are null on mirror rows, and
+        # mirror-only columns survive (dropping them would erase state for
+        # keys untouched by this batch)
+        events = base.unionByName(changelog, allowMissingColumns=True)
     latest = latest_by_key(events, keys, ts, tiebreak_cols, strategy)
     live = latest.filter(F.col(op_col) != F.lit(delete_op))
     return live.drop(*[c for c in drop_envelope if c in live.columns])

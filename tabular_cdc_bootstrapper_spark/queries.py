@@ -442,15 +442,18 @@ def outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """intersect / except distinct (SURVEY.md §2.7)."""
+    """intersect / except distinct (SURVEY.md §2.7) — one lazy plan, no
+    driver-side counts (the earlier form ran two eager actions and
+    re-created a local DataFrame, an anti-pattern at any scale)."""
     p = _t(spark, sf_dir, "part").select("p_partkey")
     l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
-    spark_sess = spark
-    ordered = p.intersect(l).count()
-    never = p.exceptAll(l.distinct()).distinct().count()
-    return spark_sess.createDataFrame(
-        [("ordered", ordered), ("never_ordered", never)], "bucket string, n bigint"
+    inter = p.intersect(l).agg(F.count("*").alias("n")).select(
+        F.lit("ordered").alias("bucket"), "n"
     )
+    never = p.subtract(l).agg(F.count("*").alias("n")).select(
+        F.lit("never_ordered").alias("bucket"), "n"
+    )
+    return inter.unionByName(never)
 
 
 @query(

@@ -113,3 +113,26 @@ def test_delete_then_reinsert_resolves_by_ts(spark):
     out = apply_changelog(df, "id", "ts", drop_envelope=("ts", "op"))
     got = {r["id"]: r["name"] for r in out.collect()}
     assert got == {1: "back"}
+
+
+def test_schema_evolution_both_directions(spark):
+    """Changelog files can GROW columns (new field appears) and old-format
+    batches can LACK columns the mirror already has; the merged schema is
+    the column union and no state is erased."""
+    mirror = spark.createDataFrame(
+        [(1, "a", "a@x"), (2, "b", "b@x")], "id long, name string, email string"
+    )
+    # new batch: no email column (old format), but adds a phone column
+    batch = spark.createDataFrame(
+        [(1, "a2", "555", "U", 10), (3, "c", None, "I", 10)],
+        "id long, name string, phone string, op string, ts long",
+    )
+    out = apply_changelog(
+        batch, "id", "ts", mirror=mirror, mirror_ts=F.lit(0),
+        drop_envelope=("op", "ts"),
+    )
+    rows = {r["id"]: (r["name"], r["email"], r["phone"]) for r in out.collect()}
+    assert set(out.columns) == {"id", "name", "email", "phone"}
+    assert rows[1] == ("a2", None, "555")   # updated by the new batch
+    assert rows[2] == ("b", "b@x", None)    # untouched key keeps email
+    assert rows[3] == ("c", None, None)     # insert with null phone payload
