@@ -14,7 +14,7 @@ This engine implements BOTH layers natively on Spark:
 - CDC data plane : operators/cdc.py + streaming/pipeline.py
                    (Structured Streaming file source replaces S3 inventory
                    polling; max_by/window dedup merge replaces managed CDC)
-- analytics      : operators/relational.py (joins/aggs/windows/set-ops over
+- analytics      : queries.py registry (joins/aggs/windows/set-ops over
                    the star schema — DuckDB-oracle checked)
 - LLM-pipeline   : functions/{text,dedup,similarity,multimodal}.py
                    (dedup, ANN search, text analysis, binary columns)

@@ -1,0 +1,101 @@
+"""Runnable entry point: ``python -m tabular_cdc_bootstrapper_spark``.
+
+The Spark-native equivalent of the reference's container entry point
+(reference batch_bootstrapper.py:33-94 ``main()``; Dockerfile:19 runs it):
+read env config → bootstrap each target's (changelog, mirror) table pair
+with per-target error isolation → run the CDC data plane the reference
+delegates to a SaaS, here as a one-shot Structured Streaming pass
+(``Trigger.AvailableNow``) that is incremental across invocations via the
+checkpoint — i.e. re-running this command is the reference's "detect new
+s3 files" poll loop (reference README.md:7,37-40), minus the 24 h
+inventory lag.
+
+Env contract (reference README.md:48-58):
+  TABULAR_BUCKET_NAME / TABULAR_BUCKET_MONITOR_PATH  → monitored prefix
+  TABULAR_CDC_ID_FIELD / TABULAR_CDC_TIMESTAMP_FIELD → CDC key/ordering
+Engine extensions:
+  SPARK_CDC_SOURCE_DIR  local/posix dir of change files (overrides s3 URI
+                        for environments without object-store credentials)
+  SPARK_CDC_WORK_DIR    checkpoint + mirror state root (default /tmp/...)
+  SPARK_CDC_RUN_PIPELINE=0  bootstrap only, skip the data plane
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+log = logging.getLogger("tabular_cdc_bootstrapper_spark")
+
+
+def main() -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+    )
+    from tabular_cdc_bootstrapper_spark.catalog import bootstrap_all
+    from tabular_cdc_bootstrapper_spark.config import EngineConfig
+    from tabular_cdc_bootstrapper_spark.session import get_spark
+
+    cfg = EngineConfig.from_env()
+    if not cfg.targets:
+        log.error(
+            "no targets configured: set TABULAR_BUCKET_NAME and "
+            "TABULAR_BUCKET_MONITOR_PATH (reference README.md:48-58)"
+        )
+        return 2
+
+    spark = get_spark("cdc-bootstrapper")
+    source_dir_env = os.environ.get("SPARK_CDC_SOURCE_DIR")
+    # schema discovery mirrors the reference's file-loader behavior (new
+    # tables infer their schema from the first files, SURVEY.md §1.3):
+    # infer from the monitored dir when we can see it, else bootstrap with
+    # no schema (table created on first load)
+    schema = None
+    if source_dir_env:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(source_dir_env)
+            .schema
+        )
+    results = bootstrap_all(spark, cfg, schema=schema)
+    failed = {u: r for u, r in results.items() if isinstance(r, Exception)}
+    for uri, r in results.items():
+        if isinstance(r, Exception):
+            log.error("bootstrap FAILED %s: %s", uri, r)
+        else:
+            log.info("bootstrapped %s -> changelog=%s mirror=%s", uri, *r)
+
+    if os.environ.get("SPARK_CDC_RUN_PIPELINE", "1") != "1":
+        return 1 if failed else 0
+
+    work_root = os.environ.get(
+        "SPARK_CDC_WORK_DIR", "/tmp/tabular_cdc_bootstrapper_spark/work"
+    )
+    if not source_dir_env or schema is None:
+        log.info("no SPARK_CDC_SOURCE_DIR; bootstrap-only run complete")
+        return 1 if failed else 0
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        run_cdc_pipeline_available_now,
+    )
+
+    for target in cfg.targets:
+        if isinstance(results.get(target.source_uri), Exception):
+            continue
+        out = run_cdc_pipeline_available_now(
+            spark,
+            source_dir_env,
+            schema,
+            os.path.join(work_root, target.table_name),
+            target,
+        )
+        state = out["mirror"].read(spark)
+        n = state.count() if state is not None else 0
+        log.info("pipeline complete for %s: mirror rows=%d", target.table_name, n)
+
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,3 +136,32 @@ def test_schema_evolution_both_directions(spark):
     assert rows[1] == ("a2", None, "555")   # updated by the new batch
     assert rows[2] == ("b", "b@x", None)    # untouched key keeps email
     assert rows[3] == ("c", None, None)     # insert with null phone payload
+
+
+def test_main_entry_end_to_end(scenario, tmp_path, monkeypatch):
+    """`python -m tabular_cdc_bootstrapper_spark` equivalent: env config →
+    bootstrap → one-shot streaming CDC run → mirror matches the golden
+    state (the reference's full container lifecycle, natively)."""
+    src, expected = scenario
+    monkeypatch.setenv("TABULAR_BUCKET_NAME", "local-bucket")
+    monkeypatch.setenv("TABULAR_BUCKET_MONITOR_PATH", "cdc/test_table")
+    monkeypatch.setenv("TABULAR_CDC_ID_FIELD", "id")
+    monkeypatch.setenv("TABULAR_CDC_TIMESTAMP_FIELD", "ts")
+    monkeypatch.setenv("SPARK_CDC_SOURCE_DIR", src)
+    monkeypatch.setenv("SPARK_CDC_WORK_DIR", str(tmp_path / "work"))
+
+    from tabular_cdc_bootstrapper_spark.__main__ import main
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import ParquetStateTable
+
+    assert main() == 0
+
+    spark = __import__("tabular_cdc_bootstrapper_spark.session", fromlist=["get_spark"]).get_spark()
+    mirror = ParquetStateTable(str(tmp_path / "work" / "test_table" / "mirror"))
+    got = _mirror_dict(mirror.read(spark))
+    assert got == expected
+    # table pair registered by the bootstrap step
+    assert spark.catalog.tableExists("cdc_bootstrap.test_table")
+    assert spark.catalog.tableExists("cdc_bootstrap.test_table_changelog")
+    # second invocation: checkpointed = no new files = same state
+    assert main() == 0
+    assert _mirror_dict(mirror.read(spark)) == expected
