@@ -2113,3 +2113,57 @@ def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
     return per_group.unionByName(total)
+
+
+@query(
+    "array_hof_embedding_stats",
+    oracle="""
+    SELECT label,
+           CAST(SUM(len(list_filter(embedding, x -> x > 0.2))) AS BIGINT) AS n_high,
+           ROUND(AVG(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')), 4) AS avg_sq_norm,
+           CAST(MAX(array_indexof(embedding, list_aggregate(embedding, 'max'))) AS BIGINT)
+               AS max_argmax_pos
+    FROM embeddings GROUP BY label
+    """,
+)
+def array_hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (filter / transform / aggregate /
+    array_position) over the embedding column — all JVM-side; floats are
+    widened to double BEFORE arithmetic in both engines so the in-array
+    fold order produces bit-identical sums."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_high = F.size(F.filter("embedding", lambda x: x > 0.2))
+    argmax_pos = F.array_position("embedding", F.array_max("embedding"))
+    return e.groupBy("label").agg(
+        F.sum(n_high).alias("n_high"),
+        F.round(F.avg(sq_norm), 4).alias("avg_sq_norm"),
+        F.max(argmax_pos).alias("max_argmax_pos"),
+    )
+
+
+@query(
+    "orders_by_month",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(dayofweek(o_orderdate) AS INT)) AS BIGINT) AS n_dows,
+           MAX(CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)) AS eom
+    FROM orders GROUP BY month_start
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: date_trunc, dayofweek (counted distinct —
+    the two engines number weekdays differently), last_day."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month_start")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.dayofweek("o_orderdate")).alias("n_dows"),
+        F.max(F.last_day("o_orderdate").cast("string")).alias("eom"),
+    )

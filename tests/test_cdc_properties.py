@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
 
@@ -83,3 +84,44 @@ def test_replay_idempotent(spark, seq):
     a = {r["id"]: r["payload"] for r in once.collect()}
     b = {r["id"]: r["payload"] for r in twice.collect()}
     assert a == b
+
+
+# --- as-of join property (operators/asof.py) -------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left probes: (key, ts)
+        st.tuples(st.integers(1, 5), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    st.lists(  # right quotes: (key, ts) — value derived, (key, ts) deduped
+        st.tuples(st.integers(1, 5), st.integers(0, 50)), min_size=0, max_size=20
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=asof_strategy)
+def test_asof_join_matches_reference(spark, data):
+    """Backward inclusive as-of join == per-row python reference: each left
+    row gets the right payload with the greatest right_ts <= left_ts."""
+    from tabular_cdc_bootstrapper_spark.operators.asof import as_of_join
+
+    lefts, rights = data
+    rights = list({(k, t) for (k, t) in rights})  # unique (key, ts)
+    left_df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, rowid long"
+    )
+    right_df = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for (k, t) in rights] or [(None, None, None)],
+        "k long, ts long, val long",
+    )
+    if not rights:
+        right_df = right_df.filter(F.col("k").isNotNull())
+
+    out = as_of_join(left_df, right_df, on="k", left_ts="ts", right_ts="ts")
+    got = {r["rowid"]: r["val_asof"] for r in out.collect()}
+
+    expected = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, k * 1000 + rt) for (rk, rt) in rights if rk == k and rt <= t]
+        expected[i] = max(cands)[1] if cands else None
+    assert got == expected

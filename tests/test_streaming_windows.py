@@ -134,3 +134,51 @@ def test_observe_metrics_reported(spark, events_dir):
     total_rows = sum(p["observedMetrics"]["ingest"]["rows"] for p in progress)
     assert total_rows == _batch(spark, events_dir).count()
     q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream inner join with watermarks + time-bound condition:
+    every pair the batch twin produces must appear in the streaming result
+    (append mode emits once both watermarks pass the pair's window; with
+    availableNow the final watermark may hold back the newest pairs, so
+    streaming ⊆ batch and must cover all but the trailing region)."""
+    from datetime import timedelta
+
+    from tabular_cdc_bootstrapper_spark.streaming.joins import interval_join
+
+    signups_b = _batch(spark, events_dir).filter(F.col("event_type") == "signup")
+    errors_b = _batch(spark, events_dir).filter(F.col("event_type") == "error")
+    batch_pairs = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_join(signups_b, errors_b).collect()
+    }
+    assert batch_pairs, "fixture must produce at least one joined pair"
+
+    out = interval_join(
+        _stream(spark, events_dir).filter(F.col("event_type") == "signup"),
+        _stream(spark, events_dir).filter(F.col("event_type") == "error"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in spark.table("ssj_out").collect()
+    }
+    assert stream_pairs <= batch_pairs
+    # all pairs fully earlier than (max event time - watermark - lag) must
+    # have been emitted
+    cutoff = _final_watermark(spark, events_dir, delay_minutes=120) - timedelta(hours=1)
+    must_emit = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_join(signups_b, errors_b)
+        .filter(F.col("r_ts") < F.lit(cutoff))
+        .collect()
+    }
+    assert must_emit <= stream_pairs
