@@ -165,3 +165,90 @@ def test_main_entry_end_to_end(scenario, tmp_path, monkeypatch):
     # second invocation: checkpointed = no new files = same state
     assert main() == 0
     assert _mirror_dict(mirror.read(spark)) == expected
+
+
+def test_bucket_partitioned_mirror_merges_incrementally(spark, tmp_path):
+    """The 100 TB merge shape: a micro-batch rewrites ONLY the key-buckets
+    it touches; untouched bucket files stay byte-identical on disk; a
+    bucket fully emptied by deletes disappears; final state == full
+    recompute."""
+    import os
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    target = CdcTarget(source_uri="s3://b/t", key_column="id", ts_column="ts")
+    m = BucketPartitionedMirror(str(tmp_path / "mirror"), n_buckets=8, key_col="id")
+    base = spark.createDataFrame(
+        [(i, f"n{i}", "I", 0) for i in range(100)],
+        "id long, name string, op string, ts long",
+    )
+    m.initialize(base.drop("op", "ts"))
+
+    def files_snapshot():
+        out = {}
+        for d in os.listdir(m.data_dir):
+            if d.startswith("bucket="):
+                p = os.path.join(m.data_dir, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_snapshot()
+    # batch touches keys 3 and 7 (update + delete)
+    batch = spark.createDataFrame(
+        [(3, "n3v2", "U", 1), (7, None, "D", 1)],
+        "id long, name string, op string, ts long",
+    )
+    res = m.merge_batch(batch, target)
+    after = files_snapshot()
+
+    touched_dirs = {f"bucket={b}" for b in res["touched_buckets"]}
+    assert touched_dirs, "batch must touch at least one bucket"
+    for d, files in before.items():
+        if d not in touched_dirs:
+            assert after[d] == files, f"untouched {d} was rewritten"
+
+    state = {r["id"]: r["name"] for r in m.read(spark).collect()}
+    assert state[3] == "n3v2"
+    assert 7 not in state
+    assert len(state) == 99
+
+    # empty out every key of one bucket → its directory must vanish
+    victims = [
+        r["id"]
+        for r in m.read(spark)
+        .withColumn("b", (F.pmod(F.xxhash64("id"), F.lit(8))).cast("int"))
+        .filter(F.col("b") == res["touched_buckets"][0])
+        .collect()
+    ]
+    wipe = spark.createDataFrame(
+        [(i, None, "D", 2) for i in victims],
+        "id long, name string, op string, ts long",
+    )
+    m.merge_batch(wipe, target)
+    assert f"bucket={res['touched_buckets'][0]}" not in files_snapshot()
+    assert len({r["id"] for r in m.read(spark).collect()}) == 99 - len(victims)
+
+
+def test_bucket_mirror_read_prunes_partitions(spark, tmp_path):
+    """read_buckets must prune at the partition level (PartitionFilters on
+    the bucket column) — at 100 TB this is the difference between reading
+    |touched|/n_buckets of the mirror and reading all of it."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    m = BucketPartitionedMirror(str(tmp_path / "m2"), n_buckets=8, key_col="id")
+    m.initialize(
+        spark.createDataFrame([(i, f"n{i}") for i in range(64)], "id long, name string")
+    )
+    df = m.read_buckets(spark, [1, 3])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
