@@ -173,6 +173,8 @@ def run_cdc_pipeline_available_now(
     schema: T.StructType,
     work_dir: str,
     target: CdcTarget,
+    mirror_layout: str = "snapshot",
+    n_buckets: int = 64,
 ) -> dict:
     """End-to-end one-shot CDC run over whatever files currently exist.
 
@@ -182,13 +184,27 @@ def run_cdc_pipeline_available_now(
        reference batch_bootstrapper.py:69), then
     3. foreachBatch merge into the mirror.
 
-    Returns {"mirror": ParquetStateTable, "changelog_dir": ...}.
-    Re-running with the same work_dir is incremental: the checkpoint skips
+    ``mirror_layout``: ``"snapshot"`` (ParquetStateTable — atomic pointer
+    swap, full-state rewrite per batch, simple and crash-safe) or
+    ``"bucketed"`` (BucketPartitionedMirror — merges rewrite only the key
+    buckets the batch touches; the 100 TB shape).
+
+    Returns {"mirror": <state table>, "changelog_dir": ...}. Re-running
+    with the same work_dir is incremental: the checkpoint skips
     already-ingested files (T2 exactly-once).
     """
     changelog_dir = os.path.join(work_dir, "changelog")
     checkpoint = os.path.join(work_dir, "_checkpoint")
-    mirror = ParquetStateTable(os.path.join(work_dir, "mirror"))
+    if mirror_layout == "bucketed":
+        mirror = BucketPartitionedMirror(
+            os.path.join(work_dir, "mirror"),
+            n_buckets=n_buckets,
+            key_col=target.key_column,
+        )
+    elif mirror_layout == "snapshot":
+        mirror = ParquetStateTable(os.path.join(work_dir, "mirror"))
+    else:
+        raise ValueError(f"unknown mirror_layout {mirror_layout!r}")
 
     if not mirror.exists():
         initial = (
@@ -198,13 +214,19 @@ def run_cdc_pipeline_available_now(
             .filter(exclude_glob_filter(target.initial_load_exclude_glob))
             .withColumn("_src_file", F.input_file_name())
         )
-        mirror.commit(initial)
+        if mirror_layout == "bucketed":
+            mirror.initialize(initial)
+        else:
+            mirror.commit(initial)
 
     def _merge(batch_df: DataFrame, _epoch: int) -> None:
-        cdc_merge_batch(
-            batch_df.sparkSession, batch_df, mirror, target,
-            tiebreak_cols=("_src_file",),
-        )
+        if mirror_layout == "bucketed":
+            mirror.merge_batch(batch_df, target, tiebreak_cols=("_src_file",))
+        else:
+            cdc_merge_batch(
+                batch_df.sparkSession, batch_df, mirror, target,
+                tiebreak_cols=("_src_file",),
+            )
 
     reader = (
         spark.readStream.format("parquet")

@@ -65,14 +65,20 @@ def test_batch_recompute_window_strategy_agrees(spark, scenario):
     assert _mirror_dict(mirror) == expected
 
 
-def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path):
+@pytest.mark.parametrize("layout", ["snapshot", "bucketed"])
+def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path, layout):
     src, expected = scenario
     target = CdcTarget(source_uri=f"file://{src}", key_column="id", ts_column="ts")
-    res = run_cdc_pipeline_available_now(spark, src, DMS_SCHEMA, str(tmp_path / "wk"), target)
+    wk = str(tmp_path / f"wk-{layout}")
+    res = run_cdc_pipeline_available_now(
+        spark, src, DMS_SCHEMA, wk, target, mirror_layout=layout, n_buckets=8
+    )
     mirror = res["mirror"].read(spark)
     assert _mirror_dict(mirror) == expected
     # idempotency: re-running consumes nothing new, state unchanged (T2)
-    res2 = run_cdc_pipeline_available_now(spark, src, DMS_SCHEMA, str(tmp_path / "wk"), target)
+    res2 = run_cdc_pipeline_available_now(
+        spark, src, DMS_SCHEMA, wk, target, mirror_layout=layout, n_buckets=8
+    )
     assert _mirror_dict(res2["mirror"].read(spark)) == expected
 
 
