@@ -31,6 +31,13 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
     spark = get_spark("bench", shuffle_partitions=int(cpus))
 
+    # ship the package to python workers: pandas-UDF closures deserialize
+    # by module reference, and when bench runs from outside the repo the
+    # workers' sys.path has no way to import it otherwise
+    from tabular_cdc_bootstrapper_spark.shipping import ensure_self_on_workers
+
+    ensure_self_on_workers(spark)
+
     # warm up the JVM, parquet footer cache, and python UDF workers outside
     # the timed region (shared session setup; per-query planning/codegen is
     # still inside each query's timing)
