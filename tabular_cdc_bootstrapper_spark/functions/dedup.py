@@ -239,9 +239,21 @@ def minhash_candidates(
     shuffle on (band_id, band_hash) → within-bucket self-join → distinct
     pairs. ``max_bucket_size`` drops degenerate buckets before the join to
     bound the pair explosion (skew guard)."""
+    sigs = minhash_signatures_df(df, text_col, id_col, k, num_hashes)
+    return candidates_from_signatures(sigs, num_hashes, bands, max_bucket_size)
+
+
+def candidates_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH banding → candidate pairs from a precomputed (id, sig) frame —
+    split out so callers that also need the shingle sets (verification)
+    compute the signature UDF ONCE and reuse it for both stages."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_df(df, text_col, id_col, k, num_hashes)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -302,9 +314,15 @@ def verified_near_duplicates(
     fraction of the corpus. Verification intersects the *hashed* shingle
     sets (array<long>) from minhash_signatures_df — same Jaccard modulo
     2⁻⁶⁴ hash collisions, and long-array intersection is far cheaper than
-    string-array intersection."""
-    cands = minhash_candidates(df, text_col, id_col, k, num_hashes, bands)
-    sh = minhash_signatures_df(df, text_col, id_col, k, num_hashes).select("id", "sh")
+    string-array intersection.
+
+    The signature frame is computed ONCE and persisted: candidates (banding)
+    and verification (shingle sets) both branch off it, and without the
+    persist Spark would run the signature UDF — the most expensive stage —
+    once per branch (2 full corpus scans + 3 UDF evaluations instead of 1)."""
+    sigs = minhash_signatures_df(df, text_col, id_col, k, num_hashes).persist()
+    cands = candidates_from_signatures(sigs, num_hashes, bands)
+    sh = sigs.select("id", "sh")
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

@@ -162,7 +162,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids_stride: int = 50,
+    n_centroids: int = 64,
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -172,15 +172,18 @@ def ivf_topk(
     lists by nearest centroid; queries scan only their ``n_probes``
     closest lists.
 
-    Centroids are sampled deterministically from the corpus itself (every
-    ``n_centroids_stride``-th vector) — no iterative training, which keeps
-    the operator a pure DataFrame pipeline; swapping in k-means centroids
+    Centroids are a deterministic FIXED-SIZE sample (the ``n_centroids``
+    lowest-id vectors — a TakeOrdered, no full sort): centroid count must
+    not scale with the corpus, or assignment degenerates to O(n²) compute
+    plus a corpus-proportional broadcast. No iterative training keeps the
+    operator a pure DataFrame pipeline; swapping in k-means centroids
     (pyspark.ml) changes only the centroid DataFrame. At warehouse scale
     the corpus is written partitioned by ``centroid_id`` so a probe is a
     partition-pruned scan.
     """
     cents = (
-        corpus.filter(F.col(id_col) % n_centroids_stride == 0)
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     )
 
@@ -205,12 +208,15 @@ def ivf_topk(
         queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")),
         "qv", n_probes, "list_id",
     )
+    # no distinct(): each corpus vector lives in exactly ONE list, so a
+    # (qid, vec_id) pair can meet at most once — a distinct here would be a
+    # pure extra shuffle. q_assigned is n_queries × n_probes rows (vectors
+    # included), broadcastable by the operator's small-query-set contract.
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "list_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("sim", cosine_similarity(F.col("qv"), F.col("v")))
         .select("qid", "vec_id", "sim")
-        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

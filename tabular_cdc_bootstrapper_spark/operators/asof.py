@@ -43,18 +43,23 @@ def as_of_join(
         else [c for c in right.columns if c not in keys and c != right_ts]
     )
 
+    # the payload travels as ONE struct, non-null whenever a right row
+    # exists — so last(ignorenulls) skips left rows (null struct) but NOT a
+    # right row whose payload VALUES are null. Per-column last(ignorenulls)
+    # would conflate "no preceding right row" with "preceding right row with
+    # a NULL field" and resurrect an older row's value (pandas merge_asof /
+    # DuckDB ASOF JOIN both match the row, then surface its nulls).
     lhs = left.withColumn("__evt_ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     rhs = right.select(
         *keys,
         F.col(right_ts).alias("__evt_ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
     )
     for c in left.columns:
         if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None))
-    for c in payload:
-        lhs = lhs.withColumn(f"__p_{c}", F.lit(None).cast(rhs.schema[f"__p_{c}"].dataType))
+    lhs = lhs.withColumn("__p", F.lit(None).cast(rhs.schema["__p"].dataType))
     merged = lhs.select(rhs.columns).unionByName(rhs)
 
     # right rows sort before left rows at equal ts (__is_left ascending), so
@@ -64,12 +69,10 @@ def as_of_join(
         .orderBy("__evt_ts", "__is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = merged
+    out = merged.withColumn("__asof", F.last(F.col("__p"), ignorenulls=True).over(w))
     for c in payload:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w)
-        )
+        out = out.withColumn(f"{c}{suffix}", F.col("__asof")[c])
     return (
         out.filter(F.col("__is_left") == 1)
-        .drop("__evt_ts", "__is_left", *[f"__p_{c}" for c in payload])
+        .drop("__evt_ts", "__is_left", "__p", "__asof")
     )

@@ -123,5 +123,9 @@ def apply_changelog(
         # keys untouched by this batch)
         events = base.unionByName(changelog, allowMissingColumns=True)
     latest = latest_by_key(events, keys, ts, tiebreak_cols, strategy)
-    live = latest.filter(F.col(op_col) != F.lit(delete_op))
+    # null-safe: a NULL op means "not a delete" (AWS DMS full-load files
+    # carry no op column, so rows read with the changelog schema surface
+    # op=NULL — dropping them would delete every untouched initial-load
+    # key on the first incremental merge)
+    live = latest.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
     return live.drop(*[c for c in drop_envelope if c in live.columns])

@@ -1910,9 +1910,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          per-doc set sizes.
     Hashes are blake2b-64 (deterministic across workers — Python's builtin
     hash() is process-seeded and must never be used in a distributed
-    plan). Hot shingles (stop-phrase skew) make one doc-list row
-    quadratic; at corpus scale cap or df-filter those lists (the LSH band
-    problem) — fixture max is 25 docs/shingle."""
+    plan). Hot shingles (stop-phrase skew) would make one doc-list row
+    quadratic, so lists are CAPPED at ``max_bucket_size`` docs — the same
+    skew guard as dedup.minhash_candidates. A capped (stop-phrase) shingle
+    contributes nothing to the intersection count, which only *lowers* the
+    computed Jaccard of pairs relying on it — a documented, bounded
+    approximation that never invents a pair. Fixture max is 25 docs/shingle
+    (< cap), so the oracle row stays exact."""
+    max_bucket_size = 200
     d = _t(spark, sf_dir, "documents")
 
     @F.pandas_udf("array<long>")
@@ -1940,7 +1945,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = (
         ex.groupBy("gh", "lang")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     pairs = lists.select(
         F.explode(
@@ -2103,9 +2108,12 @@ def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_sketch_agg per group + hll_union_agg across groups. Accuracy vs
     exact is asserted in tests (±5%)."""
     l = _t(spark, sf_dir, "lineitem")
+    # persist the 3-row sketch table: both the per-group estimates and the
+    # union-merged total derive from it, and without the persist the ALL
+    # branch would re-scan lineitem (sketches exist to be reused)
     per_flag = l.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk")
-    )
+    ).persist()
     per_group = per_flag.select(
         "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
     )

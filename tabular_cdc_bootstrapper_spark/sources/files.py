@@ -20,7 +20,6 @@ checkpointed incremental listing instead.
 
 from __future__ import annotations
 
-import fnmatch
 import os
 import re
 
@@ -29,10 +28,16 @@ from pyspark.sql import functions as F
 
 
 def glob_to_regex(glob: str) -> str:
-    """Translate a loader glob (``**/LOAD*``) to a path regex.
+    """Translate a loader glob (``**/LOAD*``, ``LOAD*``) to a path regex.
 
-    ``**`` crosses directory separators, ``*``/``?`` do not — standard
-    glob semantics, applied to the full URI path.
+    ``**`` crosses directory separators, ``*``/``?`` do not — standard glob
+    semantics. The regex is applied to the FULL ``input_file_name()`` URI,
+    so every glob is anchored as a path *suffix* starting at a path-segment
+    boundary (``(^|/)…$``): a bare ``LOAD*`` matches any path whose last
+    segment starts with LOAD (the loader-relative semantics the reference's
+    fileFilter implies), and ``a/LOAD*`` matches that segment pair at any
+    depth. A ``^…$``-anchored form would silently match *nothing* against a
+    ``file:///…`` URI.
     """
     out, i = [], 0
     while i < len(glob):
@@ -50,7 +55,8 @@ def glob_to_regex(glob: str) -> str:
         else:
             out.append(re.escape(c))
         i += 1
-    return "(^|/)" + "".join(out[1:]) + "$" if glob.startswith("**") and out else "^" + "".join(out) + "$"
+    body = "".join(out[1:]) if glob.startswith("**") and out else "".join(out)
+    return "(^|/)" + body + "$"
 
 
 def exclude_glob_filter(glob: str) -> Column:
@@ -86,12 +92,9 @@ def list_files(
 
 
 def _glob_match(glob: str, rel_path: str) -> bool:
-    if glob.startswith("**/"):
-        tail = glob[3:]
-        return fnmatch.fnmatch(os.path.basename(rel_path), tail) or fnmatch.fnmatch(
-            rel_path, glob
-        )
-    return fnmatch.fnmatch(rel_path, glob)
+    """Same path-suffix semantics as ``glob_to_regex`` (one source of truth
+    for both the in-plan filter and the explicit listing)."""
+    return re.search(glob_to_regex(glob), rel_path) is not None
 
 
 def read_with_exclusion(

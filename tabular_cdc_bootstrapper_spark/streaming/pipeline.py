@@ -277,6 +277,24 @@ class BucketPartitionedMirror:
         self.n_buckets = n_buckets
         self.key_col = key_col
         os.makedirs(self.data_dir, exist_ok=True)
+        self._recover()
+
+    def _recover(self) -> None:
+        """Crash recovery for the rename-aside swap in ``merge_batch``.
+
+        A ``.old-*`` dir with its live twin present means the swap completed
+        but cleanup didn't → drop it. Without the twin, the crash hit between
+        rename-aside and install → restore it (the batch will be re-applied
+        by checkpoint replay, which is idempotent)."""
+        for d in os.listdir(self.data_dir):
+            if ".old-" not in d:
+                continue
+            old = os.path.join(self.data_dir, d)
+            live = os.path.join(self.data_dir, d.split(".old-")[0])
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(old, live)
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
@@ -294,13 +312,22 @@ class BucketPartitionedMirror:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.data_dir).drop("bucket")
+        # mergeSchema: a column-adding batch rewrites only touched buckets,
+        # so bucket dirs can disagree on schema — schema inference from one
+        # file would silently drop the evolved column
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.data_dir)
+            .drop("bucket")
+        )
 
     def read_buckets(self, spark: SparkSession, buckets: Sequence[int]) -> DataFrame:
         # partition pruning: the bucket IN (...) predicate binds to the
         # partition column, so only the touched directories are listed/read
-        return spark.read.parquet(self.data_dir).filter(
-            F.col("bucket").isin(*[int(b) for b in buckets])
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.data_dir)
+            .filter(F.col("bucket").isin(*[int(b) for b in buckets]))
         )
 
     def merge_batch(
@@ -354,10 +381,17 @@ class BucketPartitionedMirror:
             for b in touched:
                 dst = os.path.join(self.data_dir, f"bucket={b}")
                 src = os.path.join(staging, f"bucket={b}")
-                shutil.rmtree(dst, ignore_errors=True)
+                # crash-safe swap: rename the live dir ASIDE (never delete
+                # data before its replacement is installed), install the new
+                # dir, then drop the old one. _recover() handles a crash at
+                # any point between these renames.
+                trash = f"{dst}.old-{uuid.uuid4().hex[:8]}"
+                if os.path.isdir(dst):
+                    os.replace(dst, trash)
                 if os.path.isdir(src):
                     os.replace(src, dst)
                 # else: every key of this bucket was deleted → dir stays gone
+                shutil.rmtree(trash, ignore_errors=True)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return {"touched_buckets": sorted(touched)}

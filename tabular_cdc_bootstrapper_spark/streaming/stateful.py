@@ -63,13 +63,18 @@ def running_latest_by_key(
             state.get if state.exists else (None, None, None)
         )
         changed = False
+        # vectorized per-batch reduce: idxmax picks the FIRST max row (same
+        # tie-break as a strict `>` scan in batch order), then one scalar
+        # compare against state — no per-row Python loop
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                ts, payload, op = row[ts_col], row[payload_col], row[op_col]
-                if best_ts is None or ts > best_ts:
-                    best_ts, best_payload = ts, payload
-                    best_live = op != delete_op
-                    changed = True
+            if pdf.empty:
+                continue
+            row = pdf.loc[pdf[ts_col].idxmax()]
+            ts, payload, op = row[ts_col], row[payload_col], row[op_col]
+            if best_ts is None or ts > best_ts:
+                best_ts, best_payload = ts, payload
+                best_live = op != delete_op
+                changed = True
         if changed:
             state.update((best_ts, best_payload, best_live))
             yield _pd.DataFrame(

@@ -258,3 +258,100 @@ def test_bucket_mirror_read_prunes_partitions(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_null_op_rows_are_not_deleted(spark):
+    """AWS DMS full-load files carry no op column; read with the changelog
+    schema they surface op=NULL. NULL op must mean insert/live — the first
+    incremental merge must NOT delete every initial-load key."""
+    initial = spark.createDataFrame(
+        [(1, "a", "t0", None), (2, "b", "t0", None), (3, "c", "t0", None)],
+        "id long, name string, ts string, op string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "b2", "t1", "U"), (3, None, "t1", "D")],
+        "id long, name string, ts string, op string",
+    )
+    out = apply_changelog(
+        batch, "id", "ts", mirror=initial, drop_envelope=("op", "ts")
+    )
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "a", 2: "b2"}  # key 1 (null op, untouched) survives
+
+
+def test_bare_glob_exclusion(spark, tmp_path):
+    """A bare `LOAD*` exclusion glob (no `**/` prefix) must match the last
+    path segment at any depth — against both the in-plan filter (full
+    file:// URI) and the explicit listing."""
+    d = tmp_path / "src" / "sub"
+    d.mkdir(parents=True)
+    spark.range(3).write.parquet(str(tmp_path / "src" / "LOAD00000001.parquet"))
+    spark.range(3).write.parquet(str(d / "LOAD00000002.parquet"))
+    spark.range(3).write.parquet(str(d / "2024-01-01-1200.parquet"))
+    root = str(tmp_path / "src")
+
+    kept = list_files(root, exclude_glob="LOAD*")
+    assert kept and all("LOAD" not in f.rsplit("/", 1)[-1] for f in kept)
+
+    df = read_with_exclusion(spark, root, exclude_glob="LOAD*")
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("LOAD" not in f.rsplit("/", 1)[-1] for f in files)
+
+
+def test_bucket_mirror_mixed_schema_read(spark, tmp_path):
+    """A column-adding batch rewrites only touched buckets; read() must
+    still surface the evolved column (mergeSchema), null for untouched
+    buckets."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    m = BucketPartitionedMirror(str(tmp_path / "m"), n_buckets=4, key_col="id")
+    m.initialize(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(16)], "id long, name string"
+        )
+    )
+    target = CdcTarget(source_uri="file:///x", key_column="id", ts_column="ts")
+    batch = spark.createDataFrame(
+        [(0, "n0b", "555", "U", 1)],
+        "id long, name string, phone string, op string, ts long",
+    )
+    m.merge_batch(batch, target)
+    out = m.read(spark)
+    assert "phone" in out.columns
+    rows = {r["id"]: r["phone"] for r in out.select("id", "phone").collect()}
+    assert rows[0] == "555"
+    assert rows[1] is None  # untouched bucket, evolved column visible as null
+    assert out.count() == 16
+
+
+def test_bucket_mirror_crash_recovery(spark, tmp_path):
+    """Simulated crash mid-swap: a bucket renamed aside but not reinstalled
+    must be restored on the next open; a leftover trash dir beside a live
+    bucket must be dropped."""
+    import os
+    import shutil
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    root = str(tmp_path / "m")
+    m = BucketPartitionedMirror(root, n_buckets=4, key_col="id")
+    m.initialize(
+        spark.createDataFrame([(i, f"n{i}") for i in range(16)], "id long, name string")
+    )
+    buckets = sorted(
+        d for d in os.listdir(m.data_dir) if d.startswith("bucket=") and ".old-" not in d
+    )
+    # crash case 1: renamed aside, new dir never installed
+    b0 = os.path.join(m.data_dir, buckets[0])
+    os.replace(b0, b0 + ".old-deadbeef")
+    # crash case 2: swap completed, old dir not cleaned up
+    b1 = os.path.join(m.data_dir, buckets[1])
+    shutil.copytree(b1, b1 + ".old-cafebabe")
+
+    m2 = BucketPartitionedMirror(root, n_buckets=4, key_col="id")
+    assert not any(".old-" in d for d in os.listdir(m2.data_dir))
+    assert m2.read(spark).count() == 16  # nothing lost, nothing doubled

@@ -125,3 +125,20 @@ def test_asof_join_matches_reference(spark, data):
         cands = [(rt, k * 1000 + rt) for (rk, rt) in rights if rk == k and rt <= t]
         expected[i] = max(cands)[1] if cands else None
     assert got == expected
+
+
+def test_asof_null_payload_is_not_skipped(spark):
+    """A genuinely NULL payload on the latest preceding right row must be
+    returned as NULL — not skipped in favor of an older row's value (pandas
+    merge_asof / DuckDB ASOF JOIN semantics)."""
+    from tabular_cdc_bootstrapper_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 10)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 5, "old"), (1, 20, None)], "k long, rts long, v string"
+    )
+    out = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    got = {(r["k"], r["lts"]): r["v_asof"] for r in out.collect()}
+    assert got[(1, 10)] == "old"   # older row matched before the null row
+    assert got[(1, 25)] is None    # latest preceding row has NULL payload
+    assert got[(2, 10)] is None    # no preceding right row at all

@@ -185,7 +185,7 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
     exact = cosine_topk(emb, q, k=10).collect()
-    approx = ivf_topk(emb, q, k=10, n_centroids_stride=50, n_probes=4).collect()
+    approx = ivf_topk(emb, q, k=10, n_centroids=64, n_probes=4).collect()
     ex, ap = {}, {}
     for r in exact:
         ex.setdefault(r["qid"], set()).add(r["vec_id"])
