@@ -347,9 +347,14 @@ def simhash_df(
     position's total becomes that bit. Vectorized pandas UDF: the previous
     all-Catalyst form ran 64 interpreted ``F.aggregate`` folds per document
     (higher-order functions bypass codegen) and was the slowest query in
-    the bench at sf0.1 (~7 s); numpy unpackbits over the token-hash matrix
-    does the same votes in one shot (~0.4 s). blake2b-8 token hashes keep
-    the sketch deterministic across workers.
+    the bench at sf0.1 (~7 s); one numpy broadcast over the token-hash
+    matrix does the same votes in one shot (~0.4 s).
+
+    Token hash family: the LOWER 8 bytes of md5, little-endian — i.e.
+    exactly DuckDB's ``md5_number_lower``, so the sketch is bit-identical
+    across engines and the near-dup query is oracle-checkable. Bit i of the
+    sketch is ``(h >> i) & 1`` — plain LSB-first indexing both engines
+    express natively.
     """
     import numpy as np
     import pandas as pd
@@ -359,8 +364,10 @@ def simhash_df(
 
     @SF.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
+        from hashlib import md5
 
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
         out = []
         for t in texts:
             w = t.strip().split()
@@ -368,18 +375,13 @@ def simhash_df(
                 out.append(0)
                 continue
             hs = np.frombuffer(
-                b"".join(blake2b(tok.encode(), digest_size=8).digest() for tok in w),
-                dtype=">u8",
+                b"".join(md5(tok.encode()).digest()[8:16] for tok in w),
+                dtype="<u8",
             )
-            # (n_tokens, 64) bit matrix → per-position vote totals.
-            # signed cast first: unpackbits sums are UNSIGNED, and
-            # ones*2 - n would wrap to huge positives for negative votes
-            bit_mat = np.unpackbits(hs.view(np.uint8)).reshape(-1, 64)
+            # (n_tokens, 64) bit matrix, LSB-first → per-position votes
+            bit_mat = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
             votes = bit_mat.sum(axis=0).astype(np.int64) * 2 - len(w)
-            sim = np.uint64(0)
-            for pos in np.nonzero(votes > 0)[0]:
-                # unpackbits emits MSB-first: bit index 63 - pos
-                sim |= np.uint64(1) << np.uint64(63 - pos)
+            sim = weights[votes > 0].sum(dtype=np.uint64)
             out.append(int(sim.astype(np.int64)))
         return pd.Series(out)
 

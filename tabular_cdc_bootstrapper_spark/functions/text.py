@@ -90,14 +90,30 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_guess_score", best["score"].cast("bigint"))
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3, algo: str = "xxhash64"
+) -> DataFrame:
     """Order-insensitive document fingerprint: min/max/size digest of the
     word k-shingle hash set (winnowing-lite). Two documents share a
     fingerprint iff their shingle sets hash identically — a fast pre-filter
     for near-dup mining; pairs agreeing here go to MinHash verification.
 
+    ``algo``: ``xxhash64`` (default — cheapest in-plan hash, engine-
+    specific) or ``md5`` (hex-string digests every engine computes
+    identically → cross-engine/oracle-checkable). Identical plan shape;
+    min/max over md5 hex strings is lexicographic on [0-9a-f] ASCII, which
+    every engine orders the same way.
+
     Staged projections so the tokens array is an attribute before any
     lambda references it (see dedup._shingles_from_tokens perf note)."""
+    if algo == "xxhash64":
+        shingle_h = lambda c: F.xxhash64(c)  # noqa: E731
+        final_h = lambda mn, mx, n: F.xxhash64(mn, mx, n)  # noqa: E731
+    elif algo == "md5":
+        shingle_h = lambda c: F.md5(c)  # noqa: E731
+        final_h = lambda mn, mx, n: F.md5(F.concat_ws("|", mn, mx, n))  # noqa: E731
+    else:
+        raise ValueError(f"unknown fingerprint algo {algo!r}")
     staged = df.withColumn("__toks", _tokens(F.col(text_col)))
     n = F.size(F.col("__toks"))
     staged = staged.withColumn(
@@ -107,16 +123,16 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataF
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), n - k),
-                    lambda i: F.xxhash64(
+                    lambda i: shingle_h(
                         F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))
                     ),
                 )
             ),
-        ).otherwise(F.array(F.xxhash64(F.col(text_col)))),
+        ).otherwise(F.array(shingle_h(F.col(text_col)))),
     )
     return staged.withColumn(
         "fingerprint",
-        F.xxhash64(
+        final_h(
             F.array_min("__shingle_hashes"),
             F.array_max("__shingle_hashes"),
             F.size("__shingle_hashes"),

@@ -734,22 +734,117 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10)
 
 
-@query("minhash_near_duplicates")  # rows-only: xxhash64 family is engine-specific
+@query(
+    "minhash_near_duplicates",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+               ELSE [trim(text)] END AS s
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, len(s) AS n FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard_sim
+    FROM common
+    JOIN sizes s1 ON id_a = s1.doc_id
+    JOIN sizes s2 ON id_b = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.5
+    """,
+)
 def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by exact shingle Jaccard.
-    Non-SQL-expressible (hash family); correctness covered by planted-dup
-    tests in tests/test_north_star.py."""
+
+    The oracle enumerates the TRUE pair set (exact Jaccard ≥ 0.5 via an
+    inverted-index join); the Spark side must therefore reach recall 1 on
+    the fixture. Registry parameters use 16 single-row bands (a pair is a
+    candidate iff ANY of the 16 minhash values collide): the per-pair miss
+    probability at the 0.5 threshold is (1-j)^16 ≤ 1.5e-5, and on a fixed
+    dataset + fixed hash family recall is a deterministic fact verified by
+    this oracle row at every SF. Verification then computes EXACT Jaccard
+    on the hashed shingle sets, so no false positives survive either."""
     from tabular_cdc_bootstrapper_spark.functions.dedup import verified_near_duplicates
 
     return verified_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=16
     )
 
 
-@query("ann_lsh_topk")  # rows-only: approximate by design (recall-tested)
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB dot product of two embedding columns, float → double widening
+    BEFORE arithmetic (matches similarity._dot's cast-then-multiply)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    sq = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({sq.format(v=a)}) * sqrt({sq.format(v=b)}))"
+    )
+
+
+def _srp_lsh_oracle() -> str:
+    """Replicates lsh_bucketed_topk(dim=64, k=10, n_planes=4, n_probes=2,
+    seed=42) exactly: the deterministic hyperplanes are inlined as SQL
+    literals (repr() round-trips doubles bit-exactly), so both engines
+    compute identical buckets, probe sets, candidates, and ranks — the
+    'approximate' algorithm is still a deterministic function of its
+    inputs, which is what makes it oracle-checkable."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 4, seed=42)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (len(planes) - 1 - i)} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH c AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+        FROM c WHERE vec_id < 5
+    ), probes AS (
+        SELECT qid, qv, unnest(list_distinct([qbucket, xor(qbucket, 1)])) AS bucket
+        FROM q
+    ), scored AS (
+        SELECT p.qid, c.vec_id, {_sql_cos("p.qv", "c.embedding")} AS sim
+        FROM probes p JOIN c USING (bucket) WHERE c.vec_id <> p.qid
+    ), ranked AS (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """
+
+
+@query("ann_lsh_topk", oracle=_srp_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k — the 100 TB scale path for
-    similarity search; recall vs brute force asserted in tests."""
+    similarity search; recall vs brute force asserted in tests, and the
+    full bucket→probe→rank pipeline replicated by the oracle (see
+    _srp_lsh_oracle)."""
     from tabular_cdc_bootstrapper_spark.functions.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -759,20 +854,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, q, dim=64, k=10, n_planes=4, n_probes=2)
 
 
-@query("doc_fingerprints")  # rows-only: xxhash64-based digest
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+               ELSE [md5(text)] END AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           md5(concat_ws('|', list_min(s), list_max(s), len(s))) AS fingerprint
+    FROM sh
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-set rolling-hash fingerprint per document."""
+    """Shingle-set digest fingerprint per document (winnowing-lite).
+
+    The registry entry uses the md5 digest family so the fingerprint is
+    bit-identical across engines (oracle-checkable); the xxhash64 family
+    (with_fingerprint's default) is the cheaper in-plan production choice —
+    same plan shape, different hash fn."""
     from tabular_cdc_bootstrapper_spark.functions.text import with_fingerprint
 
-    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+    return with_fingerprint(_t(spark, sf_dir, "documents"), algo="md5").select(
         "doc_id", "fingerprint"
     )
 
 
-@query("multimodal_features")  # rows-only: pandas-UDF stub codec boundary
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_digest
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched feature extraction (stub codec;
-    real plumbing — schema/batching/partitioning are production-shaped)."""
+    real plumbing — schema/batching/partitioning are production-shaped).
+    Oracle-checkable because the synthetic media content is the documents'
+    UTF-8 bytes and the digest is sha256 — both engines agree exactly."""
     from tabular_cdc_bootstrapper_spark.functions.multimodal import (
         extract_features,
         media_from_documents,
@@ -1048,16 +1176,85 @@ def distinct_count_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_duplicates")  # rows-only: xxhash64-based sketch
+@query(
+    "simhash_near_duplicates",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        GROUP BY doc_id, i
+    ), sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(i AS INT))
+                        ELSE 0 END) AS sim_u
+        FROM votes GROUP BY doc_id
+    ), all_sims AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sim_u, 0) AS UBIGINT) AS sim
+        FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, sim, b,
+               CAST((sim >> CAST(b * 16 AS UBIGINT)) & 65535 AS INT) AS bv
+        FROM all_sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
+    ), kept AS (
+        SELECT bands.* FROM bands
+        JOIN (SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY b, bv) sz
+        USING (b, bv)
+        WHERE sz.n BETWEEN 2 AND 200
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b2.sim)) AS INT) AS hamming
+    FROM kept a JOIN kept b2
+      ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+    """,
+)
 def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 on a 64-bit sketch) with
-    16-bit-band blocking; planted-dup correctness in tests."""
+    16-bit-band blocking.
+
+    Oracle-checkable end to end: the token hash family is md5-lower-64
+    (DuckDB ``md5_number_lower``) so both engines compute bit-identical
+    sketches, the 4×16-bit-band pigeonhole blocking has GUARANTEED recall
+    for Hamming ≤ 3 (≤3 flipped bits can't touch all 4 bands), and the
+    oracle replicates the banding INCLUDING the ``max_bucket_size=200``
+    skew cap — the deterministic algorithm, verified exactly (at sf0.1 a
+    few degenerate band values exceed the cap, so a ground-truth all-pairs
+    oracle would diverge by design; the cap is the documented scale
+    trade-off, not an accident)."""
     from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
-@query("embedding_near_duplicates")  # rows-only: approximate blocking
+@query(
+    "embedding_near_duplicates",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.000001)
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> x[1] * x[2])) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> x * x))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> x * x)))) AS cos
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos_sim
+    FROM pairs WHERE cos >= 0.9
+    """,
+)
 def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.9) via sign-random-
     projection blocking + exact verification. Random fixture vectors have
@@ -1194,10 +1391,48 @@ def nations_with_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # rows-only: approximate by design (recall-tested)
+def _ivf_oracle() -> str:
+    """Replicates ivf_topk(k=10, n_centroids=64, n_probes=4) exactly:
+    centroids are the 64 lowest-id vectors (deterministic in both engines),
+    assignment is argmax cosine with cid tie-break, probes are the 4 nearest
+    lists per query — a deterministic pipeline, hence oracle-checkable."""
+    cos_ec = _sql_cos("e.embedding", "c.cv")
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 64
+    ), cass AS (
+        SELECT vec_id, embedding, cid AS list_id FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), qass AS (
+        SELECT qid, qv, cid AS list_id FROM (
+            SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+        ) WHERE rn <= 4
+    ), scored AS (
+        SELECT q.qid, a.vec_id, {_sql_cos("q.qv", "a.embedding")} AS sim
+        FROM qass q JOIN cass a USING (list_id) WHERE a.vec_id <> q.qid
+    ), ranked AS (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate ANN (inverted lists by nearest sampled
-    centroid, multi-probe) — the partition-pruned scale path."""
+    """IVF-bucketed approximate ANN (inverted lists by nearest fixed-count
+    centroid sample, multi-probe) — the partition-pruned scale path; the
+    full assign→probe→rank pipeline is replicated by the oracle."""
     from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
