@@ -57,3 +57,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_order_prioritizes_oracle_backed():
+    """The driver records correctness rows for the first 50 registry
+    entries; every one of those must be oracle-backed (rows-only entries
+    and round-1-green redundant queries belong in the tail)."""
+    names = list(q.QUERIES)
+    assert len(names) == len(q.QUERIES)
+    assert all(n in q.ORACLE_SQL for n in names[:50])
+    # ordering is consistent across the two dicts the driver reads
+    oracle_names = list(q.ORACLE_SQL)
+    assert oracle_names == [n for n in names if n in q.ORACLE_SQL]
