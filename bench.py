@@ -3,7 +3,9 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
 
 Per-query timing is end-to-end (plan + execute + count) after a shared
-warm-up of the JVM; `value` is total wall-clock seconds across all queries.
+warm-up of the JVM; each query reports the MEDIAN of $SPARK_GRAFT_RUNS
+(default 3) runs — single-run wall-clock on a shared host carries ±15%+
+noise, enough to fake 2× regressions. `value` is the sum of medians.
 """
 
 from __future__ import annotations
@@ -53,12 +55,19 @@ def main() -> None:
 
     spark.range(1000).select(_noop("id")).count()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in q.QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            # queries that persist() intermediates (minhash, hll) must not
+            # hand later runs a warm cache — each run times the cold plan
+            spark.catalog.clearCache()
+        dt = round(sorted(runs)[len(runs) // 2], 3)
         timings[name] = dt
         total += dt
 
@@ -70,6 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
             }
         )
     )

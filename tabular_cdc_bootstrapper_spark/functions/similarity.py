@@ -19,6 +19,10 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd  # module-level: __future__ annotations stringifies the
+# pandas_udf type hints, and pyspark resolves them against module globals
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,38 +179,62 @@ def ivf_topk(
     Centroids are a deterministic FIXED-SIZE sample (the ``n_centroids``
     lowest-id vectors — a TakeOrdered, no full sort): centroid count must
     not scale with the corpus, or assignment degenerates to O(n²) compute
-    plus a corpus-proportional broadcast. No iterative training keeps the
-    operator a pure DataFrame pipeline; swapping in k-means centroids
-    (pyspark.ml) changes only the centroid DataFrame. At warehouse scale
-    the corpus is written partitioned by ``centroid_id`` so a probe is a
+    plus a corpus-proportional broadcast. The tiny centroid table is
+    collected driver-side and shipped in the UDF closure (the "broadcast
+    the model" pattern), so assignment is a shuffle-free vectorized matmul
+    over each Arrow batch; swapping in k-means centroids (pyspark.ml)
+    changes only how ``cent_rows`` is produced. At warehouse scale the
+    corpus is written partitioned by ``centroid_id`` so a probe is a
     partition-pruned scan.
     """
-    cents = (
+    from pyspark.sql import functions as SF
+
+    # The centroid table is collected driver-side (n_centroids rows — the
+    # "broadcast the model" pattern every ML scoring pipeline uses) and the
+    # assignment becomes ONE vectorized matmul per Arrow batch, zero joins,
+    # zero shuffles. The declarative alternative (corpus × broadcast(cents)
+    # join + per-pair HOF cosine) evaluates interpreted array arithmetic
+    # per element — measured ~2.6 s for 128 k pairs at sf0.1, ~10× slower
+    # than numpy on the same work. Assignment maps each vector to its list;
+    # the candidate scoring below stays fully declarative.
+    cent_rows = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
     )
+    cids = [int(r["cid"]) for r in cent_rows]  # ascending — argmax tie → lowest cid
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    def nearest_lists(df: DataFrame, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).withColumn(
-            "__sim", cosine_similarity(F.col(vcol), F.col("cv"))
-        )
-        w = Window.partitionBy(df.columns[0]).orderBy(
-            F.col("__sim").desc(), F.col("cid")
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .select(*df.columns, F.col("cid").alias(out))
-        )
+    def _sims(vecs: pd.Series) -> np.ndarray:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return x @ cmat.T  # (batch, n_centroids)
 
-    c_assigned = nearest_lists(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
-        "v", 1, "list_id",
+    @SF.pandas_udf("long")
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="int64")
+        idx = np.argmax(_sims(vecs), axis=1)  # first max → lowest cid on ties
+        return pd.Series([cids[i] for i in idx])
+
+    @SF.pandas_udf("array<long>")
+    def nearest_lists_topn(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        order = np.argsort(-_sims(vecs), axis=1, kind="stable")[:, :n_probes]
+        return pd.Series([[cids[i] for i in row] for row in order])
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        nearest_list(F.col(vec_col)).alias("list_id"),
     )
-    q_assigned = nearest_lists(
-        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")),
-        "qv", n_probes, "list_id",
+    q_assigned = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(nearest_lists_topn(F.col(vec_col))).alias("list_id"),
     )
     # no distinct(): each corpus vector lives in exactly ONE list, so a
     # (qid, vec_id) pair can meet at most once — a distinct here would be a

