@@ -186,6 +186,13 @@ def ivf_topk(
     changes only how ``cent_rows`` is produced. At warehouse scale the
     corpus is written partitioned by ``centroid_id`` so a probe is a
     partition-pruned scan.
+
+    NOTE: building the plan runs one eager driver-side job (the
+    TakeOrdered collect of ``n_centroids`` rows) — this function is not
+    lazily composable; call it when you mean to execute. Zero-norm vectors
+    are guarded in the assignment matmul (treated as norm 1 → similarity 0
+    to every centroid → deterministic assignment to the first/lowest-cid
+    list) instead of propagating NaN into argmax.
     """
     from pyspark.sql import functions as SF
 
@@ -205,11 +212,13 @@ def ivf_topk(
     )
     cids = [int(r["cid"]) for r in cent_rows]  # ascending — argmax tie → lowest cid
     cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = cmat / np.where(cnorm == 0, 1.0, cnorm)
 
     def _sims(vecs: pd.Series) -> np.ndarray:
         x = np.array(vecs.tolist(), dtype=np.float64)
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        norm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norm == 0, 1.0, norm)  # zero vec → sims 0, not NaN
         return x @ cmat.T  # (batch, n_centroids)
 
     @SF.pandas_udf("long")

@@ -50,6 +50,39 @@ def test_exact_dedup_finds_planted_copy(spark, docs_with_planted_dups):
     assert any(set(r["ids"]) >= {0, 100000} for r in dups)
 
 
+def test_exact_dedup_mega_group_capped(spark):
+    """Skew guard: a document duplicated 10⁴× must yield an exact n_copies
+    but a bounded ids list (no one-giant-row straggler)."""
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(n, "a unique document")], "doc_id long, text string"
+    )
+    g = exact_dedup_groups(base.unionByName(extra), max_group_size=100)
+    rows = {r["canonical_id"]: r for r in g.collect()}
+    mega = rows[0]
+    assert mega["n_copies"] == n
+    assert len(mega["ids"]) == 100  # capped
+    assert mega["ids"] == sorted(mega["ids"]) and mega["ids"][:3] == [0, 1, 2]
+    assert rows[n]["n_copies"] == 1 and rows[n]["ids"] == [n]
+
+
+def test_verified_near_dup_no_cache_leak(spark, docs_with_planted_dups):
+    """persist=False must give identical results and leave nothing cached;
+    persist=True (default) caches until the caller clears it (documented
+    contract)."""
+    spark.catalog.clearCache()
+    res = verified_near_duplicates(
+        docs_with_planted_dups, threshold=0.5, persist=False
+    ).collect()
+    assert not spark.sparkContext._jsc.getPersistentRDDs(), "persist=False leaked cache"
+    default = verified_near_duplicates(docs_with_planted_dups, threshold=0.5).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, default))
+    spark.catalog.clearCache()
+
+
 def test_minhash_finds_near_dup(spark, docs_with_planted_dups):
     cands = minhash_candidates(docs_with_planted_dups).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in cands}
@@ -177,6 +210,76 @@ def test_embedding_near_duplicates_planted(spark, sf_dir):
     assert pairs.get((0, 900000)) == pytest.approx(1.0)
     # random vectors must NOT appear as near-dups at this threshold
     assert all(a == 0 or b == 900000 for (a, b) in pairs)
+
+
+def test_minhash_fixture_true_pairs_high_jaccard(spark, sf_dir):
+    """The minhash_near_duplicates oracle argument (recall 1 on the
+    fixture) relies on every TRUE pair having Jaccard ≥ 0.8, where the
+    8-band × 2-row miss probability is ≤ (1-0.8²)^8 ≈ 3e-4. Assert that
+    fixture property here so a future SF / fixture change that plants
+    borderline pairs (0.5 ≤ j < 0.8) fails loudly instead of silently
+    making the oracle row flaky."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        jaccard,
+        minhash_signatures_df,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = minhash_signatures_df(d).select("id", "sh")
+    ex = sh.select("id", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    shb = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    true_pairs = (
+        cand.join(sha, "id_a").join(shb, "id_b")
+        .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("j") >= 0.5)
+    )
+    low = true_pairs.filter(F.col("j") < 0.8).count()
+    assert low == 0, f"{low} true pairs in 0.5 <= j < 0.8 break the recall argument"
+
+
+def test_embedding_near_dup_borderline_recall(spark, sf_dir):
+    """OR-amplified SRP blocking must catch *borderline* near-dups, not just
+    identical vectors: plant twins at controlled angles (cos 0.905-0.93 —
+    barely above the 0.9 threshold, where a single SRP block caught only
+    ~29% of pairs) and assert recall ≥ 0.95."""
+    import numpy as np
+
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        embedding_near_duplicates,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    rng = np.random.RandomState(7)
+    picked = rng.choice(len(base), 100, replace=False)
+    rows, expected = [], set()
+    for i in picked:
+        vid = base[i]["vec_id"]
+        u = np.array(base[i]["embedding"], dtype=np.float64)
+        u = u / np.linalg.norm(u)
+        w = rng.randn(len(u))
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        c = rng.uniform(0.905, 0.93)  # exact target cosine of the twin
+        v = c * u + np.sqrt(1 - c * c) * w
+        rows.append((int(vid) + 900000, [float(x) for x in v]))
+        expected.add((int(vid), int(vid) + 900000))
+    twins = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(twins)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(corpus, threshold=0.9).collect()
+    }
+    recall = len(expected & found) / len(expected)
+    assert recall >= 0.95, f"borderline recall {recall} on {len(expected)} planted pairs"
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
