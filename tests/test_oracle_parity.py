@@ -61,11 +61,17 @@ def test_entry_smoke(spark):
 
 def test_registry_order_prioritizes_oracle_backed():
     """The driver records correctness rows for the first 50 registry
-    entries; every one of those must be oracle-backed (rows-only entries
-    and round-1-green redundant queries belong in the tail)."""
+    entries; every one of those must be oracle-backed EXCEPT
+    hll_distinct_counts, which is rows-only by design (approximate sketch)
+    and is rotated in this round precisely to finally get its (weaker)
+    driver row."""
     names = list(q.QUERIES)
     assert len(names) == len(q.QUERIES)
-    assert all(n in q.ORACLE_SQL for n in names[:50])
+    no_oracle_in_window = [n for n in names[:50] if n not in q.ORACLE_SQL]
+    assert no_oracle_in_window == ["hll_distinct_counts"]
+    # every query outside the window still has an oracle (re-checked
+    # locally each round by test_query_matches_oracle)
+    assert all(n in q.ORACLE_SQL for n in names[50:])
     # ordering is consistent across the two dicts the driver reads
     oracle_names = list(q.ORACLE_SQL)
     assert oracle_names == [n for n in names if n in q.ORACLE_SQL]
