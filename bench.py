@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -67,7 +68,7 @@ def main() -> None:
             # queries that persist() intermediates (minhash, hll) must not
             # hand later runs a warm cache — each run times the cold plan
             spark.catalog.clearCache()
-        dt = round(sorted(runs)[len(runs) // 2], 3)
+        dt = round(statistics.median(runs), 3)  # true median for even n too
         timings[name] = dt
         total += dt
 

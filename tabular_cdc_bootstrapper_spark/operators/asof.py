@@ -49,17 +49,24 @@ def as_of_join(
     # would conflate "no preceding right row" with "preceding right row with
     # a NULL field" and resurrect an older row's value (pandas merge_asof /
     # DuckDB ASOF JOIN both match the row, then surface its nulls).
-    lhs = left.withColumn("__evt_ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    # single select per side (repeated withColumn stacks one Project node
+    # per column — plan bloat and slow analysis at wide schemas)
     rhs = right.select(
         *keys,
         F.col(right_ts).alias("__evt_ts"),
         F.lit(0).alias("__is_left"),
         F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
     )
-    for c in left.columns:
-        if c not in rhs.columns:
-            rhs = rhs.withColumn(c, F.lit(None))
-    lhs = lhs.withColumn("__p", F.lit(None).cast(rhs.schema["__p"].dataType))
+    rhs = rhs.select(
+        *rhs.columns,
+        *[F.lit(None).alias(c) for c in left.columns if c not in rhs.columns],
+    )
+    lhs = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__evt_ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rhs.schema["__p"].dataType).alias("__p"),
+    )
     merged = lhs.select(rhs.columns).unionByName(rhs)
 
     # right rows sort before left rows at equal ts (__is_left ascending), so
@@ -70,9 +77,7 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = merged.withColumn("__asof", F.last(F.col("__p"), ignorenulls=True).over(w))
-    for c in payload:
-        out = out.withColumn(f"{c}{suffix}", F.col("__asof")[c])
-    return (
-        out.filter(F.col("__is_left") == 1)
-        .drop("__evt_ts", "__is_left", "__p", "__asof")
+    return out.filter(F.col("__is_left") == 1).select(
+        *[c for c in out.columns if c not in ("__evt_ts", "__is_left", "__p", "__asof")],
+        *[F.col("__asof")[c].alias(f"{c}{suffix}") for c in payload],
     )

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # NOTE: driver.memory (like master) only takes effect when this call
+        # actually CREATES the JVM; on a reused/active session getOrCreate
+        # silently keeps the existing driver size — intentional, configs
+        # that require a fresh JVM can't be retrofitted
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if not SparkSession.getActiveSession():
