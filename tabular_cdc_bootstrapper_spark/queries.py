@@ -2353,6 +2353,104 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hash_split_counts",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS bucket,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split — the training-pipeline
+    primitive for reproducible dataset membership. The split is a pure
+    function of the document id (md5-bucket mod 1000 → 98/1/1), so it is
+    stable across runs, engines, partitionings and appends: new documents
+    join a split without reshuffling old ones, and leakage checks can
+    recompute membership from the id alone. All in-plan (no UDF, no
+    shuffle before the final 3-group agg); md5 is used (not xxhash64)
+    because both engines implement it identically, which is also the
+    production-portable choice for split stability across toolchains."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+    )
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "validation").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        FROM toks
+    )
+    SELECT lang, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents are laid
+    end-to-end per language in doc_id order and cut into fixed 2048-token
+    context windows; a document belongs to the pack where it STARTS.
+    Output: per (lang, pack_id) membership stats — what a training-data
+    writer needs to emit packed examples.
+
+    Scale shape: one window cumsum per partition key + one hash agg on the
+    same key — no UDF, no extra shuffle (the agg reuses the window's
+    partitioning). At 100 TB the partition key becomes (lang, shard) so no
+    single language serializes through one task; packing stays
+    deterministic because the cumsum order is (doc_id), not arrival."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048.0))
+    return (
+        c.select("lang", pack.alias("pack_id"), "n_tokens", "doc_id")
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @query("hll_distinct_counts")  # rows-only: sketch cardinality is approximate
 def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch surface (the 100 TB path for COUNT DISTINCT:
@@ -2360,22 +2458,27 @@ def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_sketch_agg per group + hll_union_agg across groups. Accuracy vs
     exact is asserted in tests (±5%)."""
     l = _t(spark, sf_dir, "lineitem")
-    # ONE scan of lineitem builds the per-group sketches; the sketch table
-    # is then materialized driver-side (bounded: one row per return flag,
-    # each sketch a few KB — the "collect the model" pattern, same as IVF
-    # centroids) so the per-group estimates and the union-merged total both
-    # derive from it with no second scan and no persist() leaking cache
-    # into the session. At warehouse scale the sketch table would be
-    # written to a table and re-read — the point of mergeable sketches.
-    per_flag = l.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
-    sk = spark.createDataFrame(per_flag.collect(), per_flag.schema)
-    per_group = sk.select(
-        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
+    # single-pass ROLLUP: per-flag sketches and the all-up sketch come from
+    # ONE lazy scan with map-side partial sketch merge — no persist()
+    # leaking cache into the session, no second scan, no eager job at
+    # plan-construction time. The other half of the sketch story —
+    # merging STORED partial sketches with hll_union_agg (what a warehouse
+    # does instead of re-scanning) — is exercised by
+    # test_hll_sketch_within_5pct_of_exact, which union-merges the
+    # per-flag sketch table and checks it against this query's ALL row.
+    return (
+        l.rollup("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+            F.grouping("l_returnflag").alias("__g"),  # only valid inside the agg
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("l_returnflag"),
+            "approx_parts",
+        )
     )
-    total = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
-    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
-    return per_group.unionByName(total)
 
 
 @query(
@@ -2486,10 +2589,10 @@ _DRIVER_CHECK_PRIORITY = [
     "events_sliding_10min",
     "session_stats",
     "asof_purchase_signup",
-    # text analysis + LLM-pipeline operators (code touched this round or
-    # single driver row)
-    "text_stats_by_lang",
-    "lang_id_confusion",
+    # text analysis + LLM-pipeline operators (code touched this round,
+    # single driver row, or new this round)
+    "hash_split_counts",
+    "sequence_packing",
     "quality_score_histogram",
     "bpe_token_counts",
     "dedup_exact_groups",
@@ -2512,6 +2615,8 @@ _DRIVER_CHECK_PRIORITY = [
     # window, still oracle-checked locally every round ---
     "window_navigation",
     "cosine_topk",
+    "text_stats_by_lang",
+    "lang_id_confusion",
     "top3_orders_per_customer",
     "rollup_revenue",
     "pivot_revenue_by_status",

@@ -324,3 +324,13 @@ def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+    # the mergeable-sketch path a warehouse uses instead of re-scanning:
+    # union-merging the stored per-flag sketches must estimate the same
+    # ALL-cardinality as the query's single-pass rollup row
+    per_flag = l.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).collect()[0]["n"]
+    assert abs(merged - exact["ALL"]) / exact["ALL"] < 0.05
+    assert merged == approx["ALL"]  # same sketch lattice → same estimate

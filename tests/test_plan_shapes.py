@@ -157,3 +157,20 @@ def test_bpe_token_counts_prunes_scan(spark, sf_dir):
     scans = scan_read_columns(df)
     assert any(cols <= {"text", "lang"} for cols in scans)
     assert exchange_count(df) == 1
+
+
+def test_hash_split_single_exchange(spark, sf_dir):
+    """The deterministic split is a pure projection + 3-group agg: one
+    exchange (partial agg map-side), filter pushed to the scan."""
+    df = q.hash_split_counts(spark, sf_dir)
+    assert exchange_count(df) == 1
+    scans = scan_read_columns(df)
+    assert any(cols <= {"doc_id", "text"} for cols in scans)  # pruned scan
+
+
+def test_sequence_packing_reuses_window_partitioning(spark, sf_dir):
+    """The pack-id groupBy keys (lang, pack_id) are clustered by the window
+    exchange on (lang) — a second exchange appearing means Catalyst stopped
+    reusing the partitioning (scale regression: 2× shuffle of the corpus)."""
+    df = q.sequence_packing(spark, sf_dir)
+    assert exchange_count(df) == 1
