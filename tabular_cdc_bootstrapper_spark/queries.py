@@ -2451,6 +2451,291 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_mixture_sample",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000 AS bucket,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 250 ELSE 1000 END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 250 ELSE 1000 END)
+                         THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM b GROUP BY lang
+    """,
+)
+def weighted_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted data mixing — downsample over-represented
+    sources to a target mixture (here: keep 25% of 'en', 100% of the
+    rest). Membership is a pure function of the doc id (salted md5 bucket,
+    a DIFFERENT salt than hash_split_counts so mixture and split stay
+    independent), so the mixture is reproducible and append-stable, and
+    sampling composes with the split without coordination. All in-plan:
+    one pruned scan, map-side conditional aggregation, one exchange for
+    the per-source rollup — at 100 TB the filter form (keep rows, write
+    the mixed corpus) is the same expression used as a predicate."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", 250).otherwise(1000)
+    kept = bucket < rate
+    return (
+        d.select(
+            "lang",
+            kept.alias("kept"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "uniform_per_group_sample",
+    oracle="""
+    WITH h AS (
+        SELECT lang, doc_id,
+               CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hk
+        FROM documents
+    ), r AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rank
+        FROM h
+    )
+    SELECT lang, doc_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+    """,
+)
+def uniform_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible uniform sample of exactly k=20 documents per source:
+    rank by a salted hash of the doc id inside each group and keep the
+    first k. Unlike ``df.sample`` this is deterministic across runs,
+    engines and partitionings (hash order is data-defined, not RNG-
+    defined) and gives exact per-group counts. Scale shape: the rank
+    filter compiles to WindowGroupLimit (map-side top-k per group before
+    the shuffle, plan-pinned in tests) — the corpus never fully sorts."""
+    d = _t(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        d.select("lang", "doc_id", hk.alias("hk"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000001, lang, text FROM documents WHERE doc_id % 200 = 0
+    ), toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(range(1, len(w) - 6),
+                   i -> list_aggregate(w[i:i+7], 'string_agg', ' ')))) AS g
+        FROM toks WHERE len(w) >= 8
+    ), bench AS (
+        SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0
+    )
+    SELECT lang, CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_contaminated
+    FROM sh s JOIN bench USING (g)
+    WHERE s.doc_id % 100 <> 0
+    GROUP BY lang
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination check (decontamination stage of a
+    training pipeline): a training document is contaminated if it shares
+    any 8-word shingle with the benchmark set (docs with id % 100 == 0
+    here). The fixture corpus has no natural 8-gram overlap at the smoke
+    SF, so known-contaminated documents are planted deterministically on
+    both sides (every 200th doc re-appended under a train-side id).
+
+    Shape: staged tokenize → shingle projections (attribute-bound, see
+    _shingles_from_tokens perf contract), explode to an inverted index,
+    LEFT SEMI join train shingles against distinct benchmark shingles
+    (the doc_id%100 predicates push below the shingle projection, so each
+    branch shingles only its own subset), then a distinct-doc count per
+    source. At cluster scale the shingles become 8-byte hashed shuffle
+    keys computed inside the vectorized shingle UDF (the
+    ngram_jaccard_pairs approach — hashing via an interpreted transform()
+    lambda measured SLOWER locally than shipping the strings, the
+    BASELINE.md HOF lesson again); a 2⁻⁶⁴ collision only over-marks,
+    never misses."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import _shingles_from_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 200 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000001
+    )
+    corpus = d.select("doc_id", "lang", "text").unionByName(
+        planted.select("doc_id", "lang", "text")
+    )
+    toks = corpus.select(
+        "doc_id",
+        "lang",
+        F.col("text").alias("__text"),
+        F.split(F.trim("text"), r"\s+").alias("__toks"),
+    ).filter(F.size("__toks") >= 8)
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            _shingles_from_tokens(F.col("__toks"), F.col("__text"), 8)
+        ).alias("g"),
+    )
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 100 != 0)
+        .join(bench, "g", "left_semi")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS s1
+        FROM events
+    ), s2 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'click' AND s1 = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS s2
+        FROM s1
+    ), s3 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'purchase' AND s2 = 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS s3
+        FROM s2
+    ), pu AS (
+        SELECT user_id, MAX(s1) AS r1, MAX(s2) AS r2, MAX(s3) AS r3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(r1) AS BIGINT) AS reached_view,
+           CAST(SUM(r2) AS BIGINT) AS reached_view_click,
+           CAST(SUM(r3) AS BIGINT) AS reached_full
+    FROM pu
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user reaches
+    a stage only by hitting its event AFTER reaching the previous stage —
+    the classic product-analytics operator, done as a running state
+    machine in layered window expressions instead of per-stage self-joins.
+
+    Scale shape: all three stage flags are cumulative MAX over the SAME
+    (user_id, ts) sort, so Catalyst plans ONE exchange + ONE sort with
+    three stacked Window operators, and the per-user reduction reuses the
+    partitioning — versus the naive 3-way self-join (3 shuffles of the
+    event log + skew on hot users). Event-count ties break on event_id,
+    making the funnel deterministic."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stage = lambda cond: F.max(F.when(cond, 1).otherwise(0)).over(w)  # noqa: E731
+    e = e.withColumn("s1", stage(F.col("event_type") == "view"))
+    e = e.withColumn("s2", stage((F.col("event_type") == "click") & (F.col("s1") == 1)))
+    e = e.withColumn(
+        "s3", stage((F.col("event_type") == "purchase") & (F.col("s2") == 1))
+    )
+    pu = e.groupBy("user_id").agg(
+        F.max("s1").alias("r1"), F.max("s2").alias("r2"), F.max("s3").alias("r3")
+    )
+    return pu.agg(
+        F.count("*").alias("n_users"),
+        F.sum("r1").alias("reached_view"),
+        F.sum("r2").alias("reached_view_click"),
+        F.sum("r3").alias("reached_full"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS signup_ts
+        FROM events
+    )
+    SELECT strftime(date_trunc('week', signup_ts), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', date_trunc('week', signup_ts),
+                          date_trunc('week', ts)) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM su
+    WHERE signup_ts IS NOT NULL AND event_type <> 'signup' AND ts >= signup_ts
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by signup week, counted as
+    active in each later week they emit a non-signup event. The signup
+    timestamp comes from an unordered per-user window MIN — no self-join
+    of the event log against itself — so the plan is one exchange on
+    user_id (window + nothing else reuses it) and one on the (cohort,
+    offset) aggregate. Both engines truncate weeks to ISO Monday."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    su = e.withColumn(
+        "signup_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    cohort = F.date_trunc("week", "signup_ts")
+    offset = F.expr("datediff(date_trunc('week', ts), date_trunc('week', signup_ts)) div 7")
+    return (
+        su.filter(
+            F.col("signup_ts").isNotNull()
+            & (F.col("event_type") != "signup")
+            & (F.col("ts") >= F.col("signup_ts"))
+        )
+        .groupBy(
+            cohort.cast("date").cast("string").alias("cohort_week"),
+            offset.cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 @query("hll_distinct_counts")  # rows-only: sketch cardinality is approximate
 def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch surface (the 100 TB path for COUNT DISTINCT:
@@ -2556,12 +2841,9 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_CHECK_PRIORITY = [
     # CDC flagship + core aggregation/join/window surfaces
-    "cdc_ops_histogram",
     "cdc_latest",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "customer_order_window_stats",
+    "event_funnel",
+    "cohort_retention",
     "rolling_30d_revenue",
     "grouping_sets_revenue",
     "set_ops_multiset",
@@ -2593,6 +2875,9 @@ _DRIVER_CHECK_PRIORITY = [
     # single driver row, or new this round)
     "hash_split_counts",
     "sequence_packing",
+    "weighted_mixture_sample",
+    "uniform_per_group_sample",
+    "benchmark_contamination",
     "quality_score_histogram",
     "bpe_token_counts",
     "dedup_exact_groups",
@@ -2613,10 +2898,15 @@ _DRIVER_CHECK_PRIORITY = [
     "q22_idle_balance",
     # --- tail: two green driver rows (r1+r2), family representative in
     # window, still oracle-checked locally every round ---
+    "cdc_ops_histogram",
+    "customer_order_window_stats",
     "window_navigation",
     "cosine_topk",
     "text_stats_by_lang",
     "lang_id_confusion",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "top3_orders_per_customer",
     "rollup_revenue",
     "pivot_revenue_by_status",

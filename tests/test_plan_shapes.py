@@ -174,3 +174,37 @@ def test_sequence_packing_reuses_window_partitioning(spark, sf_dir):
     reusing the partitioning (scale regression: 2× shuffle of the corpus)."""
     df = q.sequence_packing(spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_uniform_sample_window_group_limit(spark, sf_dir):
+    """The per-group top-k sample must get WindowGroupLimit (map-side
+    top-k before the shuffle) — losing it means the full corpus sorts."""
+    df = q.uniform_per_group_sample(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert exchange_count(df) == 1
+
+
+def test_weighted_mixture_single_exchange(spark, sf_dir):
+    df = q.weighted_mixture_sample(spark, sf_dir)
+    assert exchange_count(df) == 1
+
+
+def test_event_funnel_one_sort_two_exchanges(spark, sf_dir):
+    """Three funnel stages = three stacked Window ops over the SAME
+    (user_id, ts) sort: one sort, one user exchange (+ the final global
+    agg). A per-stage self-join would show Join nodes and 3+ exchanges."""
+    df = q.event_funnel(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Window") == 3
+    assert tree.count("Sort ") == 1
+    assert "Join" not in tree
+    assert exchange_count(df) <= 2
+
+
+def test_cohort_retention_no_self_join(spark, sf_dir):
+    """signup_ts via per-user window MIN, not a self-join of events."""
+    df = q.cohort_retention(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert exchange_count(df) <= 2
