@@ -2828,8 +2828,9 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - The round-2 tail (17 queries whose only driver row was round 1 —
 #   including hll_distinct_counts, which had NEVER been driver-checked) is
 #   rotated INTO the window so every registry entry gets re-verified on
-#   current code.
-# - Displaced to the tail: 17 queries with TWO green driver rows (r1+r2)
+#   current code, as are the 7 operators NEW this round (splits, mixing,
+#   sampling, packing, decontamination, funnel, cohort — no row yet).
+# - Displaced to the tail: 24 queries with TWO green driver rows (r1+r2)
 #   that are redundant family members (a same-surface representative stays
 #   up front). Queries whose implementation changed this round
 #   (dedup_exact_groups, embedding_near_duplicates, ngram_jaccard_pairs,
