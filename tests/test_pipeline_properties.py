@@ -1,0 +1,152 @@
+"""Invariant tests for the dataset-engineering / analytics operators —
+properties that must hold at ANY scale factor, complementing the one-SF
+oracle rows (a fixture change that breaks an invariant fails here loudly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark import queries as q
+
+
+def test_hash_split_partitions_disjoint_and_complete(spark, sf_dir):
+    """Splits must cover every document exactly once and sit near the
+    declared 98/1/1 proportions (hash uniformity)."""
+    rows = {r["split"]: r for r in q.hash_split_counts(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "validation", "test"}
+    total = sum(r["n_docs"] for r in rows.values())
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    )
+    assert total == d.count()  # complete + disjoint (3 exclusive buckets)
+    train_frac = rows["train"]["n_docs"] / total
+    assert 0.93 <= train_frac <= 1.0  # 98% ± hash noise at small n
+
+
+def test_hash_split_stable_under_append(spark, sf_dir):
+    """Membership is a pure function of doc_id: adding documents must not
+    move any existing document across splits."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+    )
+    before = {r["doc_id"]: r["b"] for r in d.select("doc_id", bucket.alias("b")).collect()}
+    appended = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 777777))
+    after = {
+        r["doc_id"]: r["b"]
+        for r in appended.select("doc_id", bucket.alias("b")).collect()
+        if r["doc_id"] in before
+    }
+    assert after == before
+
+
+def test_weighted_mixture_hits_target_rate(spark, sf_dir):
+    rows = {r["lang"]: r for r in q.weighted_mixture_sample(spark, sf_dir).collect()}
+    for lang, r in rows.items():
+        if lang == "en":
+            frac = r["n_kept"] / r["n_total"]
+            assert 0.15 <= frac <= 0.35, (lang, frac)  # target 0.25 ± hash noise
+        else:
+            assert r["n_kept"] == r["n_total"], lang  # keep-all sources intact
+
+
+def test_uniform_sample_exact_k_per_group(spark, sf_dir):
+    out = q.uniform_per_group_sample(spark, sf_dir)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    group_sizes = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(20, group_sizes[lang]), lang
+    # ranks are exactly 1..k with no gaps
+    ranks = out.groupBy("lang").agg(F.max("rank").alias("mx"), F.count("*").alias("n")).collect()
+    assert all(r["mx"] == r["n"] for r in ranks)
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Concat-and-chunk must conserve tokens (every doc in exactly one
+    pack) and pack ids must be dense from 0 per language."""
+    packs = q.sequence_packing(spark, sf_dir)
+    by_lang = {
+        r["lang"]: r
+        for r in packs.groupBy("lang")
+        .agg(
+            F.sum("pack_tokens").alias("tok"),
+            F.sum("n_docs").alias("docs"),
+            F.min("pack_id").alias("lo"),
+            F.max("pack_id").alias("hi"),
+            F.count("*").alias("n_packs"),
+        )
+        .collect()
+    }
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    )
+    truth = {
+        r["lang"]: r
+        for r in d.select(
+            "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("docs"))
+        .collect()
+    }
+    assert set(by_lang) == set(truth)
+    for lang in truth:
+        assert by_lang[lang]["tok"] == truth[lang]["tok"], lang
+        assert by_lang[lang]["docs"] == truth[lang]["docs"], lang
+        assert by_lang[lang]["lo"] == 0
+        # packs are dense: every 2048-token boundary up to the last start
+        assert by_lang[lang]["n_packs"] == by_lang[lang]["hi"] + 1
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    r = q.event_funnel(spark, sf_dir).collect()[0]
+    assert (
+        r["n_users"]
+        >= r["reached_view"]
+        >= r["reached_view_click"]
+        >= r["reached_full"]
+        >= 0
+    )
+    assert r["reached_view"] > 0  # fixture has views for most users
+
+
+def test_cohort_retention_bounded_by_cohort_size(spark, sf_dir):
+    """Retention in any week never exceeds the cohort's signup count, and
+    week offsets are non-negative."""
+    from tabular_cdc_bootstrapper_spark.queries import _t
+
+    ret = q.cohort_retention(spark, sf_dir).collect()
+    assert all(r["week_offset"] >= 0 for r in ret)
+    e = _t(spark, sf_dir, "events")
+    # per-cohort check against distinct signup users of that week
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+        .groupBy(F.date_trunc("week", "signup_ts").cast("date").cast("string").alias("cohort_week"))
+        .agg(F.countDistinct("user_id").alias("n_signed"))
+    )
+    cohort_sizes = {r["cohort_week"]: r["n_signed"] for r in su.collect()}
+    for r in ret:
+        assert r["n_active"] <= cohort_sizes[r["cohort_week"]], r
+
+
+def test_benchmark_contamination_finds_planted(spark, sf_dir):
+    """Every planted copy (id%200==0 re-appended train-side) must be
+    flagged: total contaminated >= number of planted docs with >=8 tokens."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.filter(
+        (F.col("doc_id") % 200 == 0)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 8)
+    ).count()
+    total = (
+        q.benchmark_contamination(spark, sf_dir)
+        .agg(F.sum("n_contaminated").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert total >= planted > 0
