@@ -1479,21 +1479,36 @@ _REV = "l_extendedprice * (1 - l_discount)"
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part (correlated MIN →
-    decorrelated rank-1 window; suppkey tie-break for determinism)."""
+    decorrelated argmin; suppkey tie-break for determinism).
+
+    Plan: ONE hash aggregation — min(struct(unit_price, suppkey)) per
+    part is lexicographic argmin, which equals the oracle's two-phase
+    min-per-supplier → rank-1 result (the winning supplier's per-supplier
+    min IS the global min, ties broken by lower suppkey in both forms).
+    The previous two-phase form paid a (partkey, suppkey) aggregation
+    shuffle PLUS a partkey window shuffle; this pays one partkey shuffle
+    with map-side partials, then broadcasts the filtered part dim."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    cand = F.struct(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_suppkey").alias("suppkey"),
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
-    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = (
+        l.select("l_partkey", cand.alias("cand"))
+        .groupBy("l_partkey")
+        .agg(F.min("cand").alias("m"))
+    )
     return (
-        best.join(p.filter(F.col("p_size") <= 10), best.l_partkey == p.p_partkey)
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") <= 10)),
+            best.l_partkey == p.p_partkey,
+        )
         .select(
             "p_partkey",
             "p_name",
-            F.col("l_suppkey").alias("best_suppkey"),
-            F.round("unit_price", 4).alias("best_unit_price"),
+            F.col("m.suppkey").alias("best_suppkey"),
+            F.round("m.unit_price", 4).alias("best_unit_price"),
         )
     )
 
@@ -1863,16 +1878,27 @@ def q16_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders (HAVING on a summed measure,
     top-k by price). l_quantity is integral so the float sum is exact and
-    the HAVING boundary is deterministic across engines."""
+    the HAVING boundary is deterministic across engines.
+
+    Plan: aggregate lineitem by order key BEFORE any join — the per-order
+    sum doesn't depend on customer/order columns, and the HAVING
+    predicate is extremely selective, so the join inputs collapse from
+    |lineitem| to a handful of qualifying orders (which AQE then
+    broadcasts). The naive join-first form shuffles the full
+    lineitem⋈orders⋈customer row set into a 4-key aggregation — one extra
+    fact-fact shuffle carrying wide customer columns. Measured 1.55 s →
+    1.02 s at sf0.1, 3 exchanges → 1."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
         .select(
@@ -2616,7 +2642,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             _shingles_from_tokens(F.col("__toks"), F.col("__text"), 8)
         ).alias("g"),
     )
-    bench = sh.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    # no distinct() on the semi-join's right side: LEFT SEMI gives identical
+    # results on duplicated keys, and the distinct would be a pure extra
+    # shuffle+agg of the benchmark shingle set
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("g")
     return (
         sh.filter(F.col("doc_id") % 100 != 0)
         .join(bench, "g", "left_semi")

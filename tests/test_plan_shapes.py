@@ -208,3 +208,19 @@ def test_cohort_retention_no_self_join(spark, sf_dir):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert exchange_count(df) <= 2
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    """Q18 must aggregate lineitem by order key BEFORE joining (one
+    exchange); the join-first form pays a second fact-fact shuffle."""
+    df = q.q18_large_volume_orders(spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q2_single_argmin_aggregation(spark, sf_dir):
+    """Q2's cheapest-supplier is one min(struct) hash agg + broadcast of
+    the part dim — not an agg shuffle plus a window shuffle."""
+    df = q.q2_min_cost_supplier(spark, sf_dir)
+    assert exchange_count(df) == 1
+    assert broadcast_join_count(df) >= 1
