@@ -66,6 +66,28 @@ def exact_dedup_groups(
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """First-seen-wins exact dedup over a DOCUMENT STREAM (or batch — same
+    API): emit each content digest's first arrival, drop every later copy.
+
+    ``dropDuplicates`` on a streaming DataFrame keeps the seen-digest set
+    in the state store ACROSS micro-batches — exactly the semantics an
+    ingest pipeline needs (a re-crawled page arriving hours later is still
+    a duplicate). State grows with |distinct digests|, which is inherent
+    to exact dedup (the seen-set IS the operator); at warehouse scale back
+    it with the RocksDB state store provider, or bound the horizon with
+    ``dropDuplicatesWithinWatermark`` when duplicates only arrive within a
+    known window. Cross-batch behavior is pinned by
+    ``test_streaming_dedup_dedups_across_microbatches``."""
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(normalized(F.col(text_col))).alias("digest"),
+    ).dropDuplicates(["digest"])
+
+
 def _shingles_from_tokens(toks: Column, text: Column, k: int) -> Column:
     """k-shingles from a tokens ATTRIBUTE (not expression).
 

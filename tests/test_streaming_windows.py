@@ -182,3 +182,44 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert must_emit <= stream_pairs
+
+
+def test_streaming_dedup_dedups_across_microbatches(spark, sf_dir, tmp_path):
+    """streaming_exact_dedup must drop a duplicate that arrives in a LATER
+    micro-batch than its original (seen-digest state persists across
+    batches). Two files, forced into separate batches via
+    maxFilesPerTrigger=1; file 2 re-sends five file-1 documents under new
+    ids."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        streaming_exact_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = tmp_path / "docs_stream"
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+    )
+    first.coalesce(1).write.parquet(str(out / "f1"))
+    second.coalesce(1).write.parquet(str(out / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    q = run_stream_to_memory(streaming_exact_dedup(stream), "dedup_out")
+    got = spark.table("dedup_out").collect()
+    q.stop()
+
+    n_distinct = docs.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    ).distinct().count()
+    assert len(got) == n_distinct  # every copy dropped, every original kept
+    assert len({r["digest"] for r in got}) == len(got)
+    # no re-sent id survived: first-seen (lower id) wins across batches…
+    # unless both files landed in one batch — maxFilesPerTrigger pins 2
+    assert all(r["doc_id"] < 5_000_000 for r in got)
