@@ -150,3 +150,45 @@ def test_benchmark_contamination_finds_planted(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert total >= planted > 0
+
+
+def test_sequence_packing_matches_python_reference(spark):
+    """Validate the window-cumsum pack assignment against an independent
+    Python reference packer on a randomized (seeded) corpus, including
+    boundary cases: docs exactly filling a window, docs longer than a
+    whole window, and single-token docs."""
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(300):
+        lang = rng.choice(["aa", "bb", "cc"])
+        n = rng.choice([1, 5, 100, 2047, 2048, 2049, 5000, rng.randint(1, 300)])
+        rows.append((i, lang, "w " * (n - 1) + "w"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # independent reference: lay docs end-to-end per lang in doc_id order;
+    # a doc belongs to the pack where it starts
+    ref: dict[tuple[str, int], list[int]] = {}
+    for lang in ["aa", "bb", "cc"]:
+        cum = 0
+        for i, lg, text in rows:
+            if lg != lang:
+                continue
+            n = len(text.split())
+            ref.setdefault((lang, cum // 2048), []).append(n)
+            cum += n
+
+    import tabular_cdc_bootstrapper_spark.queries as q
+
+    orig = q._t
+    try:
+        q._t = lambda _spark, _sf, _name: df  # run the query on our corpus
+        got = {
+            (r["lang"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+            for r in q.sequence_packing(spark, "ignored").collect()
+        }
+    finally:
+        q._t = orig
+    exp = {k: (len(v), sum(v)) for k, v in ref.items()}
+    assert got == exp
