@@ -572,7 +572,13 @@ def embedding_near_duplicates(
     previous single 8-bit block, while the candidate rate on random
     corpus pairs stays ≈0.6% (p ≈ ½ per plane ⇒ ~2⁻¹² per table).
     ``bits_per_table`` is the selectivity knob — grow it with log₂(corpus)
-    so buckets stay small; ``n_tables`` is the recall knob.
+    so buckets stay small; ``n_tables`` is the recall knob. Measured on a
+    10× corpus (20 k rotated-copy vectors, SCALING.md): the defaults'
+    fixed 2¹² bucket space densifies quadratically (11.6 s, verify-bound),
+    while retuning to bits=16 / tables=32 for the larger corpus runs in
+    5.9 s (banding-bound, recall ≈0.94 at cos 0.9) — i.e. bits ≈
+    log₂(n)+2, then pick tables from the recall formula. The two costs:
+    banding shuffle ∝ n·tables, verification ∝ n²·2^(−bits)·tables.
 
     Exact cosine verifies each candidate (verify-after-block, same shape
     as MinHash → Jaccard), so false candidates cost only the verify join
