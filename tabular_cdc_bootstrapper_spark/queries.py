@@ -1280,6 +1280,123 @@ def embedding_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        GROUP BY doc_id, i
+    ), sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(i AS INT))
+                        ELSE 0 END) AS sim_u
+        FROM votes GROUP BY doc_id
+    ), all_sims AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sim_u, 0) AS UBIGINT) AS sim
+        FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, sim, b,
+               CAST((sim >> CAST(b * 16 AS UBIGINT)) & 65535 AS INT) AS bv
+        FROM all_sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
+    ), kept AS (
+        SELECT bands.* FROM bands
+        JOIN (SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY b, bv) sz
+        USING (b, bv)
+        WHERE sz.n BETWEEN 2 AND 200
+    ), pr AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM kept a JOIN kept b2
+          ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION SELECT id_b, id_a FROM pr
+    ), reach(id, lab) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT c.id, c.component_id, s.cluster_size,
+           c.id = c.component_id AS is_canonical
+    FROM comp c JOIN sizes s USING (component_id)
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate CLUSTERS: the transitive-closure step a corpus
+    dedup actually needs (keep one canonical doc per cluster, drop the
+    rest). Pairs come from the SimHash pipeline (deterministic md5-lower-64
+    family, so the pair set is oracle-exact); clustering is alternating
+    large-star/small-star connected components (`functions/graph.py` —
+    O(log n) rounds, no neighborhood ever materialized as one row). The
+    oracle recomputes the same pair set in SQL and closes it with a
+    recursive min-label CTE — tractable on fixture-scale graphs, which is
+    exactly why the distributed side exists for the 100 TB one."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
+    from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
+
+    pairs = simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
+@query(
+    "bm25_topk",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), d AS (
+        SELECT doc_id, len(toks) AS dl, toks FROM base
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+        WHERE t IN ('dup', 'vector', 'merge')
+        GROUP BY doc_id, dl, t
+    ), dfs AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           ROUND(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfs USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 for the query {dup, vector, merge} —
+    one rare term (df 25/500 at sf0.01) and two common ones, so the idf
+    weighting actually decides the ranking. Sparse counterpart to the
+    embedding retrievers in `functions/similarity.py`; see
+    `functions/retrieval.py` for the inverted-index-shaped plan (corpus
+    shuffle carries matching (doc_id, term) rows only; df/stats broadcast
+    back; top-k via TakeOrderedAndProject). Scores round to 6 dp BEFORE
+    ranking so the cut is reproducible across engines."""
+    from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), ["dup", "vector", "merge"], k=10)
+
+
+@query(
     "q4_order_priority_check",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
@@ -2919,12 +3036,15 @@ _DRIVER_CHECK_PRIORITY = [
     "multimodal_features",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # subquery shapes with a single (round-2) driver row
-    "q14_promo_revenue",
+    # NEW round 3: pairs→clusters connected components, BM25 retrieval
+    "near_dup_clusters",
+    "bm25_topk",
+    # subquery shapes with a single (round-2) driver row; q14/q19 (the two
+    # simplest of the family, one green row each) yield their window slots
+    # to the two new operators and stay oracle-checked locally
     "q15_top_supplier",
     "q16_brand_supplier_count",
     "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
     "q22_idle_balance",
     # --- tail: two green driver rows (r1+r2), family representative in
     # window, still oracle-checked locally every round ---
@@ -2952,6 +3072,8 @@ _DRIVER_CHECK_PRIORITY = [
     "user_sessions",
     "q2_min_cost_supplier",
     "q4_order_priority_check",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 
