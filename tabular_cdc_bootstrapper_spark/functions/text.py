@@ -90,6 +90,108 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_guess_score", best["score"].cast("bigint"))
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style cleaning filters
+    (Rae et al. 2021, "Scaling Language Models", appendix A1.1) that catch
+    boilerplate/spam the length+punctuation score misses:
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens| (low = loops)
+    - ``top_token_frac``: most frequent token's share of all tokens
+    - ``top_bigram_frac``: most frequent word-2-gram's share of bigrams
+      (null when the document has < 2 tokens)
+
+    Scale shape: per-token and per-bigram counts via ONE unioned explode →
+    two keyed aggregations, both map-side combinable and keyed by (doc,
+    kind, gram) then (doc, kind) — no per-row O(n·distinct) higher-order
+    scan (interpreted, quadratic on long docs) and no join of two
+    corpus-sized aggregates (the kind tag folds token and bigram pipelines
+    into the same shuffle).
+
+    ``carry_cols`` (constant per document, e.g. ``lang``) ride the
+    aggregation keys — free, since they don't split any id group — instead
+    of a corpus-sized join-back."""
+    t = F.lower(F.trim(F.col(text_col)))
+    carry = list(carry_cols)
+    staged = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), *carry, F.split(t, r"\s+").alias("toks"))
+    )
+    n = F.size("toks")
+    staged = staged.withColumn(
+        "bigrams",
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = staged.select(
+        "id", *carry, F.lit("tok").alias("kind"), F.explode("toks").alias("gram")
+    ).unionAll(
+        staged.select(
+            "id", *carry, F.lit("big").alias("kind"), F.explode("bigrams").alias("gram")
+        )
+    )
+    counts = grams.groupBy("id", *carry, "kind", "gram").agg(F.count("*").alias("c"))
+    per_kind = counts.groupBy("id", *carry, "kind").agg(
+        F.max("c").alias("top"),
+        F.count("*").alias("n_distinct"),
+        F.sum("c").alias("n_total"),
+    )
+    tok = F.when(F.col("kind") == "tok", F.col("top"))
+    return per_kind.groupBy("id", *carry).agg(
+        F.max(F.when(F.col("kind") == "tok", F.col("n_total"))).alias("n_tokens"),
+        (
+            F.max(F.when(F.col("kind") == "tok", F.col("n_distinct")))
+            / F.max(F.when(F.col("kind") == "tok", F.col("n_total")))
+        ).alias("distinct_token_ratio"),
+        (
+            F.max(tok) / F.max(F.when(F.col("kind") == "tok", F.col("n_total")))
+        ).alias("top_token_frac"),
+        (
+            F.max(F.when(F.col("kind") == "big", F.col("top")))
+            / F.max(F.when(F.col("kind") == "big", F.col("n_total")))
+        ).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookarounds) so the same
+# regex runs identically on Spark (Java regex) and DuckDB (RE2) — and would
+# port to RE2-based scanners unchanged.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact PII (emails, NANP-style phone numbers): adds
+    ``n_emails``/``n_phones`` match counts and ``text_redacted`` with
+    matches replaced by ``[EMAIL]``/``[PHONE]`` placeholders.
+
+    Pure codegen'd regexp expressions — at 100 TB this runs inside the
+    scan's whole-stage-codegen like the other text filters, no UDF. A
+    production pipeline extends PII_* with locale patterns (IBAN, SSN,
+    IPs); the operator shape doesn't change."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint"))
+        .withColumn(
+            "text_redacted",
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+            ),
+        )
+    )
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 3, algo: str = "xxhash64"
 ) -> DataFrame:

@@ -129,3 +129,45 @@ def apply_changelog(
     # key on the first incremental merge)
     live = latest.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
     return live.drop(*[c for c in drop_envelope if c in live.columns])
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Materialize a type-2 slowly-changing-dimension history from the
+    changelog: one row per (key, version) with ``valid_from``/``valid_to``
+    validity bounds and an ``is_current`` flag.
+
+    The mirror (``apply_changelog``) answers "what is the state NOW"; this
+    answers "what was the state at time T" — the other standard consumer of
+    the same DMS stream the reference wires up (tabular.py:58-62), and what
+    an auditable warehouse keeps alongside the mirror.
+
+    Semantics per key, ordered by ``ts_col`` (+ tie-breaks):
+    - every non-delete event opens a version at its ts;
+    - a version closes at the NEXT event's ts (any op — an update
+      supersedes, a delete terminates), so intervals tile the timeline
+      with no gaps or overlaps;
+    - delete events emit no row of their own; a key whose last event is
+      the delete op has no current version (``is_current`` all false).
+
+    Scale shape: ONE shuffle (the per-key window); ``lead`` needs no join
+    and WindowExec streams each key group. At 100 TB this is the same
+    partitioning as the mirror merge, so the two outputs co-locate.
+    ``valid_to`` is null while a version is open (half-open interval
+    ``[valid_from, valid_to)`` when closed).
+    """
+    keys = _as_list(key_cols)
+    order = [ts_col, *tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    versions = changelog.withColumn("valid_to", F.lead(ts_col).over(w))
+    return (
+        versions.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

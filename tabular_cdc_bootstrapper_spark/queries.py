@@ -144,6 +144,47 @@ def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', o_totalprice, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ), v AS (
+        SELECT *, LEAD(ts) OVER (
+            PARTITION BY o_orderkey ORDER BY ts) AS valid_to
+        FROM changelog
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ts AS valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the same DMS changelog the mirror consumes:
+    every surviving version of every key with [valid_from, valid_to)
+    bounds — "state at time T" beside the mirror's "state now". One
+    window shuffle (`operators/cdc.py scd2_history`); updates close the
+    prior version, deletes terminate without emitting a row."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    ch = derived_orders_changelog(spark, sf_dir)
+    return scd2_history(ch, "o_orderkey", "ts").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY.md §2.2-2.8 EXT): hash aggregates, star-schema
 # joins, windows, top-k, set ops, scalar/date/JSON functions. All expressed
@@ -1394,6 +1435,132 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), ["dup", "vector", "merge"], k=10)
+
+
+@query(
+    "repetition_stats_by_lang",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), tok AS (
+        SELECT doc_id, lang, unnest(toks) AS g FROM base
+    ), tc AS (
+        SELECT doc_id, lang, g, COUNT(*) AS c
+        FROM tok GROUP BY doc_id, lang, g
+    ), ta AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS DOUBLE) / SUM(c) AS distinct_ratio,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_tok
+        FROM tc GROUP BY doc_id, lang
+    ), big AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM base WHERE len(toks) >= 2
+    ), bc AS (
+        SELECT doc_id, lang, g, COUNT(*) AS c
+        FROM big GROUP BY doc_id, lang, g
+    ), ba AS (
+        SELECT doc_id, lang, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_big
+        FROM bc GROUP BY doc_id, lang
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(distinct_ratio), 6) AS avg_distinct_ratio,
+           ROUND(AVG(top_tok), 6) AS avg_top_token_frac,
+           ROUND(AVG(top_big), 6) AS avg_top_bigram_frac
+    FROM ta LEFT JOIN ba USING (doc_id, lang)
+    GROUP BY lang
+    """,
+)
+def repetition_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters rolled up per language: distinct-
+    token ratio, top-token share, top-bigram share (the boilerplate/spam
+    signals the length+punct quality score misses). Per-doc stats come from
+    `functions/text.py repetition_stats` — one unioned explode, two keyed
+    map-side-combinable aggregations, `lang` carried on the keys instead of
+    a corpus-sized join-back."""
+    from tabular_cdc_bootstrapper_spark.functions.text import repetition_stats
+
+    r = repetition_stats(
+        _t(spark, sf_dir, "documents"), carry_cols=("lang",)
+    )
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("distinct_token_ratio"), 6).alias("avg_distinct_ratio"),
+        F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+    )
+
+
+@query(
+    "pii_redaction_by_source",
+    oracle=r"""
+    WITH planted AS (
+        SELECT source,
+               text ||
+               CASE WHEN doc_id % 10 = 0
+                    THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 15 = 0
+                    THEN ' call 555-123-4567' ELSE '' END AS text
+        FROM documents
+    ), r AS (
+        SELECT source, text,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text,
+                   '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS red
+        FROM planted
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(len(text) - len(red)) AS BIGINT) AS chars_removed
+    FROM r GROUP BY source
+    """,
+)
+def pii_redaction_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-redact rolled up per source: match counts and the
+    redaction's character delta (witnesses the replacement actually ran,
+    not just the counters). The fixture corpus carries no natural PII, so
+    deterministic emails/phones are planted on every 10th/15th doc — the
+    operator must find exactly those. Patterns are RE2-compatible so Spark
+    (Java regex) and DuckDB (RE2) match identically; DuckDB needs the 'g'
+    flag to mirror Spark's replace-all default."""
+    from tabular_cdc_bootstrapper_spark.functions.text import with_pii_redaction
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 15 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    r = with_pii_redaction(planted)
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(F.length("text") - F.length("text_redacted")).alias("chars_removed"),
+    )
 
 
 @query(
@@ -2989,6 +3156,7 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_CHECK_PRIORITY = [
     # CDC flagship + core aggregation/join/window surfaces
     "cdc_latest",
+    "cdc_scd2_history",
     "event_funnel",
     "cohort_retention",
     "rolling_30d_revenue",
@@ -3036,16 +3204,17 @@ _DRIVER_CHECK_PRIORITY = [
     "multimodal_features",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # NEW round 3: pairs→clusters connected components, BM25 retrieval
+    # NEW round 3: pairs→clusters connected components, BM25 retrieval,
+    # repetition filters, PII redaction
     "near_dup_clusters",
     "bm25_topk",
-    # subquery shapes with a single (round-2) driver row; q14/q19 (the two
-    # simplest of the family, one green row each) yield their window slots
-    # to the two new operators and stay oracle-checked locally
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
+    "repetition_stats_by_lang",
+    "pii_redaction_by_source",
+    # q18 stays in-window (its plan was rewritten this round); the rest of
+    # the subquery family (q14/q15/q16/q19/q22 — one green row each,
+    # code unchanged) yields window slots to the new operators and stays
+    # oracle-checked locally every round
     "q18_large_volume_orders",
-    "q22_idle_balance",
     # --- tail: two green driver rows (r1+r2), family representative in
     # window, still oracle-checked locally every round ---
     "cdc_ops_histogram",
@@ -3074,6 +3243,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q4_order_priority_check",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q22_idle_balance",
 ]
 
 

@@ -355,3 +355,78 @@ def test_bucket_mirror_crash_recovery(spark, tmp_path):
     m2 = BucketPartitionedMirror(root, n_buckets=4, key_col="id")
     assert not any(".old-" in d for d in os.listdir(m2.data_dir))
     assert m2.read(spark).count() == 16  # nothing lost, nothing doubled
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 versions: I/U open versions, the next event (any op) closes the
+    prior one, deletes emit no row, a deleted key has no current version."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    ch = spark.createDataFrame(
+        [
+            (1, "a", "I", 0), (1, "a2", "U", 5), (1, None, "D", 9),
+            (2, "b", "I", 0), (2, "b2", "U", 3),
+            (3, "c", "I", 1),
+        ],
+        "id long, name string, op string, ts long",
+    )
+    rows = sorted(
+        scd2_history(ch, "id", "ts").collect(),
+        key=lambda r: (r["id"], r["valid_from"]),
+    )
+    got = [
+        (r["id"], r["name"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in rows
+    ]
+    assert got == [
+        (1, "a", 0, 5, False),
+        (1, "a2", 5, 9, False),  # closed by the delete, no current version
+        (2, "b", 0, 3, False),
+        (2, "b2", 3, None, True),
+        (3, "c", 1, None, True),
+    ]
+
+
+def test_scd2_current_agrees_with_mirror(spark):
+    """The SCD2 current snapshot and apply_changelog must be the same
+    state — two consumers of one changelog cannot disagree."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    events = [
+        (k, f"v{k}-{t}", op, t)
+        for k in range(40)
+        for t, op in enumerate(
+            ["I"] + (["U"] * (k % 3)) + (["D"] if k % 5 == 0 else [])
+        )
+    ]
+    ch = spark.createDataFrame(events, "id long, name string, op string, ts long")
+    mirror = {
+        (r["id"], r["name"])
+        for r in apply_changelog(ch, "id", "ts", drop_envelope=("op", "ts")).collect()
+    }
+    current = {
+        (r["id"], r["name"])
+        for r in scd2_history(ch, "id", "ts").filter("is_current").collect()
+    }
+    assert current == mirror
+
+
+def test_scd2_intervals_tile_without_gaps(spark):
+    """Per key, version intervals must chain: each valid_to equals the next
+    valid_from, exactly one open (or zero after a terminal delete)."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    ch = spark.createDataFrame(
+        [(k, f"n{t}", "U" if t else "I", t) for k in range(20) for t in range(k % 4 + 1)],
+        "id long, name string, op string, ts long",
+    )
+    hist = scd2_history(ch, "id", "ts").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["valid_to"] is None

@@ -334,3 +334,41 @@ def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
     ).collect()[0]["n"]
     assert abs(merged - exact["ALL"]) / exact["ALL"] < 0.05
     assert merged == approx["ALL"]  # same sketch lattice → same estimate
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a a a b' → 4 tokens, 2 distinct (ratio .5), top token 3/4, bigrams
+    [a a, a a, a b] → top 2/3; single-token doc has null bigram frac."""
+    from tabular_cdc_bootstrapper_spark.functions.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "  ")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in repetition_stats(d).collect()}
+    assert set(rows) == {1, 2}  # blank doc filtered
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_token_ratio"] == pytest.approx(0.5)
+    assert r1["top_token_frac"] == pytest.approx(0.75)
+    assert r1["top_bigram_frac"] == pytest.approx(2 / 3)
+    r2 = rows[2]
+    assert r2["n_tokens"] == 1 and r2["top_bigram_frac"] is None
+
+
+def test_pii_redaction_counts_and_text(spark):
+    from tabular_cdc_bootstrapper_spark.functions.text import with_pii_redaction
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-123-4567 or 555-999-0000 x"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii_redaction(d).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["text_redacted"] == "mail [EMAIL] now"
+    assert rows[2]["n_phones"] == 2
+    assert rows[2]["text_redacted"] == "call [PHONE] or [PHONE] x"
+    assert rows[3]["n_emails"] == 0 == rows[3]["n_phones"]
+    assert rows[3]["text_redacted"] == "clean text only"
