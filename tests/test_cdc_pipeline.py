@@ -430,3 +430,56 @@ def test_scd2_intervals_tile_without_gaps(spark):
             assert a["valid_to"] == b["valid_from"], (k, a, b)
         assert sum(r["is_current"] for r in rows) == 1
         assert rows[-1]["valid_to"] is None
+
+
+def test_maintain_agg_equals_recompute(spark):
+    """Incremental aggregate maintenance over two sequential batches must
+    equal a from-scratch aggregate of the final mirror — inserts, value
+    updates, group-moving updates, and deletes all exercised."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_agg
+
+    mirror0 = spark.createDataFrame(
+        [(k, f"g{k % 3}", float(k * 10)) for k in range(60)],
+        "id long, grp string, val double",
+    )
+    agg0 = mirror0.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("val").alias("val_sum")
+    )
+    # batch 1: move 0%4 keys to group gX, re-value 1%4 keys, delete 2%4&<20
+    b1 = spark.createDataFrame(
+        [(k, "gX", float(k * 10), "U", 1) for k in range(0, 60, 4)]
+        + [(k, f"g{k % 3}", 7.0, "U", 1) for k in range(1, 60, 4)]
+        + [(k, None, None, "D", 2) for k in range(2, 20, 4)],
+        "id long, grp string, val double, op string, ts long",
+    )
+    agg1 = maintain_agg(
+        agg0, mirror0, b1, "grp", "id", "ts", {"val_sum": "val"}, count_col="n_rows"
+    )
+    mirror1 = apply_changelog(
+        b1, "id", "ts", mirror=mirror0, mirror_ts=F.lit(0), drop_envelope=("op", "ts")
+    )
+    # batch 2: reinsert a deleted key into a brand-new group, delete all gX
+    gx_ids = [r["id"] for r in mirror1.filter("grp = 'gX'").collect()]
+    b2 = spark.createDataFrame(
+        [(2, "gNEW", 100.0, "I", 3)]
+        + [(k, None, None, "D", 3) for k in gx_ids],
+        "id long, grp string, val double, op string, ts long",
+    )
+    agg2 = maintain_agg(
+        agg1, mirror1, b2, "grp", "id", "ts", {"val_sum": "val"}, count_col="n_rows"
+    )
+    mirror2 = apply_changelog(
+        b2, "id", "ts", mirror=mirror1, mirror_ts=F.lit(0), drop_envelope=("op", "ts")
+    )
+    expect = {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in mirror2.groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["n_rows"], round(r["val_sum"], 6)) for r in agg2.collect()
+    }
+    assert got == expect
+    assert "gX" not in got  # fully-deleted group dropped, not zero-row
+    assert got["gNEW"] == (1, 100.0)

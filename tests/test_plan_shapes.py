@@ -224,3 +224,77 @@ def test_q2_single_argmin_aggregation(spark, sf_dir):
     df = q.q2_min_cost_supplier(spark, sf_dir)
     assert exchange_count(df) == 1
     assert broadcast_join_count(df) >= 1
+
+
+def test_scd2_single_window_exchange(spark, sf_dir):
+    """SCD2 history is one key-partitioned window — a second exchange or a
+    join would break co-location with the mirror merge."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    h = scd2_history(q.derived_orders_changelog(spark, sf_dir), "o_orderkey", "ts")
+    assert exchange_count(h) == 1
+    plan = physical_plan(h)
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_bm25_take_ordered_and_broadcast_stats(spark, sf_dir):
+    """BM25's corpus-sized side must stay unsorted (top-k via per-partition
+    heaps) and the df/corpus-stats frames must broadcast back — a
+    sort-merge join against ≤|terms|-row frames is a scale bug."""
+    from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
+
+    df = bm25_topk(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), ["dup", "vector"], k=5
+    )
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 2
+    assert sort_merge_join_count(df) == 0, plan
+
+
+def test_maintain_agg_delta_joins_are_bounded(spark, sf_dir):
+    """Incremental maintenance: the mirror is touched by ONE semi-join on
+    the key; the final merge joins two group-cardinality aggregates. No
+    sort-merge join of two corpus-sized inputs may appear."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_agg
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    agg0 = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"), F.sum("o_totalprice").alias("s")
+    )
+    batch = o.limit(50).withColumns({"op": F.lit("D"), "ts": F.lit(1).cast("int")})
+    out = maintain_agg(
+        agg0, o, batch, "o_orderpriority", "o_orderkey", "ts",
+        {"s": "o_totalprice"}, count_col="n_rows",
+    )
+    plan = physical_plan(out)
+    # the mirror-side probe is a semi join (broadcast or shuffled is fine —
+    # the batch side is |batch|-sized either way)
+    assert "LeftSemi" in plan, plan
+
+
+def test_repetition_stats_no_join_back(spark, sf_dir):
+    """Carry columns ride aggregation keys; a corpus-sized join-back to
+    re-attach metadata would double the shuffle volume."""
+    from tabular_cdc_bootstrapper_spark.functions.text import repetition_stats
+
+    r = repetition_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), carry_cols=("lang",)
+    )
+    assert "Join" not in physical_plan(r)
+
+
+def test_connected_components_star_step_single_agg_join(spark):
+    """One large-star round: the neighborhood minimum is a groupBy + join
+    on the SAME key — Catalyst must not add a third exchange for the join
+    probe side beyond the union's two branches."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import _large_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "u long, v long"
+    )
+    plan = physical_plan(_large_star(edges))
+    assert "CollectLimit" not in plan  # never a driver-side step
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
