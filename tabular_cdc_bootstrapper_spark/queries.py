@@ -3201,6 +3201,109 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side range predicates + one global sum — every
+    filter must reach the parquet scan (pinned in test_plan_shapes)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH lf AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lf l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM lf l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lf l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's operator shape — EXISTS + NOT EXISTS both correlated on
+    the same fact (semi + anti join against two derivations of one frame) —
+    adapted to the fixture schema: lacking l_receiptdate/l_commitdate,
+    "late" is shipping > 90 days after the order date. Finds suppliers who
+    were the SOLE late supplier on multi-supplier finished orders. The
+    fact-fact self-joins shuffle on l_orderkey once each and reuse the same
+    partitioning; supplier/nation dims broadcast."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    lf = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    l1 = lf.filter("is_late").alias("l1")
+    l2 = lf.alias("l2")
+    l3 = lf.filter("is_late").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = cand.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
@@ -3248,12 +3351,15 @@ _DRIVER_CHECK_PRIORITY = [
     "q12_priority_by_linestatus",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    # NEW round 3: q6 (scan-side range predicates) and the q21 shape
+    # (EXISTS + NOT EXISTS correlated on the same fact)
+    "q6_forecast_revenue",
+    "q21_sole_late_supplier",
     "hll_distinct_counts",  # rows-only (approximate sketch): first driver row
     # scalar / temporal surfaces with a single (round-2) driver row
-    # (orders_by_month yielded its slot to incremental_agg_maintenance;
-    # one r2 green row, unchanged code, still locally parity-checked)
-    "array_hof_embedding_stats",
-    "events_sliding_10min",
+    # (orders_by_month / array_hof_embedding_stats / events_sliding_10min
+    # yielded slots to incremental_agg_maintenance + q6 + q21; one r2
+    # green row each, unchanged code, still locally parity-checked)
     "session_stats",
     "asof_purchase_signup",
     # text analysis + LLM-pipeline operators (code touched this round,
@@ -3317,6 +3423,8 @@ _DRIVER_CHECK_PRIORITY = [
     "q16_brand_supplier_count",
     "q22_idle_balance",
     "orders_by_month",
+    "array_hof_embedding_stats",
+    "events_sliding_10min",
 ]
 
 

@@ -298,3 +298,22 @@ def test_connected_components_star_step_single_agg_join(spark):
     plan = physical_plan(_large_star(edges))
     assert "CollectLimit" not in plan  # never a driver-side step
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown litmus: every range predicate must reach the
+    parquet scan; the aggregate sees only surviving rows."""
+    df = q.q6_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+    assert has_pushed_filters(df, "LessThan(l_quantity,24.0)")
+    (cols,) = scan_read_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q21_dims_broadcast_facts_not(spark, sf_dir):
+    """supplier/nation broadcast; the fact-fact semi/anti self-joins must
+    NOT broadcast a corpus-scaling side."""
+    df = q.q21_sole_late_supplier(spark, sf_dir)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in plan
