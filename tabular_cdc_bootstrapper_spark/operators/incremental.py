@@ -46,9 +46,15 @@ def maintain_agg(
     op_col: str = "op",
     delete_op: str = "D",
     tiebreak_cols: Sequence[str] = (),
+    mirror_ts=None,
 ) -> DataFrame:
     """Maintain ``agg_before`` (count + sums per group) through one
     changelog batch; returns the post-batch aggregate.
+
+    ``mirror_ts`` follows ``apply_changelog``: the default (null floor)
+    means existing mirror rows lose to ANY batch event for the same key —
+    the correct semantics for a changelog that post-dates the snapshot;
+    pass a column to resume from a stored per-row ts instead.
 
     ``agg_before`` columns: ``group_cols`` + ``count_col`` + the keys of
     ``sum_cols``; ``sum_cols`` maps aggregate column → mirror value column
@@ -69,7 +75,7 @@ def maintain_agg(
         op_col=op_col,
         delete_op=delete_op,
         mirror=old,
-        mirror_ts=F.lit(0),
+        mirror_ts=mirror_ts,
         tiebreak_cols=tiebreak_cols,
         drop_envelope=(op_col, *([ts_cols] if isinstance(ts_cols, str) else ts_cols)),
     )

@@ -76,14 +76,21 @@ class ParquetStateTable:
             return None
         return spark.read.parquet(cur["dir"])
 
-    def commit(self, df: DataFrame) -> dict:
+    def commit(self, df: DataFrame, meta: dict | None = None) -> dict:
+        """Commit a new version; ``meta`` rides the pointer JSON — the hook
+        transactional sinks use to make replayed batches detectable (e.g.
+        ``last_batch_id``), since the pointer swap and the metadata are one
+        atomic rename."""
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
         tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        record = {"version": version, "dir": vdir, "ts": time.time()}
+        if meta:
+            record.update(meta)
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "dir": vdir, "ts": time.time()}, fh)
+            json.dump(record, fh)
         os.replace(tmp, self._pointer)  # atomic on posix
         self._expire(keep=vdir)
         return {"version": version, "dir": vdir}
@@ -95,6 +102,101 @@ class ParquetStateTable:
         )
         for d in versions[: -max(self.keep_versions - 1, 0) or None]:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+
+class MaintainedAggView:
+    """A count/sum aggregate over the mirror, maintained incrementally per
+    micro-batch (`operators/incremental.py maintain_agg`) instead of
+    recomputed — the streaming materialized view beside the mirror.
+
+    Exactly-once: unlike the mirror merge (latest-per-key is idempotent
+    under checkpoint replay), the delta update is NOT — re-applying a batch
+    double-counts. So the view records the micro-batch id in its state
+    pointer (one atomic rename covers data + metadata) and ``apply_batch``
+    no-ops on an already-applied id. Call it BEFORE the mirror commit in
+    ``foreachBatch``: a crash between the two replays the batch, the view
+    skips by id, the mirror re-merges idempotently — both end correct.
+
+    Scale: the view state is GROUP-cardinality (tiny); the only
+    corpus-sized input is the pre-batch mirror, touched by one key
+    semi-join. At 100 TB the snapshot swap becomes a table-format commit
+    like the mirror's.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        group_cols: str | Sequence[str],
+        key_col: str,
+        ts_col: str,
+        sum_cols: dict[str, str],
+        count_col: str = "n_rows",
+        op_col: str = "op",
+        delete_op: str = "D",
+    ) -> None:
+        self.state = ParquetStateTable(root)
+        self.group_cols = (
+            [group_cols] if isinstance(group_cols, str) else list(group_cols)
+        )
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.sum_cols = dict(sum_cols)
+        self.count_col = count_col
+        self.op_col = op_col
+        self.delete_op = delete_op
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.state.read(spark)
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.group_cols).agg(
+            F.count("*").alias(self.count_col),
+            *[
+                F.sum(F.col(src)).alias(out)
+                for out, src in self.sum_cols.items()
+            ],
+        )
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        mirror_before: DataFrame | None,
+    ) -> dict:
+        """Advance the view through one changelog micro-batch.
+
+        ``mirror_before`` must be the mirror state BEFORE this batch's
+        merge (pass the same frame the merge reads). Replayed ``batch_id``s
+        are skipped."""
+        from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_agg
+
+        cur = self.state.current()
+        if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
+            return {"skipped_replay": True, "batch_id": batch_id}
+        agg_before = self.state.read(spark)
+        if agg_before is None:
+            base = (
+                mirror_before
+                if mirror_before is not None
+                else batch_df.limit(0).drop(self.op_col, self.ts_col)
+            )
+            agg_before = self._aggregate(base)
+        out = maintain_agg(
+            agg_before,
+            mirror_before
+            if mirror_before is not None
+            else batch_df.limit(0).drop(self.op_col, self.ts_col),
+            batch_df,
+            group_cols=self.group_cols,
+            key_cols=self.key_col,
+            ts_cols=self.ts_col,
+            sum_cols=self.sum_cols,
+            count_col=self.count_col,
+            op_col=self.op_col,
+            delete_op=self.delete_op,
+        )
+        return self.state.commit(out, meta={"last_batch_id": batch_id})
 
 
 def cdc_merge_batch(

@@ -483,3 +483,94 @@ def test_maintain_agg_equals_recompute(spark):
     assert got == expect
     assert "gX" not in got  # fully-deleted group dropped, not zero-row
     assert got["gNEW"] == (1, 100.0)
+
+
+def _mk_view(tmp_path, name="v"):
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import MaintainedAggView
+
+    return MaintainedAggView(
+        str(tmp_path / name),
+        group_cols="grp",
+        key_col="id",
+        ts_col="ts",
+        sum_cols={"val_sum": "val"},
+    )
+
+
+def test_maintained_agg_view_tracks_mirror(spark, tmp_path):
+    """Three micro-batches through view + mirror: after each, the view must
+    equal a recompute over the mirror — including a group-moving update and
+    a group emptied by deletes."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import ParquetStateTable
+
+    view = _mk_view(tmp_path)
+    mirror = ParquetStateTable(str(tmp_path / "m"))
+    schema = "id long, grp string, val double, op string, ts long"
+    batches = [
+        [(k, f"g{k % 2}", float(k), "I", 0) for k in range(10)],
+        [(0, "gX", 99.0, "U", 1), (1, None, None, "D", 1), (10, "g0", 5.0, "I", 1)],
+        [(0, None, None, "D", 2)],  # empties gX
+    ]
+    for bid, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, schema)
+        before = mirror.read(spark)
+        view.apply_batch(spark, batch, bid, before)
+        new_state = apply_changelog(
+            batch, "id", "ts", mirror=before, mirror_ts=F.lit(-1),
+            drop_envelope=("op", "ts"),
+        )
+        mirror.commit(new_state)
+        expect = {
+            r["grp"]: (r["n"], r["s"])
+            for r in mirror.read(spark)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+            .collect()
+        }
+        got = {
+            r["grp"]: (r["n_rows"], r["val_sum"])
+            for r in view.read(spark).collect()
+        }
+        assert got == expect, f"batch {bid}: {got} != {expect}"
+    assert "gX" not in got
+
+
+def test_maintained_agg_view_replay_is_noop(spark, tmp_path):
+    """Checkpoint replay delivers the same batch id twice; the second
+    apply must not double-count (pointer carries last_batch_id)."""
+    view = _mk_view(tmp_path)
+    schema = "id long, grp string, val double, op string, ts long"
+    b0 = spark.createDataFrame([(1, "g", 10.0, "I", 0)], schema)
+    view.apply_batch(spark, b0, 0, None)
+    out = view.apply_batch(spark, b0, 0, view.read(spark))
+    assert out.get("skipped_replay")
+    rows = view.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 1 and rows[0]["val_sum"] == 10.0
+
+
+def test_maintained_agg_view_crash_between_commits(spark, tmp_path):
+    """Crash AFTER the view commit but BEFORE the mirror commit: the
+    foreachBatch replay re-applies the batch — view skips by id, mirror
+    merges idempotently, and the two agree afterwards."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import ParquetStateTable
+
+    view = _mk_view(tmp_path)
+    mirror = ParquetStateTable(str(tmp_path / "m"))
+    schema = "id long, grp string, val double, op string, ts long"
+    b0 = spark.createDataFrame([(k, "g", 1.0, "I", 0) for k in range(5)], schema)
+    before = mirror.read(spark)
+    view.apply_batch(spark, b0, 0, before)
+    # crash here: mirror.commit never ran; streaming replays batch 0
+    before = mirror.read(spark)  # still None
+    view.apply_batch(spark, b0, 0, before)  # skipped
+    mirror.commit(
+        apply_changelog(b0, "id", "ts", mirror=before, mirror_ts=F.lit(-1),
+                        drop_envelope=("op", "ts"))
+    )
+    expect = mirror.read(spark).groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("val").alias("s")
+    ).collect()[0]
+    got = view.read(spark).collect()[0]
+    assert (got["n_rows"], got["val_sum"]) == (expect["n"], expect["s"])
