@@ -3202,6 +3202,87 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        GROUP BY doc_id, t
+    ), stats AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+    ), dfs AS (
+        SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT doc_id, term,
+               ROUND(tf * ln(n_docs / df), 6) AS tfidf
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document — the corpus-
+    analysis half of the lexical family (BM25 is the query-time half,
+    `functions/retrieval.py`). One corpus shuffle to (doc, term) counts;
+    the df table (≤|vocab| rows) and the 1-row N broadcast back; the
+    per-doc window gets WindowGroupLimit's map-side top-3. Scores round to
+    6 dp before ranking and tie-break on term, so the cut is deterministic
+    cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stats = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+@query("approx_price_percentiles")  # rows-only: engine-specific sketch
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via percentile_approx (KLL-style mergeable
+    sketch) per return flag — the sketch twin of the exact
+    `price_percentiles` query, same role as HLL beside countDistinct: at
+    100 TB the sketch aggregates map-side and merges, where exact
+    percentiles must shuffle every value. No DuckDB oracle (the sketch is
+    engine-specific); `test_approx_percentiles_within_tolerance` bounds it
+    against the exact answer instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("approx_pcts"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
@@ -3356,12 +3437,13 @@ _DRIVER_CHECK_PRIORITY = [
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
     "hll_distinct_counts",  # rows-only (approximate sketch): first driver row
+    "approx_price_percentiles",  # rows-only sketch twin (r3); tolerance-tested
+    "tfidf_top_terms",  # NEW r3: keyword extraction
     # scalar / temporal surfaces with a single (round-2) driver row
-    # (orders_by_month / array_hof_embedding_stats / events_sliding_10min
-    # yielded slots to incremental_agg_maintenance + q6 + q21; one r2
-    # green row each, unchanged code, still locally parity-checked)
-    "session_stats",
-    "asof_purchase_signup",
+    # (orders_by_month / array_hof_embedding_stats / events_sliding_10min /
+    # session_stats / asof_purchase_signup yielded slots to the r3
+    # additions; one r2 green row each, unchanged code, still locally
+    # parity-checked)
     # text analysis + LLM-pipeline operators (code touched this round,
     # single driver row, or new this round)
     "hash_split_counts",
@@ -3425,6 +3507,8 @@ _DRIVER_CHECK_PRIORITY = [
     "orders_by_month",
     "array_hof_embedding_stats",
     "events_sliding_10min",
+    "session_stats",
+    "asof_purchase_signup",
 ]
 
 

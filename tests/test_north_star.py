@@ -372,3 +372,30 @@ def test_pii_redaction_counts_and_text(spark):
     assert rows[2]["text_redacted"] == "call [PHONE] or [PHONE] x"
     assert rows[3]["n_emails"] == 0 == rows[3]["n_phones"]
     assert rows[3]["text_redacted"] == "clean text only"
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """percentile_approx(accuracy=10000) must land within 1% (relative) of
+    the exact per-group percentiles — the sketch's contract before it can
+    replace exact percentiles at scale."""
+    from tabular_cdc_bootstrapper_spark import queries as q
+
+    approx = {
+        r["l_returnflag"]: r["approx_pcts"]
+        for r in q.QUERIES["approx_price_percentiles"](spark, sf_dir).collect()
+    }
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["pcts"]
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("pcts")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, aps in approx.items():
+        for a, e in zip(aps, exact[flag]):
+            assert abs(a - e) <= 0.01 * abs(e) + 1e-9, (flag, a, e)
