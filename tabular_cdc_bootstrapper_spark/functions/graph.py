@@ -24,7 +24,10 @@ Scale notes (100 TB / 10⁹-node dedup graphs):
   iterative DataFrame algorithms otherwise stack O(rounds) of plan and
   re-execute the whole chain at every action. (GraphFrames' own CC does
   the same; on a real cluster prefer `checkpoint()` on HDFS/S3 so executor
-  loss can't drop partitions of the working set.)
+  loss can't drop partitions of the working set.) Superseded round states
+  are freed by the ContextCleaner once unreferenced (each round holds one
+  edge-set snapshot; only the final one backs the returned DataFrame), so
+  peak storage is ~2 edge-set snapshots, not O(rounds).
 - Convergence is detected with a 1-row aggregate (edge count + order-
   independent xxhash64 sum) — the only driver-side data per round.
 """

@@ -74,10 +74,16 @@ def test_verified_near_dup_no_cache_leak(spark, docs_with_planted_dups):
     persist=True (default) caches until the caller clears it (documented
     contract)."""
     spark.catalog.clearCache()
+    # scope the assertion to RDDs persisted by THIS call: other operators'
+    # localCheckpoints (e.g. connected components' round states) legally
+    # stay registered until the ContextCleaner GCs them, so a global
+    # emptiness check would be test-order-dependent
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     res = verified_near_duplicates(
         docs_with_planted_dups, threshold=0.5, persist=False
     ).collect()
-    assert not spark.sparkContext._jsc.getPersistentRDDs(), "persist=False leaked cache"
+    leaked = set(spark.sparkContext._jsc.getPersistentRDDs().keys()) - before
+    assert not leaked, "persist=False leaked cache"
     default = verified_near_duplicates(docs_with_planted_dups, threshold=0.5).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, default))
     spark.catalog.clearCache()

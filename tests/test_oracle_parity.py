@@ -61,14 +61,14 @@ def test_entry_smoke(spark):
 
 def test_registry_order_prioritizes_oracle_backed():
     """The driver records correctness rows for the first 50 registry
-    entries; every one of those must be oracle-backed EXCEPT
-    hll_distinct_counts, which is rows-only by design (approximate sketch)
-    and is rotated in this round precisely to finally get its (weaker)
-    driver row."""
+    entries; every one of those must be oracle-backed EXCEPT the two
+    engine-specific sketches (HLL distinct, approximate percentiles),
+    which are rows-only by design, tolerance-tested locally, and sit in
+    the window to get their (weaker) driver rows."""
     names = list(q.QUERIES)
     assert len(names) == len(q.QUERIES)
-    no_oracle_in_window = [n for n in names[:50] if n not in q.ORACLE_SQL]
-    assert no_oracle_in_window == ["hll_distinct_counts"]
+    no_oracle_in_window = {n for n in names[:50] if n not in q.ORACLE_SQL}
+    assert no_oracle_in_window == {"hll_distinct_counts", "approx_price_percentiles"}
     # every query outside the window still has an oracle (re-checked
     # locally each round by test_query_matches_oracle)
     assert all(n in q.ORACLE_SQL for n in names[50:])
