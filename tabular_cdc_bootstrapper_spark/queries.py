@@ -1460,6 +1460,89 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dedup_summary",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        GROUP BY doc_id, i
+    ), sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(i AS INT))
+                        ELSE 0 END) AS sim_u
+        FROM votes GROUP BY doc_id
+    ), all_sims AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sim_u, 0) AS UBIGINT) AS sim
+        FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, sim, b,
+               CAST((sim >> CAST(b * 16 AS UBIGINT)) & 65535 AS INT) AS bv
+        FROM all_sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
+    ), kept AS (
+        SELECT bands.* FROM bands
+        JOIN (SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY b, bv) sz
+        USING (b, bv)
+        WHERE sz.n BETWEEN 2 AND 200
+    ), pr AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM kept a JOIN kept b2
+          ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION SELECT id_b, id_a FROM pr
+    ), reach(id, lab) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(c.id) AS BIGINT) AS n_in_clusters,
+           CAST(SUM(CASE WHEN c.id IS NOT NULL AND c.id <> c.component_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN c.id IS NOT NULL
+                                         AND c.id <> c.component_id
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    GROUP BY d.lang
+    """,
+)
+def corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision, summarized per language: pairs
+    (SimHash) → transitive clusters (connected components) → keep the
+    canonical min-id member of each cluster plus every unclustered doc,
+    drop the rest. This is the query a pipeline operator runs before
+    committing a dedup pass — "how much of each slice would I lose?"."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
+    from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(simhash_near_duplicates(d)).select(
+        F.col("id").alias("doc_id"), "is_canonical"
+    )
+    joined = d.select("doc_id", "lang").join(clusters, "doc_id", "left")
+    dropped = F.when(
+        F.col("is_canonical").isNotNull() & ~F.col("is_canonical"), 1
+    ).otherwise(0)
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("is_canonical").alias("n_in_clusters"),
+        F.sum(dropped).alias("n_dropped"),
+        (F.count("*") - F.sum(dropped)).alias("n_kept"),
+    )
+
+
+@query(
     "bm25_topk",
     oracle="""
     WITH base AS (
@@ -3463,16 +3546,16 @@ _DRIVER_CHECK_PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     # NEW round 3: pairs→clusters connected components, BM25 retrieval,
-    # repetition filters, PII redaction
+    # repetition filters, PII redaction, end-to-end dedup summary
     "near_dup_clusters",
+    "corpus_dedup_summary",
     "bm25_topk",
     "repetition_stats_by_lang",
     "pii_redaction_by_source",
-    # q18 stays in-window (its plan was rewritten this round); the rest of
-    # the subquery family (q14/q15/q16/q19/q22 — one green row each,
-    # code unchanged) yields window slots to the new operators and stays
-    # oracle-checked locally every round
-    "q18_large_volume_orders",
+    # q18's plan was rewritten this round but late in round 2 the driver
+    # re-checked it green; its slot goes to corpus_dedup_summary and q18
+    # stays locally parity-checked like the rest of the subquery family
+    # (q14/q15/q16/q19/q22 — one green row each, code unchanged)
     # --- tail: two green driver rows (r1+r2), family representative in
     # window, still oracle-checked locally every round ---
     "cdc_ops_histogram",
@@ -3509,6 +3592,7 @@ _DRIVER_CHECK_PRIORITY = [
     "events_sliding_10min",
     "session_stats",
     "asof_purchase_signup",
+    "q18_large_volume_orders",
 ]
 
 
