@@ -3200,32 +3200,51 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_distinct_counts")  # rows-only: sketch cardinality is approximate
+@query(
+    "hll_distinct_counts",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END
+               AS l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY ROLLUP(l_returnflag)
+    """,
+)
 def hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog sketch surface (the 100 TB path for COUNT DISTINCT:
     mergeable partial sketches, no exact shuffle of the distinct values):
-    hll_sketch_agg per group + hll_union_agg across groups. Accuracy vs
-    exact is asserted in tests (±5%)."""
+    hll_sketch_agg per group + hll_union_agg across groups.
+
+    Oracle scheme: the sketch estimate itself is engine-specific, so the
+    query emits the deterministic half — the exact cardinality — plus a
+    ±5% *tolerance verdict* computed sketch-vs-exact in the SAME plan.
+    DuckDB reproduces the exact side and asserts the verdict is TRUE, so
+    the driver hash-checks both the exact values and the sketch's
+    accuracy envelope (a lattice-deterministic property: the same input
+    always yields the same HLL estimate). The mergeable-sketch path —
+    hll_union_agg over STORED per-group sketches, what a warehouse does
+    instead of re-scanning — is exercised by
+    test_hll_sketch_within_5pct_of_exact."""
     l = _t(spark, sf_dir, "lineitem")
-    # single-pass ROLLUP: per-flag sketches and the all-up sketch come from
-    # ONE lazy scan with map-side partial sketch merge — no persist()
-    # leaking cache into the session, no second scan, no eager job at
-    # plan-construction time. The other half of the sketch story —
-    # merging STORED partial sketches with hll_union_agg (what a warehouse
-    # does instead of re-scanning) — is exercised by
-    # test_hll_sketch_within_5pct_of_exact, which union-merges the
-    # per-flag sketch table and checks it against this query's ALL row.
+    # single-pass ROLLUP: per-flag sketch + exact distinct + all-up row from
+    # ONE scan; Spark plans the distinct aggregate with expand + two-phase
+    # agg while the sketch still partial-merges map-side.
     return (
         l.rollup("l_returnflag")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("__approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.grouping("l_returnflag").alias("__g"),  # only valid inside the agg
         )
         .select(
             F.when(F.col("__g") == 1, F.lit("ALL"))
             .otherwise(F.col("l_returnflag"))
             .alias("l_returnflag"),
-            "approx_parts",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
         )
     )
 
@@ -3347,21 +3366,59 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_price_percentiles")  # rows-only: engine-specific sketch
+_PCT_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+@query(
+    "approx_price_percentiles",
+    oracle="""
+    WITH ex AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS exs
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(u.q AS DOUBLE) AS quantile,
+           ROUND(exs[u.i], 4) AS exact_price,
+           TRUE AS within_1pct
+    FROM ex, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) u(i, q)
+    """,
+)
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via percentile_approx (KLL-style mergeable
     sketch) per return flag — the sketch twin of the exact
     `price_percentiles` query, same role as HLL beside countDistinct: at
     100 TB the sketch aggregates map-side and merges, where exact
-    percentiles must shuffle every value. No DuckDB oracle (the sketch is
-    engine-specific); `test_approx_percentiles_within_tolerance` bounds it
-    against the exact answer instead."""
+    percentiles must shuffle every value.
+
+    Oracle scheme (same as hll_distinct_counts): one row per
+    (flag, quantile) — all scalars, so the driver canonicalizer can sort
+    them — carrying the deterministic exact percentile plus a ±1%
+    relative-tolerance verdict computed sketch-vs-exact in the SAME plan;
+    DuckDB reproduces the exact side (quantile_cont == Spark's
+    interpolated `percentile`, the mapping pinned by `price_percentiles`)
+    and asserts TRUE."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-        ).alias("approx_pcts"),
-        F.count("*").alias("n"),
+    agged = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", _PCT_QS, 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in _PCT_QS])).alias(
+            "exact"
+        ),
+    )
+    # posexplode the quantile list so every output value is a scalar
+    exploded = agged.select(
+        "l_returnflag",
+        F.posexplode(F.array(*[F.lit(q) for q in _PCT_QS])).alias("__i", "quantile"),
+        "approx",
+        "exact",
+    )
+    a = F.element_at("approx", F.col("__i") + 1)
+    e = F.element_at("exact", F.col("__i") + 1)
+    return exploded.select(
+        "l_returnflag",
+        "quantile",
+        F.round(e, 4).alias("exact_price"),
+        (F.abs(a - e) <= 0.01 * F.abs(e)).alias("within_1pct"),
     )
 
 
@@ -3519,8 +3576,8 @@ _DRIVER_CHECK_PRIORITY = [
     # (EXISTS + NOT EXISTS correlated on the same fact)
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
-    "hll_distinct_counts",  # rows-only (approximate sketch): first driver row
-    "approx_price_percentiles",  # rows-only sketch twin (r3); tolerance-tested
+    "hll_distinct_counts",  # r4: exact values + tolerance verdict, oracle-backed
+    "approx_price_percentiles",  # r4: scalar rows + verdict, oracle-backed
     "tfidf_top_terms",  # NEW r3: keyword extraction
     # scalar / temporal surfaces with a single (round-2) driver row
     # (orders_by_month / array_hof_embedding_stats / events_sliding_10min /

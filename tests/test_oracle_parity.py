@@ -61,14 +61,13 @@ def test_entry_smoke(spark):
 
 def test_registry_order_prioritizes_oracle_backed():
     """The driver records correctness rows for the first 50 registry
-    entries; every one of those must be oracle-backed EXCEPT the two
-    engine-specific sketches (HLL distinct, approximate percentiles),
-    which are rows-only by design, tolerance-tested locally, and sit in
-    the window to get their (weaker) driver rows."""
+    entries; every one of those must be oracle-backed. Since round 4 the
+    two engine-specific sketches (HLL distinct, approximate percentiles)
+    emit deterministic exact values + tolerance verdicts, so they carry
+    full DuckDB oracles too — the registry has NO rows-only queries."""
     names = list(q.QUERIES)
     assert len(names) == len(q.QUERIES)
-    no_oracle_in_window = {n for n in names[:50] if n not in q.ORACLE_SQL}
-    assert no_oracle_in_window == {"hll_distinct_counts", "approx_price_percentiles"}
+    assert {n for n in names[:50] if n not in q.ORACLE_SQL} == set()
     # every query outside the window still has an oracle (re-checked
     # locally each round by test_query_matches_oracle)
     assert all(n in q.ORACLE_SQL for n in names[50:])
