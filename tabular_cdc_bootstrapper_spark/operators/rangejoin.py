@@ -21,7 +21,7 @@ Why banding instead of the two obvious plans:
   overall.  Non-viable.
 
 Banding bounds the work: bucket the right side by
-``band = floor(epoch(ts) / band_width)`` and explode each left row to the
+``band = epoch_us(ts) div band_width_us`` and explode each left row to the
 (at most ``ceil(span/band_width) + 1``) bands its window can touch, then
 equi-join on ``(key…, band)`` and apply the exact range predicate.  With
 the default ``band_width = upper_s - lower_s`` each left row lands in ≤ 2
@@ -30,6 +30,13 @@ per-pair work proportional to actual temporal locality, not key
 cardinality.  The band also becomes part of the shuffle key, so a hot
 user's year of events spreads across many partitions instead of
 collapsing onto one reducer (time-salting for free).
+
+All band/bound arithmetic is **integer microseconds** end-to-end
+(``unix_micros`` longs, SQL ``div``): double-precision banding can round
+the left and right band expressions to different buckets when a window
+edge coincides with a band edge (a 1-ulp miss drops a legitimate match).
+Integer ``div`` truncates toward zero — monotonic, and identical on both
+sides, which is the only property banding needs.
 """
 
 from __future__ import annotations
@@ -40,6 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BAND = "__rj_band"
+_LUS = "__rj_lus"
+_RUS = "__rj_rus"
 
 
 def banded_range_join(
@@ -59,14 +68,23 @@ def banded_range_join(
     ``lower_s``/``upper_s`` are offsets in seconds relative to the left
     timestamp (negative = past).  Use a smaller ``band_width_s`` when a
     single band would still be hot (more bands per left row, finer
-    shuffle spread); the default is the window span itself.
+    shuffle spread); the default is the window span itself, or 1 s for a
+    point window (``upper_s == lower_s``), where the span would be 0.
     """
     if upper_s < lower_s:
         raise ValueError(f"empty window: [{lower_s}, {upper_s}]")
     keys = [on] if isinstance(on, str) else list(on)
-    w = float(band_width_s if band_width_s is not None else (upper_s - lower_s))
-    if w <= 0:
-        raise ValueError(f"band_width_s must be > 0, got {w}")
+
+    lo_us = round(lower_s * 1e6)
+    up_us = round(upper_s * 1e6)
+    if band_width_s is None:
+        # point window (upper == lower) has span 0 — band by 1 s instead of
+        # erroring about a parameter the caller never passed
+        w_us = max(up_us - lo_us, 1_000_000)
+    else:
+        w_us = round(band_width_s * 1e6)
+        if w_us <= 0:
+            raise ValueError(f"band_width_s must be > 0, got {band_width_s}")
 
     payload = (
         [c for c in right.columns if c not in keys]
@@ -74,21 +92,42 @@ def banded_range_join(
         else list(right_payload)
     )
     r_ts_out = right_ts + suffix
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias(r_ts_out),
-        *[F.col(c).alias(c + suffix) for c in payload if c != right_ts],
-    ).withColumn(_BAND, F.floor(F.unix_micros(r_ts_out) / F.lit(w * 1e6)))
+    suffixed = [r_ts_out] + [c + suffix for c in payload if c != right_ts]
+    clashes = sorted(set(suffixed) & set(left.columns))
+    if clashes:
+        raise ValueError(
+            f"suffixed right columns {clashes} collide with left columns; "
+            f"pass a different suffix (got {suffix!r})"
+        )
+
+    r = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias(r_ts_out),
+            *[F.col(c).alias(c + suffix) for c in payload if c != right_ts],
+        )
+        .withColumn(_RUS, F.unix_micros(F.col(r_ts_out)))
+        .withColumn(_BAND, F.expr(f"{_RUS} div {w_us}L"))
+    )
 
     # Left rows fan out to every band their window overlaps — a bounded,
-    # in-plan sequence(), not a Python loop.
-    l_epoch = F.unix_micros(F.col(left_ts))
-    lo_band = F.floor((l_epoch + F.lit(lower_s * 1e6)) / F.lit(w * 1e6))
-    hi_band = F.floor((l_epoch + F.lit(upper_s * 1e6)) / F.lit(w * 1e6))
-    l = left.withColumn(_BAND, F.explode(F.sequence(lo_band, hi_band)))
+    # in-plan sequence(), not a Python loop.  All-integer arithmetic.
+    # `div` truncates toward zero rather than flooring, but it is monotonic
+    # non-decreasing for a positive divisor, which is all banding needs:
+    # any right ts inside the window lands in a band between the window
+    # endpoints' bands, and sequence() enumerates that contiguous range.
+    l = left.withColumn(_LUS, F.unix_micros(F.col(left_ts))).withColumn(
+        _BAND,
+        F.explode(
+            F.sequence(
+                F.expr(f"({_LUS} + {lo_us}L) div {w_us}L"),
+                F.expr(f"({_LUS} + {up_us}L) div {w_us}L"),
+            )
+        ),
+    )
 
     matched = l.join(r, on=[*keys, _BAND], how="inner").where(
-        (F.unix_micros(r_ts_out) >= l_epoch + F.lit(lower_s * 1e6))
-        & (F.unix_micros(r_ts_out) <= l_epoch + F.lit(upper_s * 1e6))
+        (F.col(_RUS) >= F.col(_LUS) + F.lit(lo_us))
+        & (F.col(_RUS) <= F.col(_LUS) + F.lit(up_us))
     )
-    return matched.drop(_BAND)
+    return matched.drop(_BAND, _LUS, _RUS)
