@@ -57,20 +57,30 @@ def main() -> None:
     spark.range(1000).select(_noop("id")).count()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in q.QUERIES.items():
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            # queries that persist() intermediates (minhash, hll) must not
-            # hand later runs a warm cache — each run times the cold plan
+        # per-query error isolation (same discipline as catalog.py C1):
+        # one broken query must not zero the whole round's perf signal
+        try:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+                # queries that persist() intermediates (minhash, hll) must
+                # not hand later runs a warm cache — each run times cold
+                spark.catalog.clearCache()
+            dt = round(statistics.median(runs), 3)  # true median, even n too
+            timings[name] = dt
+            total += dt
+        except Exception as exc:  # noqa: BLE001 — report, don't die
             spark.catalog.clearCache()
-        dt = round(statistics.median(runs), 3)  # true median for even n too
-        timings[name] = dt
-        total += dt
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            timings[name] = {"err": msg}
+            errors[name] = msg
+            print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -79,6 +89,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "runs_per_query": n_runs,
             }

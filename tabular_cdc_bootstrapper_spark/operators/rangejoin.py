@@ -106,7 +106,7 @@ def banded_range_join(
             F.col(right_ts).alias(r_ts_out),
             *[F.col(c).alias(c + suffix) for c in payload if c != right_ts],
         )
-        .withColumn(_RUS, F.unix_micros(F.col(r_ts_out)))
+        .withColumn(_RUS, F.unix_micros(F.col(r_ts_out).cast("timestamp")))
         .withColumn(_BAND, F.expr(f"{_RUS} div {w_us}L"))
     )
 
@@ -116,7 +116,11 @@ def banded_range_join(
     # non-decreasing for a positive divisor, which is all banding needs:
     # any right ts inside the window lands in a band between the window
     # endpoints' bands, and sequence() enumerates that contiguous range.
-    l = left.withColumn(_LUS, F.unix_micros(F.col(left_ts))).withColumn(
+    # cast("timestamp") accepts TIMESTAMP and TIMESTAMP_NTZ inputs alike;
+    # unix_micros itself rejects NTZ (DATATYPE_MISMATCH in Spark 4)
+    l = left.withColumn(
+        _LUS, F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn(
         _BAND,
         F.explode(
             F.sequence(

@@ -36,18 +36,49 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is nanosecond-precision parquet (FIXTURES.md §B), which
-        # Spark 4 rejects outright; read it as raw ns-since-epoch and
-        # truncate to µs in-plan — the same truncation DuckDB applies, so
-        # oracle comparisons line up. The conf is dynamic (scan-time).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integral `div`, NOT `/`: ns epoch values (~1.7e18) exceed double's
-        # 2^53 integer range, so float division silently drifts by ±1 µs
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        return _load_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load an events table whose ``ts`` column may be stored either as a
+    parquet timestamp (µs/ms, the current fixture contract) or as raw
+    int64 nanoseconds-since-epoch (the pre-round-4 contract). The storage
+    dtype is a data-generator detail, not a query-semantics one, so we
+    branch on the parquet footer instead of hard-coding either contract.
+    """
+    import pyarrow.parquet as _pq
+
+    # One footer read (driver-side, O(KB)) — never a data scan. For a
+    # multi-file dataset any one footer carries the shared ts dtype.
+    import glob as _glob
+    import os as _os
+
+    probe = path
+    if _os.path.isdir(path):
+        parts = _glob.glob(_os.path.join(path, "*.parquet"))
+        if parts:
+            probe = parts[0]
+    ts_type = str(_pq.read_schema(probe).field("ts").type)
+
+    if ts_type.startswith("timestamp"):
+        # Already a real timestamp column: normalize to TIMESTAMP_NTZ so
+        # every downstream query (and the DuckDB oracle, which reads the
+        # same file session-timezone-free) agrees on the wall-clock value.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    # Legacy int64-ns storage: Spark 4 rejects parquet ns timestamps
+    # outright, so read raw ns-since-epoch and truncate to µs in-plan —
+    # the same truncation DuckDB applies. Conf is dynamic (scan-time).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # integral `div`, NOT `/`: ns epoch values (~1.7e18) exceed double's
+    # 2^53 integer range, so float division silently drifts by ±1 µs
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1120,6 +1151,60 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "range_join_click_attribution",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           s.user_id,
+           c.event_id AS click_event_id,
+           c.ts AS click_ts,
+           ROUND(c.value, 4) AS click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+      ON s.user_id = c.user_id
+     AND c.ts >= s.ts
+     AND c.ts <= s.ts + INTERVAL '30 minutes'
+    """,
+)
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via banding (SURVEY.md §2.3 J5, second half):
+    each signup is paired with the same user's clicks in the 30 minutes at
+    or after it. banded_range_join buckets both sides into window-sized
+    time bands so the equi-join key is (user_id, band) — candidate pairs
+    are limited to same-or-adjacent buckets instead of the whole per-user
+    history, and a hot user's events spread across many partitions (the
+    plain non-equi form materializes O(n_k·m_k) pairs per key before the
+    range filter — a scale-killer at 100 TB)."""
+    from tabular_cdc_bootstrapper_spark.operators.rangejoin import banded_range_join
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = banded_range_join(
+        signups,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=0,
+        upper_s=1800,
+        right_payload=["event_id", "value"],
+        suffix="_click",
+    )
+    return joined.select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("ts_click").alias("click_ts"),
+        F.round("value_click", 4).alias("click_value"),
     )
 
 
@@ -3576,6 +3661,8 @@ _DRIVER_CHECK_PRIORITY = [
     # (EXISTS + NOT EXISTS correlated on the same fact)
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
+    # NEW round 5: banded interval join wired into the surface (J5)
+    "range_join_click_attribution",
     "hll_distinct_counts",  # r4: exact values + tolerance verdict, oracle-backed
     "approx_price_percentiles",  # r4: scalar rows + verdict, oracle-backed
     "tfidf_top_terms",  # NEW r3: keyword extraction

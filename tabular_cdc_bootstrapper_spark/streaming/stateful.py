@@ -93,3 +93,128 @@ def running_latest_by_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_funnel(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of the batch ``event_funnel`` state machine
+    (queries.py): per user, stage i is reached only by hitting its event
+    AFTER stage i-1 — an ORDER-SENSITIVE reduction, so unlike the window
+    aggregations it cannot just fold events in arrival order.
+
+    Out-of-order safety comes from watermark-buffered replay: each user's
+    state holds a pending buffer of (ts, event_id, type) plus the stage
+    flags; every invocation drains the pending events whose event time is
+    at or below the CURRENT watermark in (ts, event_id) order through the
+    state machine, and keeps the rest buffered. An event can only be
+    reordered against neighbors still above the watermark, and those are
+    all still in the buffer — so the replayed order equals the batch sort
+    order, and the flags match the batch funnel exactly for every event
+    the watermark has passed. EventTimeTimeout re-invokes users with
+    buffered events when the watermark advances past them, even if the
+    micro-batch carries no new rows for that user.
+
+    State size is bounded by (watermark delay × per-user event rate) — the
+    same bound every watermarked streaming agg carries, NOT the full
+    per-user history; at 100 TB/day with a 30-min delay a user's buffer is
+    minutes of their own events.
+
+    Output (update mode): one row per user per invocation where the flags
+    advanced or newly-passed events were consumed — (user_id, reached_1,
+    reached_2, reached_3, n_processed). ``n_processed`` increases
+    monotonically, so "latest row per user" = max n_processed.
+
+    Requires ``events.withWatermark(ts_col, ...)`` upstream (EventTimeTimeout).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("reached_1", T.IntegerType()),
+            T.StructField("reached_2", T.IntegerType()),
+            T.StructField("reached_3", T.IntegerType()),
+            T.StructField("n_processed", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pend_ts", T.ArrayType(T.LongType())),  # µs epoch
+            T.StructField("pend_eid", T.ArrayType(T.LongType())),
+            T.StructField("pend_type", T.ArrayType(T.StringType())),
+            T.StructField("r1", T.IntegerType()),
+            T.StructField("r2", T.IntegerType()),
+            T.StructField("r3", T.IntegerType()),
+            T.StructField("n_processed", T.LongType()),
+        ]
+    )
+    s1, s2, s3 = stages
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        if state.exists:
+            pend_ts, pend_eid, pend_type, r1, r2, r3, done = state.get
+            pend = list(zip(pend_ts, pend_eid, pend_type))
+        else:
+            pend, r1, r2, r3, done = [], 0, 0, 0, 0
+
+        for pdf in pdfs:
+            for ts, eid, et in zip(pdf[ts_col], pdf[id_col], pdf[type_col]):
+                # pandas Timestamp → integer µs; buffered as longs so the
+                # state row stays flat/arrow-friendly
+                pend.append((int(ts.value) // 1000, int(eid), str(et)))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(e for e in pend if e[0] <= wm_us)
+        pend = [e for e in pend if e[0] > wm_us]
+
+        advanced = False
+        for _ts, _eid, et in ready:
+            if et == s1 and not r1:
+                r1, advanced = 1, True
+            elif et == s2 and r1 and not r2:
+                r2, advanced = 1, True
+            elif et == s3 and r2 and not r3:
+                r3, advanced = 1, True
+        done += len(ready)
+
+        state.update(
+            (
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                [e[2] for e in pend],
+                r1,
+                r2,
+                r3,
+                done,
+            )
+        )
+        if pend:
+            # wake this user when the watermark moves, even with no new
+            # rows — must be strictly above the current watermark
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        if ready or advanced:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "reached_1": [r1],
+                    "reached_2": [r2],
+                    "reached_3": [r3],
+                    "n_processed": [done],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

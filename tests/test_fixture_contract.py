@@ -1,0 +1,180 @@
+"""Pin the driver-fixture data contract (FIXTURES.md §B).
+
+Round 4 lesson: the fixtures' ``events.ts`` storage dtype silently changed
+(int64-ns → timestamp[us]) and the hard-coded loader assumption broke 8
+queries, pytest, and the bench at once. These tests make the next
+fixture-regeneration fail ONE loud schema assertion instead, and prove the
+events loader handles BOTH storage contracts it has ever seen.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# dtype families the loaders + DuckDB oracles rely on. Exact storage width
+# matters only where arithmetic does (ts, keys); timestamps may be us or ms
+# (both read back as TIMESTAMP in Spark and DuckDB), but NOT int64 — the
+# loader handles that via its legacy branch, which we pin separately below.
+_EXPECTED = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "float",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "float",
+    },
+    "part": {
+        "p_partkey": "int",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "float",
+    },
+    "orders": {
+        "o_orderkey": "int",
+        "o_custkey": "int",
+        "o_orderstatus": "string",
+        "o_totalprice": "float",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int",
+        "l_partkey": "int",
+        "l_suppkey": "int",
+        "l_linenumber": "int",
+        "l_quantity": "float",
+        "l_extendedprice": "float",
+        "l_discount": "float",
+        "l_tax": "float",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "int",
+        "ts": "timestamp|int",  # both contracts loadable; see loader tests
+        "user_id": "int",
+        "event_type": "string",
+        "value": "float",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int",
+    },
+    "embeddings": {"vec_id": "int", "embedding": "list", "label": "int"},
+}
+
+
+def _family(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+@pytest.mark.parametrize("table", sorted(_EXPECTED))
+def test_fixture_schema_matches_contract(sf_dir, table):
+    schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    got = {f.name: _family(f.type) for f in schema}
+    want = _EXPECTED[table]
+    assert set(got) == set(want), (
+        f"{table}: columns drifted — got {sorted(got)}, contract {sorted(want)}"
+    )
+    for col, fam in want.items():
+        assert got[col] in fam.split("|"), (
+            f"{table}.{col}: dtype family {got[col]!r} not in contract {fam!r} "
+            f"— update the loader AND FIXTURES.md together"
+        )
+
+
+def _write_events(tmp_path, name, ts_array):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 10], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"k":1}', '{"k":2}']),
+        }
+    )
+    path = str(tmp_path / name)
+    pq.write_table(tbl, path)
+    return path
+
+
+_US = [1_700_000_000_000_000, 1_700_000_123_456_789]  # µs since epoch
+
+
+def test_events_loader_handles_us_timestamp(spark, tmp_path):
+    """Current contract: ts stored as parquet timestamp[us]."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    path = _write_events(
+        tmp_path, "us.parquet", pa.array(_US, pa.timestamp("us"))
+    )
+    df = _load_events(spark, path)
+    assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
+    got_us = {r["event_id"]: _to_us(r["ts"]) for r in df.collect()}
+    assert got_us == {1: _US[0], 2: _US[1]}
+
+
+def test_events_loader_handles_ns_int64(spark, tmp_path):
+    """Legacy contract: ts stored as raw int64 nanoseconds-since-epoch.
+    Loader must truncate to µs — identical values to the µs contract."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    ns = [v * 1000 + 999 for v in _US]  # sub-µs residue must truncate away
+    path = _write_events(tmp_path, "ns.parquet", pa.array(ns, pa.int64()))
+    rows = {r["event_id"]: r["ts"] for r in _load_events(spark, path).collect()}
+    got_us = {k: _to_us(v) for k, v in rows.items()}
+    assert got_us == {1: _US[0], 2: _US[1]}
+
+
+def test_events_loader_contracts_agree(spark, tmp_path):
+    """The two storage contracts for identical instants load identically —
+    dtype is a generator detail, never a semantic one."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    p_us = _write_events(tmp_path, "a.parquet", pa.array(_US, pa.timestamp("us")))
+    p_ns = _write_events(
+        tmp_path, "b.parquet", pa.array([v * 1000 for v in _US], pa.int64())
+    )
+    a = sorted(map(tuple, _load_events(spark, p_us).collect()))
+    b = sorted(map(tuple, _load_events(spark, p_ns).collect()))
+    assert a == b
+    assert str(_load_events(spark, p_us).schema["ts"].dataType) == str(
+        _load_events(spark, p_ns).schema["ts"].dataType
+    )
+
+
+def _to_us(dt) -> int:
+    """Naive datetime → µs since epoch, timezone-free (ts is TIMESTAMP_NTZ)."""
+    import datetime as _dt
+
+    return int(
+        (dt - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    )

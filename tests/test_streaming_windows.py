@@ -23,10 +23,10 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     (µs) so the streaming file source can read it, deliberately NOT ordered
     by time (files are split by event_id ranges interleaved)."""
     out = tmp_path_factory.mktemp("events_stream")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    e = _load_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     # interleave: odd ids then even ids → per-file time ranges overlap fully
     e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(out / "f1"))
