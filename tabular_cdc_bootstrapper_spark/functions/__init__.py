@@ -14,3 +14,6 @@ from tabular_cdc_bootstrapper_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     lsh_bucketed_topk,
 )
+from tabular_cdc_bootstrapper_spark.functions.clustering import (  # noqa: F401
+    kmeans_fit_predict,
+)

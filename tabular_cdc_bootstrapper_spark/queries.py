@@ -1969,6 +1969,99 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in DuckDB SQL — possible because the Spark
+    side quantizes to int64 (functions/clustering.py), so every distance,
+    tie-break, and trunc-div centroid mean is exact integer arithmetic
+    that both engines reproduce bit-identically."""
+    assign = """
+    d{n} AS (
+        SELECT q.id, q.qv, c.cid,
+               list_sum(list_transform(list_zip(q.qv, c.qv),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        FROM q CROSS JOIN {cents} c
+    ),
+    a{n} AS (
+        SELECT id, qv, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+            FROM d{n}
+        ) WHERE rn = 1
+    )"""
+    update = """
+    s{n} AS (
+        SELECT cid, i, SUM(v) AS s, COUNT(*) AS n
+        FROM (SELECT cid, unnest(qv) AS v,
+                     unnest(range(1, len(qv) + 1)) AS i
+              FROM a{n})
+        GROUP BY cid, i
+    ),
+    m{n} AS (
+        SELECT cid,
+               list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                    ORDER BY i) AS qv
+        FROM s{n} GROUP BY cid
+    ),
+    c{n} AS (  -- empty clusters keep the previous centroid
+        SELECT p.cid, COALESCE(m{n}.qv, p.qv) AS qv
+        FROM {prev} p LEFT JOIN m{n} ON p.cid = m{n}.cid
+    )"""
+    parts = [
+        f"""
+    q AS (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv
+        FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k})
+    )"""
+    ]
+    cents = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign.format(n=it, cents=cents))
+        parts.append(update.format(n=it, prev=cents))
+        cents = f"c{it}"
+    final = iters + 1
+    parts.append(assign.format(n=final, cents=cents))
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM a{final} GROUP BY cid
+    """
+    )
+
+
+@query("kmeans_embedding_clusters", oracle=_kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus (semantic
+    clustering for diversity sampling / IVF list training): broadcast the
+    k×dim centroid model each round, assignment is one Arrow-batch matmul
+    with NO corpus shuffle, centroid update shuffles only map-side partial
+    (cluster, dim) sums. Integer quantization makes the whole iteration
+    deterministic enough for a DuckDB oracle to replay move-for-move —
+    functions/clustering.py for the scheme."""
+    from tabular_cdc_bootstrapper_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_predict(emb, k=8, iters=2)
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("id").alias("id_checksum"),
+    ).select(
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        F.col("n_members").cast("bigint"),
+        F.col("id_checksum").cast("bigint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H shape sweep (SURVEY.md §2.3-2.8 EXT). The fixture schema lacks
 # partsupp / l_shipmode / c_phone, so each query keeps the *plan shape* of
@@ -3661,8 +3754,10 @@ _DRIVER_CHECK_PRIORITY = [
     # (EXISTS + NOT EXISTS correlated on the same fact)
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
-    # NEW round 5: banded interval join wired into the surface (J5)
+    # NEW round 5: banded interval join wired into the surface (J5);
+    # quantized-deterministic distributed k-means (semantic clustering)
     "range_join_click_attribution",
+    "kmeans_embedding_clusters",
     "hll_distinct_counts",  # r4: exact values + tolerance verdict, oracle-backed
     "approx_price_percentiles",  # r4: scalar rows + verdict, oracle-backed
     "tfidf_top_terms",  # NEW r3: keyword extraction

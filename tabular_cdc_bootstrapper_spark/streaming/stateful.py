@@ -218,3 +218,118 @@ def running_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def running_cohort_activity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    signup_type: str = "signup",
+) -> DataFrame:
+    """Streaming twin of the batch ``cohort_retention`` query: emits each
+    user's DISTINCT (cohort_week, week_offset) activity cells exactly once;
+    a downstream aggregation (foreachBatch, or the test harness) counts
+    rows per cell to get n_active — counting rows of an exactly-once
+    distinct stream needs no streaming COUNT(DISTINCT), which update-mode
+    chaining disallows.
+
+    Batch semantics replicated: cohort_week = ISO-Monday week of the
+    user's EARLIEST signup; a non-signup event at ts counts iff
+    ts >= that signup. Correctness under out-of-order arrival uses the
+    same watermark-buffered replay as ``running_funnel``: an event is
+    only attributed once the watermark passes it, at which point every
+    signup at-or-before it has arrived, so the earliest-signup decision
+    is final (the global signup MIN can only be lowered by events the
+    watermark has not passed yet — and those can never matter for an
+    already-drained activity row, since a qualifying signup must be ≤ the
+    activity's own event time).
+
+    State per user: earliest signup (µs), the set of week offsets already
+    emitted (bounded: one int per active week), and the watermark buffer.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cohort_week", T.StringType()),
+            T.StructField("week_offset", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pend_ts", T.ArrayType(T.LongType())),  # µs epoch
+            T.StructField("pend_type", T.ArrayType(T.StringType())),
+            T.StructField("signup_us", T.LongType()),
+            T.StructField("emitted", T.ArrayType(T.LongType())),
+            T.StructField("n_processed", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        import pandas as _pd
+
+        _EPOCH = _dt.datetime(1970, 1, 1)
+
+        def _monday(us: int) -> _dt.date:
+            d = (_EPOCH + _dt.timedelta(microseconds=us)).date()
+            return d - _dt.timedelta(days=d.weekday())
+
+        if state.exists:
+            pend_ts, pend_type, signup_us, emitted_l, done = state.get
+            pend = list(zip(pend_ts, pend_type))
+            emitted = set(emitted_l)
+        else:
+            pend, signup_us, emitted, done = [], None, set(), 0
+
+        for pdf in pdfs:
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                pend.append((int(ts.value) // 1000, str(et)))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = sorted(e for e in pend if e[0] <= wm_us)
+        pend = [e for e in pend if e[0] > wm_us]
+
+        new_cells = []
+        for ts_us, et in ready:
+            if et == signup_type:
+                if signup_us is None or ts_us < signup_us:
+                    signup_us = ts_us
+            elif signup_us is not None and ts_us >= signup_us:
+                off = (_monday(ts_us) - _monday(signup_us)).days // 7
+                if off not in emitted:
+                    emitted.add(off)
+                    new_cells.append(off)
+        done += len(ready)
+
+        state.update(
+            (
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                signup_us,
+                sorted(emitted),
+                done,
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        if new_cells:
+            week = _monday(signup_us).strftime("%Y-%m-%d")
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(new_cells),
+                    "cohort_week": [week] * len(new_cells),
+                    "week_offset": new_cells,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -24,6 +24,40 @@ def sf_dir():
     return SF_SMOKE
 
 
+SENTINEL_USER = -1
+
+
+@pytest.fixture(scope="session")
+def funnel_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into two fully time-overlapping files (odd/even ids,
+    arrival order != event order), plus two far-future sentinel files:
+    sentinel 1 drags the watermark past every real event; sentinel 2's
+    batch then fires the EventTimeTimeout that flushes every user's
+    remaining buffer (no reliance on trailing no-data micro-batches).
+    Shared by the stateful-streaming twin tests (funnel, cohort)."""
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    out = tmp_path_factory.mktemp("funnel_stream")
+    e = _load_events(spark, f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(out / "f1"))
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(out / "f2"))
+    far = e.agg((F.max("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"))
+    for i, name in enumerate(["f3_sentinel", "f4_sentinel"]):
+        far.select(
+            F.lit(10_000_000 + i).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i} HOURS")).alias("ts"),
+            F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+            F.lit("noop").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.parquet(str(out / name))
+    return str(out)
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

@@ -317,3 +317,16 @@ def test_q21_dims_broadcast_facts_not(spark, sf_dir):
     plan = physical_plan(df)
     assert broadcast_join_count(df) >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    """The interval join must plan as an equi-join on (key, band) — never
+    a nested loop / cartesian (the non-equi fallback Spark would pick for
+    a raw BETWEEN predicate with no equi band), and the range predicate
+    rides the join, not a post-join full materialization of per-key pairs."""
+    df = q.range_join_click_attribution(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the synthetic band column participates in the join key
+    assert "__rj_band" in plan
