@@ -2037,6 +2037,62 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
     )
 
 
+@query(
+    "cluster_balanced_sample",
+    oracle=_kmeans_oracle().replace(
+        """
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM a3 GROUP BY cid
+    """,
+        """
+    , ranked AS (
+        SELECT cid, id,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY (id * 2654435761) % 1000000007, id
+               ) AS rk
+        FROM a3
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(id) AS BIGINT) AS sample_checksum
+    FROM ranked WHERE rk <= 5 GROUP BY cid
+    """,
+    ),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling for training-data curation: k-means the corpus,
+    then take a fixed per-cluster quota so the sample covers embedding
+    space instead of mirroring its density. Quota selection orders by a
+    deterministic multiplicative-hash permutation of the id (exact int64
+    arithmetic, no rand(), no engine-specific hash — same reproducibility
+    rule as hash_split/uniform_per_group_sample). rank<=quota compiles to
+    WindowGroupLimit: each cluster's partition keeps only quota rows
+    through the shuffle, so the sample never materializes a full sort."""
+    from tabular_cdc_bootstrapper_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_predict(emb, k=8, iters=2)
+    w = Window.partitionBy("cid").orderBy(
+        (F.col("id") * F.lit(2654435761)) % F.lit(1000000007), "id"
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_sampled"), F.sum("id").alias("sample_checksum"))
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("n_sampled").cast("bigint"),
+            F.col("sample_checksum").cast("bigint"),
+        )
+    )
+
+
 @query("kmeans_embedding_clusters", oracle=_kmeans_oracle())
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus (semantic
@@ -3758,6 +3814,7 @@ _DRIVER_CHECK_PRIORITY = [
     # quantized-deterministic distributed k-means (semantic clustering)
     "range_join_click_attribution",
     "kmeans_embedding_clusters",
+    "cluster_balanced_sample",
     "hll_distinct_counts",  # r4: exact values + tolerance verdict, oracle-backed
     "approx_price_percentiles",  # r4: scalar rows + verdict, oracle-backed
     "tfidf_top_terms",  # NEW r3: keyword extraction

@@ -330,3 +330,22 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the synthetic band column participates in the join key
     assert "__rj_band" in plan
+
+
+def test_kmeans_final_agg_single_exchange(spark, sf_dir):
+    """Assignment is corpus-resident (Arrow UDF over the scan — no
+    exchange before it); the only shuffle in the output plan is the final
+    per-cluster aggregate, and nothing degrades to a cartesian join."""
+    df = q.kmeans_embedding_clusters(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(df) == 1, plan
+
+
+def test_cluster_balanced_sample_window_group_limit(spark, sf_dir):
+    """The per-cluster quota must compile to WindowGroupLimit (partial
+    top-k inside each partition before/after the shuffle), never a full
+    per-cluster sort of the corpus."""
+    df = q.cluster_balanced_sample(spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
