@@ -349,3 +349,41 @@ def test_cluster_balanced_sample_window_group_limit(spark, sf_dir):
     per-cluster sort of the corpus."""
     df = q.cluster_balanced_sample(spark, sf_dir)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """100 TB fact-fact joins where neither side broadcasts still get
+    row-level pruning: Catalyst's runtime bloom filter builds on the
+    filtered (selective) side and is pushed into the big side's scan, so
+    non-matching rows die before the shuffle. Pinned here with broadcast
+    disabled to force the SMJ path a real warehouse-scale join takes."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "bloom" in physical_plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
