@@ -90,6 +90,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,
+                # value sums only the SURVIVING queries: a non-zero
+                # n_failed means the headline total is not comparable
+                # round-over-round — check errors before trending it
+                "n_failed": len(errors),
                 "sf": sf,
                 "runs_per_query": n_runs,
             }

@@ -67,6 +67,8 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
 
     @SF.pandas_udf("int")
     def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.stack rejects an empty batch
+            return pd.Series([], dtype="int32")
         x = np.stack(vecs.to_numpy())  # (batch, dim) int64
         # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row, so
         # argmin over centroids needs only  c·c - 2x·c  (exact int64)
@@ -84,6 +86,7 @@ def kmeans_fit_predict(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Lloyd k-means, returns (id, cid) assignments after ``iters`` rounds.
 
@@ -92,12 +95,23 @@ def kmeans_fit_predict(
     k·dim rows per partition) → collect k·dim longs. Centroid mean uses
     integer division truncating toward zero (matches both Spark `div` and
     the oracle's emulated trunc-div); empty clusters keep their previous
-    centroid (deterministic, no re-seeding)."""
+    centroid (deterministic, no re-seeding).
+
+    CALLER CONTRACT (``persist=True``, the default — same as
+    dedup.verified_near_duplicates): the fit runs ``iters + 2`` actions
+    (init top-k, one aggregate per iteration, final assignment), so the
+    quantized corpus is persisted to avoid a full re-scan per action; it
+    lives until the caller runs ``spark.catalog.clearCache()`` (what
+    bench.py and the driver do after each query) or unpersists. Pass
+    ``persist=False`` in long-lived sessions — identical results, one
+    extra corpus scan per action."""
     qdf = quantize_vectors(df, vec_col, id_col)
-    dim = len(qdf.select("qv").first()["qv"])
+    if persist:
+        qdf = qdf.persist()
 
     init_rows = qdf.orderBy("id").limit(k).collect()
     centroids = [list(r["qv"]) for r in init_rows]
+    dim = len(centroids[0])
 
     for _ in range(iters):
         assigned = _assign(qdf, centroids)

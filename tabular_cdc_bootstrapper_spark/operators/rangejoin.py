@@ -43,12 +43,30 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _BAND = "__rj_band"
 _LUS = "__rj_lus"
 _RUS = "__rj_rus"
+
+
+def _epoch_us(df: DataFrame, col: str) -> Column:
+    """Integer µs for banding, without changing the column's time
+    semantics. TIMESTAMP_NTZ is a wall clock: converting it through
+    cast("timestamp") would reinterpret it as an instant in the SESSION
+    timezone, and across a DST transition that mapping is non-linear — a
+    pair 80 wall-clock minutes apart reads as 20 instant-minutes
+    (spring-forward), silently flipping window membership.
+    ``timestampdiff`` on NTZ operands is pure wall-clock arithmetic,
+    timezone-free; plain TIMESTAMP takes the direct unix_micros path."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"`{col}`)"
+        )
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def banded_range_join(
@@ -100,14 +118,13 @@ def banded_range_join(
             f"pass a different suffix (got {suffix!r})"
         )
 
-    r = (
-        right.select(
-            *keys,
-            F.col(right_ts).alias(r_ts_out),
-            *[F.col(c).alias(c + suffix) for c in payload if c != right_ts],
-        )
-        .withColumn(_RUS, F.unix_micros(F.col(r_ts_out).cast("timestamp")))
-        .withColumn(_BAND, F.expr(f"{_RUS} div {w_us}L"))
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(r_ts_out),
+        *[F.col(c).alias(c + suffix) for c in payload if c != right_ts],
+    )
+    r = r.withColumn(_RUS, _epoch_us(r, r_ts_out)).withColumn(
+        _BAND, F.expr(f"{_RUS} div {w_us}L")
     )
 
     # Left rows fan out to every band their window overlaps — a bounded,
@@ -116,11 +133,7 @@ def banded_range_join(
     # non-decreasing for a positive divisor, which is all banding needs:
     # any right ts inside the window lands in a band between the window
     # endpoints' bands, and sequence() enumerates that contiguous range.
-    # cast("timestamp") accepts TIMESTAMP and TIMESTAMP_NTZ inputs alike;
-    # unix_micros itself rejects NTZ (DATATYPE_MISMATCH in Spark 4)
-    l = left.withColumn(
-        _LUS, F.unix_micros(F.col(left_ts).cast("timestamp"))
-    ).withColumn(
+    l = left.withColumn(_LUS, _epoch_us(left, left_ts)).withColumn(
         _BAND,
         F.explode(
             F.sequence(

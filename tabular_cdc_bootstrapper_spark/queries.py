@@ -61,17 +61,21 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
             probe = parts[0]
     ts_type = str(_pq.read_schema(probe).field("ts").type)
 
-    if ts_type.startswith("timestamp"):
-        # Already a real timestamp column: normalize to TIMESTAMP_NTZ so
-        # every downstream query (and the DuckDB oracle, which reads the
-        # same file session-timezone-free) agrees on the wall-clock value.
+    if ts_type.startswith("timestamp") and ts_type != "timestamp[ns]":
+        # µs/ms/s timestamp storage: Spark reads it natively; normalize to
+        # TIMESTAMP_NTZ so every downstream query (and the DuckDB oracle,
+        # which reads the same file session-timezone-free) agrees on the
+        # wall-clock value.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
-    # Legacy int64-ns storage: Spark 4 rejects parquet ns timestamps
-    # outright, so read raw ns-since-epoch and truncate to µs in-plan —
-    # the same truncation DuckDB applies. Conf is dynamic (scan-time).
+    # Nanosecond storage — either parquet TIMESTAMP(NANOS) (the actual
+    # pre-round-4 fixture contract, which Spark 4 rejects outright unless
+    # nanosAsLong maps it to raw longs) or a plain int64 of ns-since-epoch
+    # (reads as long either way; the conf is a harmless no-op for it).
+    # Both arrive as LongType and truncate to µs in-plan — the same
+    # truncation DuckDB applies. Conf is dynamic (scan-time).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # integral `div`, NOT `/`: ns epoch values (~1.7e18) exceed double's
@@ -1969,11 +1973,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=10)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+def _kmeans_oracle(
+    k: int = 8, iters: int = 2, final_select: str | None = None
+) -> str:
     """Unrolled Lloyd iterations in DuckDB SQL — possible because the Spark
     side quantizes to int64 (functions/clustering.py), so every distance,
     tie-break, and trunc-div centroid mean is exact integer arithmetic
-    that both engines reproduce bit-identically."""
+    that both engines reproduce bit-identically. ``final_select`` is a SQL
+    fragment over the final assignment CTE (referenced as ``{a}``) so
+    derived queries (cluster_balanced_sample) share the iteration without
+    string surgery."""
     assign = """
     d{n} AS (
         SELECT q.id, q.qv, c.cid,
@@ -2025,41 +2034,33 @@ def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
         cents = f"c{it}"
     final = iters + 1
     parts.append(assign.format(n=final, cents=cents))
-    return (
-        "WITH "
-        + ",".join(parts)
-        + f"""
+    if final_select is None:
+        final_select = """
     SELECT CAST(cid AS BIGINT) AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(id) AS BIGINT) AS id_checksum
-    FROM a{final} GROUP BY cid
+    FROM {a} GROUP BY cid
     """
-    )
+    return "WITH " + ",".join(parts) + final_select.format(a=f"a{final}")
 
 
 @query(
     "cluster_balanced_sample",
-    oracle=_kmeans_oracle().replace(
-        """
-    SELECT CAST(cid AS BIGINT) AS cluster_id,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(id) AS BIGINT) AS id_checksum
-    FROM a3 GROUP BY cid
-    """,
-        """
+    oracle=_kmeans_oracle(
+        final_select="""
     , ranked AS (
         SELECT cid, id,
                row_number() OVER (
                    PARTITION BY cid
                    ORDER BY (id * 2654435761) % 1000000007, id
                ) AS rk
-        FROM a3
+        FROM {a}
     )
     SELECT CAST(cid AS BIGINT) AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_sampled,
            CAST(SUM(id) AS BIGINT) AS sample_checksum
     FROM ranked WHERE rk <= 5 GROUP BY cid
-    """,
+    """
     ),
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,15 +290,27 @@ def running_cohort_activity(
                 pend.append((int(ts.value) // 1000, str(et)))
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        ready = sorted(e for e in pend if e[0] <= wm_us)
+        ready = [e for e in pend if e[0] <= wm_us]
         pend = [e for e in pend if e[0] > wm_us]
 
+        # Two passes, not one time-sorted scan: batch semantics attribute
+        # an activity at the SAME µs as the earliest signup (ts >= signup
+        # is inclusive), so every drained signup must lower signup_us
+        # BEFORE any drained activity is judged. Ordering within the
+        # drain is otherwise irrelevant here (unlike the funnel) — the
+        # attribution predicate only compares against the global min, and
+        # any signup still above the watermark has ts > wm >= every
+        # drained activity's ts, so it can never affect these decisions.
+        for ts_us, et in ready:
+            if et == signup_type and (signup_us is None or ts_us < signup_us):
+                signup_us = ts_us
         new_cells = []
         for ts_us, et in ready:
-            if et == signup_type:
-                if signup_us is None or ts_us < signup_us:
-                    signup_us = ts_us
-            elif signup_us is not None and ts_us >= signup_us:
+            if (
+                et != signup_type
+                and signup_us is not None
+                and ts_us >= signup_us
+            ):
                 off = (_monday(ts_us) - _monday(signup_us)).days // 7
                 if off not in emitted:
                     emitted.add(off)

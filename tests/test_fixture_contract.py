@@ -143,7 +143,7 @@ def test_events_loader_handles_us_timestamp(spark, tmp_path):
 
 
 def test_events_loader_handles_ns_int64(spark, tmp_path):
-    """Legacy contract: ts stored as raw int64 nanoseconds-since-epoch.
+    """Legacy variant: ts stored as raw int64 nanoseconds-since-epoch.
     Loader must truncate to µs — identical values to the µs contract."""
     from tabular_cdc_bootstrapper_spark.queries import _load_events
 
@@ -151,6 +151,22 @@ def test_events_loader_handles_ns_int64(spark, tmp_path):
     path = _write_events(tmp_path, "ns.parquet", pa.array(ns, pa.int64()))
     rows = {r["event_id"]: r["ts"] for r in _load_events(spark, path).collect()}
     got_us = {k: _to_us(v) for k, v in rows.items()}
+    assert got_us == {1: _US[0], 2: _US[1]}
+
+
+def test_events_loader_handles_ns_timestamp(spark, tmp_path):
+    """THE actual pre-round-4 contract: parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses to read as a timestamp — the loader must take the
+    nanosAsLong legacy path (footer says 'timestamp[ns]', NOT int64) and
+    still produce the same µs-truncated TIMESTAMP_NTZ values."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    ns = [v * 1000 + 999 for v in _US]
+    path = _write_events(tmp_path, "tns.parquet", pa.array(ns, pa.timestamp("ns")))
+    assert str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    df = _load_events(spark, path)
+    assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
+    got_us = {r["event_id"]: _to_us(r["ts"]) for r in df.collect()}
     assert got_us == {1: _US[0], 2: _US[1]}
 
 

@@ -103,3 +103,40 @@ def test_suffix_collision_rejected(spark):
         banded_range_join(
             left, right, on="k", left_ts="lts", right_ts="rts", lower_s=0, upper_s=1
         )
+
+
+def test_ntz_window_is_timezone_independent(spark):
+    """TIMESTAMP_NTZ inputs are wall clocks: two events 80 wall-clock
+    minutes apart across a spring-forward gap must NOT match a 30-min
+    window, whatever the session timezone (the naive cast-to-instant
+    conversion reads them as 20 minutes apart and emits the pair)."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        left = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-03-10 01:50:00' AS lts"
+        )
+        right = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-03-10 03:10:00' AS rts, 99 AS val"
+        )
+        out = banded_range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            lower_s=0, upper_s=1800,
+        ).collect()
+        assert out == []  # 80 wall-clock minutes > 30-min window
+        # and a genuine 20-wall-clock-minute pair still matches (both
+        # literals must EXIST as NY local times — Spark parses NTZ
+        # literals through the session zone, shifting gap times)
+        left2 = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-03-10 01:30:00' AS lts"
+        )
+        right2 = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-03-10 01:50:00' AS rts, 7 AS val"
+        )
+        out2 = banded_range_join(
+            left2, right2, on="k", left_ts="lts", right_ts="rts",
+            lower_s=0, upper_s=1800,
+        ).collect()
+        assert [r["val_r"] for r in out2] == [7]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
