@@ -3,6 +3,7 @@ from tabular_cdc_bootstrapper_spark.operators.cdc import (  # noqa: F401
     apply_changelog,
     latest_by_key,
 )
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff  # noqa: F401
 from tabular_cdc_bootstrapper_spark.operators.rangejoin import (  # noqa: F401
     banded_range_join,
 )

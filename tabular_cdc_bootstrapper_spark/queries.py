@@ -221,6 +221,80 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_changelog",
+    oracle="""
+    WITH oldt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    ),
+    newt AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    WHEN n.o_custkey IS DISTINCT FROM o.o_custkey
+                      OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                      OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                      OR n.o_orderdate IS DISTINCT FROM o.o_orderdate
+                      OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+                    THEN 'U' END AS op,
+               CASE WHEN n.o_orderkey IS NULL THEN NULL
+                    ELSE n.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_orderkey IS NULL THEN NULL
+                    ELSE ROUND(n.o_totalprice, 2) END AS o_totalprice
+        FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, op, o_orderstatus, o_totalprice
+    FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog GENERATION (operators/diff.py — the inverse of the CDC
+    apply): two deterministic snapshots of `orders` (status flip on
+    key%7, deletes on key%13, inserts on key%17) diff into the minimal
+    I/U/D feed that transforms one into the other. One full-outer join on
+    the key = one shuffle; null-safe payload comparison catches NULL
+    transitions. The round-trip law (apply(diff(old,new)) == new) is
+    property-tested in test_diff.py."""
+    from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    updated = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    new = updated.unionByName(inserted)
+    diff = table_diff(o, new, "o_orderkey")
+    return diff.select(
+        "o_orderkey",
+        "op",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
     "incremental_agg_maintenance",
     oracle="""
     WITH base AS (
@@ -3784,6 +3858,7 @@ _DRIVER_CHECK_PRIORITY = [
     # CDC flagship + core aggregation/join/window surfaces
     "cdc_latest",
     "cdc_scd2_history",
+    "snapshot_diff_changelog",  # NEW r5: changelog generation (diff)
     "incremental_agg_maintenance",
     "event_funnel",
     "cohort_retention",

@@ -131,6 +131,16 @@ def running_funnel(
     monotonically, so "latest row per user" = max n_processed.
 
     Requires ``events.withWatermark(ts_col, ...)`` upstream (EventTimeTimeout).
+
+    Restart semantics (pinned by
+    test_streaming_funnel_recovers_from_restart): state (flags + buffer)
+    and the watermark are restored from the checkpoint, and with
+    EventTimeTimeout the ENGINE drops post-restart input older than the
+    restored watermark before this function sees it — standard late-data
+    semantics, so events delayed past the watermark during downtime are
+    lost like any other too-late event. Within a single availableNow run
+    the pre-planned file batches share the run-start watermark, which is
+    why fully time-interleaved files replay losslessly in one run.
     """
     out_schema = T.StructType(
         [

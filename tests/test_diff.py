@@ -1,0 +1,75 @@
+"""table_diff (operators/diff.py): the round-trip law — applying the diff
+changelog on top of the old snapshot reproduces the new snapshot — plus
+null-transition and no-op edges."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+
+# a snapshot is a dict key → payload (None allowed: nullable payloads)
+snapshot_strategy = st.dictionaries(
+    st.integers(1, 8),
+    st.one_of(st.none(), st.text(alphabet="abc", min_size=0, max_size=2)),
+    max_size=8,
+)
+
+
+def _df(spark, snap):
+    rows = [(k, v) for k, v in snap.items()] or [(None, None)]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    return df.filter(F.col("id").isNotNull()) if not snap else df
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=snapshot_strategy, new=snapshot_strategy)
+def test_diff_round_trip(spark, old, new):
+    """apply_changelog(old-as-inserts ∪ diff) == new, for ANY snapshots."""
+    old_df, new_df = _df(spark, old), _df(spark, new)
+    diff = table_diff(old_df, new_df, "id")
+
+    base = old_df.withColumns({"op": F.lit("I"), "ts": F.lit(0)})
+    delta = diff.withColumn("ts", F.lit(1))
+    merged = apply_changelog(base.unionByName(delta), "id", "ts")
+    got = {r["id"]: r["payload"] for r in merged.collect()}
+    assert got == new
+
+    # minimality: one row per changed key, none for unchanged keys
+    ops = {r["id"]: r["op"] for r in diff.collect()}
+    for k in set(old) | set(new):
+        if k in old and k in new:
+            expected = None if old[k] == new[k] else "U"
+        elif k in new:
+            expected = "I"
+        else:
+            expected = "D"
+        assert ops.get(k) == expected, (k, old.get(k), new.get(k))
+
+
+def test_null_transitions_are_updates(spark):
+    old = _df(spark, {1: None, 2: "x", 3: "same"})
+    new = _df(spark, {1: "now", 2: None, 3: "same"})
+    ops = {r["id"]: (r["op"], r["payload"]) for r in table_diff(old, new, "id").collect()}
+    assert ops == {1: ("U", "now"), 2: ("U", None)}  # 3 unchanged → absent
+
+
+def test_identical_snapshots_empty_diff(spark):
+    snap = _df(spark, {1: "a", 2: None})
+    assert table_diff(snap, snap, "id").count() == 0
+
+
+def test_delete_rows_carry_only_the_key(spark):
+    old, new = _df(spark, {5: "gone"}), _df(spark, {})
+    (row,) = table_diff(old, new, "id").collect()
+    assert (row["id"], row["op"], row["payload"]) == (5, "D", None)
+
+
+def test_schema_mismatch_rejected(spark):
+    old = _df(spark, {1: "a"})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        table_diff(old, old.withColumnRenamed("payload", "other"), "id")
