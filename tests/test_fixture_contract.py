@@ -194,3 +194,17 @@ def _to_us(dt) -> int:
     return int(
         (dt - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     )
+
+
+def test_events_loader_handles_directory_input(spark, tmp_path):
+    """Multi-file events datasets (a directory of parts) probe ONE part's
+    footer for the dtype branch and load all parts."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    _write_events(d, "part-0.parquet", pa.array(_US[:1] * 2, pa.timestamp("us")))
+    _write_events(d, "part-1.parquet", pa.array(_US[1:] * 2, pa.timestamp("us")))
+    df = _load_events(spark, str(d))
+    assert df.count() == 4
+    assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
