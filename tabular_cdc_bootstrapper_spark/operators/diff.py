@@ -55,6 +55,12 @@ def table_diff(
             f"schema mismatch: old has {sorted(old.columns)}, "
             f"new has {sorted(new.columns)}"
         )
+    if op_col in new.columns:
+        raise ValueError(
+            f"op column {op_col!r} collides with an input column; pass a "
+            "different op_col (diffing a changelog-bearing table needs a "
+            "fresh name for the classification column)"
+        )
     payload = [c for c in new.columns if c not in keys]
 
     # presence flags, not key-null checks: eqNullSafe joins NULL keys too,

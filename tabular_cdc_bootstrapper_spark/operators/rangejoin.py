@@ -91,6 +91,19 @@ def banded_range_join(
     """
     if upper_s < lower_s:
         raise ValueError(f"empty window: [{lower_s}, {upper_s}]")
+    # Mixed NTZ/instant inputs have no common epoch frame without a
+    # timezone decision the caller must make: NTZ extracts wall-clock µs,
+    # TIMESTAMP extracts UTC-instant µs, and comparing the two silently
+    # shifts every window by the session-zone offset. Refuse instead.
+    l_ntz = isinstance(left.schema[left_ts].dataType, T.TimestampNTZType)
+    r_ntz = isinstance(right.schema[right_ts].dataType, T.TimestampNTZType)
+    if l_ntz != r_ntz:
+        raise ValueError(
+            f"mixed timestamp kinds: left {left_ts!r} is "
+            f"{left.schema[left_ts].dataType}, right {right_ts!r} is "
+            f"{right.schema[right_ts].dataType}; cast one side so both are "
+            "TIMESTAMP or both TIMESTAMP_NTZ"
+        )
     keys = [on] if isinstance(on, str) else list(on)
 
     lo_us = round(lower_s * 1e6)

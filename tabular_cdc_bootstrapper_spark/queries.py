@@ -61,7 +61,10 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
             probe = parts[0]
     ts_type = str(_pq.read_schema(probe).field("ts").type)
 
-    if ts_type.startswith("timestamp") and ts_type != "timestamp[ns]":
+    # "timestamp[ns" prefix-matches both naive ("timestamp[ns]") and
+    # tz-aware ("timestamp[ns, tz=UTC]") nanosecond storage — Spark 4
+    # rejects either as a native timestamp read
+    if ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns"):
         # µs/ms/s timestamp storage: Spark reads it natively; normalize to
         # TIMESTAMP_NTZ so every downstream query (and the DuckDB oracle,
         # which reads the same file session-timezone-free) agrees on the
@@ -2126,7 +2129,7 @@ def _kmeans_oracle(
         SELECT cid, id,
                row_number() OVER (
                    PARTITION BY cid
-                   ORDER BY (id * 2654435761) % 1000000007, id
+                   ORDER BY ((id % 1000000007) * 2654435761) % 1000000007, id
                ) AS rk
         FROM {a}
     )
@@ -2152,8 +2155,12 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned = kmeans_fit_predict(emb, k=8, iters=2)
+    # reduce BEFORE multiplying: id·P overflows int64 for id ≳ 3.5e9
+    # (Spark wraps silently, DuckDB errors); (id mod M)·P < 2^62 in both
     w = Window.partitionBy("cid").orderBy(
-        (F.col("id") * F.lit(2654435761)) % F.lit(1000000007), "id"
+        ((F.col("id") % F.lit(1000000007)) * F.lit(2654435761))
+        % F.lit(1000000007),
+        "id",
     )
     return (
         assigned.withColumn("rk", F.row_number().over(w))

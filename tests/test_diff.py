@@ -73,3 +73,9 @@ def test_schema_mismatch_rejected(spark):
     old = _df(spark, {1: "a"})
     with pytest.raises(ValueError, match="schema mismatch"):
         table_diff(old, old.withColumnRenamed("payload", "other"), "id")
+
+
+def test_op_column_collision_rejected(spark):
+    old = spark.createDataFrame([(1, "I")], "id long, op string")
+    with pytest.raises(ValueError, match="op column"):
+        table_diff(old, old, "id")

@@ -140,3 +140,18 @@ def test_ntz_window_is_timezone_independent(spark):
         assert [r["val_r"] for r in out2] == [7]
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_mixed_timestamp_kinds_rejected(spark):
+    """NTZ wall-clock µs and instant µs are different epoch frames — a
+    mixed pair must refuse rather than silently shift every window by
+    the session-zone offset."""
+    left = spark.sql("SELECT 1 AS k, TIMESTAMP'2024-01-01 00:00:00' AS lts")
+    right = spark.sql(
+        "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 00:00:00' AS rts, 1 AS val"
+    )
+    with pytest.raises(ValueError, match="mixed timestamp kinds"):
+        banded_range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            lower_s=0, upper_s=60,
+        )
