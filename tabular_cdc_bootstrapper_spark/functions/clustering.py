@@ -96,45 +96,45 @@ def kmeans_fit_predict(
     the oracle's emulated trunc-div); empty clusters keep their previous
     centroid (deterministic, no re-seeding).
 
-    Caching: the fit phase runs ``iters + 1`` ACTIONS inside this call
-    (init top-k + one aggregate per iteration), so the quantized corpus
-    is persisted for their duration and unpersisted before returning —
-    no cache outlives the call, so long-lived sessions (and drivers that
-    never clearCache between queries) can't accumulate leaked blocks.
-    The returned assignment plan re-quantizes in its single scan — the
-    same cost the fit actions would each have paid without the cache."""
-    qdf = quantize_vectors(df, vec_col, id_col)
-    qdf.persist()
-    try:
-        init_rows = qdf.orderBy("id").limit(k).collect()
-        centroids = [list(r["qv"]) for r in init_rows]
-        dim = len(centroids[0])
+    Caching: the fit runs ``iters + 2`` ACTIONS (init top-k, one
+    aggregate per iteration, the returned final assignment), so the
+    quantized corpus is materialized ONCE via eager localCheckpoint —
+    like graph.py's star rounds — and every action reads the stored
+    blocks. Unlike persist(), checkpoint blocks are freed by the
+    ContextCleaner when the returned plan is garbage-collected, so
+    long-lived sessions (and drivers that never clearCache between
+    queries) don't accumulate leaked cache entries. The lineage
+    truncation means executor loss forces a job failure instead of
+    recompute — the standard localCheckpoint trade; swap in persist()
+    +StorageLevel replication on clusters where that matters."""
+    qdf = quantize_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    init_rows = qdf.orderBy("id").limit(k).collect()
+    centroids = [list(r["qv"]) for r in init_rows]
+    dim = len(centroids[0])
 
-        for _ in range(iters):
-            assigned = _assign(qdf, centroids)
-            sums = (
-                assigned.select(
-                    "cid", F.posexplode("qv").alias("i", "val")
-                )
-                .groupBy("cid", "i")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
+    for _ in range(iters):
+        assigned = _assign(qdf, centroids)
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("qv").alias("i", "val")
             )
-            by_cid: dict[int, list[tuple[int, int, int]]] = {}
-            for r in sums:
-                by_cid.setdefault(r["cid"], []).append((r["i"], r["s"], r["n"]))
-            new_centroids = []
-            for cid in range(len(centroids)):
-                if cid not in by_cid:
-                    new_centroids.append(centroids[cid])  # empty cluster: keep
-                    continue
-                vec = [0] * dim
-                for i, s, n in by_cid[cid]:
-                    q, rem = divmod(abs(s), n)
-                    vec[i] = q if s >= 0 else -q  # trunc toward zero
-                new_centroids.append(vec)
-            centroids = new_centroids
-    finally:
-        qdf.unpersist()
+            .groupBy("cid", "i")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], []).append((r["i"], r["s"], r["n"]))
+        new_centroids = []
+        for cid in range(len(centroids)):
+            if cid not in by_cid:
+                new_centroids.append(centroids[cid])  # empty cluster: keep
+                continue
+            vec = [0] * dim
+            for i, s, n in by_cid[cid]:
+                q, rem = divmod(abs(s), n)
+                vec[i] = q if s >= 0 else -q  # trunc toward zero
+            new_centroids.append(vec)
+        centroids = new_centroids
 
     return _assign(qdf, centroids).select("id", "cid")
