@@ -80,6 +80,8 @@ def main() -> int:
         run_cdc_pipeline_available_now,
     )
 
+    from tabular_cdc_bootstrapper_spark.catalog import point_table_to
+
     for target in cfg.targets:
         if isinstance(results.get(target.source_uri), Exception):
             continue
@@ -93,6 +95,22 @@ def main() -> int:
         state = out["mirror"].read(spark)
         n = state.count() if state is not None else 0
         log.info("pipeline complete for %s: mirror rows=%d", target.table_name, n)
+        # wire the control plane to the data plane: the bootstrap registered
+        # the tables, the pipeline wrote the data — point each table at the
+        # actual storage so `SELECT * FROM <mirror>` sees the run's output
+        changelog_fqn, mirror_fqn = results[target.source_uri]
+        try:
+            point_table_to(spark, changelog_fqn, out["changelog_dir"])
+            m = out["mirror"]
+            mirror_loc = (
+                m.data_dir
+                if hasattr(m, "data_dir")
+                else (m.current() or {}).get("dir")
+            )
+            if mirror_loc:
+                point_table_to(spark, mirror_fqn, mirror_loc)
+        except Exception as exc:  # noqa: BLE001 — wiring is best-effort
+            log.error("table re-point failed for %s: %s", target.table_name, exc)
 
     return 1 if failed else 0
 

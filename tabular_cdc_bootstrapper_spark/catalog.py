@@ -45,6 +45,32 @@ def ensure_database(spark: SparkSession, database: str) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_q(database)}")
 
 
+def table_exists(spark: SparkSession, database: str, table: str) -> bool:
+    """Existence probe that survives names needing quoting.
+
+    ``spark.catalog.tableExists`` parses its argument as an identifier, so
+    a dash-bearing table name (routine in S3 prefixes → table_name
+    derivation, config.py) raises ParseException before the quoted CREATE
+    ever runs. SHOW TABLES takes the name as a pattern STRING instead;
+    only its wildcards need escaping."""
+    pattern = table.replace("*", r"\*").replace("|", r"\|")
+    try:
+        rows = spark.sql(
+            f"SHOW TABLES IN {_q(database)} LIKE '{pattern}'"
+        ).collect()
+    except Exception:  # database itself missing → table can't exist
+        return False
+    return any(r["tableName"] == table for r in rows)
+
+
+def _location_has_data(spark: SparkSession, location: str) -> bool:
+    try:
+        spark.read.parquet(location).schema
+        return True
+    except Exception:
+        return False
+
+
 def bootstrap_table(
     spark: SparkSession,
     database: str,
@@ -59,11 +85,29 @@ def bootstrap_table(
     return (:99) → create (:101-143), minus the REST/OAuth layer (control
     plane is local). Schema may be omitted — the reference never declares
     one (tabular.py:130-139 passes only bucket/prefix/format; the loader
-    infers) — in which case the table is registered lazily on first write.
+    infers) — in which case the table is created only once its location
+    holds data to infer from (a schema-less CREATE over an empty LOCATION
+    raises UNABLE_TO_INFER_SCHEMA); until then registration is deferred to
+    the next bootstrap run, matching the loader's lazy behavior.
+
+    Re-running against an EXISTING table still applies ``properties``:
+    the reference re-puts loader/CDC wiring on every bootstrap
+    (tabular.py:69-70), so a corrected TABULAR_CDC_TIMESTAMP_FIELD
+    propagates instead of being silently dropped. The create itself stays
+    idempotent (returns False, no DDL beyond the property refresh).
     """
     fqn = f"{database}.{table}"
-    if spark.catalog.tableExists(fqn):
-        log.info("table %s exists — skipping bootstrap", fqn)
+    if table_exists(spark, database, table):
+        if properties:
+            set_table_properties(spark, fqn, properties)
+        log.info("table %s exists — refreshed properties, skipping create", fqn)
+        return False
+    if schema is None and (not location or not _location_has_data(spark, location)):
+        log.info(
+            "deferring %s: no schema given and no existing data at %r "
+            "to infer one from (will register on a later bootstrap run)",
+            fqn, location,
+        )
         return False
     cols = f" ({', '.join(f'`{f.name}` {f.dataType.simpleString()}' for f in schema.fields)})" if schema else ""
     loc = f" LOCATION '{location}'" if location else ""
@@ -72,6 +116,15 @@ def bootstrap_table(
         set_table_properties(spark, fqn, properties)
     log.info("bootstrapped table %s", fqn)
     return True
+
+
+def point_table_to(spark: SparkSession, fqn: str, location: str) -> None:
+    """Re-point a registered table at the data plane's current storage and
+    refresh reader caches — the glue that makes ``SELECT * FROM mirror``
+    see what the pipeline actually wrote (the snapshot mirror swaps its
+    current-version directory per commit, so the location moves)."""
+    spark.sql(f"ALTER TABLE {_q(fqn)} SET LOCATION '{location}'")
+    spark.sql(f"REFRESH TABLE {_q(fqn)}")
 
 
 def set_table_properties(spark: SparkSession, fqn: str, props: dict[str, str]) -> None:

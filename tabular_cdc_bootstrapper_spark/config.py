@@ -38,8 +38,16 @@ class CdcTarget:
 
     @property
     def table_name(self) -> str:
-        # reference batch_bootstrapper.py:55: last path segment of the URI
-        return self.source_uri.rstrip("/").split("/")[-1]
+        # reference batch_bootstrapper.py:55: last path segment of the URI.
+        # Sanitized for the catalog: Spark's session catalog allows only
+        # [A-Za-z0-9_] in table names (INVALID_SCHEMA_OR_RELATION_NAME
+        # otherwise), and S3 prefixes routinely carry dashes/dots — map
+        # every illegal character to '_' so `customer-data` becomes the
+        # valid `customer_data` instead of failing bootstrap.
+        import re as _re
+
+        raw = self.source_uri.rstrip("/").split("/")[-1]
+        return _re.sub(r"[^A-Za-z0-9_]", "_", raw)
 
     @property
     def changelog_table_name(self) -> str:

@@ -44,10 +44,16 @@ def glob_to_regex(glob: str) -> str:
         c = glob[i]
         if c == "*":
             if glob[i : i + 2] == "**":
-                out.append(".*")
                 i += 2
                 if i < len(glob) and glob[i] == "/":
-                    i += 1  # '**/' may match zero directories
+                    # '**/' = zero or more COMPLETE path segments; a bare
+                    # '.*' here would erase the segment boundary, making
+                    # 'x/**/LOAD*' wrongly match 'x/yLOAD1' and silently
+                    # exclude files whose names merely contain the pattern
+                    out.append("(.*/)?")
+                    i += 1
+                else:
+                    out.append(".*")  # trailing/bare '**' crosses everything
                 continue
             out.append("[^/]*")
         elif c == "?":
@@ -55,8 +61,7 @@ def glob_to_regex(glob: str) -> str:
         else:
             out.append(re.escape(c))
         i += 1
-    body = "".join(out[1:]) if glob.startswith("**") and out else "".join(out)
-    return "(^|/)" + body + "$"
+    return "(^|/)" + "".join(out) + "$"
 
 
 def exclude_glob_filter(glob: str) -> Column:

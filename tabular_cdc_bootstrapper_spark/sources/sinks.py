@@ -11,9 +11,11 @@ operators:
 - ``write_bucketed``: hash-bucketed + sorted table → later joins/aggs on
   the bucket key skip the shuffle entirely (bucketed SMJ), the standard
   answer for repeated large-large joins like mirror ⋈ changelog.
-- ``compact_small_files``: the streaming changelog accumulates one file
-  per micro-batch; compaction rewrites to target-sized files so scan
-  parallelism matches data, not file count (the classic small-files fix).
+- ``compact_small_files``: micro-batch sinks accumulate one file per
+  batch; compaction rewrites to target-sized files so scan parallelism
+  matches data, not file count (the classic small-files fix). Run it on
+  SNAPSHOT/batch directories — never on a live streaming sink dir (it
+  refuses `_spark_metadata` dirs; see its docstring for why).
 - ``multi_format``: CSV/JSON/ORC round-trip helpers (SURVEY.md §2.1 —
   format surface beyond the pinned parquet).
 """
@@ -56,10 +58,46 @@ def compact_small_files(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    force: bool = False,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the
     new file count. Coalesce (no shuffle) because compaction only merges —
-    it must not repartition data it didn't need to move."""
+    it must not repartition data it didn't need to move.
+
+    Refuses a directory carrying a streaming file-sink ``_spark_metadata``
+    log unless ``force=True``: compaction rewrites the part files, which
+    (a) orphans the sink's transaction log and (b) makes every
+    checkpointed downstream file-source stream see the compacted files as
+    brand-new paths and re-deliver the whole directory. Compact a
+    SNAPSHOT of a streaming changelog, not the live sink dir.
+
+    Crash safety (rename-aside, same protocol as the pipeline's mirror
+    swap): recover any previous interrupted run first — a leftover
+    ``.compact.old`` with no live dir is restored, with a live dir it is
+    dropped — then write tmp → rename live aside → install tmp → drop the
+    aside. A crash at any point leaves either the old or the new
+    directory recoverable on the next call."""
+    import shutil
+
+    live = path.rstrip("/")
+    bak = live + ".compact.old"
+    tmp = live + ".compact.tmp"
+    if os.path.isdir(bak):  # prior run crashed mid-swap
+        if not os.path.isdir(live):
+            os.rename(bak, live)  # crash was between the two renames
+        else:
+            shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    if not force and os.path.isdir(os.path.join(live, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a streaming file-sink directory (_spark_metadata "
+            "present); compacting it breaks the sink log and replays the "
+            "whole dir into downstream checkpointed streams. Compact a "
+            "snapshot copy, or pass force=True if you have stopped and "
+            "reset every consumer."
+        )
+
     df = spark.read.parquet(path)
     total = sum(
         f.stat().st_size
@@ -67,13 +105,9 @@ def compact_small_files(
         if f.name.endswith(".parquet") or f.name.endswith(".zstd.parquet")
     )
     n = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + ".compact.tmp"
     df.coalesce(n).write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".compact.old"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    import shutil
-
+    os.rename(live, bak)
+    os.rename(tmp, live)
     shutil.rmtree(bak, ignore_errors=True)
     return sum(1 for f in os.scandir(path) if f.name.endswith(".parquet"))
 

@@ -401,7 +401,22 @@ class BucketPartitionedMirror:
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
+    @property
+    def _init_marker(self) -> str:
+        return os.path.join(self.root, "_INITIALIZED")
+
     def exists(self) -> bool:
+        """Initialized ≠ non-empty: a changelog that deletes EVERY key
+        leaves zero bucket dirs (merge_batch removes fully-deleted
+        buckets, and an empty partitioned write creates none), and
+        conflating the two would re-run the initial load on the next
+        incremental pass — resurrecting deleted rows whose delete events
+        the checkpoint has already consumed. The marker file records
+        initialization independently of bucket count; pre-marker mirrors
+        (bucket dirs, no marker) still count as initialized."""
+        return os.path.exists(self._init_marker) or self._has_buckets()
+
+    def _has_buckets(self) -> bool:
         return any(d.startswith("bucket=") for d in os.listdir(self.data_dir))
 
     def initialize(self, df: DataFrame) -> None:
@@ -412,23 +427,44 @@ class BucketPartitionedMirror:
             .partitionBy("bucket")
             .parquet(self.data_dir)
         )
+        with open(self._init_marker, "w") as fh:
+            fh.write("1")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession) -> DataFrame | None:
         # mergeSchema: a column-adding batch rewrites only touched buckets,
         # so bucket dirs can disagree on schema — schema inference from one
         # file would silently drop the evolved column
+        if not self._has_buckets():
+            return None  # initialized-but-empty (every key deleted)
         return (
             spark.read.option("mergeSchema", "true")
             .parquet(self.data_dir)
             .drop("bucket")
         )
 
-    def read_buckets(self, spark: SparkSession, buckets: Sequence[int]) -> DataFrame:
-        # partition pruning: the bucket IN (...) predicate binds to the
-        # partition column, so only the touched directories are listed/read
+    def read_buckets(
+        self, spark: SparkSession, buckets: Sequence[int]
+    ) -> DataFrame | None:
+        # Listing is scoped to the touched bucket DIRECTORIES (basePath
+        # keeps the partition column), so both the file listing and the
+        # mergeSchema footer reads cost |touched|/n_buckets of the mirror
+        # — reading the table root would run schema-merging over EVERY
+        # file before the partition filter pruned anything, breaking the
+        # class's per-batch cost contract at the 100 TB design point.
+        dirs = [
+            os.path.join(self.data_dir, f"bucket={int(b)}")
+            for b in buckets
+            if os.path.isdir(os.path.join(self.data_dir, f"bucket={int(b)}"))
+        ]
+        if not dirs:
+            return None  # none of the touched buckets exist yet
         return (
             spark.read.option("mergeSchema", "true")
-            .parquet(self.data_dir)
+            .option("basePath", self.data_dir)
+            .parquet(*dirs)
+            # belt-and-braces partition predicate: listing is already
+            # scoped, but the filter keeps the pruning contract visible in
+            # the plan (PartitionFilters) and inert against stray dirs
             .filter(F.col("bucket").isin(*[int(b) for b in buckets]))
         )
 
@@ -449,11 +485,9 @@ class BucketPartitionedMirror:
         ]
         if not touched:
             return {"touched_buckets": []}
-        current = (
-            self.read_buckets(spark, touched).drop("bucket")
-            if self.exists()
-            else None
-        )
+        current = self.read_buckets(spark, touched) if self.exists() else None
+        if current is not None:
+            current = current.drop("bucket")
         new_state = apply_changelog(
             batch_df,
             key_cols=key,

@@ -168,6 +168,10 @@ def test_main_entry_end_to_end(scenario, tmp_path, monkeypatch):
     # table pair registered by the bootstrap step
     assert spark.catalog.tableExists("cdc_bootstrap.test_table")
     assert spark.catalog.tableExists("cdc_bootstrap.test_table_changelog")
+    # control plane wired to the data plane: the registered mirror table
+    # must SELECT the pipeline's actual output, not an empty warehouse dir
+    assert _mirror_dict(spark.table("cdc_bootstrap.test_table")) == expected
+    assert spark.table("cdc_bootstrap.test_table_changelog").count() > 0
     # second invocation: checkpointed = no new files = same state
     assert main() == 0
     assert _mirror_dict(mirror.read(spark)) == expected
