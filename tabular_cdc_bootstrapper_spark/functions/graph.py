@@ -110,8 +110,12 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
     if not edges.head(1):
-        spark = pairs.sparkSession
-        return spark.createDataFrame([], "id long, component_id long")
+        # schema must match the non-empty path (which inherits the input
+        # id type) — a hardcoded long would break string-id callers' later
+        # unions exactly and only on the empty-edge edge case
+        return edges.select(
+            F.col("u").alias("id"), F.col("v").alias("component_id")
+        ).limit(0)
 
     prev_sig = None
     for _ in range(max_rounds):

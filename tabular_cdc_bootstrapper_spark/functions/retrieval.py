@@ -59,9 +59,11 @@ def bm25_topk(
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # lowercase the QUERY terms too — document tokens come from F.lower,
+    # so an uppercase query term would silently match nothing
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(list(terms)))
+        .filter(F.col("term").isin([t.lower() for t in terms]))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -35,8 +35,19 @@ def as_of_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Backward as-of join; right payload columns arrive as ``<col><suffix>``
-    (null when no right row precedes the left row)."""
-    keys = [on] if isinstance(on, str) else list(on)
+    (null when no right row precedes the left row).
+
+    Right rows with a NULL timestamp are EXCLUDED (pandas merge_asof
+    raises on them; silently keeping them would sort a null-ts row first
+    and fabricate a floor match for every left row). Ties among right
+    rows sharing (key, ts) resolve deterministically to the greatest
+    payload struct — callers needing a different tie-break should
+    pre-reduce the right side (as the registry's asof query does with a
+    groupBy max)."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import _as_list
+
+    keys = _as_list(on)
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = (
         list(right_payload)
         if right_payload is not None
@@ -73,7 +84,11 @@ def as_of_join(
     # a right row with ts == left ts IS matched (inclusive as-of)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__evt_ts", "__is_left")
+        # __p as the final sort key: right rows tied on (key, ts) order by
+        # payload struct, so last() picks the greatest one — deterministic
+        # under retries/shuffle changes (left rows have null __p and sort
+        # first within their (ts, tag) run; ignorenulls skips them anyway)
+        .orderBy("__evt_ts", "__is_left", "__p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = merged.withColumn("__asof", F.last(F.col("__p"), ignorenulls=True).over(w))

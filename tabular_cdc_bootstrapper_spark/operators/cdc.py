@@ -63,7 +63,15 @@ def latest_by_key(
         agg = df.groupBy(*keys).agg(
             F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("__latest")
         )
-        return agg.select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload])
+        # re-project in the INPUT column order — the docstring contract
+        # ("output columns == input columns") and the window strategy both
+        # preserve it; keys-first would misalign positional consumers
+        return agg.select(
+            *[
+                F.col(c) if c in keys else F.col(f"__latest.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
     if strategy == "window":
         w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
         return (

@@ -27,11 +27,12 @@ broadcast-sized by construction.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.operators.cdc import _as_list, apply_changelog
 
 
 def maintain_agg(
@@ -63,11 +64,21 @@ def maintain_agg(
     but touching-keys-only instead of — ``apply_changelog(...).groupBy(
     group).agg(count, sums)``; the invariant test pins that equality.
     """
-    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    groups = _as_list(group_cols)
+    keys = _as_list(key_cols)
 
     touched = changelog.select(*keys).distinct()
-    old = mirror_before.join(touched, keys, "left_semi")
+    # null-safe key probe: groupBy treats NULL keys as real groups, so a
+    # mirror row with a NULL key must still be retracted when the batch
+    # touches the NULL key — plain equality would skip it silently
+    old = mirror_before.join(
+        touched,
+        reduce(
+            lambda a, b: a & b,
+            [mirror_before[k].eqNullSafe(touched[k]) for k in keys],
+        ),
+        "left_semi",
+    )
     new = apply_changelog(
         changelog,
         keys,
@@ -96,8 +107,19 @@ def maintain_agg(
         ],
     )
 
-    merged = agg_before.join(delta_agg, groups, "full_outer").select(
-        *groups,
+    # null-safe group merge: NULL is a legitimate group value out of
+    # groupBy, and plain equality in the full outer would split it into
+    # two rows (stale pre-batch + bare delta), breaking incremental ==
+    # recompute. Group columns re-emerge via per-side coalesce.
+    merged = agg_before.join(
+        delta_agg,
+        reduce(
+            lambda a, b: a & b,
+            [agg_before[g].eqNullSafe(delta_agg[g]) for g in groups],
+        ),
+        "full_outer",
+    ).select(
+        *[F.coalesce(agg_before[g], delta_agg[g]).alias(g) for g in groups],
         (
             F.coalesce(F.col(count_col), F.lit(0))
             + F.coalesce(F.col(f"__d_{count_col}"), F.lit(0))

@@ -60,7 +60,21 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     once per salt. Use when the small side is too large to broadcast but
     the big side's key distribution is skewed; the hot key spreads over
-    ``n_salts`` tasks instead of one straggler."""
+    ``n_salts`` tasks instead of one straggler.
+
+    Only join types that never EMIT unmatched small-side rows are legal:
+    a small row exists once per salt replica, so right/full outer would
+    null-extend it ``n_salts`` times. inner / left / left_semi / left_anti
+    are unaffected (an anti/semi probe matches iff the key exists, which
+    is replica-invariant)."""
+    legal = {"inner", "left", "leftouter", "left_outer", "left_semi",
+             "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in legal}:
+        raise ValueError(
+            f"salted_join cannot run how={how!r}: the replicated small side "
+            "would emit every unmatched row n_salts times; use inner/left/"
+            "semi/anti, or salt the other side"
+        )
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     replicated_small = small.select("*", salts)

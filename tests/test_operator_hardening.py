@@ -1,0 +1,115 @@
+"""Regression tests for the round-5 operator review findings: NULL-key /
+NULL-group handling, salted outer-join duplication, as-of null timestamps
+and tie determinism, max_by column order, BM25 query-term case, and the
+empty-graph schema edge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.operators.cdc import latest_by_key
+from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_agg
+from tabular_cdc_bootstrapper_spark.operators.skew import salted_join
+
+
+def test_maintain_agg_null_group_matches_recompute(spark):
+    """NULL is a real group out of groupBy; the incremental merge must
+    null-safely match it instead of splitting it into two rows."""
+    mirror = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "g", 5.0)],
+        "id long, grp string, v double",
+    )
+    agg0 = mirror.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("s")
+    )
+    batch = spark.createDataFrame(
+        [(1, None, 99.0, "U", 1), (4, None, 1.0, "I", 1)],
+        "id long, grp string, v double, op string, ts long",
+    )
+    out = maintain_agg(
+        agg0, mirror, batch, "grp", "id", "ts", {"s": "v"}, count_col="n_rows"
+    ).collect()
+    got = {r["grp"]: (r["n_rows"], r["s"]) for r in out}
+    # recompute: null group = {1:99, 2:20, 4:1} → n=3, s=120; "g" untouched
+    assert got == {None: (3, 120.0), "g": (1, 5.0)}
+
+
+def test_maintain_agg_null_key_is_retracted(spark):
+    """A mirror row with a NULL key must still be retracted when the batch
+    touches the NULL key (plain equality semi-join would skip it)."""
+    mirror = spark.createDataFrame(
+        [(None, "a", 10.0), (2, "a", 20.0)], "id long, grp string, v double"
+    )
+    agg0 = mirror.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("s")
+    )
+    batch = spark.createDataFrame(
+        [(None, "a", None, "D", 1)], "id long, grp string, v double, op string, ts long"
+    )
+    out = maintain_agg(
+        agg0, mirror, batch, "grp", "id", "ts", {"s": "v"}, count_col="n_rows"
+    ).collect()
+    got = {r["grp"]: (r["n_rows"], r["s"]) for r in out}
+    assert got == {"a": (1, 20.0)}  # the null-key row is gone
+
+
+def test_salted_join_rejects_outer(spark):
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "k long, b string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="replicated small side"):
+            salted_join(big, small, "k", how=how)
+    # the legal forms still work
+    assert salted_join(big, small, "k", how="inner").count() == 1
+    assert salted_join(big, small, "k", how="left_anti").count() == 0
+
+
+def test_asof_null_right_ts_is_excluded(spark):
+    """A right row with NULL ts must never become a floor match."""
+    from tabular_cdc_bootstrapper_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, None, "phantom")], "k long, rts long, v string"
+    )
+    (row,) = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert row["v_asof"] is None
+
+
+def test_asof_equal_ts_tie_is_deterministic_max(spark):
+    from tabular_cdc_bootstrapper_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 5, "A"), (1, 5, "B")], "k long, rts long, v string"
+    )
+    (row,) = as_of_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert row["v_asof"] == "B"  # greatest payload struct wins the tie
+
+
+def test_latest_by_key_preserves_column_order(spark):
+    df = spark.createDataFrame([(5, "x", 1), (6, "y", 1)], "ts long, val string, id long")
+    for strategy in ("max_by", "window"):
+        out = latest_by_key(df, "id", "ts", strategy=strategy)
+        assert out.columns == ["ts", "val", "id"], strategy
+
+
+def test_bm25_query_terms_are_case_insensitive(spark):
+    from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge the tables"), (2, "nothing relevant")], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, ["Merge"], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_connected_components_empty_edges_keeps_id_type(spark):
+    from tabular_cdc_bootstrapper_spark.functions.graph import connected_components
+
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    out = connected_components(pairs, "id_a", "id_b")
+    assert out.count() == 0
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds == {"id": "string", "component_id": "string"}
