@@ -18,6 +18,10 @@ Engine extensions:
                         for environments without object-store credentials)
   SPARK_CDC_WORK_DIR    checkpoint + mirror state root (default /tmp/...)
   SPARK_CDC_RUN_PIPELINE=0  bootstrap only, skip the data plane
+  SPARK_CDC_MIRROR_LAYOUT   "snapshot" (default; atomic pointer swap) or
+                        "bucketed" (BucketPartitionedMirror — per-batch
+                        merges rewrite only touched key buckets; the
+                        100 TB shape; registered as a partitioned table)
 """
 
 from __future__ import annotations
@@ -80,8 +84,12 @@ def main() -> int:
         run_cdc_pipeline_available_now,
     )
 
-    from tabular_cdc_bootstrapper_spark.catalog import point_table_to
+    from tabular_cdc_bootstrapper_spark.catalog import (
+        point_table_to,
+        point_table_to_partitioned,
+    )
 
+    mirror_layout = os.environ.get("SPARK_CDC_MIRROR_LAYOUT", "snapshot")
     for target in cfg.targets:
         if isinstance(results.get(target.source_uri), Exception):
             continue
@@ -91,6 +99,7 @@ def main() -> int:
             schema,
             os.path.join(work_root, target.table_name),
             target,
+            mirror_layout=mirror_layout,
         )
         state = out["mirror"].read(spark)
         n = state.count() if state is not None else 0
@@ -102,13 +111,16 @@ def main() -> int:
         try:
             point_table_to(spark, changelog_fqn, out["changelog_dir"])
             m = out["mirror"]
-            mirror_loc = (
-                m.data_dir
-                if hasattr(m, "data_dir")
-                else (m.current() or {}).get("dir")
-            )
-            if mirror_loc:
-                point_table_to(spark, mirror_fqn, mirror_loc)
+            if hasattr(m, "data_dir"):
+                # bucket-partitioned mirror: its layout is bucket=N
+                # subdirectories, which an unpartitioned table registration
+                # would silently see as zero files — register partitioned
+                # (+ MSCK partition discovery) instead
+                point_table_to_partitioned(spark, mirror_fqn, m.data_dir)
+            else:
+                mirror_loc = (m.current() or {}).get("dir")
+                if mirror_loc:
+                    point_table_to(spark, mirror_fqn, mirror_loc)
         except Exception as exc:  # noqa: BLE001 — wiring is best-effort
             log.error("table re-point failed for %s: %s", target.table_name, exc)
 

@@ -52,7 +52,14 @@ def table_exists(spark: SparkSession, database: str, table: str) -> bool:
     a dash-bearing table name (routine in S3 prefixes → table_name
     derivation, config.py) raises ParseException before the quoted CREATE
     ever runs. SHOW TABLES takes the name as a pattern STRING instead;
-    only its wildcards need escaping."""
+    only its wildcards need escaping.
+
+    The final compare is case-INSENSITIVE: Spark stores catalog
+    identifiers lowercased, so a mixed-case name (e.g. an S3 segment
+    'CustomerData') comes back as 'customerdata' and an exact compare
+    would report False on every probe — sending each bootstrap down the
+    create path forever (masked by IF NOT EXISTS, but the returned
+    created/existed signal would be wrong)."""
     pattern = table.replace("*", r"\*").replace("|", r"\|")
     try:
         rows = spark.sql(
@@ -60,7 +67,7 @@ def table_exists(spark: SparkSession, database: str, table: str) -> bool:
         ).collect()
     except Exception:  # database itself missing → table can't exist
         return False
-    return any(r["tableName"] == table for r in rows)
+    return any(r["tableName"].lower() == table.lower() for r in rows)
 
 
 def _location_has_data(spark: SparkSession, location: str) -> bool:
@@ -124,6 +131,54 @@ def point_table_to(spark: SparkSession, fqn: str, location: str) -> None:
     see what the pipeline actually wrote (the snapshot mirror swaps its
     current-version directory per commit, so the location moves)."""
     spark.sql(f"ALTER TABLE {_q(fqn)} SET LOCATION '{location}'")
+    spark.sql(f"REFRESH TABLE {_q(fqn)}")
+
+
+def point_table_to_partitioned(
+    spark: SparkSession, fqn: str, location: str, partition_col: str = "bucket"
+) -> None:
+    """Re-point a table at a PARTITIONED layout (``<location>/bucket=N/``).
+
+    ``ALTER TABLE SET LOCATION`` on an unpartitioned USING PARQUET table
+    does no partition discovery, so pointing it at a bucket-partitioned
+    mirror makes ``SELECT *`` see zero files. A partitioned external
+    table needs (a) the partition column declared in its DDL and (b) its
+    partitions registered in the metastore — so this re-creates the
+    registration (catalog metadata only; zero data movement) and runs
+    ``MSCK REPAIR`` to discover the ``bucket=N`` directories. User-set
+    TBLPROPERTIES survive: they're read first and re-applied after the
+    re-create.
+    """
+    df = spark.read.option("basePath", location).parquet(location)
+    fields = {f.name: f for f in df.schema.fields}
+    if partition_col not in fields:
+        raise ValueError(
+            f"{location!r} has no {partition_col!r} partition column "
+            f"(columns: {sorted(fields)}); use point_table_to for flat layouts"
+        )
+    db, _, tbl = fqn.rpartition(".")
+    existed = bool(db) and table_exists(spark, db, tbl)
+    keep_props = {
+        k: v
+        for k, v in (get_table_properties(spark, fqn) if existed else {}).items()
+        # engine-managed keys are re-derived by the CREATE below
+        if not k.startswith(("transient_", "spark.sql.create", "external"))
+    }
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != partition_col
+    )
+    pcol = fields[partition_col]
+    spark.sql(f"DROP TABLE IF EXISTS {_q(fqn)}")
+    spark.sql(
+        f"CREATE TABLE {_q(fqn)} ({data_cols}, "
+        f"`{pcol.name}` {pcol.dataType.simpleString()}) USING PARQUET "
+        f"PARTITIONED BY (`{pcol.name}`) LOCATION '{location}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {_q(fqn)}")
+    if keep_props:
+        set_table_properties(spark, fqn, keep_props)
     spark.sql(f"REFRESH TABLE {_q(fqn)}")
 
 

@@ -41,6 +41,7 @@ def table_diff(
     new: DataFrame,
     key_cols: str | Sequence[str],
     op_col: str = "op",
+    validate: bool = False,
 ) -> DataFrame:
     """Minimal I/U/D changelog transforming ``old`` into ``new``.
 
@@ -48,8 +49,35 @@ def table_diff(
     (taken from ``new`` for I/U; NULL for D — a delete carries only its
     key, the DMS convention the reference's generator follows,
     generate_sample_dms_parquet.py:43-55).
+
+    PRECONDITION: ``key_cols`` must be unique within each snapshot (the
+    definition of a keyed table state). Duplicate keys turn the full
+    outer join into a per-key cross product and the emitted changelog no
+    longer satisfies the round-trip law — silently. Pass
+    ``validate=True`` to check (two extra aggregates over each input —
+    one count + one distinct-count, each a single shuffle; off by default
+    because the inputs are typically the output of `apply_changelog`,
+    which is key-unique by construction) and raise ``ValueError`` with
+    the offending side instead.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if validate:
+        for side, df in (("old", old), ("new", new)):
+            # distinct over a STRUCT of the keys, not the bare columns:
+            # COUNT(DISTINCT k1, k2) skips any tuple with a NULL field,
+            # while struct(k1, k2) is never NULL — so NULL-keyed rows
+            # (which eqNullSafe joins like any value below) count exactly
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*[F.col(k) for k in keys])).alias("nk"),
+            ).collect()[0]
+            if agg["n"] != agg["nk"]:
+                raise ValueError(
+                    f"table_diff precondition violated: {side} snapshot has "
+                    f"{agg['n']} rows but only {agg['nk']} distinct key "
+                    f"tuples over {keys}; duplicate keys would cross-"
+                    "product through the full outer join"
+                )
     if set(old.columns) != set(new.columns):
         raise ValueError(
             f"schema mismatch: old has {sorted(old.columns)}, "

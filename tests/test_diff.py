@@ -79,3 +79,33 @@ def test_op_column_collision_rejected(spark):
     old = spark.createDataFrame([(1, "I")], "id long, op string")
     with pytest.raises(ValueError, match="op column"):
         table_diff(old, old, "id")
+
+
+def test_validate_rejects_duplicate_keys(spark):
+    """table_diff's key-uniqueness precondition: validate=True turns the
+    silent cross-product failure mode into a ValueError naming the side."""
+    unique = _df(spark, {1: "a", 2: "b"})
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "id long, payload string"
+    )
+    with pytest.raises(ValueError, match="old snapshot"):
+        table_diff(dup, unique, "id", validate=True)
+    with pytest.raises(ValueError, match="new snapshot"):
+        table_diff(unique, dup, "id", validate=True)
+    # unique inputs pass the check and diff normally
+    assert table_diff(unique, unique, "id", validate=True).count() == 0
+
+
+def test_validate_counts_null_keys_exactly(spark):
+    """NULL keys join via eqNullSafe, so two NULL-keyed rows ARE
+    duplicates; one NULL-keyed row is not (COUNT DISTINCT over a struct
+    keeps NULL fields, unlike over bare columns)."""
+    one_null = spark.createDataFrame(
+        [(None, "a"), (2, "b")], "id long, payload string"
+    )
+    assert table_diff(one_null, one_null, "id", validate=True).count() == 0
+    two_null = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "id long, payload string"
+    )
+    with pytest.raises(ValueError, match="old snapshot"):
+        table_diff(two_null, one_null, "id", validate=True)
