@@ -80,39 +80,24 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return qdf.withColumn("cid", nearest("qv"))
 
 
-def kmeans_fit_predict(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 2,
-) -> DataFrame:
-    """Lloyd k-means, returns (id, cid) assignments after ``iters`` rounds.
+def _fit(qdf: DataFrame, k: int, max_iters: int) -> tuple[list[list[int]], int]:
+    """Lloyd loop over an (id, qv) quantized corpus; returns the final
+    quantized centroid matrix and the number of iterations actually run.
 
-    Plan per iteration: corpus-resident assignment (no shuffle) → explode
-    to (cid, dim_idx, val) → hash agg with map-side partials (shuffle is
-    k·dim rows per partition) → collect k·dim longs. Centroid mean uses
-    integer division truncating toward zero (matches both Spark `div` and
-    the oracle's emulated trunc-div); empty clusters keep their previous
-    centroid (deterministic, no re-seeding).
-
-    Caching: the fit runs ``iters + 2`` ACTIONS (init top-k, one
-    aggregate per iteration, the returned final assignment), so the
-    quantized corpus is materialized ONCE via eager localCheckpoint —
-    like graph.py's star rounds — and every action reads the stored
-    blocks. Unlike persist(), checkpoint blocks are freed by the
-    ContextCleaner when the returned plan is garbage-collected, so
-    long-lived sessions (and drivers that never clearCache between
-    queries) don't accumulate leaked cache entries. The lineage
-    truncation means executor loss forces a job failure instead of
-    recompute — the standard localCheckpoint trade; swap in persist()
-    +StorageLevel replication on clusters where that matters."""
-    qdf = quantize_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    Convergence probe (zero extra jobs): integer quantization makes the
+    centroid update EXACT, so a Lloyd fixed point is detectable as plain
+    list equality of the k×dim ints on the driver — no assignment-diff
+    join needed. If ``new == old`` the assignment next round is
+    bit-identical too (deterministic argmin over identical centroids), so
+    stopping early NEVER changes the result — which is why the
+    fixed-iter oracle queries can share this loop: an oracle that unrolls
+    ``iters`` rounds computes the same centroids, converged or not."""
     init_rows = qdf.orderBy("id").limit(k).collect()
     centroids = [list(r["qv"]) for r in init_rows]
     dim = len(centroids[0])
 
-    for _ in range(iters):
+    it_run = 0
+    for _ in range(max_iters):
         assigned = _assign(qdf, centroids)
         sums = (
             assigned.select(
@@ -135,6 +120,65 @@ def kmeans_fit_predict(
                 q, rem = divmod(abs(s), n)
                 vec[i] = q if s >= 0 else -q  # trunc toward zero
             new_centroids.append(vec)
+        it_run += 1
+        if new_centroids == centroids:  # exact integer fixed point
+            break
         centroids = new_centroids
+    return centroids, it_run
 
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iters: int = 20,
+) -> tuple[list[list[int]], int]:
+    """Fit only: returns (quantized k×dim centroids, iterations run).
+
+    Runs until the exact integer fixed point or ``max_iters``, whichever
+    comes first (see ``_fit`` for why early stop is result-identical).
+    Use ``dequantize_centroids`` to get float vectors — e.g. to train
+    IVF inverted lists (similarity.ivf_topk(centroid_strategy="kmeans"))."""
+    qdf = quantize_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    return _fit(qdf, k, max_iters)
+
+
+def dequantize_centroids(centroids: list[list[int]]) -> list[list[float]]:
+    """Quantized int64 centroids → float coordinates (exact: int/2²⁰ is a
+    dyadic rational, representable in double for all our magnitudes)."""
+    return [[c / _SCALE for c in vec] for vec in centroids]
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means, returns (id, cid) assignments after ``iters`` rounds
+    (fewer if the exact fixed point arrives first — same result either
+    way, see ``_fit``).
+
+    Plan per iteration: corpus-resident assignment (no shuffle) → explode
+    to (cid, dim_idx, val) → hash agg with map-side partials (shuffle is
+    k·dim rows per partition) → collect k·dim longs. Centroid mean uses
+    integer division truncating toward zero (matches both Spark `div` and
+    the oracle's emulated trunc-div); empty clusters keep their previous
+    centroid (deterministic, no re-seeding).
+
+    Caching: the fit runs ``iters + 2`` ACTIONS (init top-k, one
+    aggregate per iteration, the returned final assignment), so the
+    quantized corpus is materialized ONCE via eager localCheckpoint —
+    like graph.py's star rounds — and every action reads the stored
+    blocks. Unlike persist(), checkpoint blocks are freed by the
+    ContextCleaner when the returned plan is garbage-collected, so
+    long-lived sessions (and drivers that never clearCache between
+    queries) don't accumulate leaked cache entries. The lineage
+    truncation means executor loss forces a job failure instead of
+    recompute — the standard localCheckpoint trade; swap in persist()
+    +StorageLevel replication on clusters where that matters."""
+    qdf = quantize_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    centroids, _ = _fit(qdf, k, iters)
     return _assign(qdf, centroids).select("id", "cid")

@@ -171,28 +171,40 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    centroid_strategy: str = "lowest_id",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid; queries scan only their ``n_probes``
     closest lists.
 
-    Centroids are a deterministic FIXED-SIZE sample (the ``n_centroids``
-    lowest-id vectors — a TakeOrdered, no full sort): centroid count must
-    not scale with the corpus, or assignment degenerates to O(n²) compute
-    plus a corpus-proportional broadcast. The tiny centroid table is
-    collected driver-side and shipped in the UDF closure (the "broadcast
-    the model" pattern), so assignment is a shuffle-free vectorized matmul
-    over each Arrow batch; swapping in k-means centroids (pyspark.ml)
-    changes only how ``cent_rows`` is produced. At warehouse scale the
-    corpus is written partitioned by ``centroid_id`` so a probe is a
-    partition-pruned scan.
+    ``centroid_strategy`` picks how the inverted lists are trained —
+    both deterministic and oracle-replayable, and either way the centroid
+    count is FIXED (must not scale with the corpus, or assignment
+    degenerates to O(n²) compute plus a corpus-proportional broadcast):
 
-    NOTE: building the plan runs one eager driver-side job (the
-    TakeOrdered collect of ``n_centroids`` rows) — this function is not
-    lazily composable; call it when you mean to execute. Zero-norm vectors
-    are guarded in the assignment matmul (treated as norm 1 → similarity 0
-    to every centroid → deterministic assignment to the first/lowest-cid
-    list) instead of propagating NaN into argmax.
+    - ``"lowest_id"``: the ``n_centroids`` lowest-id vectors (a
+      TakeOrdered, no full sort). Cheapest; list quality is whatever the
+      id order happens to give.
+    - ``"kmeans"``: ``clustering.kmeans_fit`` centroids (``kmeans_iters``
+      Lloyd rounds over the int64-quantized corpus, exact fixed-point
+      early stop). Lists follow the data's actual density, so recall at
+      equal ``n_probes`` is ≥ the sample lists' on clustered data
+      (pinned by tests/test_clustering.py); costs ``kmeans_iters``
+      extra aggregate jobs at build time.
+
+    The tiny centroid table is collected driver-side and shipped in the
+    UDF closure (the "broadcast the model" pattern), so assignment is a
+    shuffle-free vectorized matmul over each Arrow batch. At warehouse
+    scale the corpus is written partitioned by ``centroid_id`` so a
+    probe is a partition-pruned scan.
+
+    NOTE: building the plan runs eager driver-side jobs (the centroid
+    collect / k-means fit) — this function is not lazily composable;
+    call it when you mean to execute. Zero-norm vectors are guarded in
+    the assignment matmul (treated as norm 1 → similarity 0 to every
+    centroid → deterministic assignment to the first/lowest-cid list)
+    instead of propagating NaN into argmax.
     """
     from pyspark.sql import functions as SF
 
@@ -204,14 +216,32 @@ def ivf_topk(
     # per element — measured ~2.6 s for 128 k pairs at sf0.1, ~10× slower
     # than numpy on the same work. Assignment maps each vector to its list;
     # the candidate scoring below stays fully declarative.
-    cent_rows = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
-    cids = [int(r["cid"]) for r in cent_rows]  # ascending — argmax tie → lowest cid
-    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    if centroid_strategy == "kmeans":
+        from tabular_cdc_bootstrapper_spark.functions.clustering import (
+            dequantize_centroids,
+            kmeans_fit,
+        )
+
+        cents, _ = kmeans_fit(
+            corpus, vec_col=vec_col, id_col=id_col, k=n_centroids,
+            max_iters=kmeans_iters,
+        )
+        cids = list(range(len(cents)))  # argmax tie → lowest cid
+        cmat = np.array(dequantize_centroids(cents), dtype=np.float64)
+    elif centroid_strategy == "lowest_id":
+        cent_rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .collect()
+        )
+        cids = [int(r["cid"]) for r in cent_rows]  # ascending — argmax tie → lowest cid
+        cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    else:
+        raise ValueError(
+            f"unknown centroid_strategy {centroid_strategy!r}; "
+            "use 'lowest_id' or 'kmeans'"
+        )
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cmat = cmat / np.where(cnorm == 0, 1.0, cnorm)
 

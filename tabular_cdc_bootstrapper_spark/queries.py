@@ -56,9 +56,20 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     probe = path
     if _os.path.isdir(path):
-        parts = _glob.glob(_os.path.join(path, "*.parquet"))
-        if parts:
-            probe = parts[0]
+        # sorted + recursive: glob order is filesystem-dependent, so an
+        # unsorted probe of a mixed-dtype directory (mid-regeneration)
+        # would pick its branch nondeterministically; and datasets nested
+        # one level down (written with partitioning / recursiveFileLookup)
+        # have no top-level *.parquet at all
+        parts = sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet files under events dir {path!r}; cannot probe "
+                "the ts storage dtype"
+            )
+        probe = parts[0]
     ts_type = str(_pq.read_schema(probe).field("ts").type)
 
     # "timestamp[ns" prefix-matches both naive ("timestamp[ns]") and
@@ -581,6 +592,83 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "skewed_priority_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def skewed_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py, VERDICT r5 #4):
+    o_orderpriority has only 5 values, so each group holds ~20% of the
+    table — the exact shape where a single-phase groupBy makes 5 reducers
+    do all the work. salted_agg splits each group across 16 salted
+    partials, then merges; the ORACLE IS THE PLAIN GROUP BY, because the
+    salted law is result identity. The sum runs over DECIMAL(18,2)
+    (o_totalprice is a 2-decimal value, so the cast is exact) to keep the
+    identity bit-exact under the salt's re-ordering of float additions."""
+    from tabular_cdc_bootstrapper_spark.operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_orderpriority"],
+        {
+            "total_price": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+            "n_orders": ("count", F.col("o_orderkey")),
+            "min_price": ("min", F.col("o_totalprice")),
+            "max_price": ("max", F.col("o_totalprice")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("total_price").cast("double"),
+        "n_orders",
+        "min_price",
+        "max_price",
+    )
+
+
+@query(
+    "salted_nation_revenue",
+    oracle="""
+    SELECT s.s_nationkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join (operators/skew.py salted_join, VERDICT r5
+    #4): the big (fact) side is salted, the dim side replicated once per
+    salt, so a hot supplier key spreads over 8 tasks instead of one
+    straggler. The oracle is the PLAIN equi-join — the salted law is
+    result identity. (supplier would normally broadcast at this size; it
+    stands in for a mid-size dim that doesn't fit the broadcast
+    threshold, which is exactly when salted_join earns its keep.)"""
+    from tabular_cdc_bootstrapper_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(l, s, on="l_suppkey", n_salts=8, how="inner")
+    return joined.groupBy("s_nationkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
     )
 
 
@@ -2059,7 +2147,9 @@ def _kmeans_oracle(
     that both engines reproduce bit-identically. ``final_select`` is a SQL
     fragment over the final assignment CTE (referenced as ``{a}``) so
     derived queries (cluster_balanced_sample) share the iteration without
-    string surgery."""
+    string surgery; it may also reference ``{c}`` — the FINAL centroid CTE
+    (quantized int64 coords) — for consumers of the model itself
+    (ann_ivf_kmeans_topk trains its inverted lists from it)."""
     assign = """
     d{n} AS (
         SELECT q.id, q.qv, c.cid,
@@ -2118,7 +2208,7 @@ def _kmeans_oracle(
            CAST(SUM(id) AS BIGINT) AS id_checksum
     FROM {a} GROUP BY cid
     """
-    return "WITH " + ",".join(parts) + final_select.format(a=f"a{final}")
+    return "WITH " + ",".join(parts) + final_select.format(a=f"a{final}", c=cents)
 
 
 @query(
@@ -2198,6 +2288,72 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("bigint"),
         F.col("id_checksum").cast("bigint"),
     )
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Replicates ivf_topk(centroid_strategy="kmeans", k=10, n_centroids=8,
+    n_probes=2): the inverted lists are trained by the SAME int64-quantized
+    Lloyd iteration the kmeans oracle replays (final centroid CTE ``{c}``),
+    dequantized exactly (int / 2²⁰ is a dyadic rational — bit-identical in
+    both engines), then the standard IVF assign→probe→rank pipeline runs
+    by cosine against those centroids."""
+    cos_ec = _sql_cos("e.embedding", "c.cv")
+    return _kmeans_oracle(
+        k=8,
+        iters=2,
+        final_select=f"""
+    , fcents AS (
+        SELECT cid, list_transform(qv, x -> CAST(x AS DOUBLE) / 1048576.0) AS cv
+        FROM {{c}}
+    ), cass AS (
+        SELECT vec_id, embedding, cid AS list_id FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN fcents c
+        ) WHERE rn = 1
+    ), qass AS (
+        SELECT qid, qv, cid AS list_id FROM (
+            SELECT e.vec_id AS qid, e.embedding AS qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN fcents c WHERE e.vec_id < 5
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT q.qid, a.vec_id, {_sql_cos("q.qv", "a.embedding")} AS sim
+        FROM qass q JOIN cass a USING (list_id) WHERE a.vec_id <> q.qid
+    ), ranked AS (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+    )
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-TRAINED inverted lists (VERDICT r5 #2): same
+    assign→probe→rank pipeline as ann_ivf_topk, but the centroids come
+    from functions/clustering.py's deterministic quantized Lloyd fit, so
+    lists follow the corpus's actual density instead of its id order —
+    higher recall at equal n_probes on clustered data (pinned by
+    tests/test_clustering.py::test_kmeans_lists_beat_sample_lists_recall).
+    Model build cost: kmeans_iters extra aggregate jobs, shuffle volume
+    k·dim·n_partitions — constant in corpus size."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_topk(
+        emb, q, k=10, n_centroids=8, n_probes=2,
+        centroid_strategy="kmeans", kmeans_iters=2,
+    )
+
 
 
 # ---------------------------------------------------------------------------
@@ -3844,18 +4000,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-3 rotation policy:
+# fresh driver-side correctness row. Round-6 rotation policy:
 #
-# - The round-2 tail (17 queries whose only driver row was round 1 —
-#   including hll_distinct_counts, which had NEVER been driver-checked) is
-#   rotated INTO the window so every registry entry gets re-verified on
-#   current code, as are the 7 operators NEW this round (splits, mixing,
-#   sampling, packing, decontamination, funnel, cohort — no row yet).
-# - Displaced to the tail: 24 queries with TWO green driver rows (r1+r2)
-#   that are redundant family members (a same-surface representative stays
-#   up front). Queries whose implementation changed this round
-#   (dedup_exact_groups, embedding_near_duplicates, ngram_jaccard_pairs,
-#   asof, ann_ivf_topk, top_terms, hll) are all kept/placed in-window.
+# - IN (no driver row yet): the 3 queries NEW this round —
+#   skewed_priority_agg / salted_nation_revenue (operators/skew.py finally
+#   registry-exposed, VERDICT r5 #4) and ann_ivf_kmeans_topk (k-means-
+#   trained IVF lists, VERDICT r5 #2).
+# - IN (stalest rows): the 6 tail queries whose only driver row is round 2
+#   (orders_by_month, array_hof_embedding_stats, events_sliding_10min,
+#   session_stats, asof_purchase_signup, q18_large_volume_orders).
+# - OUT (displaced to tail, all green in r5, family representative stays
+#   in-window): semi/anti join pair (q21 covers correlated EXISTS/NOT
+#   EXISTS), cube_order_stats (grouping_sets stays), orders_by_year
+#   (events_tumbling stays), brand_having_filter, nations_with_presence
+#   (set_ops_multiset stays), q17, doc_fingerprints, ann_lsh_topk
+#   (ann_ivf pair stays).
 # - Every oracle-backed entry — window or tail — is ALSO re-executed
 #   against DuckDB locally every round by tests/test_oracle_parity.py, so
 #   tail regressions cannot hide between driver rotations.
@@ -3865,49 +4024,43 @@ _DRIVER_CHECK_PRIORITY = [
     # CDC flagship + core aggregation/join/window surfaces
     "cdc_latest",
     "cdc_scd2_history",
-    "snapshot_diff_changelog",  # NEW r5: changelog generation (diff)
+    "snapshot_diff_changelog",
     "incremental_agg_maintenance",
     "event_funnel",
     "cohort_retention",
     "rolling_30d_revenue",
     "grouping_sets_revenue",
     "set_ops_multiset",
-    # rotated in: round-2 tail (last driver row was round 1; hll never)
-    "semi_join_active_customers",
-    "anti_join_no_open_orders",
-    "cube_order_stats",
-    "orders_by_year",
+    # NEW round 6: skew mitigation registry-exposed (the salted law:
+    # salted == plain, the oracle is the unsalted query) + k-means-trained
+    # IVF inverted lists
+    "skewed_priority_agg",
+    "salted_nation_revenue",
+    "ann_ivf_kmeans_topk",
+    # rotated in: only driver row was round 2
+    "orders_by_month",
+    "array_hof_embedding_stats",
+    "events_sliding_10min",
+    "session_stats",
+    "asof_purchase_signup",
+    "q18_large_volume_orders",
     "events_tumbling_10min",
     "top_terms",
     "orders_above_global_avg",
-    "brand_having_filter",
-    "nations_with_presence",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_revenue",
     "q12_priority_by_linestatus",
     "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    # NEW round 3: q6 (scan-side range predicates) and the q21 shape
-    # (EXISTS + NOT EXISTS correlated on the same fact)
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
-    # NEW round 5: banded interval join wired into the surface (J5);
-    # quantized-deterministic distributed k-means (semantic clustering)
     "range_join_click_attribution",
     "kmeans_embedding_clusters",
     "cluster_balanced_sample",
-    "hll_distinct_counts",  # r4: exact values + tolerance verdict, oracle-backed
-    "approx_price_percentiles",  # r4: scalar rows + verdict, oracle-backed
-    "tfidf_top_terms",  # NEW r3: keyword extraction
-    # scalar / temporal surfaces with a single (round-2) driver row
-    # (orders_by_month / array_hof_embedding_stats / events_sliding_10min /
-    # session_stats / asof_purchase_signup yielded slots to the r3
-    # additions; one r2 green row each, unchanged code, still locally
-    # parity-checked)
-    # text analysis + LLM-pipeline operators (code touched this round,
-    # single driver row, or new this round)
+    "hll_distinct_counts",
+    "approx_price_percentiles",
+    "tfidf_top_terms",
     "hash_split_counts",
     "sequence_packing",
     "weighted_mixture_sample",
@@ -3920,23 +4073,26 @@ _DRIVER_CHECK_PRIORITY = [
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
-    "doc_fingerprints",
     "multimodal_features",
-    "ann_lsh_topk",
     "ann_ivf_topk",
-    # NEW round 3: pairs→clusters connected components, BM25 retrieval,
-    # repetition filters, PII redaction, end-to-end dedup summary
     "near_dup_clusters",
+    # --- tail (51+): green driver rows on current code, family
+    # representative in window, still oracle-checked locally every round ---
     "corpus_dedup_summary",
     "bm25_topk",
     "repetition_stats_by_lang",
     "pii_redaction_by_source",
-    # q18's plan was rewritten this round but late in round 2 the driver
-    # re-checked it green; its slot goes to corpus_dedup_summary and q18
-    # stays locally parity-checked like the rest of the subquery family
-    # (q14/q15/q16/q19/q22 — one green row each, code unchanged)
-    # --- tail: two green driver rows (r1+r2), family representative in
-    # window, still oracle-checked locally every round ---
+    # displaced this round (green r5)
+    "semi_join_active_customers",
+    "anti_join_no_open_orders",
+    "cube_order_stats",
+    "orders_by_year",
+    "brand_having_filter",
+    "nations_with_presence",
+    "q17_small_quantity_revenue",
+    "doc_fingerprints",
+    "ann_lsh_topk",
+    # long-tail: two green driver rows (r1+r2)
     "cdc_ops_histogram",
     "customer_order_window_stats",
     "window_navigation",
@@ -3966,12 +4122,6 @@ _DRIVER_CHECK_PRIORITY = [
     "q15_top_supplier",
     "q16_brand_supplier_count",
     "q22_idle_balance",
-    "orders_by_month",
-    "array_hof_embedding_stats",
-    "events_sliding_10min",
-    "session_stats",
-    "asof_purchase_signup",
-    "q18_large_volume_orders",
 ]
 
 
