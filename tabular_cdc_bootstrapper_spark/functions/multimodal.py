@@ -55,11 +55,36 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image_real(content: bytes) -> object:
-    raise NotImplementedError(
-        "real image decode requires PIL/torchvision (not installed in this "
-        "container); use decode_image_stub — the distributed plan is the same"
-    )
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(content: bytes) -> tuple[int, int, str]:
+    """Real image decode → (width, height, mode), via PIL when installed.
+
+    This container ships no image libraries, so the import is optional:
+    environments with PIL get the real codec, others get a clear
+    NotImplementedError pointing at the stub. The distributed plan
+    (Arrow-batched mapInPandas over binary columns) is identical either
+    way — the codec is a dependency-injection point, exercised in both
+    modes by tests/test_north_star.py (the PIL case skip-marked)."""
+    try:
+        import io
+
+        import PIL.Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision (not installed in "
+            "this container); use decode_image_stub — the distributed plan "
+            "is the same"
+        ) from exc
+    with PIL.Image.open(io.BytesIO(content)) as img:
+        return img.width, img.height, img.mode
 
 
 def decode_image_stub(content: bytes, feature_dim: int = 8) -> list[float]:

@@ -176,8 +176,33 @@ def test_multimodal_plumbing(spark, sf_dir):
     fcount = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in fcount)
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+    from tabular_cdc_bootstrapper_spark.functions.multimodal import (
+        pil_available,
+    )
+
+    if not pil_available():
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"\x89PNG")
+
+
+@pytest.mark.skipif(
+    "not __import__('tabular_cdc_bootstrapper_spark.functions.multimodal', "
+    "fromlist=['pil_available']).pil_available()",
+    reason="PIL not installed in this container (codec is optional)",
+)
+def test_decode_image_real_with_pil():
+    """When the environment DOES have PIL, decode_image_real must decode a
+    real image: a minimal valid 1x1 PNG round-trips to (1, 1, mode)."""
+    import base64
+
+    # 1x1 red pixel PNG (generated once with PIL; a stable public test vector)
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGP4z8Dw"
+        "HwAFAAH/q842iQAAAABJRU5ErkJggg=="
+    )
+    w, h, mode = decode_image_real(png)
+    assert (w, h) == (1, 1)
+    assert isinstance(mode, str) and mode
 
 
 def test_simhash_finds_planted_dups(spark, docs_with_planted_dups):

@@ -387,3 +387,42 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_agg_two_phase_two_exchanges(spark, sf_dir):
+    """skewed_priority_agg (r6): exactly the two exchanges the salted
+    design buys — (key, salt) partials, then the key merge — each fed by
+    a map-side partial aggregate, and the scan pruned to the 3 columns
+    the aggregate touches."""
+    df = q.skewed_priority_agg(spark, sf_dir)
+    assert exchange_count(df) == 2, physical_plan(df)
+    plan = physical_plan(df)
+    assert "partial_sum" in plan
+    (cols,) = scan_read_columns(df)
+    assert cols == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+
+
+def test_salted_join_replicates_small_side_only(spark, sf_dir):
+    """salted_nation_revenue (r6): the salt must multiply the SMALL side
+    (explode over n_salts on supplier), never the fact table — and the
+    fact scan reads only the join key + revenue columns."""
+    df = q.salted_nation_revenue(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "explode" in plan.lower()
+    cols = scan_read_columns(df)
+    assert {"l_suppkey", "l_extendedprice", "l_discount"} in cols
+    # no cartesian/nested-loop anywhere in the salted plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_kmeans_no_corpus_shuffle_before_ranking(spark, sf_dir):
+    """ann_ivf_kmeans_topk (r6): list assignment is a broadcast-model
+    pandas UDF (no join, no shuffle for the corpus); the only exchanges
+    are the k-means partial-sum aggregates (bounded k·dim rows) and the
+    final per-query ranking window. The probe join must be broadcast."""
+    df = q.ann_ivf_kmeans_topk(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -223,3 +223,41 @@ def test_streaming_dedup_dedups_across_microbatches(spark, sf_dir, tmp_path):
     # no re-sent id survived: first-seen (lower id) wins across batches…
     # unless both files landed in one batch — maxFilesPerTrigger pins 2
     assert all(r["doc_id"] < 5_000_000 for r in got)
+
+
+def test_interval_join_equals_banded_range_join(spark, events_dir):
+    """Batch/streaming twin unification (VERDICT r5 #5): the streaming
+    interval_join (key match, r_ts in (l_ts, l_ts + 1h]) and the batch
+    banded_range_join must produce the SAME pair set on the same events
+    data. banded_range_join's window is closed on both ends, so the
+    streaming operator's open lower bound is expressed as lower_s = 1 µs
+    — exact at the engine's microsecond timestamp resolution."""
+    from tabular_cdc_bootstrapper_spark.operators.rangejoin import (
+        banded_range_join,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.joins import interval_join
+
+    signups = _batch(spark, events_dir).filter(F.col("event_type") == "signup")
+    errors = _batch(spark, events_dir).filter(F.col("event_type") == "error")
+
+    via_interval = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_join(signups, errors, max_lag="1 hour").collect()
+    }
+    assert via_interval, "fixture must produce at least one joined pair"
+
+    banded = banded_range_join(
+        signups.select("user_id", "ts", F.col("event_id").alias("l_event_id")),
+        errors.select("user_id", "ts", "event_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=0.000001,  # (l_ts, ...] at µs resolution
+        upper_s=3600.0,
+        right_payload=["event_id"],
+    )
+    via_banded = {
+        (r["user_id"], r["l_event_id"], r["event_id_r"])
+        for r in banded.collect()
+    }
+    assert via_banded == via_interval
