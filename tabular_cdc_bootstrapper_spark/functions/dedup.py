@@ -284,15 +284,12 @@ def minhash_candidates(
     return candidates_from_signatures(sigs, num_hashes, bands, max_bucket_size)
 
 
-def candidates_from_signatures(
-    sigs: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    max_bucket_size: int = 200,
-) -> DataFrame:
-    """LSH banding → candidate pairs from a precomputed (id, sig) frame —
-    split out so callers that also need the shingle sets (verification)
-    compute the signature UDF ONCE and reuse it for both stages."""
+def band_explode(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) — ``bands`` skinny rows per doc from a
+    precomputed (id, sig) frame. Shared by the batch candidate generator
+    and the streaming twin so both bucket on IDENTICAL band hashes (the
+    band/stream unification contract: same banding ⇒ same candidate
+    space)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     band_hashes = F.array(
@@ -303,6 +300,18 @@ def candidates_from_signatures(
             for b in range(bands)
         ]
     )
+    return sigs.select("id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+
+
+def candidates_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH banding → candidate pairs from a precomputed (id, sig) frame —
+    split out so callers that also need the shingle sets (verification)
+    compute the signature UDF ONCE and reuse it for both stages."""
     # (id, band_id, band_hash) — 4 skinny rows per doc, then ONE shuffle
     # groups each band bucket into a sorted id list and the pairs are
     # generated in-plan (no bucket-count join, no self-join, no persist:
@@ -310,9 +319,7 @@ def candidates_from_signatures(
     # stages that first-execution compile dominated its bench time).
     # ``max_bucket_size`` drops degenerate buckets (boilerplate text) and
     # with it the quadratic pair blowup — the LSH skew guard.
-    exploded = sigs.select(
-        "id", F.posexplode(band_hashes).alias("band_id", "band_hash")
-    )
+    exploded = band_explode(sigs, num_hashes, bands)
     lists = (
         exploded.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

@@ -355,3 +355,95 @@ def running_cohort_activity(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Streaming MinHash-LSH candidate pairs — the cross-micro-batch twin
+    of ``functions.dedup.minhash_candidates`` (same signatures, same
+    ``band_explode`` hashes, same skew cap). State per (band_id, band_hash)
+    bucket holds the sorted doc-id membership; a document arriving in a
+    LATER batch than its near-duplicate still pairs with it, which batch
+    re-runs can only do by re-reading the whole corpus.
+
+    Emits (id_a, id_b) with id_a < id_b. Divergences from the batch
+    operator, both inherent to append streams and pinned by the twin test:
+
+    - a pair that collides in SEVERAL bands (or whose doc ids are re-sent)
+      is emitted once per colliding bucket — batch ends with .distinct();
+      streaming downstream consumers dedupe (candidate verification is
+      idempotent, so duplicates cost work, never correctness);
+    - ``max_bucket_size`` is prefix-monotone: a bucket STOPS emitting once
+      its cumulative membership exceeds the cap (state drops to a
+      saturated marker, freeing the id list), but pairs already emitted
+      while it was small are not retractable. Batch, seeing the final
+      membership, drops such a bucket wholly.
+
+    100 TB shape: state is bounded by max_bucket_size ids per bucket and
+    saturation truncates hot buckets (boilerplate) to a 1-bit marker, so
+    state-store growth tracks DISTINCT healthy buckets, not corpus size or
+    skew."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        band_explode,
+        minhash_signatures_df,
+    )
+
+    sigs = minhash_signatures_df(docs, text_col, id_col, k, num_hashes)
+    exploded = band_explode(sigs, num_hashes, bands)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("saturated", T.BooleanType()),
+        ]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import itertools as _it
+
+        import pandas as _pd
+
+        prior, saturated = state.get if state.exists else ([], False)
+        prior = list(prior or [])
+        seen = set(prior)
+        new = sorted(
+            {int(v) for pdf in pdfs for v in pdf["id"]} - seen
+        )
+        if not new:
+            return
+        if saturated or len(prior) + len(new) > max_bucket_size:
+            # hot bucket: stop pairing, keep only the 1-bit marker
+            state.update(([], True))
+            return
+        pairs = [
+            (a, b) if a < b else (b, a) for a in prior for b in new
+        ] + list(_it.combinations(new, 2))
+        state.update((sorted(prior + new), False))
+        if pairs:
+            yield _pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    # append, not update: emitted pairs are immutable facts (never revised
+    # in a later batch), which also lets the query run under the memory
+    # sink's Append mode
+    return exploded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

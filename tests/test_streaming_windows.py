@@ -261,3 +261,49 @@ def test_interval_join_equals_banded_range_join(spark, events_dir):
         for r in banded.collect()
     }
     assert via_banded == via_interval
+
+
+def test_streaming_minhash_twin_matches_batch_candidates(spark, sf_dir, tmp_path):
+    """Batch/streaming near-dup twin: on the same corpus (split across two
+    micro-batches, with a near-duplicate PAIR split across the batch
+    boundary) the streaming LSH candidate set must equal the batch
+    minhash_candidates pair set — same signatures, same band hashes, same
+    cap. The cross-batch planted pair is the part a per-batch re-run of the
+    batch operator would miss."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import minhash_candidates
+    from tabular_cdc_bootstrapper_spark.streaming.stateful import (
+        streaming_minhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # near-dup of doc 7 lands in batch 2 while doc 7 is in batch 1
+    twin = docs.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9_000_007)
+    ).withColumn("text", F.concat(F.lit("zzz "), F.expr("substring(text, 5, length(text))")))
+    out = tmp_path / "minhash_stream"
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(out / "f1"))
+    docs.filter(F.col("doc_id") >= 250).unionByName(twin).coalesce(1).write.parquet(
+        str(out / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.windows import run_stream_to_memory
+
+    q = run_stream_to_memory(streaming_minhash_candidates(stream), "minhash_cand_out")
+    streamed = {
+        (r["id_a"], r["id_b"]) for r in spark.table("minhash_cand_out").collect()
+    }
+    q.stop()
+
+    full = docs.unionByName(twin)
+    batch = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(full).collect()
+    }
+    assert streamed == batch
+    assert (7, 9_000_007) in streamed  # the cross-batch pair was found
