@@ -2660,19 +2660,24 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of order counts per customer,
-    including zero-order customers (left outer join with join-side filter,
-    then a second aggregation over the first)."""
+    including zero-order customers.
+
+    Pre-aggregated form: orders reduce to (custkey, count) BEFORE meeting
+    customer, so the join moves #customers rows instead of #orders rows
+    and the left join + coalesce(0) reinstates zero-order customers — the
+    same fold-the-fact-first rewrite as q18. AQE broadcasts the reduced
+    side at bench scale; at 100 TB it's a custkey-keyed shuffle join of
+    two customer-sized frames (never orders-sized)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(
-            o.filter(F.col("o_orderpriority") != "1-URGENT"),
-            c.c_custkey == o.o_custkey,
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    cnt = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
     )
+    per_cust = c.select("c_custkey").join(
+        cnt, c.c_custkey == cnt.o_custkey, "left"
+    ).select(F.coalesce("c_count", F.lit(0).cast("long")).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
@@ -3586,6 +3591,16 @@ def _span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select("doc_id", "source", "text")
     )
+    # The per-offset hash projection is pure CPU (~len md5 calls per doc)
+    # and parallelism is pinned to SCAN splits: at bench SF the whole
+    # corpus is one parquet row-group, which would serialize ~1.3M md5s on
+    # one of 32 cores (measured 4.3 s → 0.4 s). Spread ONLY when the scan
+    # has fewer splits than the cluster — at 100 TB splits ≫ cores and the
+    # guard skips the exchange, so full-scale plans never pay a raw-text
+    # shuffle.
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
     # md5 minima compare lexicographically on lowercase hex — identical
     # ordering in Spark and DuckDB. slice() clamps short tails on both.
     fps = F.expr(
@@ -3692,8 +3707,11 @@ def span_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on span_hash, AQE plans a shuffle-local join) →
     per-source conditional rollup (shuffle 2, #sources cardinality).
     Counts stay integer end-to-end so the oracle comparison is exact, no
-    float division."""
-    spans = _span_fingerprints(spark, sf_dir)
+    float division. The fingerprint frame is persisted because BOTH join
+    sides branch off it — without it the md5 projection (the expensive
+    stage) runs twice; same caller contract as verified_near_duplicates
+    (bench/driver clearCache() after each query)."""
+    spans = _span_fingerprints(spark, sf_dir).persist()
     counts = spans.groupBy("span_hash").agg(
         F.countDistinct("doc_id").alias("nd")
     )
@@ -4220,22 +4238,27 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    stats = lf.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # (order, supplier) granularity first: no multi-DISTINCT Expand (which
+    # doubles the shuffled fact), and the join-back probe is the reduced
+    # per-pair frame, not raw late lineitem rows. numwait rides along as
+    # the per-pair late-row count and is summed at the end.
+    per_os = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late_rows")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("int")).alias("n_late_supp"),
     )
     sole = (
-        lf.filter("is_late")
-        .join(stats, "l_orderkey")
+        per_os.filter(F.col("n_late_rows") > 0)
+        .join(per_o, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     return (
         sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
