@@ -78,6 +78,82 @@ def cosine_topk(
     )
 
 
+def int8_codes(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    code_i = floor(x_i·scale + 0.5) ∈ [-127, 127] (half-up rounding —
+    floor(+0.5) — because it is bit-identical across engines, unlike
+    banker's rounding). A zero vector quantizes to all-zero codes.
+
+    The scale itself never needs to be carried for COSINE search: it
+    cancels in dot/(|a|·|b|). That is the point of the int8 tier — the
+    shuffled/broadcast payload drops 4× (int8-valued ints vs floats) and
+    every downstream dot product becomes exact integer arithmetic."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    # exact: |products| <= 127² and dim·127² fits comfortably in a long
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def int8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Quantized brute-force top-k: cosine over int8 codes instead of
+    floats — (qid, vec_id, q_cos, rn). Same broadcast-queries/stream-corpus
+    shape as cosine_topk, but the inner loop is integer multiply-adds (the
+    dot and both norms are EXACT integers; the only floating point is one
+    sqrt+division per pair), so results are bit-reproducible across
+    engines, partitionings and SIMD widths — no float-summation-order
+    hazard at all. Ranking quality vs exact cosine is pinned by the recall
+    test (test_int8_topk_recall_vs_exact)."""
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"), int8_codes(F.col(vec_col)).alias("qq")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), int8_codes(F.col(vec_col)).alias("cq")
+    )
+    scored = (
+        cv.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .withColumn("dot", _int_dot(F.col("qq"), F.col("cq")))
+        .withColumn("n2a", _int_dot(F.col("qq"), F.col("qq")))
+        .withColumn("n2b", _int_dot(F.col("cq"), F.col("cq")))
+        .withColumn(
+            "sim",
+            F.when(
+                (F.col("n2a") > 0) & (F.col("n2b") > 0),
+                F.col("dot")
+                / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("sim", 6).alias("q_cos"),
+            F.col("rn").cast("int"),
+        )
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes (driver-side, tiny, broadcast)."""
     rng = random.Random(seed)

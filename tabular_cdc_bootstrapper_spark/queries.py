@@ -1047,6 +1047,63 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "int8_quantized_topk",
+    oracle="""
+    WITH q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) *
+                   (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+                   AS INT)) AS qq
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings)
+    ), pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id,
+               CAST(list_sum(list_transform(list_zip(q.qq, c.qq),
+                    x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT)))
+                    AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(q.qq,
+                    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+                    AS BIGINT) AS n2a,
+               CAST(list_sum(list_transform(c.qq,
+                    x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+                    AS BIGINT) AS n2b
+        FROM q8 q JOIN q8 c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), sims AS (
+        SELECT qid, vec_id,
+               CASE WHEN n2a > 0 AND n2b > 0
+                    THEN dot / (sqrt(CAST(n2a AS DOUBLE))
+                                * sqrt(CAST(n2b AS DOUBLE)))
+                    ELSE 0.0 END AS sim
+        FROM pairs
+    ), ranked AS (
+        SELECT qid, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM sims
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS q_cos, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def int8_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quantization tier: top-10 neighbors by cosine over
+    symmetric int8 codes (the compact-storage/compact-shuffle form a
+    100 TB embedding pipeline actually searches). Dot products and norms
+    are exact integers — the one query family with NO float-summation-
+    order caveat; see functions/similarity.py:int8_cosine_topk."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import int8_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return int8_cosine_topk(emb, q, k=10)
+
+
+@query(
     "minhash_near_duplicates",
     oracle=r"""
     WITH toks AS (
@@ -4308,6 +4365,7 @@ _DRIVER_CHECK_PRIORITY = [
     "duplicated_span_hashes",
     "span_dedup_retention",
     "temperature_mixture_quota",
+    "int8_quantized_topk",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4343,11 +4401,11 @@ _DRIVER_CHECK_PRIORITY = [
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
-    "embedding_near_duplicates",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 3 new round-6 queries (green r5; ann_ivf_kmeans_topk
-    # covers the IVF family in-window, embedding/minhash/simhash cover dedup)
+    # displaced by the 4 new round-6 queries (green r5; ann_ivf_kmeans_topk
+    # covers the IVF family in-window, minhash/simhash/span cover dedup)
+    "embedding_near_duplicates",
     "multimodal_features",
     "ann_ivf_topk",
     "near_dup_clusters",

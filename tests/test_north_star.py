@@ -511,3 +511,37 @@ def test_temperature_quota_laws(spark, sf_dir):
     total_quota = sum(r["quota"] for r in rows.values())
     assert big["quota"] / total_quota < big["n_total"] / n_corpus
     assert small["quota"] / total_quota > small["n_total"] / n_corpus
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve neighbor ranking: recall@10 vs the
+    exact float cosine top-10 >= 0.8 averaged over the query set (64-dim
+    vectors lose little ordering information at 8 bits), and every
+    reported q_cos is within 0.05 of the exact cosine for that pair."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        cosine_topk,
+        int8_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=10).collect()
+    quant = int8_cosine_topk(emb, q, k=10).collect()
+    exact_sets = {}
+    exact_sims = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+        exact_sims[(r["qid"], r["vec_id"])] = r["cos_sim"]
+    quant_sets = {}
+    for r in quant:
+        quant_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & quant_sets[qid]) / 10 for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    for r in quant:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["q_cos"] - exact_sims[key]) < 0.05, r
