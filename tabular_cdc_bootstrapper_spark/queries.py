@@ -3877,6 +3877,65 @@ def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_length_stats",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo), hi)), 4)
+               AS wins_mean,
+           CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_low,
+           CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_high
+    FROM documents d JOIN b USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) per-language length statistics — the
+    robust-stats pass a curation pipeline runs before length-based quality
+    rules, so a handful of megadocs can't drag the mean that thresholds
+    derive from. Values clip to the group's exact interpolated [p5, p95]
+    (percentile ↔ quantile_cont, the price_percentiles parity pair).
+
+    Scale shape: percentile bounds aggregate per group (shuffle 1, exact
+    percentile is the oracle-parity choice — approx_percentile is the
+    drop-in at 100 TB, same plan), the #langs bounds frame BROADCASTS back
+    onto the corpus, conditional rollup (shuffle 2 on lang). Means round
+    at 4 dp on ~2^53-headroom sums, inside the house float-agg contract."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        d.join(F.broadcast(b), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.sum((F.col("n_chars") < F.col("lo")).cast("long")).alias(
+                "n_clip_low"
+            ),
+            F.sum((F.col("n_chars") > F.col("hi")).cast("long")).alias(
+                "n_clip_high"
+            ),
+        )
+    )
+
+
+@query(
     "event_funnel",
     oracle="""
     WITH s1 AS (
@@ -4366,6 +4425,7 @@ _DRIVER_CHECK_PRIORITY = [
     "span_dedup_retention",
     "temperature_mixture_quota",
     "int8_quantized_topk",
+    "winsorized_length_stats",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4400,11 +4460,11 @@ _DRIVER_CHECK_PRIORITY = [
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
     "minhash_near_duplicates",
-    "simhash_near_duplicates",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 4 new round-6 queries (green r5; ann_ivf_kmeans_topk
-    # covers the IVF family in-window, minhash/simhash/span cover dedup)
+    # displaced by the 5 new round-6 queries (green r5; ann_ivf_kmeans_topk
+    # covers the IVF family in-window, minhash/span cover dedup)
+    "simhash_near_duplicates",
     "embedding_near_duplicates",
     "multimodal_features",
     "ann_ivf_topk",
