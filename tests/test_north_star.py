@@ -545,3 +545,37 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
         key = (r["qid"], r["vec_id"])
         if key in exact_sims:
             assert abs(r["q_cos"] - exact_sims[key]) < 0.05, r
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_winnow_case = st.tuples(
+    st.text(alphabet="abcdef ", min_size=0, max_size=120),   # prefix A
+    st.text(alphabet="uvwxyz ", min_size=0, max_size=120),   # prefix B
+    st.text(alphabet="ghijkl mnopqr0123", min_size=49, max_size=90),  # run
+    st.text(alphabet="abcdef ", min_size=0, max_size=80),    # suffix A
+    st.text(alphabet="uvwxyz ", min_size=0, max_size=80),    # suffix B
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=_winnow_case)
+def test_winnowing_guarantee_property(spark, tmp_path_factory, case):
+    """Property form of the winnowing guarantee: for ANY prefix/suffix
+    padding (any alignment, any length, including empty), two documents
+    sharing a run of >= w+s-1 = 49 chars share at least one span
+    fingerprint. The run alphabet is disjoint from the padding alphabets
+    so the planted run is the only guaranteed overlap."""
+    from tabular_cdc_bootstrapper_spark.queries import _span_fingerprints
+
+    pa, pb, run, sa, sb = case
+    sf = _write_documents(
+        spark,
+        tmp_path_factory.mktemp("winnow_prop"),
+        [(1, pa + run + sa), (2, pb + run + sb)],
+    )
+    fp = _span_fingerprints(spark, sf).collect()
+    a = {r["span_hash"] for r in fp if r["doc_id"] == 1}
+    b = {r["span_hash"] for r in fp if r["doc_id"] == 2}
+    assert a & b, (pa, pb, run, sa, sb)
