@@ -458,3 +458,27 @@ def test_temperature_quota_broadcasts_quota_frame(spark, sf_dir):
     df = q.temperature_mixture_quota(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_int8_topk_broadcast_no_shuffle_of_corpus(spark, sf_dir):
+    """int8_quantized_topk: the tiny query side must be the BROADCAST
+    build of the non-equi (vec_id != qid) join — BroadcastNestedLoopJoin
+    BuildRight, like cosine_topk — so the corpus streams through without
+    an exchange before scoring; the only exchange is the per-qid ranking
+    window on the skinny (ids, sim) projection, map-side-truncated by
+    WindowGroupLimit."""
+    df = q.int8_quantized_topk_q(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    assert sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_winsorized_bounds_broadcast(spark, sf_dir):
+    """winsorized_length_stats: the #langs bounds frame must broadcast
+    onto the corpus scan — a lang-keyed shuffle join would serialize the
+    biggest language through one partition."""
+    df = q.winsorized_length_stats(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
