@@ -286,21 +286,18 @@ def minhash_candidates(
 
 def band_explode(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band_id, band_hash) — ``bands`` skinny rows per doc from a
-    precomputed (id, sig) frame. Shared by the batch candidate generator
-    and the streaming twin so both bucket on IDENTICAL band hashes (the
+    precomputed (id, sig) frame. Built ON signature_bands (one banding
+    formula in the repo) and shared by the batch candidate generator and
+    the streaming twin, so both bucket on IDENTICAL band hashes (the
     band/stream unification contract: same banding ⇒ same candidate
     space)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
+    exploded = sigs.select(
+        "id",
+        F.explode(signature_bands(F.col("sig"), bands, rows_per_band)).alias("b"),
     )
-    return sigs.select("id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+    return exploded.select("id", "b.band_id", "b.band_hash")
 
 
 def candidates_from_signatures(

@@ -120,17 +120,19 @@ def int8_cosine_topk(
     engines, partitionings and SIMD widths — no float-summation-order
     hazard at all. Ranking quality vs exact cosine is pinned by the recall
     test (test_int8_topk_recall_vs_exact)."""
+    # norms are per-VECTOR quantities: compute them once per side before
+    # the join, not per candidate pair — per-pair only the dot remains,
+    # cutting the inner-loop HOF folds from 3 to 1 (norms are O(Q + N)
+    # instead of O(Q·N))
     qv = queries.select(
         F.col(query_id_col).alias("qid"), int8_codes(F.col(vec_col)).alias("qq")
-    )
+    ).withColumn("n2a", _int_dot(F.col("qq"), F.col("qq")))
     cv = corpus.select(
         F.col(id_col).alias("vec_id"), int8_codes(F.col(vec_col)).alias("cq")
-    )
+    ).withColumn("n2b", _int_dot(F.col("cq"), F.col("cq")))
     scored = (
         cv.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
         .withColumn("dot", _int_dot(F.col("qq"), F.col("cq")))
-        .withColumn("n2a", _int_dot(F.col("qq"), F.col("qq")))
-        .withColumn("n2b", _int_dot(F.col("cq"), F.col("cq")))
         .withColumn(
             "sim",
             F.when(

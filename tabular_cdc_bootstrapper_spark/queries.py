@@ -3840,13 +3840,24 @@ def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.col("n_total")) * 1000).cast("long").alias("w"),
     )
     wall = Window.partitionBy()  # #langs rows: a global window here is fine
+    # budget·w widened to DECIMAL(38,0) before the product: both factors
+    # are longs, but their PRODUCT can pass 2^63 at extreme corpus sizes
+    # (budget ~ n_docs/4, w ~ sqrt(n_docs)·1000) and a silently-wrapping
+    # long product would diverge from DuckDB's HUGEINT arithmetic exactly
+    # where the integer-exactness claim matters. 38 digits holds the
+    # worst case (19-digit budget × 13-digit w) losslessly.
     q = stats.select(
         "lang",
         "n_total",
-        F.expr("((sum(n_total) over () div 4) * w)").alias("_bw"),
+        F.expr(
+            "CAST((sum(n_total) over () div 4) AS DECIMAL(38,0)) "
+            "* CAST(w AS DECIMAL(38,0))"
+        ).alias("_bw"),
         F.sum("w").over(wall).alias("_wsum"),
     ).select(
-        "lang", "n_total", F.expr("_bw div _wsum").alias("quota")
+        "lang",
+        "n_total",
+        F.floor(F.col("_bw") / F.col("_wsum")).cast("long").alias("quota"),
     )
     ranked = (
         d.filter(F.length(F.trim("text")) > 0)

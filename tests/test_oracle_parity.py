@@ -32,6 +32,11 @@ ORACLE_NAMES = sorted(q.ORACLE_SQL)
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spark_df = q.QUERIES[name](spark, sf_dir).toPandas()
+    # the driver contract: queries that persist() intermediates (minhash,
+    # span retention) rely on the caller clearing the cache per query —
+    # without this, persisted frames accumulate across the session-scoped
+    # spark fixture for the whole parametrized sweep
+    spark.catalog.clearCache()
     duck_df = duck.execute(q.ORACLE_SQL[name]).df()
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
