@@ -1,0 +1,97 @@
+"""Distributed Misra–Gries heavy hitters (mergeable frequency summaries).
+
+The scalable one-pass answer to "which terms exceed x% of the corpus" when
+an exact GROUP BY over the full key space is too wide to shuffle: each
+partition keeps at most ``k`` decremented counters (Misra–Gries '82), the
+per-partition summaries merge additively, and the Agarwal/Cormode/…
+mergeable-summaries theorem gives the global guarantee
+
+    every key with true frequency > n/(k+1) survives into the merged
+    candidate set, undercounted by at most n/(k+1).
+
+A second, candidate-restricted exact pass then replaces the lower-bound
+estimates with exact counts, so the emitted rows are EXACT and
+deterministic (partitioning only affects which *extra* sub-threshold
+candidates appear, and those are filtered out by the threshold) — which is
+what makes the operator oracle-checkable: DuckDB's plain
+``HAVING cnt*(k+1) > n`` list must match row-for-row, and a single missing
+row is a violated sketch law, not a tolerance miss.
+
+100 TB shape: pass 1 shuffles only ``partitions × k`` summary rows (never
+the key space); pass 2 is a broadcast semi-join of the candidate set
+against the token stream and aggregates only candidate keys. Skew is the
+operator's purpose: a hot key is one counter per partition, never a hot
+shuffle group until the (tiny) candidate aggregation.
+
+Design provenance: the reference delegates all aggregation to its SaaS
+(tabular.py:58-62); this extends the engine's sketch tier (HLL distinct,
+approx percentiles) with a frequency sketch.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_trim(counters: Counter, k: int) -> Counter:
+    """Trim to at most ``k`` counters by subtracting the (k+1)-th largest
+    count from every counter and dropping the non-positive ones — the
+    batch-merge generalization of the one-at-a-time MG decrement (each
+    trim charges the same deduction to >= k+1 distinct keys, which is
+    what preserves the n/(k+1) total-undercount bound)."""
+    if len(counters) <= k:
+        return counters
+    d = sorted(counters.values(), reverse=True)[k]
+    return Counter({t: c - d for t, c in counters.items() if c > d})
+
+
+def mg_partition_summaries(tokens: DataFrame, term_col: str, k: int) -> DataFrame:
+    """Pass 1: per-partition Misra–Gries summaries, ≤ k rows per partition.
+
+    Arrow-batched: each incoming batch is counted exactly with a C-speed
+    ``Counter`` over the column, merged into the partition state, then
+    MG-trimmed — no per-token Python loop."""
+
+    def summarize(pdfs) -> pd.DataFrame:
+        state: Counter = Counter()
+        for pdf in pdfs:
+            state.update(Counter(pdf[term_col].tolist()))
+            state = _mg_trim(state, k)
+        yield pd.DataFrame(
+            {term_col: list(state.keys()), "mg_lower": list(state.values())}
+        )
+
+    return tokens.mapInPandas(
+        summarize, schema=f"{term_col} string, mg_lower long"
+    )
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, term_col: str = "term", k: int = 64
+) -> DataFrame:
+    """Two-pass exact heavy hitters: (term, cnt) for every term whose
+    exact count satisfies cnt·(k+1) > n — integer-exact threshold, no
+    float division. Output is deterministic and partitioning-independent
+    (see module docstring)."""
+    summaries = mg_partition_summaries(tokens, term_col, k)
+    candidates = summaries.groupBy(term_col).agg(
+        F.sum("mg_lower").alias("mg_lower")
+    )
+    # candidate-restricted exact pass: total n comes from a corpus-level
+    # count (an observe-style scalar), candidate counts from a semi-joined
+    # aggregation — both reuse the token stream
+    exact = (
+        tokens.join(F.broadcast(candidates.select(term_col)), term_col, "left_semi")
+        .groupBy(term_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_total = tokens.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select(term_col, "cnt")
+    )

@@ -3888,6 +3888,41 @@ def temperature_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY term, tot.n
+    HAVING COUNT(*) * 65 > tot.n
+    """,
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch tier: exact corpus heavy hitters (terms above a
+    1/(k+1) = 1/65 frequency threshold) found via distributed Misra–Gries
+    summaries + a candidate-restricted exact pass — one summary shuffle of
+    ≤ partitions·k rows instead of a full-vocabulary GROUP BY, then exact
+    counts for the few candidates. The oracle is the plain HAVING query:
+    a row missing from the Spark side would be a violated sketch
+    guarantee, so correctness-checking doubles as a proof of the MG law
+    on this corpus. See functions/heavyhitters.py for the merge bound."""
+    from tabular_cdc_bootstrapper_spark.functions.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tokens = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    return heavy_hitters_exact(tokens, "term", k=64)
+
+
+@query(
     "winsorized_length_stats",
     oracle="""
     WITH b AS (
@@ -4437,6 +4472,7 @@ _DRIVER_CHECK_PRIORITY = [
     "temperature_mixture_quota",
     "int8_quantized_topk",
     "winsorized_length_stats",
+    "heavy_hitter_terms",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4470,11 +4506,11 @@ _DRIVER_CHECK_PRIORITY = [
     "bpe_token_counts",
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
-    "minhash_near_duplicates",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 5 new round-6 queries (green r5; ann_ivf_kmeans_topk
-    # covers the IVF family in-window, minhash/span cover dedup)
+    # displaced by the 6 new round-6 queries (green r5; ann_ivf_kmeans_topk
+    # covers the IVF family in-window, ngram_jaccard/span cover dedup)
+    "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
     "multimodal_features",

@@ -579,3 +579,41 @@ def test_winnowing_guarantee_property(spark, tmp_path_factory, case):
     a = {r["span_hash"] for r in fp if r["doc_id"] == 1}
     b = {r["span_hash"] for r in fp if r["doc_id"] == 2}
     assert a & b, (pa, pb, run, sa, sb)
+
+
+def test_heavy_hitters_partitioning_independent_and_law(spark, sf_dir):
+    """Misra–Gries heavy hitters: (1) the emitted set is identical under
+    adversarial repartitionings (1 / 7 / 32) — partitioning may only change
+    sub-threshold CANDIDATES, never the exact-verified output; (2) it
+    equals the exact GROUP BY ... HAVING cnt*(k+1) > n list (the sketch
+    recall law: every frequent key survives the summary merge); (3) with a
+    tiny k=2 budget on a many-distinct-keys corpus the summaries really do
+    shed keys (the sketch is doing work, not memorizing the vocabulary)."""
+    from tabular_cdc_bootstrapper_spark.functions.heavyhitters import (
+        heavy_hitters_exact,
+        mg_partition_summaries,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    base = sorted(map(tuple, heavy_hitters_exact(toks, "term", 64).collect()))
+    assert base, "fixture corpus must have heavy hitters at 1/65"
+    for p in (1, 7):
+        got = sorted(
+            map(tuple, heavy_hitters_exact(toks.repartition(p), "term", 64).collect())
+        )
+        assert got == base, p
+
+    n = toks.count()
+    exact = {
+        (r["term"], r["cnt"])
+        for r in toks.groupBy("term").agg(F.count("*").alias("cnt")).collect()
+        if r["cnt"] * 65 > n
+    }
+    assert set(base) == exact
+
+    n_vocab = toks.select("term").distinct().count()
+    summary_rows = mg_partition_summaries(toks.repartition(4), "term", 2).count()
+    assert summary_rows <= 4 * 2 < n_vocab
