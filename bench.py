@@ -55,6 +55,7 @@ UDF_HEAVY = {
     "ann_ivf_kmeans_topk",
     "kmeans_embedding_clusters",
     "cluster_balanced_sample",
+    "heavy_hitter_terms",  # mapInPandas MG summaries (r6)
 }
 
 
