@@ -284,6 +284,45 @@ def minhash_candidates(
     return candidates_from_signatures(sigs, num_hashes, bands, max_bucket_size)
 
 
+def span_fingerprints_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 40,
+    s: int = 10,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep_cols, span_hash): winnowed span fingerprints per document
+    (Schleimer et al., SIGMOD'03) — every w-char window md5-hashed, each
+    sliding window of s consecutive hashes contributing its MINIMUM, the
+    per-doc distinct minima exploded to rows. Content-defined selection
+    makes the fingerprint set alignment-free: any shared run of
+    >= w+s-1 chars yields a common fingerprint.
+
+    ONE formula in the repo: the batch span-dedup queries and the
+    streaming duplicate detector both call this, so batch and stream
+    bucket on identical hashes (the same unification contract as
+    band_explode for MinHash). All work happens inside array HOFs on the
+    document row — no per-offset explode, no window function, no shuffle
+    before whatever aggregation the caller adds."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {w - 1}, 1)),"
+            f" i -> md5(substring({text_col}, i, {w})))"
+        ).alias("hs"),
+    )
+    # md5 minima compare lexicographically on lowercase hex — identical
+    # ordering in Spark and DuckDB. slice() clamps short tails on both.
+    fps = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(hs) - {s - 1}, 1)),"
+        f"  i -> array_min(slice(hs, i, {s}))))"
+    )
+    return hashed.select("id", *keep_cols, F.explode(fps).alias("span_hash"))
+
+
 def band_explode(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band_id, band_hash) — ``bands`` skinny rows per doc from a
     precomputed (id, sig) frame. Built ON signature_bands (one banding

@@ -3658,22 +3658,11 @@ def _span_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < cores:
         d = d.repartition(cores)
-    # md5 minima compare lexicographically on lowercase hex — identical
-    # ordering in Spark and DuckDB. slice() clamps short tails on both.
-    fps = F.expr(
-        f"array_distinct(transform("
-        f"  sequence(1, greatest(size(hs) - {_SPAN_S - 1}, 1)),"
-        f"  i -> array_min(slice(hs, i, {_SPAN_S}))))"
-    )
-    hashed = d.select(
-        "doc_id",
-        "source",
-        F.expr(
-            f"transform(sequence(1, greatest(length(text) - {_SPAN_W - 1}, 1)),"
-            f" i -> md5(substring(text, i, {_SPAN_W})))"
-        ).alias("hs"),
-    )
-    return hashed.select("doc_id", "source", F.explode(fps).alias("span_hash"))
+    from tabular_cdc_bootstrapper_spark.functions.dedup import span_fingerprints_df
+
+    return span_fingerprints_df(
+        d, w=_SPAN_W, s=_SPAN_S, keep_cols=("source",)
+    ).withColumnRenamed("id", "doc_id")
 
 
 # The matching oracle-side fingerprint projection (DuckDB): range() is

@@ -447,3 +447,77 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_span_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 40,
+    s: int = 10,
+) -> DataFrame:
+    """Streaming sub-document duplicate detector — the cross-micro-batch
+    twin of the batch winnowed-span dedup (same span_fingerprints_df
+    hashes). Emits (span_hash, doc_id) for every document that carries a
+    span some OTHER document already contributed: when a fingerprint
+    bucket sees its second distinct document, the first holder is emitted
+    retroactively alongside it; later holders emit as they arrive. Grouped
+    by span_hash, the emitted doc sets equal the batch operator's
+    duplicated-span membership (twin test).
+
+    State per fingerprint is CONSTANT — (first_id, emitted_first), never a
+    membership list — so a boilerplate span seen in millions of documents
+    costs 17 bytes of state while still emitting each document exactly
+    once (arrival is the dedup: each (doc, span) row exists once upstream
+    thanks to the per-doc array_distinct)."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        span_fingerprints_df,
+    )
+
+    fps = span_fingerprints_df(docs, text_col, id_col, w, s)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("span_hash", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("first_id", T.LongType()),
+            T.StructField("emitted_first", T.BooleanType()),
+        ]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        first_id, emitted_first = state.get if state.exists else (None, False)
+        new = sorted({int(v) for pdf in pdfs for v in pdf["id"]})
+        if first_id is not None:
+            new = [i for i in new if i != first_id]
+        if not new:
+            return
+        out: list[int] = []
+        if first_id is None:
+            first_id = new[0]
+            new = new[1:]
+        if new and not emitted_first:
+            out.append(first_id)
+            emitted_first = True
+        out.extend(new)
+        state.update((first_id, emitted_first))
+        if out:
+            yield _pd.DataFrame(
+                {"span_hash": [key[0]] * len(out), "doc_id": out}
+            )
+
+    return fps.groupBy("span_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -307,3 +307,50 @@ def test_streaming_minhash_twin_matches_batch_candidates(spark, sf_dir, tmp_path
     }
     assert streamed == batch
     assert (7, 9_000_007) in streamed  # the cross-batch pair was found
+
+
+def test_streaming_span_duplicates_twin_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/streaming span-dedup twin: grouped by fingerprint, the
+    streaming detector's emitted doc sets must equal the batch winnowed
+    span-dedup membership (docs per span_hash with >= 2 docs) on the same
+    corpus — including a duplicated-span pair SPLIT across the micro-batch
+    boundary, which re-running the batch operator per batch would miss."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import span_fingerprints_df
+    from tabular_cdc_bootstrapper_spark.streaming.stateful import (
+        streaming_span_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # doc 11's text re-appears (prefix-shifted, > w+s-1 shared run) in batch 2
+    twin = docs.filter(F.col("doc_id") == 11).select(
+        F.lit(9_000_011).alias("doc_id"),
+        F.concat(F.lit("PREFIXPAD "), F.col("text")).alias("text"),
+    )
+    out = tmp_path / "span_stream"
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(out / "f1"))
+    docs.filter(F.col("doc_id") >= 250).unionByName(twin).coalesce(1).write.parquet(
+        str(out / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.windows import run_stream_to_memory
+
+    q = run_stream_to_memory(streaming_span_duplicates(stream), "span_dup_out")
+    streamed: dict[str, set] = {}
+    for r in spark.table("span_dup_out").collect():
+        streamed.setdefault(r["span_hash"], set()).add(r["doc_id"])
+    q.stop()
+
+    full = docs.unionByName(twin)
+    batch: dict[str, set] = {}
+    for r in span_fingerprints_df(full).collect():
+        batch.setdefault(r["span_hash"], set()).add(r["id"])
+    batch = {h: ids for h, ids in batch.items() if len(ids) >= 2}
+    assert streamed == batch
+    # the cross-batch planted pair was caught
+    assert any({11, 9_000_011} <= ids for ids in streamed.values())
