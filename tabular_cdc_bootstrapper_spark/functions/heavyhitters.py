@@ -30,23 +30,9 @@ approx percentiles) with a frequency sketch.
 
 from __future__ import annotations
 
-from collections import Counter
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _mg_trim(counters: Counter, k: int) -> Counter:
-    """Trim to at most ``k`` counters by subtracting the (k+1)-th largest
-    count from every counter and dropping the non-positive ones — the
-    batch-merge generalization of the one-at-a-time MG decrement (each
-    trim charges the same deduction to >= k+1 distinct keys, which is
-    what preserves the n/(k+1) total-undercount bound)."""
-    if len(counters) <= k:
-        return counters
-    d = sorted(counters.values(), reverse=True)[k]
-    return Counter({t: c - d for t, c in counters.items() if c > d})
 
 
 def mg_partition_summaries(tokens: DataFrame, term_col: str, k: int) -> DataFrame:
@@ -54,14 +40,31 @@ def mg_partition_summaries(tokens: DataFrame, term_col: str, k: int) -> DataFram
 
     Arrow-batched: each incoming batch is counted exactly with a C-speed
     ``Counter`` over the column, merged into the partition state, then
-    MG-trimmed — no per-token Python loop."""
+    MG-trimmed: subtract the (k+1)-th largest count from every counter and
+    drop the non-positive ones — the batch-merge generalization of the
+    one-at-a-time MG decrement (each trim charges the same deduction to
+    >= k+1 distinct keys, which preserves the n/(k+1) total-undercount
+    bound). No per-token Python loop.
+
+    The closure is self-contained (stdlib only, no module globals): Python
+    workers must not need this package on their PYTHONPATH — the driver
+    contract imports the repo by path, which executors don't inherit
+    (same rule as streaming/stateful.py closures)."""
 
     def summarize(pdfs) -> pd.DataFrame:
-        state: Counter = Counter()
+        from collections import Counter as _Counter
+
+        import pandas as _pd
+
+        state = _Counter()
         for pdf in pdfs:
-            state.update(Counter(pdf[term_col].tolist()))
-            state = _mg_trim(state, k)
-        yield pd.DataFrame(
+            state.update(_Counter(pdf[term_col].tolist()))
+            if len(state) > k:
+                d = sorted(state.values(), reverse=True)[k]
+                state = _Counter(
+                    {t: c - d for t, c in state.items() if c > d}
+                )
+        yield _pd.DataFrame(
             {term_col: list(state.keys()), "mg_lower": list(state.values())}
         )
 
