@@ -4415,6 +4415,131 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q11_value_share_shape",
+    oracle="""
+    WITH pv AS (
+        SELECT n_name, l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, l_partkey
+    ), nt AS (
+        SELECT n_name,
+               CAST((3 * SUM(value_cents)) // COUNT(*) AS BIGINT) AS thr
+        FROM pv GROUP BY n_name
+    )
+    SELECT pv.n_name, l_partkey AS partkey, value_cents
+    FROM pv JOIN nt USING (n_name)
+    WHERE value_cents > nt.thr
+    ORDER BY n_name, value_cents DESC, partkey
+    """,
+)
+def q11_value_share_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's operator SHAPE — grouped value per part within each
+    supplying nation, kept only where the part's value exceeds 3× the nation's
+    MEAN part value (a scale-invariant threshold — a fixed fraction of the
+    total selects nothing once the part space grows): an aggregate
+    filtered by an aggregate of itself. The real Q11 runs on partsupp (availqty·supplycost), which the
+    fixtures lack (FIXTURES.md §B), so shipped value (price·qty per
+    lineitem, attributed to the supplier's nation) stands in; the plan
+    shape — agg → per-group threshold from a second-level agg →
+    decorrelated join-back filter — is the point.
+
+    All value math is integer cents (per-row ROUND(price·100) is exact
+    and identical in both engines; quantities are integral), and the
+    threshold is an integer division of the exact total — no float
+    boundary can flip a row between Spark and the oracle.
+
+    Scale shape: dims broadcast onto the fact scan, ONE shuffle on
+    (n_name, l_partkey) for the value agg; the per-nation totals are a
+    #nations-row aggregate OF THE AGG OUTPUT, broadcast back — never a
+    second fact scan (the classic decorrelation of Q11's subquery)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    pv = (
+        l.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    nt = pv.groupBy("n_name").agg(
+        F.expr("(3 * sum(value_cents)) div count(*)").alias("thr")
+    )
+    return (
+        pv.join(F.broadcast(nt), "n_name")
+        .filter(F.col("value_cents") > F.col("thr"))
+        .select("n_name", F.col("l_partkey").alias("partkey"), "value_cents")
+        .orderBy("n_name", F.desc("value_cents"), "partkey")
+    )
+
+
+@query(
+    "q20_excess_share_shape",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), pt AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM sp GROUP BY l_partkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM sp
+    JOIN pt USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE 2 * qty > total_qty AND p_name LIKE '%widget%'
+    GROUP BY s_name
+    """,
+)
+def q20_excess_share_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's operator SHAPE — a correlated aggregate threshold
+    (supplier's shipped quantity for a part vs half of that part's total
+    in a year) feeding a name-filtered supplier report. The real Q20
+    compares partsupp availability against the correlated lineitem sum;
+    without partsupp (FIXTURES.md §B) the engine-relevant structure is
+    kept: per-(supplier, part) agg, per-part agg OVER THE FIRST AGG,
+    join-back threshold compare (the decorrelated nested subquery), part
+    name LIKE filter, dim join. Integer quantities end-to-end — the 2·qty
+    > total compare cannot float-flip.
+
+    Scale shape: the year filter pushes to the scan; the fact shuffles
+    once on (l_suppkey, l_partkey); the per-part rollup reuses that
+    output (orders of magnitude smaller); part/supplier dims broadcast.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sp = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
@@ -4462,6 +4587,8 @@ _DRIVER_CHECK_PRIORITY = [
     "int8_quantized_topk",
     "winsorized_length_stats",
     "heavy_hitter_terms",
+    "q11_value_share_shape",
+    "q20_excess_share_shape",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4493,12 +4620,12 @@ _DRIVER_CHECK_PRIORITY = [
     "benchmark_contamination",
     "quality_score_histogram",
     "bpe_token_counts",
-    "dedup_exact_groups",
-    "ngram_jaccard_pairs",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 6 new round-6 queries (green r5; ann_ivf_kmeans_topk
-    # covers the IVF family in-window, ngram_jaccard/span cover dedup)
+    # displaced by the 8 new round-6 queries (green r5; ann_ivf_kmeans_topk
+    # covers the IVF family in-window, span queries cover dedup)
+    "dedup_exact_groups",
+    "ngram_jaccard_pairs",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",
