@@ -57,15 +57,23 @@ def mg_partition_summaries(tokens: DataFrame, term_col: str, k: int) -> DataFram
         import pandas as _pd
 
         state = _Counter()
+        n_seen = 0
         for pdf in pdfs:
+            n_seen += len(pdf)
             state.update(_Counter(pdf[term_col].tolist()))
             if len(state) > k:
                 d = sorted(state.values(), reverse=True)[k]
                 state = _Counter(
                     {t: c - d for t, c in state.items() if c > d}
                 )
+        # one NULL-term row per partition carries its exact token count, so
+        # the global n rides along with pass 1 — without it the threshold
+        # would cost a THIRD full scan of the token stream
         yield _pd.DataFrame(
-            {term_col: list(state.keys()), "mg_lower": list(state.values())}
+            {
+                term_col: list(state.keys()) + [None],
+                "mg_lower": list(state.values()) + [n_seen],
+            }
         )
 
     return tokens.mapInPandas(
@@ -81,18 +89,24 @@ def heavy_hitters_exact(
     float division. Output is deterministic and partitioning-independent
     (see module docstring)."""
     summaries = mg_partition_summaries(tokens, term_col, k)
-    candidates = summaries.groupBy(term_col).agg(
-        F.sum("mg_lower").alias("mg_lower")
+    # EXACTLY two passes over the token stream (the theoretical minimum
+    # for exact heavy hitters): pass 1 produced both the candidates and,
+    # via the NULL-term partition rows, the exact global n — pass 2 is the
+    # candidate-restricted exact count. summaries is persisted so its two
+    # branches (candidates, n) don't re-run pass 1; it is at most
+    # partitions·(k+1) rows.
+    summaries = summaries.persist()
+    candidates = summaries.filter(F.col(term_col).isNotNull()).groupBy(
+        term_col
+    ).agg(F.sum("mg_lower").alias("mg_lower"))
+    n_total = summaries.filter(F.col(term_col).isNull()).agg(
+        F.sum("mg_lower").alias("n")
     )
-    # candidate-restricted exact pass: total n comes from a corpus-level
-    # count (an observe-style scalar), candidate counts from a semi-joined
-    # aggregation — both reuse the token stream
     exact = (
         tokens.join(F.broadcast(candidates.select(term_col)), term_col, "left_semi")
         .groupBy(term_col)
         .agg(F.count("*").alias("cnt"))
     )
-    n_total = tokens.agg(F.count("*").alias("n"))
     return (
         exact.crossJoin(F.broadcast(n_total))
         .filter(F.col("cnt") * (k + 1) > F.col("n"))

@@ -467,9 +467,14 @@ def streaming_span_duplicates(
 
     State per fingerprint is CONSTANT — (first_id, emitted_first), never a
     membership list — so a boilerplate span seen in millions of documents
-    costs 17 bytes of state while still emitting each document exactly
-    once (arrival is the dedup: each (doc, span) row exists once upstream
-    thanks to the per-doc array_distinct)."""
+    costs 17 bytes of state while emitting each document once under the
+    exactly-once upstream this repo's checkpointed file source provides
+    (each (doc, span) row exists once thanks to the per-doc
+    array_distinct, and arrival is the dedup). Under an AT-LEAST-ONCE
+    upstream (e.g. Kafka redelivery) a replayed non-first holder re-emits
+    — constant state cannot remember every emitted id — so such deploys
+    dedupe downstream on (span_hash, doc_id); only the first holder's
+    replay is absorbed by the state."""
     from tabular_cdc_bootstrapper_spark.functions.dedup import (
         span_fingerprints_df,
     )

@@ -600,7 +600,7 @@ def test_heavy_hitters_partitioning_independent_and_law(spark, sf_dir):
     toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
     base = sorted(map(tuple, heavy_hitters_exact(toks, "term", 64).collect()))
     assert base, "fixture corpus must have heavy hitters at 1/65"
-    for p in (1, 7):
+    for p in (1, 7, 32):
         got = sorted(
             map(tuple, heavy_hitters_exact(toks.repartition(p), "term", 64).collect())
         )
@@ -616,4 +616,5 @@ def test_heavy_hitters_partitioning_independent_and_law(spark, sf_dir):
 
     n_vocab = toks.select("term").distinct().count()
     summary_rows = mg_partition_summaries(toks.repartition(4), "term", 2).count()
-    assert summary_rows <= 4 * 2 < n_vocab
+    # <= k counters + 1 NULL-term token-count row per partition
+    assert summary_rows <= 4 * (2 + 1) < n_vocab
