@@ -113,3 +113,49 @@ def test_connected_components_empty_edges_keeps_id_type(spark):
     assert out.count() == 0
     kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     assert kinds == {"id": "string", "component_id": "string"}
+
+
+def test_round6_queries_survive_empty_documents(spark, tmp_path):
+    """Every round-6 documents-table query must return an EMPTY result —
+    not raise — on an empty (but correctly-typed) documents table: empty
+    span-hash arrays, a 0-token heavy-hitter threshold (cnt·65 > 0 must
+    not emit phantom rows), an all-NULL quota frame, and percentile over
+    zero rows are all edge paths a fresh-bootstrap corpus hits."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tabular_cdc_bootstrapper_spark import queries as q
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    empty.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for name in (
+        "duplicated_span_hashes",
+        "span_dedup_retention",
+        "temperature_mixture_quota",
+        "winsorized_length_stats",
+        "heavy_hitter_terms",
+    ):
+        assert q.QUERIES[name](spark, str(tmp_path)).count() == 0, name
+
+
+def test_round6_queries_survive_single_doc(spark, tmp_path):
+    """One short document: fingerprints exist but nothing is duplicated;
+    the single lang gets the whole quota; heavy hitters sees every term
+    as frequent (each > 1/65 of a tiny stream)."""
+    from tabular_cdc_bootstrapper_spark import queries as q
+
+    one = spark.createDataFrame(
+        [(1, "alpha beta alpha", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    one.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert q.QUERIES["duplicated_span_hashes"](spark, str(tmp_path)).count() == 0
+    ret = q.QUERIES["span_dedup_retention"](spark, str(tmp_path)).collect()
+    assert len(ret) == 1 and ret[0]["n_dup_spans"] == 0
+    hh = {r["term"]: r["cnt"] for r in
+          q.QUERIES["heavy_hitter_terms"](spark, str(tmp_path)).collect()}
+    assert hh == {"alpha": 2, "beta": 1}
+    w = q.QUERIES["winsorized_length_stats"](spark, str(tmp_path)).collect()[0]
+    assert w["n_docs"] == 1 and w["raw_mean"] == w["wins_mean"] == 16.0
+    assert w["n_clip_low"] == 0 == w["n_clip_high"]
