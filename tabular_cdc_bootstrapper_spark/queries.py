@@ -4545,10 +4545,13 @@ def q20_excess_share_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50 registry entries each round, so entry order decides which queries get a
 # fresh driver-side correctness row. Round-6 rotation policy:
 #
-# - IN (no driver row yet): the 3 queries NEW this round —
+# - IN (no driver row yet): the 9 queries NEW this round —
 #   skewed_priority_agg / salted_nation_revenue (operators/skew.py finally
-#   registry-exposed, VERDICT r5 #4) and ann_ivf_kmeans_topk (k-means-
-#   trained IVF lists, VERDICT r5 #2).
+#   registry-exposed, VERDICT r5 #4), ann_ivf_kmeans_topk (k-means-
+#   trained IVF lists, VERDICT r5 #2), the winnowed span-dedup pair
+#   (duplicated_span_hashes / span_dedup_retention), the data-derived
+#   temperature mixture, int8-quantized top-k, winsorized robust stats,
+#   Misra-Gries heavy hitters, and the q11/q20 shape adaptations.
 # - IN (stalest rows): the 6 tail queries whose only driver row is round 2
 #   (orders_by_month, array_hof_embedding_stats, events_sliding_10min,
 #   session_stats, asof_purchase_signup, q18_large_volume_orders).
