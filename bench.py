@@ -56,6 +56,7 @@ UDF_HEAVY = {
     "kmeans_embedding_clusters",
     "cluster_balanced_sample",
     "heavy_hitter_terms",  # mapInPandas MG summaries (r6)
+    "ngram_jaccard_pairs",  # pandas-UDF shingle hashes (was missing, r6)
 }
 
 

@@ -3184,7 +3184,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    sh = d.select("doc_id", "lang", shingle_hashes("text").alias("s"))
+    # same two fixes as _span_fingerprints / span_dedup_retention: spread
+    # the CPU-bound UDF beyond the (single) scan split, and persist the
+    # shingle frame — sizes and the inverted index BOTH branch from it, so
+    # without the persist the UDF (the expensive stage) runs twice.
+    # Caller contract: bench/driver clearCache() after each query.
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
+    sh = d.select("doc_id", "lang", shingle_hashes("text").alias("s")).persist()
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     ex = sh.select("doc_id", "lang", F.explode("s").alias("gh"))
     # one shuffle: shingle → sorted doc list; pairs generated in-plan.
