@@ -244,7 +244,7 @@ def minhash_signatures_df(
         sigs = sig_mat.T.tolist()
         return pd.DataFrame({"sh": shs, "sig": sigs})
 
-    return df.select(
+    return spread_for_cpu(df).select(
         F.col(id_col).alias("id"), sketch(F.col(text_col)).alias("__sk")
     ).select("id", F.col("__sk.sh").alias("sh"), F.col("__sk.sig").alias("sig"))
 
@@ -282,6 +282,24 @@ def minhash_candidates(
     bound the pair explosion (skew guard)."""
     sigs = minhash_signatures_df(df, text_col, id_col, k, num_hashes)
     return candidates_from_signatures(sigs, num_hashes, bands, max_bucket_size)
+
+
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Repartition a BATCH frame up to the cluster's core count when its
+    scan has fewer splits — the per-doc sketch UDFs below are pure CPU and
+    their parallelism is otherwise pinned to parquet row-groups (at bench
+    SF the whole documents table is ONE split, serializing the UDF on one
+    of 32 cores). At 100 TB scans have ≫ cores splits and this is a no-op,
+    so full-scale plans never pay the raw-text shuffle. Streaming frames
+    pass through untouched (micro-batch parallelism is source-controlled,
+    and .rdd is not available pre-materialization)."""
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def span_fingerprints_df(
@@ -480,7 +498,9 @@ def simhash_df(
             out.append(int(sim.astype(np.int64)))
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+    return spread_for_cpu(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash")
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
