@@ -140,7 +140,11 @@ def test_simhash_pipeline_is_join_free(spark, sf_dir):
     )
     plan = physical_plan(df)
     assert "Join" not in plan, plan
-    assert exchange_count(df) <= 2  # bucket groupBy + final distinct
+    # bucket groupBy + final distinct; the conditional spread_for_cpu
+    # RoundRobin exchange (only present when the scan has fewer splits
+    # than cores — always true at test SF, never at 100 TB) is excluded
+    spread = 1 if "RoundRobinPartitioning" in plan else 0
+    assert exchange_count(df) - spread <= 2
 
 
 def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
