@@ -354,3 +354,43 @@ def test_streaming_span_duplicates_twin_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
     # the cross-batch planted pair was caught
     assert any({11, 9_000_011} <= ids for ids in streamed.values())
+
+
+def test_stream_static_topk_matches_batch_cosine(spark, sf_dir, tmp_path):
+    """Stream-static serving twin: query vectors arriving as a 2-batch
+    stream, scored against the static embeddings corpus, must produce
+    exactly the batch cosine_topk neighbor lists (ids AND rounded sims,
+    in rank order) for every query."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import cosine_topk
+    from tabular_cdc_bootstrapper_spark.streaming.serving import stream_static_topk
+    from tabular_cdc_bootstrapper_spark.streaming.windows import run_stream_to_memory
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = tmp_path / "query_stream"
+    queries.filter(F.col("qid") < 3).coalesce(1).write.parquet(str(out / "f1"))
+    queries.filter(F.col("qid") >= 3).coalesce(1).write.parquet(str(out / "f2"))
+    stream = (
+        spark.readStream.schema("qid long, embedding array<float>")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    q = run_stream_to_memory(
+        stream_static_topk(stream, emb, k=10),
+        "serving_out",
+        output_mode="update",
+    )
+    got = {
+        r["qid"]: [(n["vec_id"], n["sim"]) for n in r["neighbors"]]
+        for r in spark.table("serving_out").collect()
+    }
+    q.stop()
+
+    batch = cosine_topk(emb, queries, k=10).collect()
+    expect: dict[int, list] = {}
+    for r in sorted(batch, key=lambda r: (r["qid"], r["rn"])):
+        expect.setdefault(r["qid"], []).append((r["vec_id"], r["cos_sim"]))
+    assert got == expect
