@@ -67,3 +67,63 @@ def test_format_round_trips(spark, sf_dir, tmp_path):
     for fmt in ("csv", "json", "orc", "parquet"):
         back = round_trip_format(n, spark, str(tmp_path / f"rt_{fmt}"), fmt)
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect())), fmt
+
+
+def test_end_to_end_clean_corpus_materialization(spark, sf_dir, tmp_path):
+    """The whole cleaning pipeline as one integration law: detect near-dup
+    pairs (MinHash, verified) on a corpus with planted exact + near
+    duplicates, derive the keep/drop decision (dedup_clusters canonical),
+    MATERIALIZE the cleaned corpus partitioned by lang, and verify the
+    re-read output: planted copies gone, canonicals kept, every
+    non-clustered document untouched, partition layout readable with
+    pruning."""
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        verified_near_duplicates,
+    )
+    from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    exact_copy = base.filter(F.col("doc_id") == 2).withColumn(
+        "doc_id", F.lit(7_000_002)
+    )
+    near_copy = (
+        base.filter(F.col("doc_id") == 3)
+        .withColumn("doc_id", F.lit(7_000_003))
+        .withColumn(
+            "text", F.concat(F.lit("zzz "), F.expr("substring(text, 5, length(text))"))
+        )
+    )
+    corpus = base.unionByName(exact_copy).unionByName(near_copy)
+
+    pairs = verified_near_duplicates(corpus, threshold=0.5, persist=False)
+    decision = dedup_clusters(pairs)
+    keep = corpus.join(
+        decision.filter(~F.col("is_canonical")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    out = str(tmp_path / "clean_corpus")
+    keep.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    cleaned = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    # canonical (min-id) survivors stay, planted copies are dropped
+    assert {2, 3} <= ids
+    assert not ({7_000_002, 7_000_003} & ids)
+    # drops == planted copies + the fixture's NATURAL near-dup
+    # non-canonicals (pairs (0,50) and (8,12) exist in the first 80 docs —
+    # the pipeline finding them is part of the law; their canonicals stay)
+    assert {0, 8} <= ids
+    assert ids == {r["doc_id"] for r in corpus.select("doc_id").collect()} - {
+        7_000_002,
+        7_000_003,
+        50,
+        12,
+    }
+    # partition pruning works on the materialized layout
+    one_lang = cleaned.filter(F.col("lang") == "en")
+    assert one_lang.count() == len(
+        [r for r in corpus.collect() if r["lang"] == "en" and r["doc_id"] in ids]
+    )
