@@ -57,6 +57,7 @@ UDF_HEAVY = {
     "cluster_balanced_sample",
     "heavy_hitter_terms",  # mapInPandas MG summaries (r6)
     "ngram_jaccard_pairs",  # pandas-UDF shingle hashes (was missing, r6)
+    "leakage_safe_split",  # SimHash pair pipeline + star rounds (r6)
 }
 
 

@@ -4548,6 +4548,343 @@ def q20_excess_share_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_surprisal_quality",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab
+    ), scored AS (
+        SELECT t.doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(bin(tot.n)) - length(bin(v.c))) AS BIGINT)
+                   AS total_bits
+        FROM tok t JOIN vocab v USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang
+    ), per_doc AS (
+        SELECT lang, (total_bits * 1000) // n_tokens AS score_milli
+        FROM scored
+    )
+    SELECT lang, CAST(score_milli // 1000 AS BIGINT) AS bits_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli
+    FROM per_doc GROUP BY lang, bits_bucket
+    """,
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-trained unigram LM —
+    the CCNet-style filter rule (rank documents by how surprising their
+    tokens are under a language model; boilerplate scores low, gibberish
+    and rare-token noise score high) with the LM reduced to unigram
+    counts so the whole fit is one aggregation.
+
+    Everything is INTEGER-exact, so the DuckDB oracle matches bit-for-bit
+    with no float log / summation-order hazard: the per-token surprisal is
+    floor-log2(N) − floor-log2(c) bits (computed as length(bin(x)) deltas,
+    identical in both engines), the per-doc score is the integer-milli
+    mean (total_bits·1000 div n_tokens), and the output histogram keys on
+    the whole-bit bucket. The ±1-bit quantization per token is irrelevant
+    for a FILTER (thresholds are tuned on the same scale) and is the price
+    of cross-engine exactness.
+
+    Scale shape (the tf-idf template): explode once; vocab counts are one
+    shuffle with map-side combine (output is vocab-sized, not corpus-
+    sized); the corpus total is a 1-row broadcast; tokens re-join the
+    vocab on term (second shuffle — at 100 TB the vocab is millions of
+    rows, far too big to broadcast, and the sort-merge join on term is
+    the standard inverted-index shape); per-doc re-agg is the third
+    shuffle; the (lang, bucket) histogram is map-side-combinable and
+    tiny."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    # persist the vocab-sized counts: tot, bits, and the score join all
+    # consume this frame, and without the persist each branch re-executes
+    # the corpus explode+agg (exchange reuse does NOT kick in — the join
+    # branches push different null-filters into their scans, so the
+    # exchanges aren't canonically identical). With it the corpus is
+    # scanned exactly twice: once to fit the LM, once to score.
+    vocab = tok.groupBy("term").agg(F.count("*").alias("c")).persist()
+    tot = vocab.agg(F.sum("c").alias("n"))
+    bits = vocab.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (F.length(F.expr("bin(n)")) - F.length(F.expr("bin(c)")))
+        .cast("long")
+        .alias("surprisal_bits"),
+    )
+    scored = (
+        tok.join(bits, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("surprisal_bits").alias("total_bits"),
+        )
+        .select(
+            "lang", F.expr("(total_bits * 1000) div n_tokens").alias("score_milli")
+        )
+    )
+    return scored.groupBy(
+        "lang", F.expr("score_milli div 1000").alias("bits_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("score_milli").alias("sum_score_milli"),
+    )
+
+
+@query(
+    "source_token_drift",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ), st AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cs
+        FROM tok GROUP BY source, term
+    ), ct AS (
+        SELECT term, CAST(SUM(cs) AS BIGINT) AS c FROM st GROUP BY term
+    ), ns AS (
+        SELECT source, CAST(SUM(cs) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM st GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct
+    ), present AS (
+        SELECT st.source,
+               SUM(abs(CAST(st.cs AS HUGEINT) * tot.n
+                       - CAST(ct.c AS HUGEINT) * ns.n_s)) AS present_abs,
+               CAST(SUM(ct.c) AS BIGINT) AS c_present
+        FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN tot
+        GROUP BY st.source
+    )
+    SELECT p.source, ns.n_s AS n_tokens, ns.n_terms,
+           CAST(((p.present_abs
+                  + CAST(tot.n - p.c_present AS HUGEINT) * ns.n_s) * 1000000)
+                // (2 * CAST(ns.n_s AS HUGEINT) * tot.n) AS BIGINT) AS tv_ppm
+    FROM present p JOIN ns USING (source) CROSS JOIN tot
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between each
+    source's unigram token distribution and the whole corpus — the data-QA
+    check a pipeline runs when a new crawl/source lands ("does this slice
+    look like the rest, or did the scraper break?"). TV is the right
+    first-line metric because it is bounded [0, 1], symmetric, and —
+    unlike KL — defined when a term is missing on either side.
+
+    INTEGER-exact cross-engine: TV = Σ|c_s/n_s − c/N| / 2 is computed as
+    the exact integer Σ|c_s·N − c·n_s| (wide arithmetic), then scaled to
+    ppm by one truncating division — no float sum ordering anywhere.
+    Terms absent from a source contribute in CLOSED FORM, (N − Σ_present
+    c)·n_s, so no per-source outer join against the full vocabulary is
+    ever materialized. Widening: the summand is bounded by Σ(c_s·N +
+    c·n_s) = 2·n_s·N ≤ ~2e28 at 100 TB (1e14 tokens), and ×1e6 still
+    fits DECIMAL(38,0) / HUGEINT — documented so the exactness claim
+    survives scale-up.
+
+    Scale shape: one (source, term) shuffle with map-side combine (the
+    only corpus-sized exchange); vocab totals regroup the ALREADY-reduced
+    st frame on term; per-source totals and the 1-row corpus total
+    broadcast back; the final per-source agg is #sources rows."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+    # persist the vocab×sources-sized counts: EVERY downstream frame (ct,
+    # ns, tot, present) derives from st, and without the persist each one
+    # re-executes the corpus explode+agg (measured: 8 scans planned, only
+    # half reused — join-injected null-filters make the branch exchanges
+    # non-identical, defeating ReuseExchange). With it the corpus is
+    # scanned exactly ONCE; everything after is vocab-sized.
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("cs")).persist()
+    ct = st.groupBy("term").agg(F.sum("cs").alias("c"))
+    ns = st.groupBy("source").agg(
+        F.sum("cs").alias("n_s"), F.count("*").alias("n_terms")
+    )
+    tot = ct.agg(F.sum("c").alias("n"))
+    present = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns.select("source", "n_s")), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "abs(CAST(cs AS DECIMAL(38,0)) * n - CAST(c AS DECIMAL(38,0)) * n_s)"
+            ).alias("term_abs"),
+            "c",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("term_abs").alias("present_abs"),
+            F.sum("c").alias("c_present"),
+        )
+    )
+    return (
+        present.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_terms",
+            F.expr(
+                "((present_abs + CAST(n - c_present AS DECIMAL(38,0)) * n_s)"
+                " * 1000000)"
+                " div (2 * CAST(n_s AS DECIMAL(38,0)) * n)"
+            ).alias("tv_ppm"),
+        )
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE_PROLOGUE = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        GROUP BY doc_id, i
+    ), sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::HUGEINT << CAST(i AS INT))
+                        ELSE 0 END) AS sim_u
+        FROM votes GROUP BY doc_id
+    ), all_sims AS (
+        SELECT d.doc_id, CAST(COALESCE(s.sim_u, 0) AS UBIGINT) AS sim
+        FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, sim, b,
+               CAST((sim >> CAST(b * 16 AS UBIGINT)) & 65535 AS INT) AS bv
+        FROM all_sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
+    ), kept AS (
+        SELECT bands.* FROM bands
+        JOIN (SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY b, bv) sz
+        USING (b, bv)
+        WHERE sz.n BETWEEN 2 AND 200
+    ), pr AS (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        FROM kept a JOIN kept b2
+          ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.sim, b2.sim)) <= 3
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pr
+        UNION SELECT id_b, id_a FROM pr
+    ), reach(id, lab) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component_id FROM reach GROUP BY id
+    )
+"""
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE_PROLOGUE
+    + r""", g AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS gk
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), s AS (
+        SELECT doc_id, gk,
+               CAST(('0x' || substr(md5('split:' || CAST(gk AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 1000 AS gb,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 1000 AS nb
+        FROM g
+    ), lab AS (
+        SELECT CASE WHEN gb < 800 THEN 'train'
+                    WHEN gb < 900 THEN 'validation'
+                    ELSE 'test' END AS split,
+               gk,
+               CASE WHEN (CASE WHEN gb < 800 THEN 0 WHEN gb < 900 THEN 1
+                               ELSE 2 END)
+                      <> (CASE WHEN nb < 800 THEN 0 WHEN nb < 900 THEN 1
+                               ELSE 2 END)
+                    THEN 1 ELSE 0 END AS leak
+        FROM s
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT gk) AS BIGINT) AS n_groups,
+           CAST(SUM(leak) AS BIGINT) AS leaked_without_grouping
+    FROM lab GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/validation/test split: every SimHash
+    near-dup CLUSTER is assigned to one split as a unit (split = md5
+    bucket of the cluster's canonical id; unclustered docs hash their own
+    id), so near-copies of a training document can never land in the
+    held-out set — the leakage mode a naive per-document hash split
+    (hash_split_counts) cannot prevent. The `leaked_without_grouping`
+    column quantifies exactly that: how many docs the naive id-hash would
+    have placed in a DIFFERENT split than their cluster — each one a
+    train/test contamination the grouping averted. By construction the
+    cluster-aware assignment itself can never leak (split is a pure
+    function of the group key), which is the law the test pins.
+
+    Scale shape: reuses the production pair→cluster pipeline (SimHash
+    banding + O(log n) large-star/small-star rounds, functions/graph.py);
+    on top of it, one broadcast-sized left join of the cluster map onto
+    the corpus (clustered docs are a small fraction) and a 3-group agg.
+    The split stays append-stable: new docs only join existing splits,
+    and re-clustering only moves docs whose duplicate neighborhood
+    changed."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
+    from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(simhash_near_duplicates(d)).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    g = d.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("gk")
+    )
+
+    def _bucket(col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    def _split(bucket):
+        return (
+            F.when(bucket < 800, "train")
+            .when(bucket < 900, "validation")
+            .otherwise("test")
+        )
+
+    labeled = g.select(
+        _split(_bucket(F.col("gk"))).alias("split"),
+        "gk",
+        (_split(_bucket(F.col("gk"))) != _split(_bucket(F.col("doc_id"))))
+        .cast("long")
+        .alias("leak"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("gk").alias("n_groups"),
+        F.sum("leak").alias("leaked_without_grouping"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
@@ -4600,6 +4937,16 @@ _DRIVER_CHECK_PRIORITY = [
     "heavy_hitter_terms",
     "q11_value_share_shape",
     "q20_excess_share_shape",
+    # NEW round 6 (second batch): integer-exact unigram-LM quality proxy,
+    # per-source total-variation drift monitor, and the duplicate-cluster-
+    # aware split (leakage law + naive-split leak counter). To make room,
+    # three r5-green entries move to the tail: quality_score_histogram /
+    # bpe_token_counts (text family stays represented by the surprisal
+    # query) and events_tumbling_10min (events_sliding_10min, rotated in
+    # above, keeps the windowed-agg family in-window).
+    "unigram_surprisal_quality",
+    "source_token_drift",
+    "leakage_safe_split",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -4607,7 +4954,6 @@ _DRIVER_CHECK_PRIORITY = [
     "session_stats",
     "asof_purchase_signup",
     "q18_large_volume_orders",
-    "events_tumbling_10min",
     "top_terms",
     "orders_above_global_avg",
     "q7_nation_volume",
@@ -4629,10 +4975,12 @@ _DRIVER_CHECK_PRIORITY = [
     "weighted_mixture_sample",
     "uniform_per_group_sample",
     "benchmark_contamination",
-    "quality_score_histogram",
-    "bpe_token_counts",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    # displaced by the 3 second-batch round-6 queries (all green r5)
+    "quality_score_histogram",
+    "bpe_token_counts",
+    "events_tumbling_10min",
     # displaced by the 8 new round-6 queries (green r5; ann_ivf_kmeans_topk
     # covers the IVF family in-window, span queries cover dedup)
     "dedup_exact_groups",

@@ -486,3 +486,40 @@ def test_winsorized_bounds_broadcast(spark, sf_dir):
     df = q.winsorized_length_stats(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_surprisal_persists_vocab_and_prunes_scan(spark, sf_dir):
+    """unigram_surprisal_quality: the vocab counts must be persisted
+    (InMemoryTableScan) so the LM is fit in ONE corpus pass shared by the
+    total/bits/score branches — unpersisted, each branch recomputed the
+    corpus explode (ReuseExchange fails on branch-specific null filters).
+    The 1-row corpus total must broadcast, never shuffle; every documents
+    scan must read only the 3 needed columns."""
+    df = q.QUERIES["unigram_surprisal_quality"](spark, sf_dir)
+    try:
+        plan = physical_plan(df)
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert broadcast_join_count(df) >= 1
+        for cols in scan_read_columns(df):
+            assert cols <= {"doc_id", "lang", "text"}
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_drift_single_corpus_pass_and_broadcasts(spark, sf_dir):
+    """source_token_drift: the (source, term) count frame must be
+    persisted (ONE corpus pass; everything downstream is vocab-sized) and
+    the per-source totals + corpus total must broadcast back — a
+    source-keyed shuffle join would funnel the largest source through one
+    partition."""
+    df = q.QUERIES["source_token_drift"](spark, sf_dir)
+    try:
+        plan = physical_plan(df)
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert broadcast_join_count(df) >= 2
+        for cols in scan_read_columns(df):
+            assert cols <= {"source", "text"}
+    finally:
+        spark.catalog.clearCache()
