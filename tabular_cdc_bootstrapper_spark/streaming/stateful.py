@@ -526,3 +526,109 @@ def streaming_span_duplicates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_mg_heavy_hitters(
+    tokens: DataFrame,
+    term_col: str = "term",
+    k: int = 64,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Streaming Misra–Gries heavy-hitter candidates — the cross-micro-
+    batch twin of ``functions.heavyhitters.mg_partition_summaries``. MG is
+    the streaming-native frequency sketch (it was designed for one-pass
+    streams), so the streaming form is the HOME form: state per term-hash
+    SHARD holds one MG summary (≤ k counters plus the shard's exact token
+    count), each micro-batch's counts merge in with the same batch-merge
+    trim the batch operator uses, and the mergeable-summaries law
+    carries over unchanged:
+
+        after any prefix of the stream, every term whose count so far
+        exceeds n/(k+1) is present in its shard's summary
+
+    — because a term's entire count lands in ONE shard (shard = hash of
+    the term), and n_shard ≤ n makes the per-shard bound only tighter.
+    The twin test pins exactly this: final streamed candidates ⊇ the
+    batch two-pass exact heavy hitters on the same corpus fed across a
+    micro-batch split.
+
+    Emission: each batch a shard receives data, it re-emits its FULL
+    current summary tagged with the monotonically increasing ``n_shard``;
+    downstream (and the test) keep the rows with each shard's max
+    n_shard — a changelog of sketch versions, which is what a serving
+    layer polls. Exact counts still need the candidate-restricted second
+    pass (batch heavy_hitters_exact) — the stream maintains the candidate
+    set and lower bounds, which is the part that must see every token.
+
+    100 TB shape: state is ≤ n_shards·k counters TOTAL (constant in
+    corpus size and skew — a hot term is one counter); the only shuffle
+    is the shard partitioning; n_shards spreads merge work and keeps any
+    single summary's Arrow batch tiny."""
+    from pyspark.sql import functions as F
+
+    sharded = tokens.select(
+        F.col(term_col).alias("term"),
+        (F.abs(F.xxhash64(term_col)) % n_shards).alias("shard"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("mg_lower", T.LongType()),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from collections import Counter as _Counter
+
+        import pandas as _pd
+
+        terms, counts, n_shard = (
+            state.get if state.exists else ([], [], 0)
+        )
+        summary = _Counter(dict(zip(list(terms or []), list(counts or []))))
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            summary.update(_Counter(pdf["term"].tolist()))
+            if len(summary) > k:
+                # batch-merge MG trim: subtracting the (k+1)-th largest
+                # count charges the same deduction to >= k+1 distinct
+                # keys, preserving the n/(k+1) total-undercount bound
+                d = sorted(summary.values(), reverse=True)[k]
+                summary = _Counter(
+                    {t: c - d for t, c in summary.items() if c > d}
+                )
+        if not seen:
+            return
+        n_shard = int(n_shard) + seen
+        state.update(
+            (list(summary.keys()), [int(c) for c in summary.values()], n_shard)
+        )
+        yield _pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(summary),
+                "term": list(summary.keys()),
+                "mg_lower": [int(c) for c in summary.values()],
+                "n_shard": [n_shard] * len(summary),
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

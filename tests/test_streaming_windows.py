@@ -394,3 +394,88 @@ def test_stream_static_topk_matches_batch_cosine(spark, sf_dir, tmp_path):
     for r in sorted(batch, key=lambda r: (r["qid"], r["rn"])):
         expect.setdefault(r["qid"], []).append((r["vec_id"], r["cos_sim"]))
     assert got == expect
+
+
+def test_streaming_mg_heavy_hitters_twin_covers_batch_exact(spark, sf_dir, tmp_path):
+    """Batch/streaming frequency-sketch twin: after streaming the corpus
+    across two micro-batches, the final MG shard summaries must contain
+    EVERY term the batch two-pass operator proves heavy (the mergeable-
+    summaries guarantee, which sharding by term hash only tightens), with
+    lower bounds that never exceed exact counts and <= k counters per
+    shard. A planted hot term is split across the batch boundary so that
+    neither batch alone crosses the threshold — the cross-batch carry a
+    per-batch re-run would miss."""
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.functions.heavyhitters import (
+        heavy_hitters_exact,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.stateful import (
+        streaming_mg_heavy_hitters,
+    )
+
+    k = 64
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n_corpus_tokens = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).count()
+    # plant "qqhot" heavy: > 1/(k+1) of the final corpus, half per batch
+    per_half = (n_corpus_tokens // k) // 2 + 50
+    hot_doc = " ".join(["qqhot"] * per_half)
+    plant1 = spark.createDataFrame([(9_000_001, hot_doc)], "doc_id long, text string")
+    plant2 = spark.createDataFrame([(9_000_002, hot_doc)], "doc_id long, text string")
+
+    out = tmp_path / "mg_stream"
+    docs.filter(F.col("doc_id") < 250).unionByName(plant1).coalesce(1).write.parquet(
+        str(out / "f1")
+    )
+    docs.filter(F.col("doc_id") >= 250).unionByName(plant2).coalesce(1).write.parquet(
+        str(out / "f2")
+    )
+
+    stream_tokens = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+        .filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.windows import run_stream_to_memory
+
+    q = run_stream_to_memory(
+        streaming_mg_heavy_hitters(stream_tokens, k=k), "mg_hh_out"
+    )
+    rows = spark.table("mg_hh_out").collect()
+    q.stop()
+
+    # final summary per shard = rows tagged with that shard's max n_shard
+    final_n = {}
+    for r in rows:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_shard"])
+    final = [r for r in rows if r["n_shard"] == final_n[r["shard"]]]
+    streamed_terms = {r["term"] for r in final}
+    per_shard = {}
+    for r in final:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for shard, srows in per_shard.items():
+        assert len(srows) <= k, f"shard {shard} exceeded k counters"
+
+    full = docs.unionByName(plant1).unionByName(plant2)
+    tokens = full.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    exact = {r["term"]: r["cnt"] for r in heavy_hitters_exact(tokens, k=k).collect()}
+    assert exact, "fixture produced no exact heavy hitters"
+    assert "qqhot" in exact  # the planted cross-batch term IS heavy
+    # the MG law: every exact heavy hitter survives in the stream state
+    assert set(exact) <= streamed_terms
+    # lower bounds never exceed exact counts (undercount-only guarantee)
+    exact_all = {
+        r["term"]: r["cnt"]
+        for r in tokens.groupBy("term").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in final:
+        assert r["mg_lower"] <= exact_all[r["term"]]
+    # total tokens accounted across shards == corpus tokens
+    assert sum(final_n.values()) == tokens.count()
