@@ -74,8 +74,24 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
     # "timestamp[ns" prefix-matches both naive ("timestamp[ns]") and
     # tz-aware ("timestamp[ns, tz=UTC]") nanosecond storage — Spark 4
-    # rejects either as a native timestamp read
-    if ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns"):
+    # rejects either as a native timestamp read. EXCEPT legacy INT96
+    # (Spark <3 / Hive default output), which Arrow ALSO reports as
+    # timestamp[ns] at the logical level but Spark reads natively — the
+    # two are distinguishable only by the column's parquet PHYSICAL type,
+    # so probe that before trusting the logical dtype.
+    is_int96 = False
+    if ts_type.startswith("timestamp[ns"):
+        md = _pq.ParquetFile(probe).metadata
+        if md.num_row_groups > 0:
+            rg = md.row_group(0)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                if col.path_in_schema.split(".")[0] == "ts":
+                    is_int96 = col.physical_type == "INT96"
+                    break
+    if is_int96 or (
+        ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns")
+    ):
         # µs/ms/s timestamp storage: Spark reads it natively; normalize to
         # TIMESTAMP_NTZ so every downstream query (and the DuckDB oracle,
         # which reads the same file session-timezone-free) agrees on the
@@ -4753,6 +4769,100 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_mix_drift",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(date_trunc('week', ts) AS VARCHAR) AS week, event_type
+        FROM events
+    ), we AS (
+        SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS cw
+        FROM e GROUP BY week, event_type
+    ), nw AS (
+        SELECT week, CAST(SUM(cw) AS BIGINT) AS n_w FROM we GROUP BY week
+    ), ce AS (
+        SELECT event_type, CAST(SUM(cw) AS BIGINT) AS c
+        FROM we GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM ce
+    ), present AS (
+        SELECT we.week,
+               SUM(abs(CAST(we.cw AS HUGEINT) * tot.n
+                       - CAST(ce.c AS HUGEINT) * nw.n_w)) AS present_abs,
+               CAST(SUM(ce.c) AS BIGINT) AS c_present
+        FROM we JOIN ce USING (event_type) JOIN nw USING (week) CROSS JOIN tot
+        GROUP BY we.week
+    )
+    SELECT p.week, nw.n_w AS n_events,
+           CAST(((p.present_abs
+                  + CAST(tot.n - p.c_present AS HUGEINT) * nw.n_w) * 1000000)
+                // (2 * CAST(nw.n_w AS HUGEINT) * tot.n) AS BIGINT) AS tv_ppm
+    FROM present p JOIN nw USING (week) CROSS JOIN tot
+    """,
+)
+def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift on the event stream: total-variation distance
+    between each ISO week's event-type mix and the whole history — the
+    monitoring query that catches instrumentation breakage ("clicks
+    stopped being logged on Tuesday") as a distribution shift rather than
+    a raw-count alarm that fires on ordinary traffic swings.
+
+    Same exact-integer TV machinery as source_token_drift (one truncating
+    division to ppm, closed-form handling of event types absent in a
+    week, DECIMAL(38,0)/HUGEINT widening), on the time axis instead of
+    the source axis and on the events table instead of documents. The
+    week key is date_trunc('week') — ISO Monday in both engines — cast to
+    string for cross-engine hash identity.
+
+    Scale shape: the only event-scale work is the map-side-combined
+    (week, event_type) count — #weeks × #event_types rows out; every
+    later frame is that size or smaller, so no persist is needed (unlike
+    the token-drift twin, whose vocab is too wide to recompute)."""
+    e = _t(spark, sf_dir, "events").select(
+        # to_date matches DuckDB, whose 'week' truncation yields DATE
+        F.to_date(F.date_trunc("week", "ts")).cast("string").alias("week"),
+        "event_type",
+    )
+    we = e.groupBy("week", "event_type").agg(F.count("*").alias("cw"))
+    # tiny frame (weeks × event types): one persist-free reuse is fine at
+    # any scale, but the same defensive persist as source_token_drift
+    # costs nothing and keeps the corpus-sized explode single-pass
+    we = we.persist()
+    nw = we.groupBy("week").agg(F.sum("cw").alias("n_w"))
+    ce = we.groupBy("event_type").agg(F.sum("cw").alias("c"))
+    tot = ce.agg(F.sum("c").alias("n"))
+    present = (
+        we.join(ce, "event_type")
+        .join(F.broadcast(nw), "week")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "week",
+            F.expr(
+                "abs(CAST(cw AS DECIMAL(38,0)) * n - CAST(c AS DECIMAL(38,0)) * n_w)"
+            ).alias("wk_abs"),
+            "c",
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("wk_abs").alias("present_abs"),
+            F.sum("c").alias("c_present"),
+        )
+    )
+    return (
+        present.join(F.broadcast(nw), "week")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "week",
+            F.col("n_w").alias("n_events"),
+            F.expr(
+                "((present_abs + CAST(n - c_present AS DECIMAL(38,0)) * n_w)"
+                " * 1000000)"
+                " div (2 * CAST(n_w AS DECIMAL(38,0)) * n)"
+            ).alias("tv_ppm"),
+        )
+    )
+
+
 _LEAKAGE_SPLIT_ORACLE_PROLOGUE = r"""
     WITH RECURSIVE toks AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -4952,14 +5062,17 @@ _DRIVER_CHECK_PRIORITY = [
     "q11_value_share_shape",
     "q20_excess_share_shape",
     # NEW round 6 (second batch): integer-exact unigram-LM quality proxy,
-    # per-source total-variation drift monitor, and the duplicate-cluster-
-    # aware split (leakage law + naive-split leak counter). To make room,
-    # three r5-green entries move to the tail: quality_score_histogram /
-    # bpe_token_counts (text family stays represented by the surprisal
-    # query) and events_tumbling_10min (events_sliding_10min, rotated in
-    # above, keeps the windowed-agg family in-window).
+    # per-source and per-week total-variation drift monitors, and the
+    # duplicate-cluster-aware split (leakage law + naive-split leak
+    # counter). To make room, four r5-green entries move to the tail:
+    # quality_score_histogram / bpe_token_counts (text family stays
+    # represented by the surprisal query), events_tumbling_10min
+    # (events_sliding_10min, rotated in above, keeps the windowed-agg
+    # family in-window), and uniform_per_group_sample (sampling family
+    # stays represented by cluster_balanced_sample + the mixture quotas).
     "unigram_surprisal_quality",
     "source_token_drift",
+    "event_mix_drift",
     "leakage_safe_split",
     # rotated in: only driver row was round 2
     "orders_by_month",
@@ -4987,14 +5100,14 @@ _DRIVER_CHECK_PRIORITY = [
     "hash_split_counts",
     "sequence_packing",
     "weighted_mixture_sample",
-    "uniform_per_group_sample",
     "benchmark_contamination",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 3 second-batch round-6 queries (all green r5)
+    # displaced by the 4 second-batch round-6 queries (all green r5)
     "quality_score_histogram",
     "bpe_token_counts",
     "events_tumbling_10min",
+    "uniform_per_group_sample",
     # displaced by the 8 new round-6 queries (green r5; ann_ivf_kmeans_topk
     # covers the IVF family in-window, span queries cover dedup)
     "dedup_exact_groups",

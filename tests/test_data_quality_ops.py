@@ -170,3 +170,60 @@ def test_leakage_safe_split_partitions_fixture(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert n_docs_total == docs
     assert {r["split"] for r in out} <= {"train", "validation", "test"}
+
+
+# ---------------------------------------------------------------------------
+# event_mix_drift
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, out_dir, rows):
+    """events.parquet fixture; rows = (event_id, ts_str, event_type)."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.createDataFrame(
+            [(i, ts, 1, et, 0.0, "{}") for i, ts, et in rows],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    return str(out_dir)
+
+
+def test_event_mix_drift_uniform_weeks_zero(spark, tmp_path):
+    """Weeks with identical event-type mixes have zero drift."""
+    rows = []
+    for w, day in enumerate(["2024-01-01", "2024-01-08", "2024-01-15"]):
+        for j in range(4):
+            rows.append((w * 10 + j, f"{day} 10:0{j}:00", "view" if j < 2 else "click"))
+    sf = _write_events(spark, tmp_path, rows)
+    out = QUERIES["event_mix_drift"](spark, sf).collect()
+    spark.catalog.clearCache()
+    assert len(out) == 3
+    assert all(r["tv_ppm"] == 0 for r in out)
+
+
+def test_event_mix_drift_disjoint_weeks_exact(spark, tmp_path):
+    """Two weeks with disjoint event types: TV(week) = n_other/N exactly,
+    via the operator's own integer arithmetic — the 'instrumentation
+    broke this week' signal at its theoretical maximum."""
+    rows = [(i, f"2024-01-01 10:00:{i:02d}", "view") for i in range(10)]
+    rows += [(100 + j, f"2024-01-08 10:00:{j:02d}", "error") for j in range(5)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["week"]: r for r in QUERIES["event_mix_drift"](spark, sf).collect()}
+    spark.catalog.clearCache()
+    n1, n2 = 10, 5
+    n = n1 + n2
+    assert out["2024-01-01"]["n_events"] == n1
+    assert out["2024-01-01"]["tv_ppm"] == (2 * n1 * n2 * 1_000_000) // (2 * n1 * n)
+    assert out["2024-01-08"]["tv_ppm"] == (2 * n2 * n1 * 1_000_000) // (2 * n2 * n)
+
+
+def test_event_mix_drift_bounds_on_fixture(spark, sf_dir):
+    for r in QUERIES["event_mix_drift"](spark, sf_dir).collect():
+        assert 0 <= r["tv_ppm"] <= 1_000_000
+        assert r["n_events"] > 0
+    spark.catalog.clearCache()

@@ -208,3 +208,37 @@ def test_events_loader_handles_directory_input(spark, tmp_path):
     df = _load_events(spark, str(d))
     assert df.count() == 4
     assert str(df.schema["ts"].dataType) == "TimestampNTZType()"
+
+
+def test_events_loader_handles_int96_timestamp(spark, tmp_path):
+    """Legacy Spark/Hive INT96 output (spark.sql.parquet.outputTimestampType
+    = INT96, the pre-Spark-3 default): Arrow reports the LOGICAL type as
+    'timestamp[ns]' — identical to TIMESTAMP(NANOS), which Spark cannot
+    read natively — but the PHYSICAL type is INT96, which Spark reads
+    fine and the nanosAsLong path would crash on (the column arrives as a
+    timestamp, not a long). The loader must branch on the physical type.
+    Regression: writing an events fixture with plain Spark defaults used
+    to route into the ns branch and fail analysis with
+    DATATYPE_MISMATCH on `ts div 1000`."""
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-08 11:30:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = str(tmp_path / "int96.parquet")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df.coalesce(1).write.parquet(out)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    import glob
+
+    (part,) = glob.glob(f"{out}/part-*.parquet")
+    assert str(pq.read_schema(part).field("ts").type).startswith("timestamp[ns")
+    loaded = _load_events(spark, out)
+    assert str(loaded.schema["ts"].dataType) == "TimestampNTZType()"
+    got = {r["event_id"]: str(r["ts"]) for r in loaded.collect()}
+    assert got == {1: "2024-01-01 10:00:00", 2: "2024-01-08 11:30:00"}
