@@ -227,3 +227,84 @@ def test_event_mix_drift_bounds_on_fixture(spark, sf_dir):
         assert 0 <= r["tv_ppm"] <= 1_000_000
         assert r["n_events"] > 0
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# property tests: integer formulas vs brute-force Python references
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]
+
+_corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _materialize(spark, corpus):
+    import tempfile
+
+    rows = [
+        (i + 1, " ".join(toks), lang, src)
+        for i, (lang, src, toks) in enumerate(corpus)
+    ]
+    return _write_documents(spark, tempfile.mkdtemp(), rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_corpus_strategy)
+def test_drift_matches_bruteforce_reference(spark, corpus):
+    """source_token_drift == the direct Python evaluation of
+    TV_ppm = floor(Σ_t |c_s(t)·N − c(t)·n_s| · 1e6 / (2·n_s·N)) over the
+    FULL vocabulary (no closed-form shortcut) on arbitrary corpora —
+    pinning that the operator's absent-term algebra is exact."""
+    sf = _materialize(spark, corpus)
+    per, tot = {}, Counter()
+    for lang, src, toks in corpus:
+        per.setdefault(src, Counter()).update(toks)
+        tot.update(toks)
+    n = sum(tot.values())
+    expected = {
+        src: sum(abs(c.get(t, 0) * n - tot[t] * ns) for t in tot) * 1_000_000
+        // (2 * ns * n)
+        for src, c in per.items()
+        for ns in [sum(c.values())]
+    }
+    got = {r["source"]: r["tv_ppm"] for r in
+           QUERIES["source_token_drift"](spark, sf).collect()}
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_corpus_strategy)
+def test_surprisal_matches_bruteforce_reference(spark, corpus):
+    """unigram_surprisal_quality == the direct Python evaluation of the
+    bit-length surprisal histogram (bin-length(N) − bin-length(c) per
+    token; integer-milli mean; (lang, bucket) rollup)."""
+    sf = _materialize(spark, corpus)
+    vocab = Counter(t for _, _, toks in corpus for t in toks)
+    n = sum(vocab.values())
+    hist = {}
+    for lang, _, toks in corpus:
+        bits = sum(n.bit_length() - vocab[t].bit_length() for t in toks)
+        milli = bits * 1000 // len(toks)
+        key = (lang, milli // 1000)
+        c, s = hist.get(key, (0, 0))
+        hist[key] = (c + 1, s + milli)
+    got = {
+        (r["lang"], r["bits_bucket"]): (r["n_docs"], r["sum_score_milli"])
+        for r in QUERIES["unigram_surprisal_quality"](spark, sf).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == hist
