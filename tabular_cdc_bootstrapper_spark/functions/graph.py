@@ -175,3 +175,47 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+def quality_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Re-elect each cluster's survivor by QUALITY instead of min-id: the
+    production keep/drop policy ("keep the longest / cleanest / highest-
+    scoring copy, drop the rest"), which min-id canonical election cannot
+    express. Deterministic: argmax(quality), ties broken by SMALLEST id,
+    so re-runs and engine changes elect the same survivor.
+
+    ``clusters`` is dedup_clusters output (or any (id, component_id)
+    mapping); ``quality`` maps id → a numeric score (e.g. the unigram
+    surprisal score, a length stat, or with_text_stats' composite).
+
+    Returns (id, component_id, quality, is_canonical).
+
+    Scale shape: one equi-join on id (both sides id-partitioned at the
+    corpus's natural key) and ONE max_by aggregation per component —
+    max_by carries a (quality, -id) struct so the argmax and the
+    tie-break ride a single shuffle; no window sort over cluster members,
+    no second pass. The per-component winner table is cluster-count-sized
+    and broadcasts back."""
+    q = quality.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("quality")
+    )
+    members = clusters.select("id", "component_id").join(q, "id")
+    winners = members.groupBy("component_id").agg(
+        F.max_by(
+            "id", F.struct(F.col("quality"), (-F.col("id")).alias("neg_id"))
+        ).alias("_winner")
+    )
+    return (
+        members.join(F.broadcast(winners), "component_id")
+        .select(
+            "id",
+            "component_id",
+            "quality",
+            (F.col("id") == F.col("_winner")).alias("is_canonical"),
+        )
+    )

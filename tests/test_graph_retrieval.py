@@ -105,3 +105,53 @@ def test_bm25_rare_term_dominates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     top = bm25_topk(docs, ["dup", "alpha"], k=3).collect()
     assert top[0]["doc_id"] == 0
+
+
+def test_quality_canonical_elects_best_member(spark):
+    """Quality-aware survivor election: argmax(quality) per component,
+    ties broken by smallest id — never the min-id default."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        dedup_clusters,
+        quality_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    quality = spark.createDataFrame(
+        # component {1,2,3}: best quality is id 3 (min-id canonical is 1)
+        # component {10,11}: quality TIE -> smallest id 10 wins
+        [(1, 5.0), (2, 7.0), (3, 9.0), (10, 4.0), (11, 4.0)],
+        "id long, quality double",
+    )
+    out = {r["id"]: r for r in quality_canonical(clusters, quality).collect()}
+    assert len(out) == 5
+    winners = {i for i, r in out.items() if r["is_canonical"]}
+    assert winners == {3, 10}
+    # exactly one survivor per component
+    per_comp = {}
+    for r in out.values():
+        per_comp.setdefault(r["component_id"], 0)
+        per_comp[r["component_id"]] += int(r["is_canonical"])
+    assert all(v == 1 for v in per_comp.values())
+
+
+def test_quality_canonical_single_aggregation_no_window(spark):
+    """Plan shape: the election is a max_by aggregate + broadcast-back,
+    never a window sort over cluster members."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        dedup_clusters,
+        quality_canonical,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    quality = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, quality double"
+    )
+    df = quality_canonical(dedup_clusters(pairs), quality)
+    from tabular_cdc_bootstrapper_spark.plans.inspect import physical_plan
+
+    p = physical_plan(df)
+    assert "Window" not in p
+    assert "max_by" in p.lower()
