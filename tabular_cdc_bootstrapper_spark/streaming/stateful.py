@@ -632,3 +632,103 @@ def streaming_mg_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_event_mix_drift(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries.event_mix_drift: the weekly event-type
+    mix vs ALL history seen so far, recomputed exactly as each micro-batch
+    lands — the always-on form of the instrumentation-breakage monitor
+    (the batch query answers "was last week broken?", this one pages you
+    DURING the broken week).
+
+    State is the full (week, event_type) count table — weeks × types
+    rows, KB at any corpus size, so unlike the token-drift twin there is
+    no sketch compromise: the stream maintains the exact counts and the
+    drift table it emits each batch is bit-identical to running the batch
+    query over everything ingested so far (Python-int arithmetic inside
+    the update = the same exact-integer TV formula; the twin test pins
+    final emission == batch query output). All weeks land in ONE state
+    group (key = lit(0)): TV needs the global totals, and the whole state
+    is small enough that sharding would only add a merge step.
+
+    Emission: the complete current drift table tagged with ``version`` =
+    total events seen (strictly increasing per batch); consumers keep the
+    max-version rows, same protocol as streaming_mg_heavy_hitters."""
+    from pyspark.sql import functions as F
+
+    weekly = events.select(
+        F.to_date(F.date_trunc("week", "ts")).cast("string").alias("week"),
+        "event_type",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("week", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("tv_ppm", T.LongType()),
+            T.StructField("version", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("weeks", T.ArrayType(T.StringType())),
+            T.StructField("types", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from collections import Counter as _Counter
+
+        import pandas as _pd
+
+        weeks, types, counts = state.get if state.exists else ([], [], [])
+        table = _Counter(
+            dict(zip(zip(list(weeks or []), list(types or [])), list(counts or [])))
+        )
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            table.update(_Counter(zip(pdf["week"].tolist(), pdf["event_type"].tolist())))
+        if not seen:
+            return
+        state.update(
+            (
+                [w for (w, _t2) in table],
+                [t2 for (_w, t2) in table],
+                [int(c) for c in table.values()],
+            )
+        )
+        # exact-integer TV per week vs the full history — Python ints, so
+        # no widening concern at any scale
+        n_w: dict[str, int] = {}
+        c_e: dict[str, int] = {}
+        for (w, t2), c in table.items():
+            n_w[w] = n_w.get(w, 0) + c
+            c_e[t2] = c_e.get(t2, 0) + c
+        n = sum(c_e.values())
+        rows = []
+        for w, nw in n_w.items():
+            num = sum(
+                abs(table.get((w, t2), 0) * n - ce * nw) for t2, ce in c_e.items()
+            )
+            rows.append((w, nw, (num * 1_000_000) // (2 * nw * n)))
+        rows.sort()
+        yield _pd.DataFrame(
+            {
+                "week": [r[0] for r in rows],
+                "n_events": [r[1] for r in rows],
+                "tv_ppm": [r[2] for r in rows],
+                "version": [n] * len(rows),
+            }
+        )
+
+    return weekly.withColumn("g", F.lit(0)).groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -479,3 +479,54 @@ def test_streaming_mg_heavy_hitters_twin_covers_batch_exact(spark, sf_dir, tmp_p
         assert r["mg_lower"] <= exact_all[r["term"]]
     # total tokens accounted across shards == corpus tokens
     assert sum(final_n.values()) == tokens.count()
+
+
+def test_streaming_event_mix_drift_twin_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/streaming drift twin: after streaming the events fixture
+    across two micro-batches, the final (max-version) emission must equal
+    queries.event_mix_drift run as a batch over the same data — the state
+    holds exact (week, event_type) counts, so the law is bit-identity,
+    not approximation. Mid-stream emissions exist too (the always-on
+    alerting surface) and carry strictly increasing versions."""
+    from tabular_cdc_bootstrapper_spark.queries import QUERIES, _load_events
+    from tabular_cdc_bootstrapper_spark.streaming.stateful import (
+        streaming_event_mix_drift,
+    )
+
+    e = _load_events(spark, f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = tmp_path / "mix_stream"
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(out / "f1"))
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(out / "f2"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.windows import run_stream_to_memory
+
+    q = run_stream_to_memory(streaming_event_mix_drift(stream), "mix_drift_out")
+    rows = spark.table("mix_drift_out").collect()
+    q.stop()
+
+    versions = sorted({r["version"] for r in rows})
+    assert len(versions) == 2  # one emission per micro-batch
+    final = {
+        r["week"]: (r["n_events"], r["tv_ppm"])
+        for r in rows
+        if r["version"] == versions[-1]
+    }
+    batch = {
+        r["week"]: (r["n_events"], r["tv_ppm"])
+        for r in QUERIES["event_mix_drift"](spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert final == batch
+    # version = cumulative event count; the last one covers everything
+    assert versions[-1] == sum(n for n, _ in batch.values())
