@@ -4770,6 +4770,107 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_retrieval_topk",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ), d AS (
+        SELECT doc_id, len(toks) AS dl, toks FROM base
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+        WHERE t IN ('dup', 'vector', 'merge')
+        GROUP BY doc_id, dl, t
+    ), dfs AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), cand AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfs USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 50
+    ), qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT c.doc_id, c.bm25,
+               ROUND(
+                 list_sum(list_transform(list_zip(qv.q, e.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(qv.q,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cos_sim
+        FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv
+        WHERE c.doc_id <> 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT doc_id, bm25, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving composition: a cheap LEXICAL
+    recall stage (BM25 top-50 over the inverted-index plan) feeds a
+    dense RERANK stage (exact cosine against the query embedding, vec 0,
+    over the 50 candidates; the query's own document is excluded). This
+    is how production search actually combines the two retriever tiers
+    this engine already has — sparse recall bounds the work, dense
+    scoring fixes the order — and the query proves the fixtures' doc_id ↔
+    vec_id alignment end-to-end.
+
+    Determinism (the house retrieval rule): BOTH stages round their score
+    to 6 dp BEFORE ranking and tie-break on doc_id, so the candidate cut
+    and the final order are reproducible across engines despite float
+    summation order.
+
+    Scale shape: the recall stage is the bm25_topk plan (corpus shuffle
+    carries only matching (doc, term) rows; df/stats broadcast;
+    TakeOrderedAndProject cut). The rerank joins the 50-row candidate
+    frame (broadcast) against embeddings and ranks 50 rows — the global
+    window is candidate-sized by construction, never corpus-sized. At
+    100 TB the embeddings side is id-partitioned parquet and the
+    broadcast-semi-join prunes to 50 row lookups."""
+    from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = bm25_topk(d, ["dup", "vector", "merge"], k=50).select("doc_id", "bm25")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine_similarity(F.col("qv"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query(
     "event_mix_drift",
     oracle="""
     WITH e AS (
@@ -5074,6 +5175,11 @@ _DRIVER_CHECK_PRIORITY = [
     "source_token_drift",
     "event_mix_drift",
     "leakage_safe_split",
+    # NEW round 6 (third batch): sparse-recall + dense-rerank serving
+    # composition; hash_split_counts moves to the tail to make room (its
+    # family is superseded in-window by leakage_safe_split, the upgraded
+    # split operator)
+    "hybrid_retrieval_topk",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -5097,17 +5203,17 @@ _DRIVER_CHECK_PRIORITY = [
     "hll_distinct_counts",
     "approx_price_percentiles",
     "tfidf_top_terms",
-    "hash_split_counts",
     "sequence_packing",
     "weighted_mixture_sample",
     "benchmark_contamination",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 4 second-batch round-6 queries (all green r5)
+    # displaced by the 5 second/third-batch round-6 queries (all green r5)
     "quality_score_histogram",
     "bpe_token_counts",
     "events_tumbling_10min",
     "uniform_per_group_sample",
+    "hash_split_counts",
     # displaced by the 8 new round-6 queries (green r5; ann_ivf_kmeans_topk
     # covers the IVF family in-window, span queries cover dedup)
     "dedup_exact_groups",

@@ -308,3 +308,42 @@ def test_surprisal_matches_bruteforce_reference(spark, corpus):
     }
     spark.catalog.clearCache()
     assert got == hist
+
+
+# ---------------------------------------------------------------------------
+# hybrid_retrieval_topk
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_retrieval_laws(spark, sf_dir):
+    """The two-stage contract: every result comes from the BM25 top-50
+    candidate pool, the final order is dense (cosine), ranks are
+    contiguous from 1, the query's own document is excluded, and the
+    dense rerank actually CHANGES the order relative to pure BM25 (the
+    reason the second stage exists)."""
+    from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
+    from tabular_cdc_bootstrapper_spark.queries import _t
+
+    out = QUERIES["hybrid_retrieval_topk"](spark, sf_dir).collect()
+    assert 1 <= len(out) <= 10
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
+    sims = [r["cos_sim"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["doc_id"] != 0 for r in out)
+    cand = {
+        r["doc_id"]
+        for r in bm25_topk(
+            _t(spark, sf_dir, "documents"), ["dup", "vector", "merge"], k=50
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out} <= cand
+    # rerank reorders: the hybrid top-10 ordering differs from the pure
+    # lexical ordering of the same docs
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    by_bm25 = [
+        r["doc_id"]
+        for r in sorted(out, key=lambda r: (-r["bm25"], r["doc_id"]))
+    ]
+    assert by_rank != by_bm25
