@@ -54,7 +54,6 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     import glob as _glob
     import os as _os
 
-    probe = path
     if _os.path.isdir(path):
         # sorted + recursive: glob order is filesystem-dependent, so an
         # unsorted probe of a mixed-dtype directory (mid-regeneration)
@@ -69,8 +68,9 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
                 f"no parquet files under events dir {path!r}; cannot probe "
                 "the ts storage dtype"
             )
-        probe = parts[0]
-    ts_type = str(_pq.read_schema(probe).field("ts").type)
+    else:
+        parts = [path]
+    ts_type = str(_pq.read_schema(parts[0]).field("ts").type)
 
     # "timestamp[ns" prefix-matches both naive ("timestamp[ns]") and
     # tz-aware ("timestamp[ns, tz=UTC]") nanosecond storage — Spark 4
@@ -78,17 +78,30 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     # (Spark <3 / Hive default output), which Arrow ALSO reports as
     # timestamp[ns] at the logical level but Spark reads natively — the
     # two are distinguishable only by the column's parquet PHYSICAL type,
-    # so probe that before trusting the logical dtype.
+    # so probe that before trusting the logical dtype. A 0-row file has
+    # NO row groups to probe, so scan the file list for the first one
+    # that has data; an entirely EMPTY dataset defaults to the native
+    # branch (INT96 is what Spark itself writes — the case that actually
+    # occurs — and the ns branch would crash on it; a 0-row TIMESTAMP
+    # (NANOS) dataset has no values for the branches to disagree on).
     is_int96 = False
     if ts_type.startswith("timestamp[ns"):
-        md = _pq.ParquetFile(probe).metadata
-        if md.num_row_groups > 0:
+        probed = False
+        for part in parts:
+            md = _pq.ParquetFile(part).metadata
+            if md.num_row_groups == 0:
+                continue
             rg = md.row_group(0)
             for ci in range(rg.num_columns):
                 col = rg.column(ci)
                 if col.path_in_schema.split(".")[0] == "ts":
                     is_int96 = col.physical_type == "INT96"
+                    probed = True
                     break
+            if probed:
+                break
+        if not probed:
+            is_int96 = True  # empty dataset: take the native read
     if is_int96 or (
         ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns")
     ):

@@ -129,6 +129,14 @@ def test_round6_queries_survive_empty_documents(spark, tmp_path):
         [], "doc_id long, text string, lang string, source string, n_chars long"
     )
     empty.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     for name in (
         "duplicated_span_hashes",
         "span_dedup_retention",
@@ -138,6 +146,8 @@ def test_round6_queries_survive_empty_documents(spark, tmp_path):
         "unigram_surprisal_quality",
         "source_token_drift",
         "leakage_safe_split",
+        "hybrid_retrieval_topk",
+        "event_mix_drift",
     ):
         assert q.QUERIES[name](spark, str(tmp_path)).count() == 0, name
         spark.catalog.clearCache()
