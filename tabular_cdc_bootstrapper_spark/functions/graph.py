@@ -193,25 +193,35 @@ def quality_canonical(
     mapping); ``quality`` maps id → a numeric score (e.g. the unigram
     surprisal score, a length stat, or with_text_stats' composite).
 
-    Returns (id, component_id, quality, is_canonical).
+    Returns (id, component_id, quality, is_canonical). Members with NO
+    quality row are kept (null quality) and can never win unless their
+    ENTIRE cluster lacks scores, in which case the election degrades to
+    min-id — an inner join here would silently drop unscored docs from
+    the keep/drop output, losing documents downstream.
 
-    Scale shape: one equi-join on id (both sides id-partitioned at the
-    corpus's natural key) and ONE max_by aggregation per component —
+    Scale shape: one left equi-join on id (both sides id-partitioned at
+    the corpus's natural key) and ONE max_by aggregation per component —
     max_by carries a (quality, -id) struct so the argmax and the
     tie-break ride a single shuffle; no window sort over cluster members,
     no second pass. The per-component winner table is cluster-count-sized
-    and broadcasts back."""
+    — corpus-proportional at the extreme — so the join-back is left
+    unhinted for AQE to pick (same reasoning as dedup_clusters' sizes
+    join above; a forced broadcast would OOM at the 100 TB design
+    point)."""
     q = quality.select(
         F.col(id_col).alias("id"), F.col(quality_col).alias("quality")
     )
-    members = clusters.select("id", "component_id").join(q, "id")
+    members = clusters.select("id", "component_id").join(q, "id", "left")
+    # -inf sorts every unscored member below any real score; an all-null
+    # cluster ties at -inf and the -id tie-break elects min id
+    rank_q = F.coalesce(F.col("quality"), F.lit(float("-inf")))
     winners = members.groupBy("component_id").agg(
         F.max_by(
-            "id", F.struct(F.col("quality"), (-F.col("id")).alias("neg_id"))
+            "id", F.struct(rank_q.alias("rq"), (-F.col("id")).alias("neg_id"))
         ).alias("_winner")
     )
     return (
-        members.join(F.broadcast(winners), "component_id")
+        members.join(winners, "component_id")
         .select(
             "id",
             "component_id",

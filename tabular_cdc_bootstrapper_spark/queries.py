@@ -4930,18 +4930,21 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only event-scale work is the map-side-combined
     (week, event_type) count — #weeks × #event_types rows out; every
-    later frame is that size or smaller, so no persist is needed (unlike
-    the token-drift twin, whose vocab is too wide to recompute)."""
+    later frame is that size or smaller. The count frame is persisted
+    for the same reason as the token-drift twin: its four consumers
+    (nw/ce/tot/present) would otherwise each re-SCAN the events table
+    (join-injected null filters defeat ReuseExchange), and the persist
+    caps the query at one events pass."""
     e = _t(spark, sf_dir, "events").select(
         # to_date matches DuckDB, whose 'week' truncation yields DATE
         F.to_date(F.date_trunc("week", "ts")).cast("string").alias("week"),
         "event_type",
     )
-    we = e.groupBy("week", "event_type").agg(F.count("*").alias("cw"))
-    # tiny frame (weeks × event types): one persist-free reuse is fine at
-    # any scale, but the same defensive persist as source_token_drift
-    # costs nothing and keeps the corpus-sized explode single-pass
-    we = we.persist()
+    # persist the weeks×types count frame: all four downstream frames
+    # derive from it, and without the persist each one re-executes the
+    # events scan + agg (same ReuseExchange failure mode as
+    # source_token_drift). One events pass, KB of cache.
+    we = e.groupBy("week", "event_type").agg(F.count("*").alias("cw")).persist()
     nw = we.groupBy("week").agg(F.sum("cw").alias("n_w"))
     ce = we.groupBy("event_type").agg(F.sum("cw").alias("c"))
     tot = ce.agg(F.sum("c").alias("n"))

@@ -553,12 +553,15 @@ def streaming_mg_heavy_hitters(
     micro-batch split.
 
     Emission: each batch a shard receives data, it re-emits its FULL
-    current summary tagged with the monotonically increasing ``n_shard``;
-    downstream (and the test) keep the rows with each shard's max
-    n_shard — a changelog of sketch versions, which is what a serving
-    layer polls. Exact counts still need the candidate-restricted second
-    pass (batch heavy_hitters_exact) — the stream maintains the candidate
-    set and lower bounds, which is the part that must see every token.
+    current summary tagged with the monotonically increasing ``n_shard``,
+    PLUS one NULL-term row carrying the shard's exact token count (the
+    batch operator's partition-row invariant) — so even a batch whose
+    trim empties the summary still versions the shard. Downstream (and
+    the test) keep the rows with each shard's max n_shard — a changelog
+    of sketch versions, which is what a serving layer polls. Exact counts
+    still need the candidate-restricted second pass (batch
+    heavy_hitters_exact) — the stream maintains the candidate set and
+    lower bounds, which is the part that must see every token.
 
     100 TB shape: state is ≤ n_shards·k counters TOTAL (constant in
     corpus size and skew — a hot term is one counter); the only shuffle
@@ -568,7 +571,10 @@ def streaming_mg_heavy_hitters(
 
     sharded = tokens.select(
         F.col(term_col).alias("term"),
-        (F.abs(F.xxhash64(term_col)) % n_shards).alias("shard"),
+        # pmod, not abs(...)%n — the house bucketing idiom
+        # (streaming/pipeline.py): abs(Long.MIN_VALUE) overflows under
+        # ANSI mode and stays negative otherwise
+        F.pmod(F.xxhash64(term_col), F.lit(n_shards)).alias("shard"),
     )
 
     out_schema = T.StructType(
@@ -616,12 +622,19 @@ def streaming_mg_heavy_hitters(
         state.update(
             (list(summary.keys()), [int(c) for c in summary.values()], n_shard)
         )
+        # same invariant as the batch operator's NULL-term partition row:
+        # ALWAYS emit one NULL-term row carrying the shard's token count.
+        # Without it, a batch whose trim empties the summary (>k equal
+        # counts — e.g. all-unique tokens) would emit ZERO rows, the new
+        # n_shard would never reach consumers, and the max-n_shard
+        # protocol would keep serving the previous batch's counters as
+        # current.
         yield _pd.DataFrame(
             {
-                "shard": [int(key[0])] * len(summary),
-                "term": list(summary.keys()),
-                "mg_lower": [int(c) for c in summary.values()],
-                "n_shard": [n_shard] * len(summary),
+                "shard": [int(key[0])] * (len(summary) + 1),
+                "term": list(summary.keys()) + [None],
+                "mg_lower": [int(c) for c in summary.values()] + [n_shard],
+                "n_shard": [n_shard] * (len(summary) + 1),
             }
         )
 

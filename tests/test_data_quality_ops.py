@@ -161,15 +161,34 @@ def test_leakage_safe_split_never_splits_a_cluster(spark, tmp_path):
 
 
 def test_leakage_safe_split_partitions_fixture(spark, sf_dir):
-    """On the real fixture: splits partition the corpus, group counts are
-    consistent, and the same group key never appears in two splits (by
-    construction — asserted via n_groups summing to the distinct group
-    count)."""
+    """On the real fixture: splits partition the corpus, and the same
+    group key never appears in two splits — asserted for real by summing
+    n_groups across splits and comparing against the independently
+    recomputed distinct group-key count (a group landing in two splits
+    would double-count)."""
+    import pyspark.sql.functions as F
+
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        simhash_near_duplicates,
+    )
+    from tabular_cdc_bootstrapper_spark.functions.graph import dedup_clusters
+
     out = QUERIES["leakage_safe_split"](spark, sf_dir).collect()
     n_docs_total = sum(r["n_docs"] for r in out)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    assert n_docs_total == docs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_docs_total == d.count()
     assert {r["split"] for r in out} <= {"train", "validation", "test"}
+    clusters = dedup_clusters(simhash_near_duplicates(d)).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+    n_distinct_groups = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(F.coalesce("component_id", "doc_id").alias("gk"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_groups"] for r in out) == n_distinct_groups
 
 
 # ---------------------------------------------------------------------------

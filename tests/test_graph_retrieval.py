@@ -129,6 +129,16 @@ def test_quality_canonical_elects_best_member(spark):
     assert len(out) == 5
     winners = {i for i, r in out.items() if r["is_canonical"]}
     assert winners == {3, 10}
+    # null-quality policy: unscored members are KEPT (null quality, never
+    # elected while a scored sibling exists); an all-null cluster degrades
+    # to min-id election — no document ever vanishes from the output
+    partial = spark.createDataFrame(
+        [(2, 7.0)], "id long, quality double"  # 1 and 3 unscored
+    )
+    out2 = {r["id"]: r for r in quality_canonical(clusters, partial).collect()}
+    assert set(out2) == {1, 2, 3, 10, 11}
+    assert {i for i, r in out2.items() if r["is_canonical"]} == {2, 10}
+    assert out2[3]["quality"] is None
     # exactly one survivor per component
     per_comp = {}
     for r in out.values():
