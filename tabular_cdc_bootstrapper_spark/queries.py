@@ -4884,6 +4884,102 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR),
+           CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the Deequ/profiler primitive): null
+    count, distinct count, and min/max for every column of a table, in
+    ONE scan — the first thing a pipeline runs on a newly landed dataset
+    ("did the loader null a column? did cardinality collapse?"). Values
+    render as strings so one long-format report covers heterogeneous
+    column types; doubles round to 2 dp through DECIMAL so the rendering
+    is engine-identical.
+
+    Scale shape: all 6 columns' aggregates compute in a single pass —
+    Catalyst plans the multi-countDistinct via one Expand (row-multiplied
+    map-side, still one scan of the table) — and the 1-row wide result
+    unpivots driver-free with stack(). At 100 TB swap the exact
+    countDistinct for approx_count_distinct (same plan minus the Expand);
+    exact is the oracle-parity choice here, same trade as
+    winsorized_length_stats' exact percentiles."""
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+
+    def _render(c, fn):
+        v = fn(c)
+        if c == "o_totalprice":
+            return F.round(v, 2).cast("decimal(18,2)").cast("string")
+        return v.cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            _render(c, F.min).alias(f"{c}__min"),
+            _render(c, F.max).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+@query(
     "event_mix_drift",
     oracle="""
     WITH e AS (
@@ -5192,10 +5288,12 @@ _DRIVER_CHECK_PRIORITY = [
     "event_mix_drift",
     "leakage_safe_split",
     # NEW round 6 (third batch): sparse-recall + dense-rerank serving
-    # composition; hash_split_counts moves to the tail to make room (its
-    # family is superseded in-window by leakage_safe_split, the upgraded
-    # split operator)
+    # composition + the single-scan column profiler; hash_split_counts
+    # and weighted_mixture_sample move to the tail to make room (their
+    # families are superseded in-window by leakage_safe_split and
+    # temperature_mixture_quota / cluster_balanced_sample respectively)
     "hybrid_retrieval_topk",
+    "table_profile_orders",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -5220,16 +5318,16 @@ _DRIVER_CHECK_PRIORITY = [
     "approx_price_percentiles",
     "tfidf_top_terms",
     "sequence_packing",
-    "weighted_mixture_sample",
     "benchmark_contamination",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 5 second/third-batch round-6 queries (all green r5)
+    # displaced by the 6 second/third-batch round-6 queries (all green r5)
     "quality_score_histogram",
     "bpe_token_counts",
     "events_tumbling_10min",
     "uniform_per_group_sample",
     "hash_split_counts",
+    "weighted_mixture_sample",
     # displaced by the 8 new round-6 queries (green r5; ann_ivf_kmeans_topk
     # covers the IVF family in-window, span queries cover dedup)
     "dedup_exact_groups",

@@ -366,3 +366,57 @@ def test_hybrid_retrieval_laws(spark, sf_dir):
         for r in sorted(out, key=lambda r: (-r["bm25"], r["doc_id"]))
     ]
     assert by_rank != by_bm25
+
+
+# ---------------------------------------------------------------------------
+# table_profile_orders
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_counts_planted_nulls(spark, tmp_path):
+    """Profiling law on a hand-built table: null counts, distinct counts
+    and min/max per column match the planted values exactly."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, 10, "O", 100.5, "1996-01-02", "1-URGENT"),
+        (2, 10, None, 200.25, "1997-06-30", "3-MEDIUM"),
+        (3, 20, "F", None, "1996-01-02", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["col_name"]: r for r in
+           QUERIES["table_profile_orders"](spark, str(tmp_path)).collect()}
+    assert set(out) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    assert out["o_orderstatus"]["n_nulls"] == 1
+    assert out["o_totalprice"]["n_nulls"] == 1
+    assert out["o_orderpriority"]["n_nulls"] == 1
+    assert out["o_orderkey"]["n_nulls"] == 0
+    assert out["o_custkey"]["n_distinct"] == 2
+    assert out["o_orderkey"]["min_value"] == "1"
+    assert out["o_orderkey"]["max_value"] == "3"
+    assert out["o_totalprice"]["min_value"] == "100.50"
+    assert out["o_totalprice"]["max_value"] == "200.25"
+    assert out["o_orderstatus"]["min_value"] == "F"
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """Plan pin: the whole 6-column profile reads the orders table in ONE
+    scan (multi-countDistinct via Expand, not one job per column)."""
+    import re
+
+    from tabular_cdc_bootstrapper_spark.plans.inspect import physical_plan
+
+    df = QUERIES["table_profile_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    # formatted mode lists each node once as "(n) Scan parquet" in the
+    # detail section — count node headers, not tree echoes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
