@@ -4884,6 +4884,94 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "referential_integrity_report",
+    oracle="""
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parent,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+               AS n_parent_unreferenced
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_nationkey = n.n_nationkey))
+    """,
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema — the landing
+    check a warehouse runs after every load ("did the CDC pipeline drop
+    parents? are there orphaned facts?"). One row per FK edge: child row
+    count, orphaned child rows (key missing from the parent), parent row
+    count, and unreferenced parents (no child points at them — not an
+    error, but the coverage number capacity planning wants).
+
+    Scale shape, per edge: the child pre-aggregates to (key, cnt) — the
+    ONLY corpus-sized exchange, map-side combined — and orphan rows are
+    the SUM of cnt over keys anti-joined against the parent, so the fact
+    table is scanned once and never shuffled raw. Parent-side counts are
+    one aggregate + one anti join on the (much smaller) parent. Dim-sized
+    parents (nation) broadcast automatically under AQE.
+
+    Design provenance: the reference trusts its SaaS to enforce table
+    integrity (tabular.py:77-143 creates tables, never validates
+    content); a native engine needs the audit to exist. Sibling of
+    table_profile_orders in the profiling tier."""
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for edge, child_t, ck, parent_t, pk in edges:
+        child = _t(spark, sf_dir, child_t)
+        parent = _t(spark, sf_dir, parent_t)
+        kc = child.groupBy(F.col(ck).alias("k")).agg(F.count("*").alias("cnt"))
+        pkeys = parent.select(F.col(pk).alias("k"))
+        orphan = kc.join(pkeys, "k", "left_anti").agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orphan")
+        )
+        unref = pkeys.join(kc.select("k"), "k", "left_anti").agg(
+            F.count("*").alias("n_parent_unreferenced")
+        )
+        row = (
+            kc.agg(F.sum("cnt").alias("n_child"))
+            .crossJoin(orphan)
+            .crossJoin(parent.agg(F.count("*").alias("n_parent")))
+            .crossJoin(unref)
+            .select(
+                F.lit(edge).alias("edge"),
+                "n_child",
+                "n_orphan",
+                "n_parent",
+                "n_parent_unreferenced",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
     "table_profile_orders",
     oracle="""
     SELECT 'o_orderkey' AS col_name,
@@ -5294,6 +5382,7 @@ _DRIVER_CHECK_PRIORITY = [
     # temperature_mixture_quota / cluster_balanced_sample respectively)
     "hybrid_retrieval_topk",
     "table_profile_orders",
+    "referential_integrity_report",
     # rotated in: only driver row was round 2
     "orders_by_month",
     "array_hof_embedding_stats",
@@ -5317,11 +5406,13 @@ _DRIVER_CHECK_PRIORITY = [
     "hll_distinct_counts",
     "approx_price_percentiles",
     "tfidf_top_terms",
-    "sequence_packing",
     "benchmark_contamination",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
-    # displaced by the 6 second/third-batch round-6 queries (all green r5)
+    # displaced by the 7 second/third-batch round-6 queries (all green
+    # r5; sequence_packing's window-cumsum family stays represented by
+    # rolling_30d_revenue and the quota/window queries)
+    "sequence_packing",
     "quality_score_histogram",
     "bpe_token_counts",
     "events_tumbling_10min",

@@ -420,3 +420,52 @@ def test_table_profile_single_scan(spark, sf_dir):
     # detail section — count node headers, not tree echoes
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
+
+
+# ---------------------------------------------------------------------------
+# referential_integrity_report
+# ---------------------------------------------------------------------------
+
+
+def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
+    """Integrity law on a hand-built star: orphaned children and
+    unreferenced parents are counted exactly, per edge."""
+    spark.createDataFrame(
+        # orders 1,2 exist; lineitems point at 1,1,2,99 (99 = orphan x2)
+        [(1, 1.0), (1, 2.0), (2, 3.0), (99, 4.0), (99, 5.0)],
+        "l_orderkey long, l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        # order 3 has no lineitems (unreferenced); custkey 7 valid, 42 orphan
+        [(1, 7), (2, 42), (3, 7)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        # customer 8 never ordered; nationkey 0 valid, 5 orphan
+        [(7, 0), (8, 5)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        # nation 1 has no customers
+        [(0,), (1,)], "n_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+
+    out = {r["edge"]: r for r in
+           QUERIES["referential_integrity_report"](spark, str(tmp_path)).collect()}
+    li = out["lineitem->orders"]
+    assert (li["n_child"], li["n_orphan"]) == (5, 2)
+    assert (li["n_parent"], li["n_parent_unreferenced"]) == (3, 1)
+    oc = out["orders->customer"]
+    assert (oc["n_child"], oc["n_orphan"]) == (3, 1)
+    assert (oc["n_parent"], oc["n_parent_unreferenced"]) == (2, 1)
+    cn = out["customer->nation"]
+    assert (cn["n_child"], cn["n_orphan"]) == (2, 1)
+    assert (cn["n_parent"], cn["n_parent_unreferenced"]) == (2, 1)
+
+
+def test_referential_integrity_fixture_is_clean(spark, sf_dir):
+    """The TPC-H-ish fixtures are referentially intact: zero orphans on
+    every edge (unreferenced parents are expected — customers without
+    orders exist by construction)."""
+    out = QUERIES["referential_integrity_report"](spark, sf_dir).collect()
+    assert len(out) == 3
+    assert all(r["n_orphan"] == 0 for r in out)
+    assert all(r["n_child"] > 0 and r["n_parent"] > 0 for r in out)
