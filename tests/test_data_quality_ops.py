@@ -469,3 +469,25 @@ def test_referential_integrity_fixture_is_clean(spark, sf_dir):
     assert len(out) == 3
     assert all(r["n_orphan"] == 0 for r in out)
     assert all(r["n_child"] > 0 and r["n_parent"] > 0 for r in out)
+
+
+def test_referential_integrity_empty_star_reports_zeros(spark, tmp_path):
+    """An empty star is INTACT, not an error: the report still emits all
+    three edges, with every count zero (coalesce-guarded orphan sums)."""
+    spark.createDataFrame([], "l_orderkey long, l_quantity double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([], "o_orderkey long, o_custkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame([], "c_custkey long, c_nationkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame([], "n_nationkey long").write.mode("overwrite").parquet(
+        str(tmp_path / "nation.parquet")
+    )
+    out = QUERIES["referential_integrity_report"](spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["n_child"] or 0) == 0 and r["n_orphan"] == 0
+        assert (r["n_parent"] or 0) == 0 and r["n_parent_unreferenced"] == 0
