@@ -70,38 +70,65 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
             )
     else:
         parts = [path]
-    ts_type = str(_pq.read_schema(parts[0]).field("ts").type)
 
+    # Probe the LOGICAL ts dtype and (when needed) the parquet PHYSICAL
+    # type from the SAME footer: the first file that has row groups. Two
+    # independent probes (schema from parts[0], physical type from the
+    # first non-empty file) could inspect different files in a mixed-dtype
+    # directory (mid-regeneration) and pick a branch wrong for part of the
+    # dataset. Every footer scanned on the way to the probe file is
+    # cross-checked for dtype agreement — a genuinely mixed prefix raises
+    # instead of silently picking one contract. Files past the probe file
+    # are not re-read (O(1) footers, not O(files)); Spark's own scan will
+    # fail loudly on an incompatible tail dtype.
+    #
     # "timestamp[ns" prefix-matches both naive ("timestamp[ns]") and
     # tz-aware ("timestamp[ns, tz=UTC]") nanosecond storage — Spark 4
     # rejects either as a native timestamp read. EXCEPT legacy INT96
     # (Spark <3 / Hive default output), which Arrow ALSO reports as
     # timestamp[ns] at the logical level but Spark reads natively — the
-    # two are distinguishable only by the column's parquet PHYSICAL type,
-    # so probe that before trusting the logical dtype. A 0-row file has
-    # NO row groups to probe, so scan the file list for the first one
-    # that has data; an entirely EMPTY dataset defaults to the native
-    # branch (INT96 is what Spark itself writes — the case that actually
-    # occurs — and the ns branch would crash on it; a 0-row TIMESTAMP
-    # (NANOS) dataset has no values for the branches to disagree on).
+    # two are distinguishable only by the column's parquet PHYSICAL type.
+    # A 0-row file has NO row groups to probe, so the scan skips to the
+    # next file; an entirely EMPTY dataset defaults to the native branch
+    # (INT96 is what Spark itself writes — the case that actually occurs —
+    # and the ns branch would crash on it; a 0-row TIMESTAMP(NANOS)
+    # dataset has no values for the branches to disagree on).
+    ts_type = None
+    probe_md = None
+    for part in parts:
+        pf = _pq.ParquetFile(part)
+        part_ts_type = str(pf.schema_arrow.field("ts").type)
+        if ts_type is None:
+            ts_type = part_ts_type
+        elif part_ts_type != ts_type:
+            raise ValueError(
+                f"mixed ts storage dtypes under events dir {path!r}: "
+                f"{ts_type!r} vs {part_ts_type!r} ({part!r}); refusing to "
+                "guess a branch for a mid-regeneration dataset"
+            )
+        # num_rows, not num_row_groups: a 0-row file can still carry one
+        # empty row group (pyarrow writes one), which has no pages whose
+        # physical encoding is meaningful to branch on
+        if pf.metadata.num_rows > 0:
+            probe_md = pf.metadata
+            break
     is_int96 = False
     if ts_type.startswith("timestamp[ns"):
-        probed = False
-        for part in parts:
-            md = _pq.ParquetFile(part).metadata
-            if md.num_row_groups == 0:
-                continue
-            rg = md.row_group(0)
+        if probe_md is None:
+            is_int96 = True  # empty dataset: take the native read
+        else:
+            # probe the first NON-EMPTY row group of the probe file (a
+            # writer can emit an empty leading row group)
+            rg = next(
+                probe_md.row_group(i)
+                for i in range(probe_md.num_row_groups)
+                if probe_md.row_group(i).num_rows > 0
+            )
             for ci in range(rg.num_columns):
                 col = rg.column(ci)
                 if col.path_in_schema.split(".")[0] == "ts":
                     is_int96 = col.physical_type == "INT96"
-                    probed = True
                     break
-            if probed:
-                break
-        if not probed:
-            is_int96 = True  # empty dataset: take the native read
     if is_int96 or (
         ts_type.startswith("timestamp") and not ts_type.startswith("timestamp[ns")
     ):
@@ -2528,20 +2555,45 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by year
-    (5-way join, disjunctive nation pair predicate, broadcast dims)."""
+    (5-way join, disjunctive nation pair predicate, broadcast dims).
+
+    The canonical Q7 plan shape: Catalyst cannot derive the single-side
+    ``n_name IN (pair)`` implications from the cross-column disjunction,
+    so applying the pair predicate only AFTER the 5-way join would pull
+    supplier/customer rows from ALL nations through both fact joins. We
+    pre-filter each nation dim to the two named nations (2-row
+    broadcasts), so supplier and customer shrink to ~2/N of their rows
+    BEFORE touching lineitem/orders, and keep the disjunction only for
+    the cross term (excluding the two intra-nation combinations)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (
+        n.filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        n.filter(F.col("n_name").isin(pair))
+        .select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    )
+    # resolve each fact side to its (pair-filtered) nation first: these
+    # 2-row broadcast joins act as semi-filters, so only the two nations'
+    # suppliers/customers ever reach the lineitem/orders joins
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck")).select(
+        "c_custkey", "cust_nation"
+    )
     j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        # broadcast the reduced supplier side first: it prunes lineitem to
+        # the pair's suppliers before the l⋈o shuffle, the only big one
+        l.join(F.broadcast(s2), l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -4955,7 +5007,9 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parent_unreferenced")
         )
         row = (
-            kc.agg(F.sum("cnt").alias("n_child"))
+            # coalesce: an empty child table must report n_child = 0 (the
+            # oracle's COUNT(*)), not NULL — same guard as n_orphan above
+            kc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child"))
             .crossJoin(orphan)
             .crossJoin(parent.agg(F.count("*").alias("n_parent")))
             .crossJoin(unref)

@@ -623,17 +623,21 @@ def streaming_mg_heavy_hitters(
             (list(summary.keys()), [int(c) for c in summary.values()], n_shard)
         )
         # same invariant as the batch operator's NULL-term partition row:
-        # ALWAYS emit one NULL-term row carrying the shard's token count.
-        # Without it, a batch whose trim empties the summary (>k equal
-        # counts — e.g. all-unique tokens) would emit ZERO rows, the new
-        # n_shard would never reach consumers, and the max-n_shard
-        # protocol would keep serving the previous batch's counters as
-        # current.
+        # ALWAYS emit one NULL-term marker row. Without it, a batch whose
+        # trim empties the summary (>k equal counts — e.g. all-unique
+        # tokens) would emit ZERO rows, the new n_shard would never reach
+        # consumers, and the max-n_shard protocol would keep serving the
+        # previous batch's counters as current. Unlike the batch
+        # operator's 2-column schema (where the NULL-term row must carry
+        # n in mg_lower), this schema has a dedicated n_shard column on
+        # EVERY row — so the marker's mg_lower is NULL, never a count: a
+        # consumer that sums mg_lower without filtering term IS NULL gets
+        # the correct total instead of one inflated by n_shard per shard.
         yield _pd.DataFrame(
             {
                 "shard": [int(key[0])] * (len(summary) + 1),
                 "term": list(summary.keys()) + [None],
-                "mg_lower": [int(c) for c in summary.values()] + [n_shard],
+                "mg_lower": [int(c) for c in summary.values()] + [None],
                 "n_shard": [n_shard] * (len(summary) + 1),
             }
         )

@@ -489,5 +489,7 @@ def test_referential_integrity_empty_star_reports_zeros(spark, tmp_path):
     out = QUERIES["referential_integrity_report"](spark, str(tmp_path)).collect()
     assert len(out) == 3
     for r in out:
-        assert (r["n_child"] or 0) == 0 and r["n_orphan"] == 0
-        assert (r["n_parent"] or 0) == 0 and r["n_parent_unreferenced"] == 0
+        # exact zeros, not NULLs: both totals are coalesce-guarded so the
+        # empty star matches the oracle's COUNT(*) = 0
+        assert r["n_child"] == 0 and r["n_orphan"] == 0
+        assert r["n_parent"] == 0 and r["n_parent_unreferenced"] == 0

@@ -242,3 +242,83 @@ def test_events_loader_handles_int96_timestamp(spark, tmp_path):
     assert str(loaded.schema["ts"].dataType) == "TimestampNTZType()"
     got = {r["event_id"]: str(r["ts"]) for r in loaded.collect()}
     assert got == {1: "2024-01-01 10:00:00", 2: "2024-01-08 11:30:00"}
+
+
+def test_events_loader_probes_schema_and_physical_from_same_file(spark, tmp_path):
+    """ADVICE r6: the logical-dtype probe and the INT96 physical-type
+    probe must inspect the SAME footer. With a 0-row first part, both
+    probes must skip to the first part that has row groups — a split
+    probe (schema from parts[0], physical from parts[1]) would here read
+    a µs schema but an INT96 physical type and could mis-branch."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    # part-0: ZERO rows, ns-typed schema (no row groups to probe)
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("ns")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(d / "part-0.parquet"))
+    # part-1: TIMESTAMP(NANOS) with data — same logical dtype, and the
+    # physical probe must land on THIS file (the one whose schema governs)
+    ns = [v * 1000 + 999 for v in _US]
+    _write_events(d, "part-1.parquet", pa.array(ns, pa.timestamp("ns")))
+    df = _load_events(spark, str(d))
+    got_us = {r["event_id"]: _to_us(r["ts"]) for r in df.collect()}
+    assert got_us == {1: _US[0], 2: _US[1]}
+
+
+def test_events_loader_rejects_mixed_dtype_directory(spark, tmp_path):
+    """A mid-regeneration directory mixing ts storage dtypes must raise,
+    not silently pick whichever contract the probe file happens to use."""
+    import pytest as _pytest
+
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    # sorted order puts the 0-row ns file first, so the probe scans past
+    # it and must notice the µs file disagrees
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("ns")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(d / "part-0.parquet"))
+    _write_events(d, "part-1.parquet", pa.array(_US, pa.timestamp("us")))
+    with _pytest.raises(ValueError, match="mixed ts storage dtypes"):
+        _load_events(spark, str(d))
+
+
+def test_events_loader_empty_dataset_defaults_native(spark, tmp_path):
+    """An all-empty ns-typed dataset takes the native branch (INT96 is
+    what Spark itself writes; a 0-row TIMESTAMP(NANOS) dataset has no
+    values for the branches to disagree on) and loads 0 rows."""
+    from tabular_cdc_bootstrapper_spark.queries import _load_events
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(d / "part-0.parquet"))
+    assert _load_events(spark, str(d)).count() == 0

@@ -89,11 +89,17 @@ def test_events_json_scan_prunes_columns(spark, sf_dir):
 
 
 def test_q7_dims_broadcast(spark, sf_dir):
-    """supplier + both nation role aliases carry explicit broadcast hints;
-    at 100 TB the fact-fact (lineitem ⋈ orders) side may shuffle, the dims
-    must not."""
+    """The canonical Q7 shape: both nation role aliases are PRE-FILTERED
+    to the two named nations (the IN predicate must reach the nation
+    scans — Catalyst can't derive it from the cross-column disjunction),
+    so supplier/customer shrink before the fact joins; the reduced
+    supplier side + both nation dims broadcast. At 100 TB the fact-fact
+    (lineitem ⋈ orders) side may shuffle, the dims must not."""
     df = q.q7_nation_volume(spark, sf_dir)
     assert broadcast_join_count(df) >= 3
+    # the pair filter is pushed into the (2-row) nation scans, not applied
+    # post-join
+    assert has_pushed_filters(df, "In(n_name")
 
 
 def test_q14_pushdown_and_broadcast(spark, sf_dir):

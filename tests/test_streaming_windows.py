@@ -455,11 +455,13 @@ def test_streaming_mg_heavy_hitters_twin_covers_batch_exact(spark, sf_dir, tmp_p
     for r in rows:
         final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_shard"])
     final_all = [r for r in rows if r["n_shard"] == final_n[r["shard"]]]
-    # every versioned emission carries its NULL accounting row, and the
-    # marker's mg_lower IS the shard token count
+    # every versioned emission carries its NULL accounting row; the
+    # marker's mg_lower is NULL (n_shard is the count column — summing
+    # mg_lower without a term-IS-NULL filter must not inflate)
     null_rows = {r["shard"]: r for r in final_all if r["term"] is None}
     assert set(null_rows) == set(final_n)
-    assert all(null_rows[s]["mg_lower"] == final_n[s] for s in final_n)
+    assert all(null_rows[s]["mg_lower"] is None for s in final_n)
+    assert all(null_rows[s]["n_shard"] == final_n[s] for s in final_n)
     final = [r for r in final_all if r["term"] is not None]
     streamed_terms = {r["term"] for r in final}
     per_shard = {}
