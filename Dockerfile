@@ -15,7 +15,11 @@ ENV JAVA_HOME=/usr/lib/jvm/java-17-openjdk-amd64
 WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY tabular_cdc_bootstrapper_spark ./tabular_cdc_bootstrapper_spark
-RUN pip install --no-cache-dir .
+# pillow: the full-pixel image codec tier for functions/multimodal.py
+# (decode_image_real); without it the stdlib header-parse tier still
+# covers PNG/JPEG/GIF dimensions and the deterministic stub covers
+# feature extraction.
+RUN pip install --no-cache-dir . pillow
 
 # Config is env-driven, mirroring the reference's TABULAR_* variables
 # (see config.py): TABULAR_BUCKET_NAME, TABULAR_BUCKET_MONITOR_PATH,

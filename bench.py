@@ -58,6 +58,7 @@ UDF_HEAVY = {
     "heavy_hitter_terms",  # mapInPandas MG summaries (r6)
     "ngram_jaccard_pairs",  # pandas-UDF shingle hashes (was missing, r6)
     "leakage_safe_split",  # SimHash pair pipeline + star rounds (r6)
+    "incremental_cluster_maintenance",  # SimHash pairs + star rounds + fold (r7)
 }
 
 
@@ -147,11 +148,33 @@ def main() -> None:
         "queries": {k: timings[k] for k in sorted(timings)},
     }
     # the artifact of record: complete, pretty, immune to stdout truncation
-    full_path = Path(__file__).resolve().parent / "BENCHFULL.json"
+    repo = Path(__file__).resolve().parent
+    full_path = repo / "BENCHFULL.json"
     try:
         full_path.write_text(json.dumps(result, indent=1) + "\n")
     except OSError as exc:
         print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    # VERDICT r6 #5: the driver's BENCH_r{N}.json keeps only a 2000-char
+    # stdout tail — the ~3.5 KB summary line can never fit, so round-over-
+    # round diffs depended on truncation luck. Stamp a full per-round copy
+    # (round inferred from the BENCH_r* files already on disk; the driver
+    # commits round-end work, so the copy lands in history alongside its
+    # BENCH_r{N}.json) — BENCHFULL.json stays the overwritten latest-run
+    # file, BENCHFULL_r{NN}.json is the per-round record.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in repo.glob("BENCH_r*.json")
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    ]
+    round_no = (max(rounds) + 1) if rounds else 0
+    try:
+        (repo / f"BENCHFULL_r{round_no:02d}.json").write_text(
+            json.dumps(result, indent=1) + "\n"
+        )
+    except OSError as exc:
+        print(f"bench: could not write round artifact: {exc}", file=sys.stderr)
     print(json.dumps(result, separators=(",", ":")), flush=True)
     spark.stop()
 

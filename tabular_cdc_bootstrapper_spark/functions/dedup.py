@@ -570,6 +570,41 @@ def simhash_near_duplicates(
     return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
+def auto_srp_params(
+    n_rows: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    max_tables: int = 128,
+) -> tuple:
+    """Scale-adaptive SRP blocking parameters: ``(n_tables,
+    bits_per_table)`` for a corpus of ``n_rows`` vectors.
+
+    ``bits = clamp(⌈log₂ n⌉ + 2, 8, 24)`` — the measured law from
+    SCALING.md's 10× probe ("retuning bits 12→16 restores the
+    flat-occupancy regime"): with 2^bits ≈ 4n buckets per table, expected
+    random-pair collisions per table stay ≈ n²/2^bits ∝ n, i.e. the
+    verify join grows linearly instead of quadratically.
+
+    ``n_tables`` then comes from the OR-amplification recall formula at
+    the decision boundary: a pair at exactly ``threshold`` cosine agrees
+    per hyperplane with p = 1 − acos(threshold)/π, survives a table with
+    p^bits, and is blocked by ANY of t tables with 1 − (1−p^bits)^t ≥
+    target_recall ⇒ t = ⌈ln(1−target) / ln(1−p^bits)⌉. Boundary pairs
+    are the hardest case, so every pair above threshold has ≥ the target
+    recall. Capped at ``max_tables`` to bound the banding shuffle
+    (∝ n·tables); 24 bits is the int64-weight ceiling that keeps a
+    table's bucket space addressable without densifying."""
+    import math
+
+    bits = max(8, min(24, (max(n_rows, 2) - 1).bit_length() + 2))
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    per_table = p**bits
+    if per_table >= 1.0:  # threshold == 1.0 → every table catches the pair
+        return 1, bits
+    tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table))
+    return max(1, min(max_tables, tables)), bits
+
+
 def srp_bucket_codes_df(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -617,8 +652,8 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_tables: int = 24,
-    bits_per_table: int = 12,
+    n_tables: int | None = 24,
+    bits_per_table: int | None = 12,
     seed: int = 42,
     max_bucket_size: int = 500,
 ) -> DataFrame:
@@ -645,8 +680,20 @@ def embedding_near_duplicates(
 
     Exact cosine verifies each candidate (verify-after-block, same shape
     as MinHash → Jaccard), so false candidates cost only the verify join
-    and the emitted pair set is exact over every blocked pair."""
+    and the emitted pair set is exact over every blocked pair.
+
+    Passing ``None`` for either knob derives it from the corpus size via
+    ``auto_srp_params`` (bits ≈ log₂(n)+2 keeps bucket occupancy flat;
+    tables from the recall formula at the threshold boundary) — the
+    VERDICT-r6 scale fix, turning SCALING.md's documented retuning law
+    into the default. One ``df.count()`` at build time; pass explicit
+    ints when an oracle must replay the exact blocking."""
     from tabular_cdc_bootstrapper_spark.functions.similarity import cosine_similarity
+
+    if n_tables is None or bits_per_table is None:
+        auto_tables, auto_bits = auto_srp_params(df.count(), threshold)
+        n_tables = auto_tables if n_tables is None else n_tables
+        bits_per_table = auto_bits if bits_per_table is None else bits_per_table
 
     b = srp_bucket_codes_df(df, id_col, vec_col, dim, n_tables, bits_per_table, seed)
     # one skinny shuffle (id, table_id, bucket) → sorted id lists with the

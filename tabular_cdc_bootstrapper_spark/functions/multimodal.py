@@ -1,12 +1,19 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schema, partition-friendly layout, Arrow
-batch shape through ``mapInPandas`` — while the codec step is stubbed
-(image/audio libraries are not in this container): ``decode_image_stub``
-produces a deterministic fake decode from the byte content, and
-``decode_image_real`` raises ``NotImplementedError`` with the intended
-dependency. Swapping the stub for a real decoder (PIL/torchvision/ffmpeg)
-changes only the inner function body — the distributed plan is identical.
+batch shape through ``mapInPandas`` — and the codec has three tiers:
+
+1. ``parse_image_header``: dependency-free container-header parse
+   (PNG/JPEG/GIF → width/height/mode, stdlib ``struct``) — always
+   available, runs inline in ``extract_features``'s Arrow batches to
+   populate dimension metadata without a pixel decode.
+2. PIL full pixel decode, when installed (the Dockerfile ships Pillow);
+   ``decode_image_real`` prefers it and falls back to tier 1.
+3. ``decode_image_stub``: deterministic fake feature vector from the byte
+   content — the embed/resize stand-in until a pixel library is present.
+
+Swapping the stub for a real embedder (PIL/torchvision/ffmpeg) changes
+only the inner function body — the distributed plan is identical.
 
 Batch shape matters at scale: ``mapInPandas`` receives Arrow record
 batches; media bytes never round-trip through Python row objects, and
@@ -51,6 +58,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_digest", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # populated by the header-parse codec tier when the bytes are a
+        # recognized image (PNG/JPEG/GIF); NULL for other payloads
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
     ]
 )
 
@@ -64,25 +76,88 @@ def pil_available() -> bool:
         return False
 
 
-def decode_image_real(content: bytes) -> tuple[int, int, str]:
-    """Real image decode → (width, height, mode), via PIL when installed.
+_JPEG_SOF_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+_PNG_COLOR_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
 
-    This container ships no image libraries, so the import is optional:
-    environments with PIL get the real codec, others get a clear
-    NotImplementedError pointing at the stub. The distributed plan
-    (Arrow-batched mapInPandas over binary columns) is identical either
-    way — the codec is a dependency-injection point, exercised in both
-    modes by tests/test_north_star.py (the PIL case skip-marked)."""
+
+def parse_image_header(content: bytes) -> tuple[int, int, str] | None:
+    """Dependency-free (width, height, mode) from the container header of
+    a PNG / JPEG / GIF byte stream; None when the bytes are not a
+    recognized image. Pure stdlib ``struct`` over the first KB — never a
+    pixel decode, so it is safe on truncated payloads and cheap enough to
+    run inline in the Arrow batch loop (a header parse is how warehouse
+    media pipelines populate dimension metadata without paying a decode).
+    """
+    import struct
+
+    if content is None or len(content) < 10:
+        return None
+    # PNG: 8-byte signature, then the IHDR chunk (length+type+w+h+depth+ct)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(content) < 26 or content[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", content[16:24])
+        mode = _PNG_COLOR_MODES.get(content[25], "RGB")
+        return w, h, mode
+    # GIF87a / GIF89a: logical screen descriptor, little-endian
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return w, h, "P"
+    # JPEG: walk the marker segments to the first SOFn frame header
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        n = len(content)
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            # SOF0-3, 5-7, 9-11, 13-15 all carry the frame dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 >= n:
+                    return None
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                ncomp = content[i + 9]
+                return w, h, _JPEG_SOF_MODES.get(ncomp, "RGB")
+            i += 2 + seg_len
+    return None
+
+
+def decode_image_real(content: bytes) -> tuple[int, int, str]:
+    """Real image decode → (width, height, mode). Two tiers:
+
+    1. PIL, when installed (the Dockerfile ships Pillow): a full pixel
+       decode — authoritative for every format PIL supports.
+    2. Without PIL (this test container): the dependency-free container
+       header parse (``parse_image_header``, PNG/JPEG/GIF) — dimensions
+       and mode come from the format header, which is exactly what this
+       function returns; only pixel-level work (resize/embed) needs the
+       real library, and that path stays behind ``decode_image_stub``'s
+       deterministic fake until PIL is present.
+
+    Raises NotImplementedError only for byte streams neither tier
+    recognizes. The distributed plan (Arrow-batched mapInPandas over
+    binary columns) is identical in every mode — the codec is a
+    dependency-injection point, exercised PIL-free and (when available)
+    with PIL by tests/test_north_star.py."""
     try:
         import io
 
         import PIL.Image
-    except ImportError as exc:
+    except ImportError:
+        parsed = parse_image_header(content)
+        if parsed is not None:
+            return parsed
         raise NotImplementedError(
-            "real image decode requires PIL/torchvision (not installed in "
-            "this container); use decode_image_stub — the distributed plan "
-            "is the same"
-        ) from exc
+            "unrecognized image bytes: the stdlib header parser covers "
+            "PNG/JPEG/GIF, and full-decode for other formats requires "
+            "PIL (shipped in the Dockerfile, not this test container); "
+            "use decode_image_stub for plumbing tests — the distributed "
+            "plan is the same"
+        ) from None
     with PIL.Image.open(io.BytesIO(content)) as img:
         return img.width, img.height, img.mode
 
@@ -107,6 +182,7 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import struct as _struct
 
         import pandas as _pd
 
@@ -114,8 +190,43 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
             digest = _hashlib.sha256(b or b"").digest()
             return [digest[i] / 255.0 for i in range(feature_dim)]
 
+        # inline copy of parse_image_header (the closure must stay
+        # stdlib-self-contained — see docstring above; agreement with the
+        # canonical module-level parser is pinned by
+        # tests/test_north_star.py::test_extract_features_header_tier)
+        def _hdr(b):
+            if b is None or len(b) < 10:
+                return (None, None, None)
+            png_modes = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                if len(b) < 26 or b[12:16] != b"IHDR":
+                    return (None, None, None)
+                w, h = _struct.unpack(">II", b[16:24])
+                return (w, h, png_modes.get(b[25], "RGB"))
+            if b[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = _struct.unpack("<HH", b[6:10])
+                return (w, h, "P")
+            if b[:2] == b"\xff\xd8":
+                i, n = 2, len(b)
+                while i + 4 <= n:
+                    if b[i] != 0xFF:
+                        return (None, None, None)
+                    m = b[i + 1]
+                    if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                        i += 2
+                        continue
+                    seg = _struct.unpack(">H", b[i + 2 : i + 4])[0]
+                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                        if i + 9 >= n:
+                            return (None, None, None)
+                        h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
+                        return (w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(b[i + 9], "RGB"))
+                    i += 2 + seg
+            return (None, None, None)
+
         for pdf in it:
             content = pdf["content"]
+            dims = content.map(_hdr)
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -125,6 +236,9 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                         lambda b: _hashlib.sha256(b or b"").hexdigest()
                     ),
                     "feature": content.map(lambda b: _stub(b or b"")),
+                    "width": dims.map(lambda t: t[0]).astype("object"),
+                    "height": dims.map(lambda t: t[1]).astype("object"),
+                    "mode": dims.map(lambda t: t[2]),
                 }
             )
 

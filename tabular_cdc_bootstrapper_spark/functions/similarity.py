@@ -240,11 +240,27 @@ def lsh_bucketed_topk(
     )
 
 
+def auto_n_centroids(n_rows: int, floor: int = 16, cap: int = 65536) -> int:
+    """Scale-adaptive IVF centroid count: ``⌈√n⌉`` clamped to
+    [floor, cap] — the classical IVF balance point (√n lists of √n
+    vectors each equalizes the assignment cost n·√n-matmul against the
+    probe cost n_probes·√n, and keeps per-list size flat as n grows).
+    SCALING.md r5/r6 measured the fixed-64 default at 6.7× wall for 10×
+    data precisely because list size grew linearly; √n restores the
+    sublinear regime. The cap bounds the driver-side model broadcast
+    (65536 × dim doubles ≈ 32 MB at dim 64 — the "broadcast the model"
+    ceiling); past it, probes shrink relative to n again and a second
+    quantization level (IVF-PQ) is the documented next tier."""
+    import math
+
+    return max(floor, min(cap, math.isqrt(max(n_rows, 1) - 1) + 1))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 64,
+    n_centroids: int | None = 64,
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -256,10 +272,18 @@ def ivf_topk(
     lists by nearest centroid; queries scan only their ``n_probes``
     closest lists.
 
+    ``n_centroids=None`` derives the list count from the corpus size as
+    ``⌈√n⌉`` (see auto_n_centroids — VERDICT r6's one known 100×-scale
+    degradation was this knob staying fixed at 64 while lists grew
+    linearly). The count must stay SUBLINEAR in the corpus (∝ n the
+    assignment degenerates to O(n²) compute plus a corpus-proportional
+    model broadcast); pass an explicit int when an oracle needs to replay
+    the exact list structure. The size probe is one ``corpus.count()`` —
+    driver-cheap (parquet row-count metadata / one count job), run once
+    at build time like the centroid fit itself.
+
     ``centroid_strategy`` picks how the inverted lists are trained —
-    both deterministic and oracle-replayable, and either way the centroid
-    count is FIXED (must not scale with the corpus, or assignment
-    degenerates to O(n²) compute plus a corpus-proportional broadcast):
+    both deterministic and oracle-replayable:
 
     - ``"lowest_id"``: the ``n_centroids`` lowest-id vectors (a
       TakeOrdered, no full sort). Cheapest; list quality is whatever the
@@ -285,6 +309,9 @@ def ivf_topk(
     instead of propagating NaN into argmax.
     """
     from pyspark.sql import functions as SF
+
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
 
     # The centroid table is collected driver-side (n_centroids rows — the
     # "broadcast the model" pattern every ML scoring pipeline uses) and the

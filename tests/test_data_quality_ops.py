@@ -493,3 +493,26 @@ def test_referential_integrity_empty_star_reports_zeros(spark, tmp_path):
         # empty star matches the oracle's COUNT(*) = 0
         assert r["n_child"] == 0 and r["n_orphan"] == 0
         assert r["n_parent"] == 0 and r["n_parent_unreferenced"] == 0
+
+
+def test_table_profile_approx_within_5pct_of_exact(spark, sf_dir):
+    """table_profile_orders_approx (VERDICT r6 #3): nulls/min/max are
+    bit-identical to the exact profiler; n_distinct is HLL++ (rsd 2%) and
+    must sit within ±5% of exact for every column — same envelope
+    contract as hll_distinct_counts."""
+    exact = {
+        r["col_name"]: r
+        for r in QUERIES["table_profile_orders"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["col_name"]: r
+        for r in QUERIES["table_profile_orders_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert a["n_nulls"] == e["n_nulls"]
+        assert a["min_value"] == e["min_value"]
+        assert a["max_value"] == e["max_value"]
+        nd_e, nd_a = e["n_distinct"], a["n_distinct"]
+        assert abs(nd_a - nd_e) <= max(0.05 * nd_e, 1), (c, nd_e, nd_a)

@@ -165,3 +165,174 @@ def test_quality_canonical_single_aggregation_no_window(spark):
     p = physical_plan(df)
     assert "Window" not in p
     assert "max_by" in p.lower()
+
+
+# ---------------------------------------------------------------------------
+# update_clusters: incremental CC maintenance (VERDICT r6 #6)
+# ---------------------------------------------------------------------------
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _apply_inc(spark, batch1, batch2):
+    """connected_components(batch1) folded forward with batch2's delta."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        apply_cluster_update,
+        update_clusters,
+    )
+
+    m1 = connected_components(_pairs_df(spark, batch1)).localCheckpoint(eager=True)
+    upd = update_clusters(m1, _pairs_df(spark, batch2))
+    return {
+        r["id"]: r["component_id"]
+        for r in apply_cluster_update(m1, upd).collect()
+    }
+
+
+def test_update_clusters_merges_two_components(spark):
+    """A delta edge bridging two existing components relabels BOTH sides
+    to the global min; untouched components never appear in the update."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import update_clusters
+
+    batch1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    m1 = connected_components(_pairs_df(spark, batch1)).localCheckpoint(eager=True)
+    upd = update_clusters(m1, _pairs_df(spark, [(3, 10)])).collect()
+    got = {r["id"]: r["component_id"] for r in upd}
+    # rows 10, 11 move to component 1; (20, 21) is untouched -> ABSENT
+    assert got == {10: 1, 11: 1}
+    full = _apply_inc(spark, batch1, [(3, 10)])
+    batch = {
+        r["id"]: r["component_id"]
+        for r in connected_components(_pairs_df(spark, batch1 + [(3, 10)])).collect()
+    }
+    assert full == batch
+
+
+def test_update_clusters_new_nodes_and_new_min(spark):
+    """New nodes join existing clusters; a new node with a SMALLER id than
+    an existing component's min becomes the new component id (the min-id
+    invariant survives incrementally)."""
+    batch1 = [(5, 6), (6, 7)]
+    # 100 joins the cluster; 0 bridges in with the new global min
+    batch2 = [(7, 100), (0, 5)]
+    assert _apply_inc(spark, batch1, batch2) == {
+        0: 0, 5: 0, 6: 0, 7: 0, 100: 0,
+    }
+
+
+def test_update_clusters_intra_component_delta_is_noop(spark):
+    """A delta edge inside an existing component contracts to a self-loop:
+    the update must be EMPTY (no spurious touched rows)."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import update_clusters
+
+    batch1 = [(1, 2), (2, 3)]
+    m1 = connected_components(_pairs_df(spark, batch1)).localCheckpoint(eager=True)
+    assert update_clusters(m1, _pairs_df(spark, [(1, 3)])).count() == 0
+
+
+def test_update_clusters_all_new_component(spark):
+    """A delta whose nodes are all unseen forms a fresh component without
+    touching the mapping."""
+    batch1 = [(1, 2)]
+    batch2 = [(50, 51), (51, 52)]
+    assert _apply_inc(spark, batch1, batch2) == {1: 1, 2: 1, 50: 50, 51: 50, 52: 50}
+
+
+def test_update_clusters_chain_merge_across_batches(spark):
+    """The adversarial case: the delta bridges MANY existing components at
+    once (a path laid down in two interleaved halves) — the contracted
+    graph is itself a path of super-nodes and must converge."""
+    batch1 = [(i, i + 1) for i in range(0, 20, 2)]  # (0,1),(2,3),...  10 comps
+    batch2 = [(i, i + 1) for i in range(1, 19, 2)]  # bridges them into one
+    full = _apply_inc(spark, batch1, batch2)
+    assert full == {i: 0 for i in range(20)}
+
+
+def test_update_clusters_matches_batch_on_random_split(spark):
+    """The twin law on a randomized topology: for a seeded random graph
+    split into two arbitrary edge batches, incremental == batch recompute,
+    row for row."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = list(range(60))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    rng.shuffle(edges)
+    cut = len(edges) // 2
+    inc = _apply_inc(spark, edges[:cut], edges[cut:])
+    batch = {
+        r["id"]: r["component_id"]
+        for r in connected_components(_pairs_df(spark, edges)).collect()
+    }
+    assert inc == batch
+
+
+def test_update_clusters_fixture_two_batch_twin(spark, sf_dir):
+    """VERDICT r6 #6's stated done-criterion: batch near_dup_clusters ==
+    incremental result after a 2-batch corpus split, on the REAL fixture
+    pair stream (SimHash near-dup pairs over documents, split by doc_id
+    parity of the pair's smaller member — an arbitrary, skew-agnostic
+    cut)."""
+    import pyspark.sql.functions as F
+
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        simhash_near_duplicates,
+    )
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        apply_cluster_update,
+        update_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_near_duplicates(docs).select("id_a", "id_b").localCheckpoint(
+        eager=True
+    )
+    b1 = pairs.filter(F.col("id_a") % 2 == 0)
+    b2 = pairs.filter(F.col("id_a") % 2 == 1)
+    m1 = connected_components(b1).localCheckpoint(eager=True)
+    inc = {
+        r["id"]: r["component_id"]
+        for r in apply_cluster_update(m1, update_clusters(m1, b2)).collect()
+    }
+    batch = {
+        r["id"]: r["component_id"] for r in connected_components(pairs).collect()
+    }
+    assert inc == batch and len(batch) > 0
+
+
+def test_update_clusters_folds_over_many_batches(spark):
+    """The maintenance loop a stream actually runs: fold N sequential
+    pair deltas (the streaming MinHash twin emits per micro-batch) into
+    the standing mapping — after every batch the mapping equals the batch
+    recompute over everything seen so far."""
+    import random
+
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        apply_cluster_update,
+        update_clusters,
+    )
+
+    rng = random.Random(77)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    batches = [edges[i::3] for i in range(3)]  # interleaved, arbitrary cut
+    mapping = connected_components(_pairs_df(spark, batches[0])).localCheckpoint(
+        eager=True
+    )
+    seen = list(batches[0])
+    for delta in batches[1:]:
+        upd = update_clusters(mapping, _pairs_df(spark, delta))
+        mapping = apply_cluster_update(mapping, upd).localCheckpoint(eager=True)
+        seen += delta
+        inc = {r["id"]: r["component_id"] for r in mapping.collect()}
+        batch = {
+            r["id"]: r["component_id"]
+            for r in connected_components(_pairs_df(spark, seen)).collect()
+        }
+        assert inc == batch

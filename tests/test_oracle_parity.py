@@ -64,18 +64,31 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+#: Registry entries that are rows-only BY DESIGN: HLL++ estimates are
+#: engine-specific, so no deterministic DuckDB twin exists — the accuracy
+#: contract is the ±5% law test (test_data_quality_ops.py) against the
+#: exact profiler, and the driver records the rows-only check. Anything
+#: rows-only NOT in this set is a missing oracle, which the asserts below
+#: flag.
+ROWS_ONLY_BY_DESIGN = {"table_profile_orders_approx"}
+
+
 def test_registry_order_prioritizes_oracle_backed():
     """The driver records correctness rows for the first 50 registry
-    entries; every one of those must be oracle-backed. Since round 4 the
-    two engine-specific sketches (HLL distinct, approximate percentiles)
-    emit deterministic exact values + tolerance verdicts, so they carry
-    full DuckDB oracles too — the registry has NO rows-only queries."""
+    entries; every one of those must be oracle-backed, except the
+    documented ROWS_ONLY_BY_DESIGN sketches (VERDICT r6 #3 put the approx
+    profiler in the r7 window deliberately — its law test is the oracle).
+    Since round 4 the other engine-specific sketches (HLL distinct,
+    approximate percentiles) emit deterministic exact values + tolerance
+    verdicts, so they carry full DuckDB oracles."""
     names = list(q.QUERIES)
     assert len(names) == len(q.QUERIES)
-    assert {n for n in names[:50] if n not in q.ORACLE_SQL} == set()
+    assert {n for n in names[:50] if n not in q.ORACLE_SQL} <= ROWS_ONLY_BY_DESIGN
     # every query outside the window still has an oracle (re-checked
     # locally each round by test_query_matches_oracle)
-    assert all(n in q.ORACLE_SQL for n in names[50:])
+    assert all(
+        n in q.ORACLE_SQL for n in names[50:] if n not in ROWS_ONLY_BY_DESIGN
+    )
     # ordering is consistent across the two dicts the driver reads
     oracle_names = list(q.ORACLE_SQL)
     assert oracle_names == [n for n in names if n in q.ORACLE_SQL]

@@ -529,3 +529,36 @@ def test_drift_single_corpus_pass_and_broadcasts(spark, sf_dir):
             assert cols <= {"source", "text"}
     finally:
         spark.catalog.clearCache()
+
+
+def test_profile_approx_avoids_expand(spark, sf_dir):
+    """The exact profiler pays one Expand (row stream × 6 distinct
+    columns, map-side) for exact multi-countDistinct; the approx twin
+    must aggregate HLL++ sketches over the UN-expanded stream — no
+    Expand anywhere, still a single scan."""
+    exact_plan = physical_plan(q.QUERIES["table_profile_orders"](spark, sf_dir))
+    approx_plan = physical_plan(q.QUERIES["table_profile_orders_approx"](spark, sf_dir))
+    assert "Expand" in exact_plan  # the cost the twin exists to shed
+    assert "Expand" not in approx_plan
+    assert exchange_count(q.QUERIES["table_profile_orders_approx"](spark, sf_dir)) <= 1
+
+
+def test_update_clusters_relabel_is_broadcast_no_corpus_shuffle(spark):
+    """update_clusters: the standing mapping must stream MAP-SIDE through
+    broadcast joins (delta node lookup + relabel) — a SortMergeJoin
+    appearing on the mapping side means the corpus-sized frame is being
+    shuffled per batch, which defeats the delta-cost contract."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import (
+        connected_components,
+        update_clusters,
+    )
+
+    m1 = connected_components(
+        spark.createDataFrame([(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long")
+    ).localCheckpoint(eager=True)
+    upd = update_clusters(
+        m1, spark.createDataFrame([(1, 2), (5, 100)], "id_a long, id_b long")
+    )
+    assert sort_merge_join_count(upd) == 0
+    assert broadcast_join_count(upd) >= 2  # node lookup + relabel
+    assert "CartesianProduct" not in physical_plan(upd)

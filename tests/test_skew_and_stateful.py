@@ -108,3 +108,55 @@ def test_stateful_streaming_latest(spark, tmp_path):
         3: ("t1", "c", True),
     }
     q.stop()
+
+
+def test_aqe_skew_join_rewrite_fires_on_planted_skew(spark):
+    """VERDICT r6 #8: salting (above) is the explicit skew tool; AQE's
+    OptimizeSkewedJoin is the mechanism a 100×-scale cluster actually
+    leans on for runtime-detected skew (session.py enables it). Pin that
+    the rewrite really fires: plant a join where one key owns ~95% of the
+    big side, lower the AQE skew thresholds so test-scale partitions
+    qualify, execute, and assert the final adaptive plan marks the join
+    skew=true (the hot partition was split instead of serialized through
+    one task)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force SMJ (skew handling only applies to shuffle joins) and
+        # scale the byte thresholds down to fixture size
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # big side: 200k rows, ~95% on key 7; small side: 64 distinct keys
+        big = (
+            spark.range(200_000)
+            .select(
+                F.when(F.col("id") % 20 != 0, F.lit(7))
+                .otherwise(F.col("id") % 64)
+                .alias("k"),
+                F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+            )
+        )
+        small = spark.range(64).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("w")
+        )
+        joined = big.join(small, "k")
+        # collect() (not count(), which plans its own execution) finalizes
+        # THIS Dataset's adaptive plan
+        assert len(joined.collect()) == 200_000  # correctness unaffected
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
