@@ -290,10 +290,15 @@ def update_clusters(
     nodes = edges.select(F.col("u").alias("id")).union(
         edges.select(F.col("v").alias("id"))
     ).distinct()
-    found = m.join(F.broadcast(nodes), "id").localCheckpoint(eager=True)
+    # persist (lazy), not eager localCheckpoint: each frame is delta-sized
+    # and referenced twice; a checkpoint barrier here costs two extra
+    # scheduling round-trips per batch for no lineage-depth benefit (the
+    # contracted CC below truncates its own lineage every round). Callers
+    # clear the cache per query (the house rule bench/driver/tests follow).
+    found = m.join(F.broadcast(nodes), "id").persist()
     missing = nodes.join(
         F.broadcast(found.select("id")), "id", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).persist()
     node_comp = found.select("id", F.col("component_id").alias("comp")).unionByName(
         missing.select("id", F.col("id").alias("comp"))
     )

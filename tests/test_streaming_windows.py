@@ -539,3 +539,68 @@ def test_streaming_event_mix_drift_twin_matches_batch(spark, sf_dir, tmp_path):
     assert final == batch
     # version = cumulative event count; the last one covers everything
     assert versions[-1] == sum(n for n, _ in batch.values())
+
+
+def test_maintained_cluster_view_tracks_batch(spark, sf_dir, tmp_path):
+    """End-to-end streaming wiring for incremental clustering (VERDICT r6
+    #6): docs stream in two micro-batches → streaming_minhash_candidates
+    emits each batch's new pairs → foreachBatch folds them into a
+    MaintainedClusterView. The final mapping must equal batch
+    connected_components over the batch operator's full candidate set —
+    including a component formed by a cross-batch planted pair. A
+    replayed batch id must be a no-op."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import minhash_candidates
+    from tabular_cdc_bootstrapper_spark.functions.graph import connected_components
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        MaintainedClusterView,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.stateful import (
+        streaming_minhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twin = docs.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9_000_007)
+    ).withColumn(
+        "text", F.concat(F.lit("zzz "), F.expr("substring(text, 5, length(text))"))
+    )
+    out = tmp_path / "mcv_stream"
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(str(out / "f1"))
+    docs.filter(F.col("doc_id") >= 250).unionByName(twin).coalesce(1).write.parquet(
+        str(out / "f2")
+    )
+
+    view = MaintainedClusterView(str(tmp_path / "cluster_view"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mcv_ckpt"))
+        .foreachBatch(lambda df, bid: view.apply_batch(spark, df, bid))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r["id"]: r["component_id"] for r in view.read(spark).collect()}
+    full = docs.unionByName(twin)
+    want = {
+        r["id"]: r["component_id"]
+        for r in connected_components(minhash_candidates(full)).collect()
+    }
+    assert got == want and len(want) > 0
+    assert got.get(9_000_007) == want[9_000_007]  # cross-batch pair clustered
+    # replay fence: re-applying the last batch id is a skip, state unchanged
+    last = view.state.current()["last_batch_id"]
+    res = view.apply_batch(
+        spark,
+        spark.createDataFrame([(7, 9_000_007)], "id_a long, id_b long"),
+        last,
+    )
+    assert res.get("skipped_replay") is True
+    assert {r["id"]: r["component_id"] for r in view.read(spark).collect()} == want
