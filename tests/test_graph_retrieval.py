@@ -17,25 +17,29 @@ from tabular_cdc_bootstrapper_spark.functions.graph import (
 from tabular_cdc_bootstrapper_spark.functions.retrieval import bm25_topk
 
 
-def _cc_map(spark, edges):
+def _cc_map(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r["id"]: r["component_id"] for r in rows}
 
 
 def test_connected_components_chain(spark):
     # a 12-node path is the adversarial case for plain label propagation
-    # (diameter rounds); large-star/small-star must close it in O(log n)
+    # (diameter rounds); large-star/small-star must close it in O(log n).
+    # driver_finish_edges=0 forces the DISTRIBUTED star rounds — the
+    # default would finish this fixture-sized graph driver-side
     edges = [(i, i + 1) for i in range(11)]
-    got = _cc_map(spark, edges)
+    got = _cc_map(spark, edges, driver_finish_edges=0)
     assert got == {i: 0 for i in range(12)}
 
 
 def test_connected_components_multiple_and_direction_blind(spark):
-    # two components; edge direction and duplicates are irrelevant
+    # two components; edge direction and duplicates are irrelevant —
+    # asserted on BOTH execution paths
     edges = [(2, 1), (3, 2), (1, 3), (9, 7), (7, 9)]
-    got = _cc_map(spark, edges)
-    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    assert _cc_map(spark, edges, driver_finish_edges=0) == want
+    assert _cc_map(spark, edges) == want
 
 
 def test_connected_components_empty(spark):
@@ -336,3 +340,42 @@ def test_update_clusters_folds_over_many_batches(spark):
             for r in connected_components(_pairs_df(spark, seen)).collect()
         }
         assert inc == batch
+
+
+def test_cc_driver_finish_matches_distributed(spark):
+    """The engine-adaptive fallthrough: union-find driver finish and pure
+    distributed star rounds are result-identical on seeded random graphs
+    (including chains — the path-compression stress case) and on an
+    already-contracted star."""
+    import random
+
+    rng = random.Random(4242)
+    cases = [
+        [(i, i + 1) for i in range(30)],  # path: worst case for min-label
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
+        [(0, 1), (2, 3), (4, 5), (1, 2)],  # partial merges
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        fast = {
+            r["id"]: r["component_id"] for r in connected_components(df).collect()
+        }
+        dist = {
+            r["id"]: r["component_id"]
+            for r in connected_components(df, driver_finish_edges=0).collect()
+        }
+        assert fast == dist and len(fast) > 0
+
+
+def test_cc_driver_finish_after_contraction_rounds(spark):
+    """With a threshold BELOW the initial edge count, the first star
+    rounds run distributed and the union-find finishes the contracted
+    remainder — the 100 TB shape, exercised end-to-end."""
+    edges = [(i, i + 1) for i in range(200)]  # contracts fast but starts "big"
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(df, driver_finish_edges=150).collect()
+    }
+    assert got == {i: 0 for i in range(201)}
