@@ -117,7 +117,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 30,
-    driver_finish_edges: int = 500_000,
+    driver_finish_edges: int = 50_000,
 ) -> DataFrame:
     """(id, component_id) for every node appearing in ``pairs``, where
     ``component_id`` is the minimum node id in the component.
@@ -135,12 +135,19 @@ def connected_components(
     algorithm wants (the same bounded-collect class as k-means'
     broadcast-the-model centroids, `functions/clustering.py`): each star
     round costs ~5 scheduling barriers regardless of size, while a
-    ≤500 k-edge collect is ≤ ~8 MB and finishes in O(E·α) — measured
-    3.9 s → <1 s on the fixture's 1.6 k-edge graphs. At 100 TB the first
-    rounds contract billion-edge graphs distributedly; the fallthrough
-    triggers exactly when the frontier stops being cluster-sized. The
-    two paths are result-identical (pinned by
-    tests/test_graph_retrieval.py::test_cc_driver_finish_matches_distributed);
+    ≤50 k-edge collect finishes in O(E·α) — measured 3.9 s → <1 s on the
+    fixture's 1.6 k-edge graphs. The 50 k default is measured, not
+    guessed: at 500 k the handoff can fire with a ~1 M-node mapping whose
+    driver-side DataFrame construction costs MORE than the remaining
+    distributed rounds (26.0 s vs 18.6 s pure-distributed on a planted
+    1 M-edge graph, SCALING.md r7) — the threshold must bound the RESULT
+    size, and a converged star forest has ~one edge per non-root node, so
+    edge count ≈ mapping size at handoff. Above the threshold the check
+    costs nothing (it rides the signature count) and the rounds proceed
+    distributed — on big graphs adaptive == pure distributed by
+    construction. The two paths are result-identical (pinned by
+    tests/test_graph_retrieval.py::test_cc_driver_finish_matches_distributed
+    and verified on the 1 M-edge probe against ground-truth union-find);
     pass ``driver_finish_edges=0`` to force pure distributed rounds."""
     # materialize the input edge set BEFORE the loop: the first round's
     # star steps reference `edges` four times (sym union + mins join ×2),
