@@ -59,6 +59,7 @@ UDF_HEAVY = {
     "ngram_jaccard_pairs",  # pandas-UDF shingle hashes (was missing, r6)
     "leakage_safe_split",  # SimHash pair pipeline + star rounds (r6)
     "incremental_cluster_maintenance",  # SimHash pairs + star rounds + fold (r7)
+    "pq_adc_topk",  # pandas-UDF PQ encode (r7)
 }
 
 

@@ -398,3 +398,149 @@ def ivf_topk(
             "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
         )
     )
+
+
+def _unit(vec: Column) -> Column:
+    """Unit-normalize an array<float/double> column; a zero vector stays
+    all-zero (cosine 0 to everything) instead of propagating NaN."""
+    n = _norm(vec)
+    return F.transform(
+        vec,
+        lambda x: F.when(n > 0, x.cast("double") / n).otherwise(F.lit(0.0)),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance shortlisting and
+    exact rerank — the second quantization tier past int8 (the
+    "IVF-PQ is the next tier" note at auto_n_centroids, substantiated):
+
+    1. TRAIN: the codebook for subspace s is the s-th ``dim/n_subspaces``-
+       dim slice of the ``n_codes`` LOWEST-id unit-normalized corpus
+       vectors (the same deterministic, oracle-replayable strategy as
+       ivf_topk's ``lowest_id`` lists; k-means-trained codebooks are the
+       quality upgrade, exactly as for IVF).
+    2. ENCODE: each unit-normalized corpus vector → ``n_subspaces`` bytes
+       (argmin-L2 codeword per subspace, ties → lowest code) via one
+       Arrow-batched matmul — at 2048 codes that is 256 floats → 8 bytes,
+       a 128× payload cut; at warehouse scale codes are written once at
+       ingest and the float column never ships to search.
+    3. SEARCH (ADC): a query's similarity to a candidate is approximated
+       by Σ_s ⟨q_s, codebook_s[code_s]⟩ — computed JVM-side with
+       higher-order functions against the codebook inlined as a literal
+       (n_subspaces·n_codes·sub_dim doubles, KB-sized), so the corpus
+       streams through with only its codes; top-``shortlist`` candidates
+       per query survive (ties → lowest vec_id).
+    4. RERANK: exact float cosine over the shortlist only (candidate-
+       sized join), final top-``k`` by exact similarity.
+
+    The rerank makes the OUTPUT exact-cosine-ranked over the shortlist, so
+    quantization error only costs recall (pinned ≥ the measured floor by
+    tests), never ranking fidelity. Query side broadcasts; the only
+    exchange is the per-qid ranking window over (ids, score) — plan
+    pinned."""
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    sub_dim = dim // n_subspaces
+    if sub_dim * n_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+
+    # --- train: bounded driver-side collect (n_codes rows), normalized
+    sample = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_codes)
+        .select(_unit(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    cb = np.array([r["v"] for r in sample], dtype=np.float64)  # (codes, dim)
+    cb_sub = cb.reshape(len(cb), n_subspaces, sub_dim).transpose(1, 0, 2)
+    # (n_subspaces, n_codes, sub_dim) — shipped two ways: in the encode
+    # UDF closure (broadcast-the-model) and as a plan literal for ADC
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in code])
+                    for code in cb_sub[s]
+                ]
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+
+    @SF.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm == 0, 1.0, nrm)
+        xs = x.reshape(len(x), n_subspaces, sub_dim)
+        codes = np.empty((len(x), n_subspaces), dtype=np.int64)
+        for s in range(n_subspaces):
+            # (batch, codes) squared L2; argmin takes the FIRST (lowest
+            # code) on ties — the oracle's ORDER BY dist, code twin
+            d = ((xs[:, s, None, :] - cb_sub[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(codes.tolist())
+
+    c_codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"), _unit(F.col(vec_col)).alias("qv")
+    )
+
+    # ADC: fold over subspace index; slice the query, index the literal
+    # codebook by (subspace, code) — all JVM-side, no Python in the scan
+    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            idx,
+            lambda code, s: _dot(
+                F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
+                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlisted = (
+        c_codes.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .withColumn("adc", adc)
+        .select("qid", "vec_id", "adc")
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+
+    # exact rerank over the candidate-sized shortlist only
+    cand = shortlisted.join(
+        corpus.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("cv")),
+        "vec_id",
+    ).join(F.broadcast(qv), "qid")
+    w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
+        .select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )

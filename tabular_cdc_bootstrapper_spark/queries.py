@@ -1160,6 +1160,92 @@ def int8_quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_adc_topk",
+    oracle="""
+    WITH nrm0 AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ), norm AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CASE WHEN nrm > 0
+                   THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS v
+        FROM nrm0
+    ), cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+        FROM norm ORDER BY vec_id LIMIT 16
+    ), subs AS (
+        SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s
+    ), dists AS (
+        SELECT n.vec_id, subs.s, cb.code,
+               list_sum(list_transform(
+                   list_zip(n.v[subs.s*8+1 : subs.s*8+8],
+                            cb.v[subs.s*8+1 : subs.s*8+8]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM norm n CROSS JOIN subs CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, code) AS rn
+            FROM dists) WHERE rn = 1
+    ), terms AS (
+        SELECT q.vec_id AS qid, e.vec_id, e.s,
+               list_sum(list_transform(
+                   list_zip(q.v[e.s*8+1 : e.s*8+8], cb.v[e.s*8+1 : e.s*8+8]),
+                   p -> p[1] * p[2])) AS t
+        FROM enc e
+        JOIN cb ON cb.code = e.code
+        JOIN norm q ON q.vec_id < 5 AND q.vec_id <> e.vec_id
+    ), adc AS (
+        -- list_sum over an s-ORDERED list, not SUM over unordered group
+        -- rows: float addition order must match Spark's fold over
+        -- sequence(0..7) exactly
+        SELECT qid, vec_id, list_sum(list(t ORDER BY s)) AS adc
+        FROM terms GROUP BY qid, vec_id
+    ), short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adc DESC, vec_id) AS srn
+            FROM adc) WHERE srn <= 50
+    ), rerank AS (
+        SELECT s.qid, s.vec_id,
+               list_sum(list_transform(list_zip(q.v, c.v),
+                   p -> p[1] * p[2])) AS sim
+        FROM short s
+        JOIN norm q ON q.vec_id = s.qid
+        JOIN norm c ON c.vec_id = s.vec_id
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM (SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rn
+          FROM rerank)
+    WHERE rn <= 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the tier past int8): 8 subspaces × 16
+    codes from the lowest-id normalized sample (oracle-replayable, the
+    ivf 'lowest_id' strategy), Arrow-batched encode to 8 bytes/vector,
+    JVM-side asymmetric-distance shortlist against the literal codebook,
+    exact-cosine rerank of the top-50 — so the OUTPUT is exact-ranked
+    over the shortlist and quantization costs recall only (floor pinned
+    in tests). See functions/similarity.py:pq_adc_topk for the 100 TB
+    shape (codes written once at ingest; the float column never ships to
+    search)."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_adc_topk(emb, q, k=10)
+
+
+@query(
     "minhash_near_duplicates",
     oracle=r"""
     WITH toks AS (
@@ -5518,6 +5604,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   law makes the incremental result equal the batch closure). To make
 #   room, weighted_mixture_sample moves to the tail (its family stays
 #   represented by temperature_mixture_quota + cluster_balanced_sample).
+#   Late r7 addition: pq_adc_topk (PQ-ADC quantized ANN, full oracle)
+#   joins the window's ANN family; events_tumbling_10min moves to the
+#   tail (windowed-agg family stays repped by events_sliding_10min's r6
+#   row + user_sessions in-window).
 # - IN (stalest first): all 29 queries whose only driver row is round 2
 #   (the q1/q3/q5 TPC-H cohort, the window/string/json function surface,
 #   cosine_topk, text_stats family) and the 4 round-4 rows (bm25_topk,
@@ -5579,18 +5669,19 @@ _DRIVER_CHECK_PRIORITY = [
     "near_dup_clusters",
     "embedding_near_duplicates",
     "ann_ivf_topk",
+    "pq_adc_topk",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
     "dedup_exact_groups",
     "multimodal_features",
     "sequence_packing",
-    "events_tumbling_10min",
     "uniform_per_group_sample",
     "hash_split_counts",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
     "weighted_mixture_sample",
+    "events_tumbling_10min",
     "cdc_scd2_history",
     "snapshot_diff_changelog",
     "incremental_agg_maintenance",

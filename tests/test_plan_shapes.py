@@ -562,3 +562,20 @@ def test_update_clusters_relabel_is_broadcast_no_corpus_shuffle(spark):
     assert sort_merge_join_count(upd) == 0
     assert broadcast_join_count(upd) >= 2  # node lookup + relabel
     assert "CartesianProduct" not in physical_plan(upd)
+
+
+def test_pq_adc_corpus_streams_codes_only(spark, sf_dir):
+    """pq_adc_topk: the ADC scan must join broadcast query vectors onto
+    the (vec_id, codes) stream — no SortMergeJoin, no CartesianProduct;
+    the shortlist and final cuts are map-side-truncated ranking windows
+    (WindowGroupLimit)."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    df = pq_adc_topk(emb, qs, k=10)
+    plan = physical_plan(df)
+    assert sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2  # ADC probe + rerank join
+    assert "WindowGroupLimit" in plan
