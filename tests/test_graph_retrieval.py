@@ -379,3 +379,42 @@ def test_cc_driver_finish_after_contraction_rounds(spark):
         for r in connected_components(df, driver_finish_edges=150).collect()
     }
     assert got == {i: 0 for i in range(201)}
+
+
+def test_update_clusters_fold_law_hypothesis(spark):
+    """Property: for ANY small random graph and ANY 2-way edge split, the
+    incremental fold equals the batch recompute — hypothesis shrinks
+    failures to a minimal edge set/split. Reference semantics is plain
+    union-find in Python (independent of both Spark paths)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tabular_cdc_bootstrapper_spark.functions.graph import _driver_union_find
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(edge, min_size=1, max_size=20),
+        cut=st.integers(min_value=0, max_value=20),
+    )
+    def law(edges, cut):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        cut = min(cut, len(edges))
+        b1, b2 = edges[:cut], edges[cut:]
+        if not b1:  # fold needs a standing mapping; CC(∅) is the b2 batch
+            b1, b2 = b2, b1
+        got = _apply_inc(spark, b1, b2)
+        want = _driver_union_find(edges)
+        assert got == want, (edges, cut)
+
+    law()
