@@ -60,6 +60,7 @@ UDF_HEAVY = {
     "leakage_safe_split",  # SimHash pair pipeline + star rounds (r6)
     "incremental_cluster_maintenance",  # SimHash pairs + star rounds + fold (r7)
     "pq_adc_topk",  # pandas-UDF PQ encode (r7)
+    "ivf_pq_topk",  # pandas-UDF assign+encode (r7)
 }
 
 

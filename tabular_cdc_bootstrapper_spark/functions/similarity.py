@@ -544,3 +544,146 @@ def pq_adc_topk(
             "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int | None = 64,
+    n_probes: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """IVF-PQ: the composed warehouse ANN index — IVF list pruning
+    (ivf_topk's lowest-id centroid assignment) on top of PQ-ADC scoring
+    (pq_adc_topk's codebook), with the exact-cosine rerank closing the
+    pipeline. A query touches only its ``n_probes`` inverted lists, and
+    within them scores 8-byte PQ codes against the literal codebook — the
+    float column is read only for the ``shortlist`` rerank candidates.
+
+    At 100 TB: the corpus is written partitioned by ``list_id`` carrying
+    only (id, codes) — a probe is a partition-pruned scan of ~n/c · p
+    rows × 8 bytes; both models (centroids + codebook) are KB-scale
+    driver-side artifacts trained once. ``n_centroids=None`` derives
+    ⌈√n⌉ via auto_n_centroids. Both stages use the deterministic
+    lowest-id training strategy, so the whole pipeline is replayable by
+    the DuckDB oracle (k-means-trained centroids/codebooks are the
+    quality upgrade, as with ivf_topk)."""
+    from pyspark.sql import functions as SF
+
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
+    sub_dim = dim // n_subspaces
+    if sub_dim * n_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+
+    # --- IVF model: lowest-id centroids, RAW vectors (ivf_topk contract)
+    cent_rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    cids = [int(r["cid"]) for r in cent_rows]
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat_n = cmat / np.where(cnorm == 0, 1.0, cnorm)
+
+    # --- PQ model: lowest-id normalized sample, per-subspace codebooks
+    sample = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_codes)
+        .select(_unit(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    cb = np.array([r["v"] for r in sample], dtype=np.float64)
+    cb_sub = cb.reshape(len(cb), n_subspaces, sub_dim).transpose(1, 0, 2)
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in code]) for code in cb_sub[s]]
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+
+    def _normalize(vecs: pd.Series) -> "np.ndarray":
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.where(nrm == 0, 1.0, nrm)
+
+    @SF.pandas_udf("struct<list_id: long, codes: array<int>>")
+    def assign_and_encode(vecs: pd.Series) -> pd.DataFrame:
+        if vecs.empty:
+            return pd.DataFrame({"list_id": [], "codes": []})
+        x = _normalize(vecs)
+        lists = [cids[i] for i in np.argmax(x @ cmat_n.T, axis=1)]
+        xs = x.reshape(len(x), n_subspaces, sub_dim)
+        codes = np.empty((len(x), n_subspaces), dtype=np.int64)
+        for s in range(n_subspaces):
+            d = ((xs[:, s, None, :] - cb_sub[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.DataFrame({"list_id": lists, "codes": codes.tolist()})
+
+    @SF.pandas_udf("array<long>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype="object")
+        x = _normalize(vecs)
+        order = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, :n_probes]
+        return pd.Series([[cids[i] for i in row] for row in order])
+
+    c_idx = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        assign_and_encode(F.col(vec_col)).alias("ae"),
+    ).select("vec_id", F.col("ae.list_id").alias("list_id"), F.col("ae.codes").alias("codes"))
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _unit(F.col(vec_col)).alias("qv"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            idx,
+            lambda code, s: _dot(
+                F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
+                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlisted = (
+        c_idx.join(F.broadcast(qv), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("adc", adc)
+        .select("qid", "vec_id", "adc")
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    q_only = qv.select("qid", "qv").dropDuplicates(["qid"])
+    cand = shortlisted.join(
+        corpus.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("cv")),
+        "vec_id",
+    ).join(F.broadcast(q_only), "qid")
+    w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
+        .select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )

@@ -2408,6 +2408,116 @@ def _ivf_oracle() -> str:
     """
 
 
+def _ivf_pq_oracle() -> str:
+    """Replicates ivf_pq_topk(k=10, n_centroids=64, n_probes=4,
+    n_subspaces=8, n_codes=16, shortlist=50): the IVF assignment CTEs
+    (raw-cosine argmax, cid tie-break — same as _ivf_oracle) compose with
+    the PQ train/encode/ADC CTEs (same as pq_adc_topk's oracle, incl. the
+    s-ORDERED list_sum for float-order parity), candidates restricted to
+    the query's 4 probed lists, exact-cosine rerank of the top-50."""
+    cos_ec = _sql_cos("e.embedding", "c.cv")
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 64
+    ), cass AS (
+        SELECT vec_id, cid AS list_id FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), qass AS (
+        SELECT qid, cid AS list_id FROM (
+            SELECT e.vec_id AS qid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos_ec} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5
+        ) WHERE rn <= 4
+    ), nrm0 AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ), norm AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CASE WHEN nrm > 0
+                   THEN CAST(x AS DOUBLE) / nrm ELSE 0.0 END) AS v
+        FROM nrm0
+    ), cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, v
+        FROM norm ORDER BY vec_id LIMIT 16
+    ), subs AS (
+        SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS s
+    ), dists AS (
+        SELECT n.vec_id, subs.s, cb.code,
+               list_sum(list_transform(
+                   list_zip(n.v[subs.s*8+1 : subs.s*8+8],
+                            cb.v[subs.s*8+1 : subs.s*8+8]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+        FROM norm n CROSS JOIN subs CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, code) AS rn
+            FROM dists) WHERE rn = 1
+    ), terms AS (
+        SELECT q.qid, a.vec_id, e.s,
+               list_sum(list_transform(
+                   list_zip(qn.v[e.s*8+1 : e.s*8+8], cb.v[e.s*8+1 : e.s*8+8]),
+                   p -> p[1] * p[2])) AS t
+        FROM qass q
+        JOIN cass a USING (list_id)
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN cb ON cb.code = e.code
+        JOIN norm qn ON qn.vec_id = q.qid
+        WHERE a.vec_id <> q.qid
+    ), adc AS (
+        SELECT qid, vec_id, list_sum(list(t ORDER BY s)) AS adc
+        FROM terms GROUP BY qid, vec_id
+    ), short AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY adc DESC, vec_id) AS srn
+            FROM adc) WHERE srn <= 50
+    ), rerank AS (
+        SELECT s.qid, s.vec_id,
+               list_sum(list_transform(list_zip(q.v, c2.v),
+                   p -> p[1] * p[2])) AS sim
+        FROM short s
+        JOIN norm q ON q.vec_id = s.qid
+        JOIN norm c2 ON c2.vec_id = s.vec_id
+    )
+    SELECT qid, vec_id, ROUND(sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM (SELECT qid, vec_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rn
+          FROM rerank)
+    WHERE rn <= 10
+    """
+
+
+@query("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the warehouse index shape: IVF list pruning
+    (lowest-id centroids, 4 probes) over PQ-ADC scoring (8×16 codebook,
+    8-byte codes), exact-cosine rerank of the top-50. A query scans only
+    its probed lists' codes; the float column is read only for rerank
+    candidates. Both models are deterministic lowest-id trains so the
+    full pipeline is oracle-replayable; see
+    functions/similarity.py:ivf_pq_topk for the partition-pruned 100 TB
+    shape."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_pq_topk(emb, q, k=10)
+
+
 @query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate ANN (inverted lists by nearest fixed-count
@@ -5608,6 +5718,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   joins the window's ANN family; events_tumbling_10min moves to the
 #   tail (windowed-agg family stays repped by events_sliding_10min's r6
 #   row + user_sessions in-window).
+#   Later still: ivf_pq_topk (the composed IVF-PQ index, full oracle)
+#   joins its PQ sibling in-window; sequence_packing moves to the tail
+#   (window-cumsum family repped by rolling_30d_revenue in recent rows).
 # - IN (stalest first): all 29 queries whose only driver row is round 2
 #   (the q1/q3/q5 TPC-H cohort, the window/string/json function surface,
 #   cosine_topk, text_stats family) and the 4 round-4 rows (bm25_topk,
@@ -5670,18 +5783,19 @@ _DRIVER_CHECK_PRIORITY = [
     "embedding_near_duplicates",
     "ann_ivf_topk",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
     "dedup_exact_groups",
     "multimodal_features",
-    "sequence_packing",
     "uniform_per_group_sample",
     "hash_split_counts",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
     "weighted_mixture_sample",
     "events_tumbling_10min",
+    "sequence_packing",
     "cdc_scd2_history",
     "snapshot_diff_changelog",
     "incremental_agg_maintenance",

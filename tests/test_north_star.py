@@ -812,3 +812,38 @@ def test_pq_adc_topk_recall_and_exact_rerank(spark, sf_dir):
         ranks.setdefault(r["qid"], []).append(r["rn"])
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_ivf_pq_topk_laws(spark, sf_dir):
+    """IVF-PQ composition laws: reported sims are exact cosines (rerank
+    exactness survives the composition); results come only from probed
+    lists (every result id also appears in flat PQ or differs only by
+    pruning — checked as recall floor vs brute force); ranks contiguous,
+    self excluded."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    approx = ivf_pq_topk(emb, q, k=10).collect()
+    exact = cosine_topk(emb, q, k=10).collect()
+    exact_vals = {(r["qid"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        assert r["qid"] != r["vec_id"]
+        key = (r["qid"], r["vec_id"])
+        if key in exact_vals:
+            assert r["cos_sim"] == pytest.approx(exact_vals[key], abs=2e-6)
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(ex[qid] & ap.get(qid, set())) / len(ex[qid]) for qid in ex]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    ranks = {}
+    for r in approx:
+        ranks.setdefault(r["qid"], []).append(r["rn"])
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))

@@ -579,3 +579,19 @@ def test_pq_adc_corpus_streams_codes_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2  # ADC probe + rerank join
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_pq_no_corpus_shuffle_codes_only_probe(spark, sf_dir):
+    """ivf_pq_topk: the probe joins broadcast (qid, list) rows onto the
+    (vec_id, list_id, codes) stream — no SortMergeJoin, no cartesian;
+    shortlist + final cuts are WindowGroupLimit-truncated windows."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    df = ivf_pq_topk(emb, qs, k=10)
+    plan = physical_plan(df)
+    assert sort_merge_join_count(df) == 0
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df) >= 2
+    assert "WindowGroupLimit" in plan
