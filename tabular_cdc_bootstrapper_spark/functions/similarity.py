@@ -410,6 +410,67 @@ def _unit(vec: Column) -> Column:
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "lowest_id",
+    sample_size: int = 2048,
+    kmeans_iters: int = 8,
+) -> "np.ndarray":
+    """(n_subspaces, n_codes, sub_dim) PQ codebooks from a bounded
+    deterministic sample of the corpus.
+
+    - ``"lowest_id"``: the ``n_codes`` lowest-id normalized vectors'
+      subvectors — cheapest, fully SQL-replayable (the registry oracle's
+      choice).
+    - ``"kmeans"``: per-subspace Lloyd k-means (numpy, driver-side) over
+      the ``sample_size`` lowest-id normalized vectors — standard PQ
+      training (codebooks fit the data's subspace density, so encode
+      error and hence shortlist recall improve; pinned by
+      test_pq_kmeans_codebooks_beat_sample on clustered data). The
+      sample collect is bounded (~sample_size·dim doubles ≈ 1 MB at the
+      defaults) and the seed path is deterministic: init = the first
+      ``n_codes`` sample subvectors, ties → lowest index, empty clusters
+      keep their previous centroid — no RNG anywhere."""
+    import numpy as np
+
+    sub_dim = dim // n_subspaces
+    n_rows = n_codes if strategy == "lowest_id" else sample_size
+    sample = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_rows)
+        .select(_unit(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    if strategy == "lowest_id":
+        return x.reshape(len(x), n_subspaces, sub_dim).transpose(1, 0, 2)
+    if strategy != "kmeans":
+        raise ValueError(f"unknown codebook strategy {strategy!r}")
+    xs = x.reshape(len(x), n_subspaces, sub_dim)
+    books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
+    for s in range(n_subspaces):
+        pts = xs[:, s, :]
+        cents = pts[:n_codes].copy()  # deterministic init
+        for _ in range(kmeans_iters):
+            d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # first-min → lowest code on ties
+            new = cents.copy()  # empty cluster keeps previous centroid
+            for c in range(n_codes):
+                members = pts[assign == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        books[s] = cents
+    return books
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -421,6 +482,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    codebook_strategy: str = "lowest_id",
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance shortlisting and
     exact rerank — the second quantization tier past int8 (the
@@ -457,15 +519,12 @@ def pq_adc_topk(
     if sub_dim * n_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
 
-    # --- train: bounded driver-side collect (n_codes rows), normalized
-    sample = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_codes)
-        .select(_unit(F.col(vec_col)).alias("v"))
-        .collect()
+    # --- train: bounded driver-side collect, normalized (strategy-driven
+    # — "kmeans" is the measured-recall upgrade, "lowest_id" the
+    # oracle-replayable default; see train_pq_codebooks)
+    cb_sub = train_pq_codebooks(
+        corpus, n_subspaces, n_codes, dim, id_col, vec_col, codebook_strategy
     )
-    cb = np.array([r["v"] for r in sample], dtype=np.float64)  # (codes, dim)
-    cb_sub = cb.reshape(len(cb), n_subspaces, sub_dim).transpose(1, 0, 2)
     # (n_subspaces, n_codes, sub_dim) — shipped two ways: in the encode
     # UDF closure (broadcast-the-model) and as a plan literal for ADC
     cb_lit = F.array(

@@ -133,3 +133,59 @@ def test_ivf_unknown_strategy_rejected(spark):
     q = df.select(F.col("vec_id").alias("qid"), "embedding")
     with pytest.raises(ValueError, match="centroid_strategy"):
         ivf_topk(df, q, centroid_strategy="nope")
+
+
+def test_pq_kmeans_codebooks_beat_sample(spark):
+    """PQ codebook training (r7): on a corpus whose lowest ids all sit in
+    one direction blob (adversarial to the lowest-id codebook sample),
+    k-means-trained per-subspace codebooks must reach shortlist recall
+    >= the sample codebooks' — the same training-quality law as IVF's
+    kmeans lists. dim=4, 2 subspaces, 4 codes; shortlist tightened to 8
+    so the shortlist cut (where codebook quality bites) decides recall
+    rather than the exact rerank masking it."""
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+
+    dirs = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+            (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0)]
+    rows = []
+    for i in range(48):
+        blob = 0 if i < 4 else i % 4  # lowest ids collapse into blob 0
+        base = dirs[blob]
+        j = 0.01 * (i % 7)
+        rows.append((i, [base[0] + j * 0.1, base[1] + j * 0.05,
+                         base[2] - j * 0.07, base[3] + j * 0.03]))
+    df = _vec_df(spark, rows)
+    q = df.filter(F.col("vec_id").isin([5, 6, 7])).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    def pairs(out):
+        return {(r["qid"], r["vec_id"]) for r in out.collect()}
+
+    truth = pairs(cosine_topk(df, q, k=5))
+    kwargs = dict(k=5, n_subspaces=2, n_codes=4, shortlist=8, dim=4)
+    sample = pairs(pq_adc_topk(df, q, codebook_strategy="lowest_id", **kwargs))
+    kmeans = pairs(pq_adc_topk(df, q, codebook_strategy="kmeans", **kwargs))
+    recall_sample = len(sample & truth) / len(truth)
+    recall_kmeans = len(kmeans & truth) / len(truth)
+    # strict improvement on this adversarial-to-sample construction
+    # (measured 0.533 vs 0.467); the absolute ceiling is capped by the
+    # 2-dim subspace projections collapsing two blobs onto each other —
+    # inherent PQ lossiness at these tiny settings, not a training defect
+    assert recall_kmeans > recall_sample, (recall_kmeans, recall_sample)
+    assert recall_kmeans >= 0.5, f"kmeans codebook recall {recall_kmeans}"
+
+
+def test_pq_unknown_codebook_strategy_rejected(spark):
+    import pytest
+
+    from tabular_cdc_bootstrapper_spark.functions.similarity import pq_adc_topk
+
+    df = _vec_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    q = df.select(F.col("vec_id").alias("qid"), "embedding")
+    with pytest.raises(ValueError, match="unknown codebook strategy"):
+        pq_adc_topk(df, q, n_subspaces=1, n_codes=2, dim=2,
+                    codebook_strategy="pca")
