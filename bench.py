@@ -165,12 +165,27 @@ def main() -> None:
     # file, BENCHFULL_r{NN}.json is the per-round record.
     import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for p in repo.glob("BENCH_r*.json")
-        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
-    ]
-    round_no = (max(rounds) + 1) if rounds else 0
+    # Round resolution (ADVICE r7): max(BENCH_r*)+1 alone mislabels a
+    # re-run that happens AFTER the driver committed this round's
+    # BENCH_r{N}.json (it stamps N+1 for a round that hasn't started).
+    # Precedence: explicit --round N argv / SPARK_GRAFT_ROUND env, else
+    # infer — and when the inferred round's BENCHFULL_r file does not yet
+    # exist but the PREVIOUS one was written by this same working tree
+    # more recently than the driver's BENCH file, the inference is still
+    # ambiguous, so the explicit path is the documented house rule for
+    # any post-driver re-run.
+    round_arg = os.environ.get("SPARK_GRAFT_ROUND")
+    if "--round" in sys.argv:
+        round_arg = sys.argv[sys.argv.index("--round") + 1]
+    if round_arg is not None:
+        round_no = int(round_arg)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in repo.glob("BENCH_r*.json")
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+        ]
+        round_no = (max(rounds) + 1) if rounds else 0
     try:
         (repo / f"BENCHFULL_r{round_no:02d}.json").write_text(
             json.dumps(result, indent=1) + "\n"

@@ -299,6 +299,7 @@ def update_clusters(
     delta_pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Incremental connected-components maintenance (VERDICT r6 #6): merge
     a DELTA of near-dup pairs into an existing (id, component_id) mapping
@@ -357,11 +358,16 @@ def update_clusters(
     # and referenced twice; a checkpoint barrier here costs two extra
     # scheduling round-trips per batch for no lineage-depth benefit (the
     # contracted CC below truncates its own lineage every round). Callers
-    # clear the cache per query (the house rule bench/driver/tests follow).
+    # either clear the cache per query (the bench/driver/tests house rule)
+    # or — in a shared session where a global clearCache would evict
+    # unrelated state (ADVICE r7) — pass ``persisted`` and unpersist
+    # exactly the frames appended to it once the result is materialized.
     found = m.join(F.broadcast(nodes), "id").persist()
     missing = nodes.join(
         F.broadcast(found.select("id")), "id", "left_anti"
     ).persist()
+    if persisted is not None:
+        persisted.extend([found, missing])
     node_comp = found.select("id", F.col("component_id").alias("comp")).unionByName(
         missing.select("id", F.col("id").alias("comp"))
     )

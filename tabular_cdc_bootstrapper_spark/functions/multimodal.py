@@ -97,11 +97,18 @@ def parse_image_header(content: bytes) -> tuple[int, int, str] | None:
         if len(content) < 26 or content[12:16] != b"IHDR":
             return None
         w, h = struct.unpack(">II", content[16:24])
+        # PNG dims are unsigned 32-bit; the feature schema stores int32 —
+        # a corrupt header past 2^31-1 (or zero) must yield None, not an
+        # Arrow cast failure inside the task (ADVICE r7)
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            return None
         mode = _PNG_COLOR_MODES.get(content[25], "RGB")
         return w, h, mode
     # GIF87a / GIF89a: logical screen descriptor, little-endian
     if content[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", content[6:10])
+        if w == 0 or h == 0:
+            return None
         return w, h, "P"
     # JPEG: walk the marker segments to the first SOFn frame header
     if content[:2] == b"\xff\xd8":
@@ -109,6 +116,13 @@ def parse_image_header(content: bytes) -> tuple[int, int, str] | None:
         n = len(content)
         while i + 4 <= n:
             if content[i] != 0xFF:
+                return None
+            # spec-legal 0xFF fill bytes may pad before the marker byte
+            # (ITU T.81 §B.1.1.2) — skip them or a fill byte is read as
+            # marker 0xFF and the bogus segment length desyncs (ADVICE r7)
+            while i + 1 < n and content[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
                 return None
             marker = content[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -120,6 +134,8 @@ def parse_image_header(content: bytes) -> tuple[int, int, str] | None:
                 if i + 9 >= n:
                     return None
                 h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                if w == 0 or h == 0:  # h=0 = DNL-deferred; treat as unknown
+                    return None
                 ncomp = content[i + 9]
                 return w, h, _JPEG_SOF_MODES.get(ncomp, "RGB")
             i += 2 + seg_len
@@ -202,14 +218,22 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                 if len(b) < 26 or b[12:16] != b"IHDR":
                     return (None, None, None)
                 w, h = _struct.unpack(">II", b[16:24])
+                if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+                    return (None, None, None)
                 return (w, h, png_modes.get(b[25], "RGB"))
             if b[:6] in (b"GIF87a", b"GIF89a"):
                 w, h = _struct.unpack("<HH", b[6:10])
+                if w == 0 or h == 0:
+                    return (None, None, None)
                 return (w, h, "P")
             if b[:2] == b"\xff\xd8":
                 i, n = 2, len(b)
                 while i + 4 <= n:
                     if b[i] != 0xFF:
+                        return (None, None, None)
+                    while i + 1 < n and b[i + 1] == 0xFF:  # FF fill bytes
+                        i += 1
+                    if i + 4 > n:
                         return (None, None, None)
                     m = b[i + 1]
                     if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
@@ -220,6 +244,8 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                         if i + 9 >= n:
                             return (None, None, None)
                         h, w = _struct.unpack(">HH", b[i + 5 : i + 9])
+                        if w == 0 or h == 0:
+                            return (None, None, None)
                         return (w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(b[i + 9], "RGB"))
                     i += 2 + seg
             return (None, None, None)

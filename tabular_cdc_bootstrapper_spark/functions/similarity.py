@@ -452,6 +452,11 @@ def train_pq_codebooks(
     if strategy != "kmeans":
         raise ValueError(f"unknown codebook strategy {strategy!r}")
     xs = x.reshape(len(x), n_subspaces, sub_dim)
+    # a corpus smaller than n_codes yields a short init slice: clamp the
+    # codebook to the sample size (the same graceful degradation the
+    # lowest_id strategy gets for free) instead of a numpy broadcast
+    # ValueError at books[s] = cents (ADVICE r7)
+    n_codes = min(n_codes, len(x))
     books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
     for s in range(n_subspaces):
         pts = xs[:, s, :]

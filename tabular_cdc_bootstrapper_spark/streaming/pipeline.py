@@ -247,16 +247,21 @@ class MaintainedClusterView:
         if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
             return {"skipped_replay": True, "batch_id": batch_id}
         mapping = self.state.read(spark)
+        held: list = []  # the fold's own persists — unpersist exactly these
         if mapping is None:
             new = connected_components(pairs_df)
         else:
             new = apply_cluster_update(
-                mapping, update_clusters(mapping, pairs_df)
+                mapping, update_clusters(mapping, pairs_df, persisted=held)
             )
         # materialize before the commit reads it twice (count + write)
         new = new.localCheckpoint(eager=True)
         out = self.state.commit(new, meta={"last_batch_id": batch_id})
-        spark.catalog.clearCache()  # drop the fold's delta-sized persists
+        # a global clearCache here would evict every cached frame in a
+        # shared session (other foreachBatch state, user caches) each
+        # micro-batch (ADVICE r7) — drop only the fold's delta-sized ones
+        for frame in held:
+            frame.unpersist()
         return out
 
 

@@ -496,10 +496,12 @@ def test_referential_integrity_empty_star_reports_zeros(spark, tmp_path):
 
 
 def test_table_profile_approx_within_5pct_of_exact(spark, sf_dir):
-    """table_profile_orders_approx (VERDICT r6 #3): nulls/min/max are
-    bit-identical to the exact profiler; n_distinct is HLL++ (rsd 2%) and
-    must sit within ±5% of exact for every column — same envelope
-    contract as hll_distinct_counts."""
+    """table_profile_orders_approx (r8 tolerance-verdict form): every
+    deterministic column is bit-identical to the exact profiler —
+    n_distinct itself is now EXACT in the output — and the in-plan
+    ``nd_within_5pct`` verdict (HLL++ rsd 2% vs exact, computed inside
+    the query) must hold for every column, same envelope contract as
+    hll_distinct_counts."""
     exact = {
         r["col_name"]: r
         for r in QUERIES["table_profile_orders"](spark, sf_dir).collect()
@@ -514,5 +516,26 @@ def test_table_profile_approx_within_5pct_of_exact(spark, sf_dir):
         assert a["n_nulls"] == e["n_nulls"]
         assert a["min_value"] == e["min_value"]
         assert a["max_value"] == e["max_value"]
-        nd_e, nd_a = e["n_distinct"], a["n_distinct"]
-        assert abs(nd_a - nd_e) <= max(0.05 * nd_e, 1), (c, nd_e, nd_a)
+        assert a["n_distinct"] == e["n_distinct"]
+        assert a["nd_within_5pct"] is True, (c, a)
+
+
+def test_profile_table_rejects_unknown_and_complex_columns(spark, sf_dir):
+    """profile_table is schema-driven (r8): unknown columns and
+    non-atomic types (array/map/struct/binary — min/max/distinct are not
+    order-defined) raise up front rather than failing mid-plan."""
+    import pytest
+
+    from tabular_cdc_bootstrapper_spark.functions.profiling import profile_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not in schema"):
+        profile_table(emb, ["nope"])
+    with pytest.raises(ValueError, match="atomic"):
+        profile_table(emb, ["embedding"])
+    # default = all columns, skipping none: works on any atomic schema
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    prof = profile_table(nation).collect()
+    assert {r["col_name"] for r in prof} == set(nation.columns)
+    key_row = {r["col_name"]: r for r in prof}["n_nationkey"]
+    assert key_row["n_distinct"] == nation.count() and key_row["n_nulls"] == 0

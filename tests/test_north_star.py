@@ -231,6 +231,61 @@ def test_parse_image_header_tiers_agree():
     assert parse_image_header(None) is None
 
 
+def test_parse_image_header_hardening():
+    """ADVICE r7: spec-legal 0xFF fill padding before a JPEG marker must
+    be skipped (not read AS the marker, desyncing the segment walk), and
+    corrupt PNG dims past int32 (or zero) must yield None instead of an
+    Arrow cast failure downstream."""
+    import struct
+
+    from tabular_cdc_bootstrapper_spark.functions.multimodal import (
+        parse_image_header,
+    )
+
+    # same SOF0 frame as _JPEG_3x2 but with three FF fill bytes padding
+    # the marker (T.81 §B.1.1.2)
+    padded = (
+        b"\xff\xd8\xff\xff\xff\xff\xc0\x00\x11\x08\x00\x02\x00\x03\x03"
+        b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert parse_image_header(padded) == (3, 2, "RGB")
+    # a run of fill bytes to EOF must terminate as None, not loop/raise
+    assert parse_image_header(b"\xff\xd8" + b"\xff" * 16) is None
+
+    def png_ihdr(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+            + struct.pack(">II", w, h) + bytes([8, 6, 0, 0, 0])
+        )
+
+    assert parse_image_header(png_ihdr(1, 1)) == (1, 1, "RGBA")
+    assert parse_image_header(png_ihdr(0x80000000, 1)) is None  # > int32
+    assert parse_image_header(png_ihdr(0, 4)) is None  # zero dim
+    # zero-dim GIF / DNL-deferred (h=0) JPEG are unknown, not garbage
+    assert parse_image_header(b"GIF89a\x00\x00\x05\x00" + b"\x00" * 8) is None
+
+
+def test_pq_kmeans_codebooks_clamp_small_corpus(spark):
+    """ADVICE r7: a corpus smaller than n_codes must clamp the kmeans
+    codebook to the sample size (lowest_id's graceful degradation), not
+    crash with a numpy broadcast ValueError."""
+    import numpy as np
+
+    from tabular_cdc_bootstrapper_spark.functions.similarity import (
+        train_pq_codebooks,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq_codebooks(
+        tiny, n_subspaces=2, n_codes=16, dim=8, strategy="kmeans"
+    )
+    assert books.shape == (2, 5, 4)  # clamped to the 5-row sample
+    assert np.isfinite(books).all()
+
+
 def test_extract_features_header_tier(spark):
     """End-to-end through the Arrow batch path: real image bytes get
     width/height/mode populated by the inlined header parser (agreeing

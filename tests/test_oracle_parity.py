@@ -64,13 +64,13 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-#: Registry entries that are rows-only BY DESIGN: HLL++ estimates are
-#: engine-specific, so no deterministic DuckDB twin exists — the accuracy
-#: contract is the ±5% law test (test_data_quality_ops.py) against the
-#: exact profiler, and the driver records the rows-only check. Anything
-#: rows-only NOT in this set is a missing oracle, which the asserts below
-#: flag.
-ROWS_ONLY_BY_DESIGN = {"table_profile_orders_approx"}
+#: Registry entries that are rows-only BY DESIGN. EMPTY since r8: the
+#: last member (table_profile_orders_approx) was converted to the
+#: tolerance-verdict scheme (exact values + nd_within_5pct boolean, full
+#: DuckDB oracle — VERDICT r7 #1), so every registry entry now carries an
+#: oracle. The mechanism stays: anything rows-only NOT in this set is a
+#: missing oracle, which the asserts below flag.
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_registry_order_prioritizes_oracle_backed():

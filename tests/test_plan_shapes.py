@@ -533,14 +533,54 @@ def test_drift_single_corpus_pass_and_broadcasts(spark, sf_dir):
 
 def test_profile_approx_avoids_expand(spark, sf_dir):
     """The exact profiler pays one Expand (row stream × 6 distinct
-    columns, map-side) for exact multi-countDistinct; the approx twin
+    columns, map-side) for exact multi-countDistinct; the approx family
     must aggregate HLL++ sketches over the UN-expanded stream — no
-    Expand anywhere, still a single scan."""
+    Expand anywhere. The pure sketch profiler (the 100 TB production
+    form) additionally stays a single pass: ≤1 exchange. The VERIFIED
+    registry form (r8, tolerance-verdict oracle) adds one
+    single-distinct branch per column — each must stay Expand-free AND
+    prune its scan to exactly its one column, so the exact side reads
+    the same bytes as one wide scan without the 6× row multiplication."""
+    from tabular_cdc_bootstrapper_spark.functions.profiling import (
+        profile_table_approx,
+    )
+
     exact_plan = physical_plan(q.QUERIES["table_profile_orders"](spark, sf_dir))
-    approx_plan = physical_plan(q.QUERIES["table_profile_orders_approx"](spark, sf_dir))
-    assert "Expand" in exact_plan  # the cost the twin exists to shed
-    assert "Expand" not in approx_plan
-    assert exchange_count(q.QUERIES["table_profile_orders_approx"](spark, sf_dir)) <= 1
+    assert "Expand" in exact_plan  # the cost the approx family sheds
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    pure = profile_table_approx(orders, cols)
+    assert "Expand" not in physical_plan(pure)
+    assert exchange_count(pure) <= 1
+
+    verified = q.QUERIES["table_profile_orders_approx"](spark, sf_dir)
+    vplan = physical_plan(verified)
+    assert "Expand" not in vplan
+    scans = scan_read_columns(verified)
+    single = [s for s in scans if len(s) == 1]
+    # one single-column pruned scan per exact-distinct branch
+    assert sorted(c for (c,) in map(tuple, map(sorted, single))) == sorted(cols)
+    # plus the one wide sketch-branch scan reading only the profiled cols
+    assert any(s == set(cols) for s in scans)
+
+
+def test_profile_lineitem_same_plan_shape(spark, sf_dir):
+    """The schema-driven generalization must not change the plan: the
+    lineitem profile is the same single-scan Expand multi-distinct +
+    stack() unpivot as the orders one."""
+    df = q.QUERIES["table_profile_lineitem"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert len(scan_read_columns(df)) == 1  # single scan
+    for cols in scan_read_columns(df):
+        assert cols <= {
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag", "l_shipdate",
+        }
 
 
 def test_update_clusters_relabel_is_broadcast_no_corpus_shuffle(spark):
