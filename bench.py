@@ -61,6 +61,7 @@ UDF_HEAVY = {
     "incremental_cluster_maintenance",  # SimHash pairs + star rounds + fold (r7)
     "pq_adc_topk",  # pandas-UDF PQ encode (r7)
     "ivf_pq_topk",  # pandas-UDF assign+encode (r7)
+    "ann_prebuilt_ivfpq_topk",  # one-time index build on first run (r8)
 }
 
 

@@ -1,0 +1,422 @@
+"""Persisted ANN index lifecycle: build once, query many (VERDICT r7 #3/#4).
+
+Every inline ANN registry query retrains its model (hyperplanes /
+centroids / codebooks) per invocation — right for a stateless oracle
+query, wrong for the 100 TB warehouse where the index must amortize.
+This module turns the IVF-PQ pipeline (functions/similarity.py:
+ivf_pq_topk — the composed warehouse index shape) into durable index
+TABLES plus a query path that never touches the corpus or retrains:
+
+- ``build_ann_index``: train the two bounded models (lowest-id IVF
+  centroids + PQ codebooks, the oracle-replayable strategy; kmeans is
+  the quality tier) and encode the corpus ONCE into an index table of
+  (vec_id, list_id, codes[8 bytes], uvec) — the unit-normalized vector
+  rides along as the covering column so the exact-cosine rerank never
+  re-reads the corpus. Models persist via the repo's atomic-pointer
+  commit protocol; codes persist as SEGMENTS under a manifest so
+  appends are delta-sized (the Iceberg-manifest shape, not a snapshot
+  rewrite).
+- ``ann_query``: probe → ADC shortlist → exact rerank reading ONLY the
+  index tables (plan-pinned: no corpus scan, no training collect).
+  Results are bit-identical to the inline ``ivf_pq_topk`` because both
+  paths share the same model-training and encode/ADC code
+  (similarity.py helpers) — pinned by tests/test_ann_index.py.
+- ``append_to_index`` / ``MaintainedAnnIndex``: incremental maintenance
+  — new vectors encode against the STANDING models and append one
+  delta-sized segment (foreachBatch-ready, batch-id replay fence, same
+  pattern as streaming/pipeline.py MaintainedClusterView). A drift
+  trigger compares the batch's measured quantization error against the
+  build-time base error; past the threshold the index reports
+  ``needs_retrain`` and ``rebuild`` re-trains from the full corpus.
+
+At 100 TB: the codes table is what a probe scans — written partitioned
+by ``list_id`` it is a partition-pruned read of ~n/c·p rows × (8-byte
+codes + the uvec rerank payload); models are KB-scale driver artifacts;
+appends cost one delta encode + one manifest swap; the only full-corpus
+work is the initial build (or an explicit rebuild).
+
+Reference basis: the reference's managed CDC service maintains derived
+tables incrementally from a changelog (`tabular.py:58-62` config,
+delegated execution); this applies the same standing-state + delta-fold
+discipline to the ANN index artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.functions.similarity import (
+    _adc_over_codes,
+    _assign_encode_udf,
+    _codebook_literal,
+    _dot,
+    _ivf_centroid_model,
+    _probe_lists_udf,
+    _unit,
+    auto_n_centroids,
+    train_pq_codebooks,
+)
+
+
+class SegmentedTable:
+    """Append-friendly parquet table: immutable segment dirs + an atomic
+    manifest pointer (``_MANIFEST`` JSON listing live segments + meta).
+
+    The repo's ParquetStateTable commits whole snapshots — right for the
+    mirror (whose merge rewrites state), wrong for an index where a
+    micro-batch should cost O(delta): here ``append`` writes ONE new
+    segment dir and swaps a manifest naming old+new, so commit cost is
+    the delta write + one rename, and ``replace`` (rebuild) installs a
+    fresh single-segment manifest. Readers resolve the manifest first —
+    same crash-safe atomic-rename discipline as ParquetStateTable
+    (streaming/pipeline.py:42), which mirrors what an Iceberg snapshot
+    commit does with manifest lists."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._manifest) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            return None
+        return spark.read.parquet(*cur["segments"])
+
+    def _write_segment(self, df: DataFrame) -> str:
+        seg = os.path.join(self.root, f"seg-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(seg)
+        return seg
+
+    def _commit(self, segments: list[str], meta: dict) -> dict:
+        cur = self.current()
+        record = {
+            "version": (cur["version"] + 1) if cur else 0,
+            "segments": segments,
+            "meta": meta,
+            "ts": time.time(),
+        }
+        tmp = self._manifest + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, self._manifest)  # atomic on posix
+        # prune segments no longer referenced (best-effort snapshot expiry)
+        live = {os.path.basename(s) for s in segments}
+        for d in os.listdir(self.root):
+            if d.startswith("seg-") and d not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return record
+
+    def replace(self, df: DataFrame, meta: dict) -> dict:
+        return self._commit([self._write_segment(df)], meta)
+
+    def append(self, df: DataFrame, meta: dict) -> dict:
+        cur = self.current()
+        if cur is None:
+            return self.replace(df, meta)
+        return self._commit(cur["segments"] + [self._write_segment(df)], meta)
+
+    def update_meta(self, meta: dict) -> dict:
+        """Swap manifest metadata without touching segments (one rename)."""
+        cur = self.current()
+        return self._commit(cur["segments"], {**cur["meta"], **meta})
+
+
+def _encode_with_models(
+    df: DataFrame, cids, cmat_n, cb_sub, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, list_id, codes, uvec) — the index row: same encoder UDF as
+    the inline path plus the unit vector as the covering rerank column."""
+    enc = _assign_encode_udf(cids, cmat_n, cb_sub)
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        enc(F.col(vec_col)).alias("ae"),
+        _unit(F.col(vec_col)).alias("uvec"),
+    ).select(
+        "vec_id",
+        F.col("ae.list_id").alias("list_id"),
+        F.col("ae.codes").alias("codes"),
+        "uvec",
+    )
+
+
+def _quantization_error(encoded: DataFrame, cb_lit, n_subspaces: int, sub_dim: int) -> float:
+    """Mean squared PQ reconstruction error over an encoded frame —
+    distributed fold over the code column against the literal codebook
+    (JVM-side), ONE 1-row agg collect. This is the drift metric: rising
+    error means the standing codebooks no longer fit the data."""
+    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    per_sub = F.zip_with(
+        F.col("codes"),
+        idx,
+        lambda code, s: F.aggregate(
+            F.zip_with(
+                F.slice(F.col("uvec"), s * sub_dim + 1, sub_dim),
+                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    err = F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x)
+    row = encoded.select(F.avg(err).alias("qerr")).collect()[0]
+    return float(row["qerr"]) if row["qerr"] is not None else 0.0
+
+
+class AnnIndex:
+    """Handle over the two on-disk index tables.
+
+    Layout: ``root/model/*.parquet`` rows
+    (kind: 'centroid'|'codebook', i, j, vec) — centroids keyed by
+    (i=cid, j=0, RAW vector), codebook entries by (i=subspace, j=code,
+    normalized sub-vector); hyper-parameters + base quantization error +
+    corpus fingerprint ride the codes manifest meta. Both artifacts are
+    KB–MB scale; the codes table is the only data-sized one."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.model = SegmentedTable(os.path.join(root, "model"))
+        self.codes = SegmentedTable(os.path.join(root, "codes"))
+
+    def exists(self) -> bool:
+        return self.model.current() is not None and self.codes.current() is not None
+
+    def meta(self) -> dict:
+        return self.codes.current()["meta"]
+
+    def load_models(self, spark: SparkSession):
+        """Bounded collect of the standing models (≈ n_centroids·dim +
+        n_subspaces·n_codes·sub_dim doubles — KB scale)."""
+        import numpy as np
+
+        m = self.meta()
+        rows = self.model.read(spark).collect()
+        cents = sorted(
+            ((r["i"], r["vec"]) for r in rows if r["kind"] == "centroid"),
+        )
+        cids = [int(i) for i, _ in cents]
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cmat_n = cmat / np.where(cnorm == 0, 1.0, cnorm)
+        cb = sorted(
+            ((r["i"], r["j"], r["vec"]) for r in rows if r["kind"] == "codebook"),
+        )
+        cb_sub = np.array(
+            [[v for s2, _, v in cb if s2 == s] for s in range(m["n_subspaces"])],
+            dtype=np.float64,
+        )
+        return cids, cmat_n, cb_sub
+
+
+def build_ann_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    n_centroids: int | None = 64,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook_strategy: str = "lowest_id",
+    fingerprint: str | None = None,
+) -> AnnIndex:
+    """Train models + encode the corpus into index tables (the one
+    full-corpus pass of the lifecycle). ``fingerprint`` is an opaque
+    caller token (e.g. source files' path+mtime) recorded in the
+    manifest so cached-index reuse can detect staleness."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(corpus.count())
+    sub_dim = dim // n_subspaces
+    if sub_dim * n_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+
+    cids, cmat, cmat_n = _ivf_centroid_model(corpus, n_centroids, id_col, vec_col)
+    cb_sub = train_pq_codebooks(
+        corpus, n_subspaces, n_codes, dim, id_col, vec_col, codebook_strategy
+    )
+
+    index = AnnIndex(root)
+    model_rows = [
+        ("centroid", int(cid), 0, [float(x) for x in cmat[i]])
+        for i, cid in enumerate(cids)
+    ] + [
+        ("codebook", s, c, [float(x) for x in cb_sub[s][c]])
+        for s in range(n_subspaces)
+        for c in range(cb_sub.shape[1])
+    ]
+    model_df = spark.createDataFrame(
+        model_rows, "kind string, i long, j long, vec array<double>"
+    ).coalesce(1)
+
+    encoded = _encode_with_models(corpus, cids, cmat_n, cb_sub, id_col, vec_col)
+    # repartition by list so a probe is a partition-local read; at
+    # warehouse scale this becomes write-partitioned-by(list_id)
+    encoded = encoded.repartition("list_id")
+    meta = {
+        "dim": dim,
+        "n_subspaces": n_subspaces,
+        "n_codes": int(cb_sub.shape[1]),
+        "n_centroids": n_centroids,
+        "codebook_strategy": codebook_strategy,
+        "base_qerr": 0.0,
+        "fingerprint": fingerprint,
+    }
+    index.model.replace(model_df, meta)
+    index.codes.replace(encoded, meta)
+    # base drift reference: measured from the COMMITTED codes (one extra
+    # codes-table scan, not a second corpus encode), then folded into the
+    # manifest with a metadata-only swap
+    base_qerr = _quantization_error(
+        index.codes.read(spark), _codebook_literal(cb_sub), n_subspaces, sub_dim
+    )
+    index.codes.update_meta({"base_qerr": base_qerr})
+    return index
+
+
+def ann_query(
+    spark: SparkSession,
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    shortlist: int = 50,
+    query_id_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over the PREBUILT index: probe lists → ADC over
+    stored 8-byte codes → exact-cosine rerank over the stored uvec
+    covering column. Touches ONLY index tables (plus the caller's query
+    frame); no corpus scan, no training — the amortized path whose cost
+    is independent of build cost (SCALING.md carries the measurement).
+    Bit-identical to inline ``ivf_pq_topk`` for lowest_id-trained
+    indexes (result-identity pinned by tests/test_ann_index.py)."""
+    m = index.meta()
+    n_subspaces, sub_dim = m["n_subspaces"], m["dim"] // m["n_subspaces"]
+    cids, cmat_n, cb_sub = index.load_models(spark)
+    cb_lit = _codebook_literal(cb_sub)
+    probe = _probe_lists_udf(cids, cmat_n, n_probes)
+
+    c_idx = index.codes.read(spark)
+    qv = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _unit(F.col(vec_col)).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    )
+    adc = _adc_over_codes(cb_lit, n_subspaces, sub_dim)
+    w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    shortlisted = (
+        c_idx.select("vec_id", "list_id", "codes")
+        .join(F.broadcast(qv), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("adc", adc)
+        .select("qid", "vec_id", "adc")
+        .withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    q_only = qv.select("qid", "qv").dropDuplicates(["qid"])
+    cand = shortlisted.join(
+        c_idx.select("vec_id", F.col("uvec").alias("cv")), "vec_id"
+    ).join(F.broadcast(q_only), "qid")
+    w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
+        .select("qid", "vec_id", "sim")
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), F.col("rn").cast("int")
+        )
+    )
+
+
+def append_to_index(
+    spark: SparkSession,
+    index: AnnIndex,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_threshold: float = 1.5,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Incremental maintenance: encode a delta against the STANDING
+    models and append ONE segment (cost ∝ delta — no corpus re-encode,
+    no retrain). Returns the drift report; ``needs_retrain`` trips when
+    the delta's measured quantization error exceeds ``drift_threshold``×
+    the build-time base (the measured-error criterion from the PQ
+    codebook quality tests), at which point ``rebuild`` is the answer —
+    exactly the twin trade the incremental cluster maintenance makes
+    (fold the delta; re-run the batch op when the model drifts)."""
+    m = index.meta()
+    n_subspaces, sub_dim = m["n_subspaces"], m["dim"] // m["n_subspaces"]
+    cids, cmat_n, cb_sub = index.load_models(spark)
+    encoded = _encode_with_models(
+        new_vectors, cids, cmat_n, cb_sub, id_col, vec_col
+    ).repartition("list_id")
+    encoded = encoded.localCheckpoint(eager=True)  # encode once: qerr + write
+    batch_qerr = _quantization_error(
+        encoded, _codebook_literal(cb_sub), n_subspaces, sub_dim
+    )
+    base = m["base_qerr"]
+    # ratio vs the build-time base, with an absolute floor so a
+    # perfectly-coded base (base_qerr == 0, e.g. codebook ⊇ all distinct
+    # patterns) still trips on genuinely shifted data instead of
+    # dividing by zero into "never retrain"
+    needs_retrain = batch_qerr > drift_threshold * base + 1e-12
+    meta = {
+        **m,
+        "last_batch_qerr": batch_qerr,
+        "needs_retrain": bool(needs_retrain),
+        **(extra_meta or {}),
+    }
+    out = index.codes.append(encoded, meta)
+    return {
+        "n_appended": encoded.count(),
+        "batch_qerr": batch_qerr,
+        "base_qerr": base,
+        "needs_retrain": bool(needs_retrain),
+        "version": out["version"],
+    }
+
+
+class MaintainedAnnIndex:
+    """foreachBatch wiring for a stream of new vectors (the
+    MaintainedClusterView pattern, streaming/pipeline.py): idempotent
+    under checkpoint replay via the batch-id fence in the manifest meta
+    (append + fence swap in one atomic manifest rename)."""
+
+    def __init__(self, root: str, drift_threshold: float = 1.5) -> None:
+        self.index = AnnIndex(root)
+        self.drift_threshold = drift_threshold
+
+    def apply_batch(self, spark: SparkSession, batch_df: DataFrame, batch_id: int) -> dict:
+        cur = self.index.codes.current()
+        if cur is not None and cur["meta"].get("last_batch_id", -1) >= batch_id:
+            return {"skipped_replay": True, "batch_id": batch_id}
+        return append_to_index(
+            spark,
+            self.index,
+            batch_df,
+            drift_threshold=self.drift_threshold,
+            extra_meta={"last_batch_id": batch_id},
+        )

@@ -610,6 +610,110 @@ def pq_adc_topk(
     )
 
 
+def _codebook_literal(cb_sub) -> Column:
+    """(n_subspaces, n_codes, sub_dim) numpy codebooks → nested array
+    literal (KB-scale) so ADC scoring stays JVM-side in the scan."""
+    return F.array(
+        *[
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in code]) for code in cb_sub[s]]
+            )
+            for s in range(len(cb_sub))
+        ]
+    )
+
+
+def _ivf_centroid_model(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+):
+    """Deterministic IVF model: the ``n_centroids`` lowest-id RAW vectors
+    (the ivf_topk contract — oracle-replayable). Bounded driver collect;
+    returns (cids, cmat raw, cmat_n row-normalized)."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    cids = [int(r["cid"]) for r in cent_rows]
+    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    return cids, cmat, cmat / np.where(cnorm == 0, 1.0, cnorm)
+
+
+def _assign_encode_udf(cids, cmat_n, cb_sub):
+    """Arrow-batched (IVF list, PQ codes) encoder from the two standing
+    models: one matmul per batch for the list argmax (first-max → lowest
+    centroid position on ties), argmin-L2 per subspace for codes (first-
+    min → lowest code). Shared by the inline ivf_pq_topk and the
+    persisted-index build/append paths so their encodings are identical
+    by construction. The closure is self-contained (models captured by
+    value, imports inside) so workers need not import this package."""
+    from pyspark.sql import functions as SF
+
+    n_subspaces, _, sub_dim = cb_sub.shape
+
+    @SF.pandas_udf("struct<list_id: long, codes: array<int>>")
+    def assign_and_encode(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        import pandas as _pd
+
+        if vecs.empty:
+            return _pd.DataFrame({"list_id": [], "codes": []})
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm == 0, 1.0, nrm)
+        lists = [cids[i] for i in np.argmax(x @ cmat_n.T, axis=1)]
+        xs = x.reshape(len(x), n_subspaces, sub_dim)
+        codes = np.empty((len(x), n_subspaces), dtype=np.int64)
+        for s in range(n_subspaces):
+            d = ((xs[:, s, None, :] - cb_sub[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)
+        return _pd.DataFrame({"list_id": lists, "codes": codes.tolist()})
+
+    return assign_and_encode
+
+
+def _probe_lists_udf(cids, cmat_n, n_probes):
+    from pyspark.sql import functions as SF
+
+    @SF.pandas_udf("array<long>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as _pd
+
+        if vecs.empty:
+            return _pd.Series([], dtype="object")
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm == 0, 1.0, nrm)
+        order = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, :n_probes]
+        return _pd.Series([[cids[i] for i in row] for row in order])
+
+    return probe_lists
+
+
+def _adc_over_codes(cb_lit: Column, n_subspaces: int, sub_dim: int) -> Column:
+    """ADC score Σ_s ⟨qv_s, codebook_s[code_s]⟩ over columns ``codes`` and
+    ``qv`` — all JVM-side higher-order functions, subspace-ordered fold so
+    the float summation order matches the oracle's s-ORDERED list_sum."""
+    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            idx,
+            lambda code, s: _dot(
+                F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
+                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -639,8 +743,6 @@ def ivf_pq_topk(
     lowest-id training strategy, so the whole pipeline is replayable by
     the DuckDB oracle (k-means-trained centroids/codebooks are the
     quality upgrade, as with ivf_topk)."""
-    from pyspark.sql import functions as SF
-
     if n_centroids is None:
         n_centroids = auto_n_centroids(corpus.count())
     sub_dim = dim // n_subspaces
@@ -648,60 +750,15 @@ def ivf_pq_topk(
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
 
     # --- IVF model: lowest-id centroids, RAW vectors (ivf_topk contract)
-    cent_rows = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
-    cids = [int(r["cid"]) for r in cent_rows]
-    cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
-    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cmat_n = cmat / np.where(cnorm == 0, 1.0, cnorm)
+    cids, _cmat, cmat_n = _ivf_centroid_model(corpus, n_centroids, id_col, vec_col)
 
     # --- PQ model: lowest-id normalized sample, per-subspace codebooks
-    sample = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_codes)
-        .select(_unit(F.col(vec_col)).alias("v"))
-        .collect()
+    cb_sub = train_pq_codebooks(
+        corpus, n_subspaces, n_codes, dim, id_col, vec_col, "lowest_id"
     )
-    cb = np.array([r["v"] for r in sample], dtype=np.float64)
-    cb_sub = cb.reshape(len(cb), n_subspaces, sub_dim).transpose(1, 0, 2)
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[F.array(*[F.lit(float(x)) for x in code]) for code in cb_sub[s]]
-            )
-            for s in range(n_subspaces)
-        ]
-    )
-
-    def _normalize(vecs: pd.Series) -> "np.ndarray":
-        x = np.array(vecs.tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        return x / np.where(nrm == 0, 1.0, nrm)
-
-    @SF.pandas_udf("struct<list_id: long, codes: array<int>>")
-    def assign_and_encode(vecs: pd.Series) -> pd.DataFrame:
-        if vecs.empty:
-            return pd.DataFrame({"list_id": [], "codes": []})
-        x = _normalize(vecs)
-        lists = [cids[i] for i in np.argmax(x @ cmat_n.T, axis=1)]
-        xs = x.reshape(len(x), n_subspaces, sub_dim)
-        codes = np.empty((len(x), n_subspaces), dtype=np.int64)
-        for s in range(n_subspaces):
-            d = ((xs[:, s, None, :] - cb_sub[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = np.argmin(d, axis=1)
-        return pd.DataFrame({"list_id": lists, "codes": codes.tolist()})
-
-    @SF.pandas_udf("array<long>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        if vecs.empty:
-            return pd.Series([], dtype="object")
-        x = _normalize(vecs)
-        order = np.argsort(-(x @ cmat_n.T), axis=1, kind="stable")[:, :n_probes]
-        return pd.Series([[cids[i] for i in row] for row in order])
+    cb_lit = _codebook_literal(cb_sub)
+    assign_and_encode = _assign_encode_udf(cids, cmat_n, cb_sub)
+    probe_lists = _probe_lists_udf(cids, cmat_n, n_probes)
 
     c_idx = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -713,19 +770,7 @@ def ivf_pq_topk(
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
 
-    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            idx,
-            lambda code, s: _dot(
-                F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
-                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_over_codes(cb_lit, n_subspaces, sub_dim)
     w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlisted = (
         c_idx.join(F.broadcast(qv), "list_id")

@@ -2519,6 +2519,61 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, q, k=10)
 
 
+#: bump when the index row format or encode semantics change — makes a
+#: cached index from older code self-invalidate via the fingerprint
+_ANN_INDEX_FORMAT_VERSION = 1
+
+
+@query("ann_prebuilt_ivfpq_topk", oracle=_ivf_pq_oracle())
+def ann_prebuilt_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a PERSISTED index (VERDICT r7 #3 — build once, query
+    many): first invocation trains + encodes the corpus into durable
+    index tables (functions/ann_index.py: codes segments + model table,
+    atomic manifests); subsequent invocations detect the fresh index by
+    corpus fingerprint and run ONLY the query path — probe → ADC over
+    stored 8-byte codes → exact rerank over the stored covering column,
+    with no corpus scan and no retrain (plan-pinned by
+    tests/test_ann_index.py). Results are bit-identical to the inline
+    ``ivf_pq_topk`` (same lowest-id models, same encoder — identity
+    test pinned), so this entry shares its DuckDB oracle verbatim: the
+    driver hash-checks that the amortized path answers exactly what the
+    stateless pipeline answers. The bench median over repeat runs
+    therefore measures the amortized QUERY cost — the number a warehouse
+    user sees — while the one-time build cost is recorded separately in
+    SCALING.md."""
+    import os
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import (
+        AnnIndex,
+        ann_query,
+        build_ann_index,
+    )
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(emb_path)
+    fingerprint = (
+        f"v{_ANN_INDEX_FORMAT_VERSION}:{emb_path}:{st.st_mtime_ns}:{st.st_size}"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_index",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    index = AnnIndex(root)
+    if not (index.exists() and index.meta().get("fingerprint") == fingerprint):
+        index = build_ann_index(
+            spark, emb, root,
+            n_centroids=64, n_subspaces=8, n_codes=16, dim=64,
+            fingerprint=fingerprint,
+        )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_query(spark, index, q, k=10)
+
+
 @query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate ANN (inverted lists by nearest fixed-count
@@ -5728,6 +5783,7 @@ _DRIVER_CHECK_PRIORITY = [
     "ann_ivf_topk",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "ann_prebuilt_ivfpq_topk",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
