@@ -82,6 +82,68 @@ def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path, layout):
     assert _mirror_dict(res2["mirror"].read(spark)) == expected
 
 
+@pytest.mark.parametrize("layout", ["snapshot", "bucketed"])
+def test_streaming_schema_evolution_mid_stream(spark, tmp_path, layout):
+    """VERDICT r7 #5 — a NEW column arriving in later changelog files
+    mid-stream. The evolution contract (FIXTURES.md A4): Structured
+    Streaming file sources pin their schema at start, so a schema change
+    is a RESTART event — re-run the pipeline with the evolved schema on
+    the same work_dir. The checkpoint keeps already-ingested files
+    ingested (no double-apply), new files read with the new column, old
+    changelog/mirror rows surface NULL for it (union semantics, the
+    test_schema_evolution_both_directions law), and the golden final
+    state — including per-row status from each key's LATEST event —
+    matches exactly on both mirror layouts."""
+    from tests.dms_scenario import generate_two_phase
+
+    src = str(tmp_path / "src")
+    write_phase2, expected = generate_two_phase(src, seed=7)
+    evolved_schema = T.StructType(
+        list(DMS_SCHEMA.fields) + [T.StructField("status", T.StringType())]
+    )
+    target = CdcTarget(source_uri=f"file://{src}", key_column="id", ts_column="ts")
+    wk = str(tmp_path / f"wk-{layout}")
+
+    # phase 1: original wire format, batches 0-2
+    res1 = run_cdc_pipeline_available_now(
+        spark, src, DMS_SCHEMA, wk, target, mirror_layout=layout, n_buckets=8
+    )
+    m1 = res1["mirror"].read(spark)
+    assert "status" not in m1.columns
+    n_phase1 = m1.count()
+    assert n_phase1 > 0
+
+    # phase 2: evolved files land; restart with the evolved schema
+    write_phase2()
+    res2 = run_cdc_pipeline_available_now(
+        spark, src, evolved_schema, wk, target, mirror_layout=layout, n_buckets=8
+    )
+    mirror = res2["mirror"].read(spark)
+    assert "status" in mirror.columns
+    got = {
+        r["id"]: {
+            "id": r["id"],
+            "name": r["name"],
+            "modification_date": r["modification_date"],
+            "status": r["status"],
+        }
+        for r in mirror.select("id", "name", "modification_date", "status").collect()
+    }
+    assert got == expected
+    assert any(v["status"] is not None for v in got.values())  # evolution took
+    assert any(v["status"] is None for v in got.values())  # old rows untouched
+
+    # replaying the evolved run consumes nothing new (T2 exactly-once)
+    res3 = run_cdc_pipeline_available_now(
+        spark, src, evolved_schema, wk, target, mirror_layout=layout, n_buckets=8
+    )
+    got3 = {
+        r["id"]: r["status"]
+        for r in res3["mirror"].read(spark).select("id", "status").collect()
+    }
+    assert got3 == {k: v["status"] for k, v in expected.items()}
+
+
 def test_exclusion_glob_routing(spark, scenario):
     """LOAD* files feed the mirror initial load; incrementals feed the
     changelog (reference batch_bootstrapper.py:69,85)."""
