@@ -62,6 +62,7 @@ UDF_HEAVY = {
     "pq_adc_topk",  # pandas-UDF PQ encode (r7)
     "ivf_pq_topk",  # pandas-UDF assign+encode (r7)
     "ann_prebuilt_ivfpq_topk",  # one-time index build on first run (r8)
+    "ann_index_maintained_topk",  # build+append harness, pandas-UDF encode (r8)
 }
 
 
