@@ -292,6 +292,119 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_mirror_time_travel",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    state AS (
+        SELECT v.v AS upto, c.o_orderkey,
+               arg_max(c.o_orderstatus, c.ts) AS status,
+               arg_max(c.op, c.ts) AS last_op
+        FROM (VALUES (0), (1), (2)) v(v)
+        JOIN changelog c ON c.ts <= v.v
+        GROUP BY v.v, c.o_orderkey
+    ),
+    agg AS (
+        SELECT upto,
+               CAST(COUNT(*) FILTER (WHERE last_op <> 'D') AS BIGINT)
+                   AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE last_op <> 'D' AND status = 'X')
+                   AS BIGINT) AS n_updated,
+               CAST(SUM(o_orderkey) FILTER (WHERE last_op <> 'D') AS BIGINT)
+                   AS key_sum
+        FROM state GROUP BY upto
+    )
+    SELECT CAST(upto AS BIGINT) AS snapshot, n_rows, n_updated, key_sum
+    FROM agg
+    UNION ALL
+    SELECT 3, n_rows, n_updated, key_sum FROM agg WHERE upto = 1
+    UNION ALL
+    SELECT 4, n_rows, n_updated, key_sum FROM agg WHERE upto = 1
+    """,
+)
+def cdc_mirror_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the CDC mirror — the Iceberg semantics
+    the reference gets from its table format (tabular.py:8,92: pyiceberg
+    tables carry snapshot history / VERSION AS OF / rollback), reproduced
+    natively by ParquetStateTable's append-only snapshot log
+    (streaming/pipeline.py).
+
+    The entry commits the mirror after each of the three deterministic
+    DMS batches (ts 0=insert, 1=update, 2=delete), then answers five
+    reads through five DIFFERENT resolution paths and emits one aggregate
+    row per read:
+
+    - snapshot 0/1/2 — ``read_version`` (VERSION AS OF) on each commit;
+    - snapshot 3 — ``read_as_of`` (TIMESTAMP AS OF) between the v1 and v2
+      commit timestamps, which must resolve to v1's data;
+    - snapshot 4 — ``read()`` of CURRENT after ``rollback(1)``, which
+      must also equal v1's data while leaving history append-only.
+
+    The DuckDB oracle recomputes each batch-prefix state from the same
+    fixture, so the driver hash-checks that every time-travel path
+    returns exactly the state the changelog prefix implies. Aggregates
+    are integer-exact (counts + key sum). History/retention/crash-orphan
+    laws are pinned in tests/test_time_travel.py."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_timetravel_"), keep_versions=10
+    )
+    recs = []
+    for upto in (0, 1, 2):
+        state = apply_changelog(
+            ch.filter(F.col("ts") <= upto),
+            key_cols="o_orderkey",
+            ts_cols="ts",
+            op_col="op",
+            delete_op="D",
+            drop_envelope=["op", "ts"],
+        )
+        recs.append(mirror.commit(state, meta={"upto": upto}))
+
+    def snap_agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias(
+                "n_updated"
+            ),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(snap).cast("long").alias("snapshot"),
+            "n_rows",
+            "n_updated",
+            "key_sum",
+        )
+
+    parts = [snap_agg(mirror.read_version(spark, v), v) for v in (0, 1, 2)]
+    # strictly between the v1 and v2 commit stamps: resolves to v1
+    parts.append(
+        snap_agg(
+            mirror.read_as_of(spark, (recs[1]["ts"] + recs[2]["ts"]) / 2), 3
+        )
+    )
+    mirror.rollback(1)
+    parts.append(snap_agg(mirror.read(spark), 4))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
     "snapshot_diff_changelog",
     oracle="""
     WITH oldt AS (
@@ -5739,52 +5852,100 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-7 rotation policy (VERDICT r6 #7:
-# keep every query <= 3 rounds stale):
+# fresh driver-side correctness row. Round-8 rotation (policy: keep every
+# query <= 3 rounds stale; VERDICT r7 #7 tightened this round's bound to
+# "no row older than r6 after r8"):
 #
-# - IN (changed or new this round): cdc_latest (flagship, in-window every
-#   round), q7_nation_volume (plan rewritten: pre-filtered nation dims),
-#   referential_integrity_report (empty-child coalesce fix), and the NEW
-#   table_profile_orders_approx (rows-only: HLL++ n_distinct has no
-#   deterministic DuckDB twin; the +-5% law vs the exact profiler is
-#   pinned in tests/test_data_quality_ops.py), and the NEW
-#   incremental_cluster_maintenance (full recursive-CTE oracle: the fold
-#   law makes the incremental result equal the batch closure). To make
-#   room, weighted_mixture_sample moves to the tail (its family stays
-#   represented by temperature_mixture_quota + cluster_balanced_sample).
-#   Late r7 addition: pq_adc_topk (PQ-ADC quantized ANN, full oracle)
-#   joins the window's ANN family; events_tumbling_10min moves to the
-#   tail (windowed-agg family stays repped by events_sliding_10min's r6
-#   row + user_sessions in-window).
-#   Later still: ivf_pq_topk (the composed IVF-PQ index, full oracle)
-#   joins its PQ sibling in-window; sequence_packing moves to the tail
-#   (window-cumsum family repped by rolling_30d_revenue in recent rows).
-# - IN (stalest first): all 29 queries whose only driver row is round 2
-#   (the q1/q3/q5 TPC-H cohort, the window/string/json function surface,
-#   cosine_topk, text_stats family) and the 4 round-4 rows (bm25_topk,
-#   corpus_dedup_summary, pii_redaction_by_source,
-#   repetition_stats_by_lang).
-# - IN (round-5 rows, family spread): 13 of the 24 r5-green entries,
-#   chosen to re-cover the dedup/ANN/sampling families whose knobs grew
-#   auto-scaling this round (near_dup_clusters, embedding_near_duplicates,
-#   ann_ivf_topk, minhash/simhash/ngram, dedup_exact_groups,
-#   multimodal_features, sequence_packing, events_tumbling_10min,
-#   uniform_per_group_sample, hash_split_counts, weighted_mixture_sample).
-# - OUT (displaced to tail): the 46 remaining r6-green rows (1 round
-#   stale at r7) and 11 r5-green rows (2 rounds stale) — all families
-#   keep an in-window representative, and every oracle-backed entry is
-#   ALSO re-executed against DuckDB locally every round by
+# - IN (new or changed this round): cdc_latest (flagship, in-window every
+#   round); cdc_mirror_time_travel (NEW: ParquetStateTable snapshot log —
+#   VERSION AS OF / TIMESTAMP AS OF / rollback, full oracle; displaces
+#   array_hof_embedding_stats, r7-green, to the tail);
+#   the profiling family — table_profile_orders_approx (converted
+#   to a tolerance-verdict FULL oracle: the registry's last rows-only
+#   entry is gone), table_profile_lineitem (NEW generality proof),
+#   table_profile_orders (reimplemented over functions/profiling.py);
+#   the ANN index lifecycle — ann_prebuilt_ivfpq_topk (NEW: persisted
+#   index, amortized query path) and ann_index_maintained_topk (NEW:
+#   build+append fold, oracle-exact); ivf_pq_topk + pq_adc_topk +
+#   ann_ivf_kmeans_topk (model-training/encode logic refactored into
+#   shared helpers / kmeans clamp); incremental_cluster_maintenance
+#   (update_clusters grew persist tracking); multimodal_features (header
+#   parser hardened: JPEG fill bytes, dimension bounds).
+# - IN (r5 rows — at the 3-round staleness ceiling, all 14):
+#   cube_order_stats, semi_join_active_customers, anti_join_no_open_orders,
+#   orders_by_year, events_tumbling_10min, ann_lsh_topk, doc_fingerprints,
+#   q17_small_quantity_revenue, brand_having_filter, nations_with_presence,
+#   quality_score_histogram, bpe_token_counts, sequence_packing,
+#   weighted_mixture_sample.
+# - IN (r6 rows, family spread — 25 of 47): the heavier / family-
+#   representative half (dedup-split, kmeans, quantized ANN, sketches,
+#   snapshot/incremental CDC, funnel/cohort, range/as-of joins, streaming
+#   windows, drift monitors, robust stats, hybrid retrieval, array HOFs).
+#   The remaining 22 r6 rows sit 2-rounds stale after r8 and rotate in r9
+#   alongside the r7 cohort.
+# - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
+#   every family keeps an in-window representative, and every oracle-backed
+#   entry is ALSO re-executed against DuckDB locally every round by
 #   tests/test_oracle_parity.py, so tail regressions cannot hide between
 #   driver rotations.
 # ---------------------------------------------------------------------------
 
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
-    "q7_nation_volume",
-    "referential_integrity_report",
+    "cdc_mirror_time_travel",
     "table_profile_orders_approx",
     "table_profile_lineitem",
+    "table_profile_orders",
+    "ann_prebuilt_ivfpq_topk",
+    "ann_index_maintained_topk",
+    "ivf_pq_topk",
+    "pq_adc_topk",
+    "ann_ivf_kmeans_topk",
     "incremental_cluster_maintenance",
+    "multimodal_features",
+    "cube_order_stats",
+    "semi_join_active_customers",
+    "anti_join_no_open_orders",
+    "orders_by_year",
+    "events_tumbling_10min",
+    "ann_lsh_topk",
+    "doc_fingerprints",
+    "q17_small_quantity_revenue",
+    "brand_having_filter",
+    "nations_with_presence",
+    "quality_score_histogram",
+    "bpe_token_counts",
+    "sequence_packing",
+    "weighted_mixture_sample",
+    "leakage_safe_split",
+    "kmeans_embedding_clusters",
+    "int8_quantized_topk",
+    "heavy_hitter_terms",
+    "hll_distinct_counts",
+    "approx_price_percentiles",
+    "snapshot_diff_changelog",
+    "incremental_agg_maintenance",
+    "cdc_scd2_history",
+    "event_funnel",
+    "cohort_retention",
+    "range_join_click_attribution",
+    "asof_purchase_signup",
+    "events_sliding_10min",
+    "session_stats",
+    "rolling_30d_revenue",
+    "salted_nation_revenue",
+    "skewed_priority_agg",
+    "source_token_drift",
+    "event_mix_drift",
+    "unigram_surprisal_quality",
+    "temperature_mixture_quota",
+    "winsorized_length_stats",
+    "hybrid_retrieval_topk",
+    # --- tail (51+): green driver rows on current code, family
+    # representative in window, still oracle-checked locally every round ---
+    "array_hof_embedding_stats",
+    "q7_nation_volume",
+    "referential_integrity_report",
     "brand_name_distance",
     "cdc_ops_histogram",
     "cosine_topk",
@@ -5821,52 +5982,19 @@ _DRIVER_CHECK_PRIORITY = [
     "near_dup_clusters",
     "embedding_near_duplicates",
     "ann_ivf_topk",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "ann_prebuilt_ivfpq_topk",
-    "ann_index_maintained_topk",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
     "dedup_exact_groups",
-    "multimodal_features",
     "uniform_per_group_sample",
     "hash_split_counts",
-    # --- tail (51+): green driver rows on current code, family
-    # representative in window, still oracle-checked locally every round ---
-    "weighted_mixture_sample",
-    "events_tumbling_10min",
-    "sequence_packing",
-    "cdc_scd2_history",
-    "snapshot_diff_changelog",
-    "incremental_agg_maintenance",
-    "event_funnel",
-    "cohort_retention",
-    "rolling_30d_revenue",
     "grouping_sets_revenue",
     "set_ops_multiset",
-    "skewed_priority_agg",
-    "salted_nation_revenue",
-    "ann_ivf_kmeans_topk",
     "duplicated_span_hashes",
     "span_dedup_retention",
-    "temperature_mixture_quota",
-    "int8_quantized_topk",
-    "winsorized_length_stats",
-    "heavy_hitter_terms",
     "q11_value_share_shape",
     "q20_excess_share_shape",
-    "unigram_surprisal_quality",
-    "source_token_drift",
-    "event_mix_drift",
-    "leakage_safe_split",
-    "hybrid_retrieval_topk",
-    "table_profile_orders",
     "orders_by_month",
-    "array_hof_embedding_stats",
-    "events_sliding_10min",
-    "session_stats",
-    "asof_purchase_signup",
     "q18_large_volume_orders",
     "top_terms",
     "orders_above_global_avg",
@@ -5877,24 +6005,9 @@ _DRIVER_CHECK_PRIORITY = [
     "q13_customer_distribution",
     "q6_forecast_revenue",
     "q21_sole_late_supplier",
-    "range_join_click_attribution",
-    "kmeans_embedding_clusters",
     "cluster_balanced_sample",
-    "hll_distinct_counts",
-    "approx_price_percentiles",
     "tfidf_top_terms",
     "benchmark_contamination",
-    "quality_score_histogram",
-    "bpe_token_counts",
-    "semi_join_active_customers",
-    "anti_join_no_open_orders",
-    "cube_order_stats",
-    "orders_by_year",
-    "brand_having_filter",
-    "nations_with_presence",
-    "q17_small_quantity_revenue",
-    "doc_fingerprints",
-    "ann_lsh_topk",
 ]
 
 

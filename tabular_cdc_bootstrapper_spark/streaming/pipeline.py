@@ -47,6 +47,25 @@ class ParquetStateTable:
     then atomically rename the pointer — readers resolve the pointer first,
     so replace is atomic and crash-safe; stale versions are pruned after
     commit (best-effort, like snapshot expiry).
+
+    Time travel: each commit also appends an immutable snapshot entry under
+    ``root/_log/v-<n>.json`` BEFORE the pointer swap — the table's
+    append-only snapshot history, the same metadata-log idea as an Iceberg
+    snapshot list (the reference's tables are Iceberg, tabular.py:8,92;
+    this reproduces VERSION AS OF / TIMESTAMP AS OF / rollback semantics
+    without the format, since the runtime jar is not available offline).
+    ``history()`` lists committed snapshots; ``read_version`` /
+    ``read_as_of`` resolve reads against the log; ``rollback(n)`` commits a
+    NEW snapshot whose data dir is version n's — history is never
+    rewritten. Retention: ``keep_versions`` snapshots stay readable; a data
+    dir is deleted only when no retained snapshot references it, so a
+    rollback target stays readable while in retention. Expired snapshots
+    remain in the log (``readable: false``) — metadata is tiny, data is
+    not. Crash between log append and pointer swap leaves an orphan log
+    entry above the pointer; version allocation takes
+    max(pointer, log) + 1, so the orphan is superseded and never surfaces
+    in ``history()``. Tables written before the log existed keep working:
+    pointer reads are unchanged and the log starts at their next commit.
     """
 
     def __init__(self, root: str, keep_versions: int = 2) -> None:
@@ -58,12 +77,95 @@ class ParquetStateTable:
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
 
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
     def current(self) -> dict | None:
         try:
             with open(self._pointer) as fh:
                 return json.load(fh)
         except FileNotFoundError:
             return None
+
+    def _log_entries(self) -> list[dict]:
+        """All snapshot-log records, version order. Tolerates a torn entry
+        (crash mid-json-rename can't happen — entries are rename-published —
+        but an unreadable file is skipped rather than poisoning reads)."""
+        try:
+            names = sorted(
+                n for n in os.listdir(self._log_dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out: list[dict] = []
+        for n in names:
+            try:
+                with open(os.path.join(self._log_dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def history(self) -> list[dict]:
+        """Committed snapshots, oldest first — version/dir/ts/meta plus
+        ``readable`` (data dir still within retention) and ``is_current``.
+        Log entries above the CURRENT pointer are crash orphans (the commit
+        never published) and are excluded."""
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        out = []
+        for e in self._log_entries():
+            if e["version"] > cur_version:
+                continue
+            e = dict(e)
+            e["readable"] = os.path.isdir(e["dir"])
+            e["is_current"] = e["version"] == cur_version
+            out.append(e)
+        return out
+
+    def _next_version(self) -> int:
+        cur = self.current()
+        base = cur["version"] if cur else -1
+        entries = self._log_entries()
+        if entries:
+            base = max(base, entries[-1]["version"])
+        return base + 1
+
+    def _publish(self, record: dict, keep: str) -> dict:
+        """Append the snapshot-log entry, then swap the pointer — two
+        atomic renames; a crash between them leaves an orphan log entry
+        that ``_next_version`` supersedes and ``history`` hides."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        # crash recovery: log entries above the still-current pointer are
+        # commits that never published — remove the entries (and their
+        # data dirs, best-effort) so they can't resurface in history()
+        # once a later commit passes their version number
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        for e in self._log_entries():
+            if e["version"] > cur_version and e["version"] != record["version"]:
+                try:
+                    os.remove(
+                        os.path.join(
+                            self._log_dir, f"v-{e['version']:08d}.json"
+                        )
+                    )
+                except OSError:
+                    pass
+                if e["dir"] != record["dir"]:
+                    shutil.rmtree(e["dir"], ignore_errors=True)
+        lpath = os.path.join(self._log_dir, f"v-{record['version']:08d}.json")
+        ltmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(ltmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(ltmp, lpath)
+        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, self._pointer)  # atomic on posix
+        self._expire(keep=keep)
+        return record
 
     def exists(self) -> bool:
         return self.current() is not None
@@ -81,27 +183,76 @@ class ParquetStateTable:
         transactional sinks use to make replayed batches detectable (e.g.
         ``last_batch_id``), since the pointer swap and the metadata are one
         atomic rename."""
-        cur = self.current()
-        version = (cur["version"] + 1) if cur else 0
+        version = self._next_version()
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
-        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
         record = {"version": version, "dir": vdir, "ts": time.time()}
         if meta:
             record.update(meta)
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(tmp, self._pointer)  # atomic on posix
-        self._expire(keep=vdir)
-        return {"version": version, "dir": vdir}
+        return self._publish(record, keep=vdir)
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """VERSION AS OF: read snapshot ``version`` from the log."""
+        for e in self.history():
+            if e["version"] == version:
+                if not e["readable"]:
+                    raise ValueError(
+                        f"snapshot {version} of {self.root} has expired "
+                        f"(retention keep_versions={self.keep_versions})"
+                    )
+                return spark.read.parquet(e["dir"])
+        raise ValueError(f"no snapshot {version} in {self.root}")
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF: the latest snapshot committed at or before
+        ``ts`` (unix seconds, the clock ``commit`` stamps)."""
+        candidates = [e for e in self.history() if e["ts"] <= ts]
+        if not candidates:
+            raise ValueError(
+                f"no snapshot of {self.root} exists at or before ts={ts}"
+            )
+        return self.read_version(spark, candidates[-1]["version"])
+
+    def rollback(self, to_version: int) -> dict:
+        """Re-point CURRENT at snapshot ``to_version`` as a NEW commit —
+        history stays append-only (an Iceberg-style rollback records the
+        restore; it never erases the snapshots it skips past). The data dir
+        is shared, not copied; retention keeps it readable because the new
+        head log entry references it."""
+        target = None
+        for e in self.history():
+            if e["version"] == to_version:
+                target = e
+        if target is None:
+            raise ValueError(f"no snapshot {to_version} in {self.root}")
+        if not target["readable"]:
+            raise ValueError(
+                f"snapshot {to_version} of {self.root} has expired "
+                f"(retention keep_versions={self.keep_versions})"
+            )
+        record = {
+            "version": self._next_version(),
+            "dir": target["dir"],
+            "ts": time.time(),
+            "rollback_of": to_version,
+        }
+        return self._publish(record, keep=target["dir"])
 
     def _expire(self, keep: str) -> None:
-        versions = sorted(
-            d for d in os.listdir(self.root)
-            if d.startswith("v-") and os.path.join(self.root, d) != keep
-        )
-        for d in versions[: -max(self.keep_versions - 1, 0) or None]:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        """Drop data dirs outside retention. Kept: ``keep`` (the dir just
+        published), the newest ``keep_versions`` dirs by version order
+        (pre-log behavior, still what governs tables with no snapshot log),
+        and every dir referenced by the newest ``keep_versions`` log
+        entries (so a rollback that re-points at an old dir keeps that dir
+        alive for as long as the rollback snapshot is retained)."""
+        all_dirs = sorted(d for d in os.listdir(self.root) if d.startswith("v-"))
+        kept = {os.path.basename(keep)}
+        kept.update(all_dirs[-max(self.keep_versions, 1):])
+        for e in self._log_entries()[-max(self.keep_versions, 1):]:
+            kept.add(os.path.basename(e["dir"]))
+        for d in all_dirs:
+            if d not in kept:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
 
 class MaintainedAggView:
