@@ -240,3 +240,57 @@ def with_fingerprint(
             F.size("__shingle_hashes"),
         ),
     ).drop("__toks", "__shingle_hashes")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the document→passage
+    step of a RAG / embedding-ingest pipeline (each chunk is what the ANN
+    family embeds and indexes; ``chunk_size - stride`` tokens of overlap
+    preserve context across boundaries, the same windowing contract as a
+    tokenizer's ``stride``/overflow splitting).
+
+    Window starts are ``0, stride, 2·stride, …`` while
+    ``start < max(n_tokens - overlap, 1)`` — every chunk after the first
+    covers at least one token the previous chunk didn't, so no chunk is a
+    pure suffix replay of its predecessor; short documents yield exactly
+    one chunk; whitespace-only documents yield none.
+
+    Pure narrow transformation: tokenize → per-row ``sequence`` of starts
+    → ``explode`` → ``slice`` — no UDF and NO SHUFFLE (plan-pinned), so
+    at 100 TB the cost is the text scan plus the ~1-2× chunk-row
+    multiplier, and the output composes with any downstream partitioning
+    (dedup by chunk_md5, embedding via mapInPandas, ANN indexing).
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_md5); the md5 is computed
+    over the space-joined token slice so exact chunk-level dedup needs no
+    re-tokenization.
+    """
+    if chunk_size <= 0 or stride <= 0 or stride > chunk_size:
+        raise ValueError(
+            f"need 0 < stride <= chunk_size, got stride={stride} "
+            f"chunk_size={chunk_size}"
+        )
+    overlap = chunk_size - stride
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, "__toks", F.explode(starts).alias("__start"))
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )

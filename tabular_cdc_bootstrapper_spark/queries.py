@@ -1484,6 +1484,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_chunks",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    s AS (
+        SELECT doc_id, toks, gs.start
+        FROM d, LATERAL (
+            SELECT unnest(range(
+                0, greatest(CAST(len(toks) AS BIGINT) - 16, 1), 48
+            )) AS start
+        ) gs
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start+1 : start+64]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking (functions/text.py
+    chunk_documents): documents → 64-token chunks at stride 48 (16-token
+    overlap), the document→passage step every RAG / embedding-ingest
+    pipeline runs before the ANN family gets involved. Shuffle-free
+    narrow plan (tokenize → sequence → explode → slice, zero Exchanges —
+    pinned in tests/test_plan_shapes.py), so the 100 TB cost is the text
+    scan plus the ~1.6× chunk-row multiplier. The oracle replays the
+    identical windowing in DuckDB (range() stop mirrors the
+    start < max(n - overlap, 1) rule) and md5-fingerprints every chunk,
+    so the driver hash-checks every chunk boundary and every token of
+    content, not just counts."""
+    from tabular_cdc_bootstrapper_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=r"""
     WITH toks AS (
@@ -5859,7 +5901,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - IN (new or changed this round): cdc_latest (flagship, in-window every
 #   round); cdc_mirror_time_travel (NEW: ParquetStateTable snapshot log —
 #   VERSION AS OF / TIMESTAMP AS OF / rollback, full oracle; displaces
-#   array_hof_embedding_stats, r7-green, to the tail);
+#   array_hof_embedding_stats, r7-green, to the tail); document_chunks
+#   (NEW: sliding-window passage chunking, full md5-per-chunk oracle;
+#   displaces hybrid_retrieval_topk, r6-green — at the ceiling but legal,
+#   rotates back r9);
 #   the profiling family — table_profile_orders_approx (converted
 #   to a tolerance-verdict FULL oracle: the registry's last rows-only
 #   entry is gone), table_profile_lineitem (NEW generality proof),
@@ -5915,6 +5960,7 @@ _DRIVER_CHECK_PRIORITY = [
     "nations_with_presence",
     "quality_score_histogram",
     "bpe_token_counts",
+    "document_chunks",
     "sequence_packing",
     "weighted_mixture_sample",
     "leakage_safe_split",
@@ -5940,9 +5986,9 @@ _DRIVER_CHECK_PRIORITY = [
     "unigram_surprisal_quality",
     "temperature_mixture_quota",
     "winsorized_length_stats",
-    "hybrid_retrieval_topk",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "hybrid_retrieval_topk",
     "array_hof_embedding_stats",
     "q7_nation_volume",
     "referential_integrity_report",

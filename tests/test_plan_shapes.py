@@ -635,3 +635,14 @@ def test_ivf_pq_no_corpus_shuffle_codes_only_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(df) >= 2
     assert "WindowGroupLimit" in plan
+
+
+def test_document_chunks_shuffle_free_and_pruned(spark, sf_dir):
+    """chunk_documents is a pure narrow transformation: tokenize →
+    sequence → explode → slice. Zero Exchanges (at 100 TB the cost is the
+    text scan plus the chunk-row multiplier, never a shuffle), and the
+    scan reads only the two columns the chunker touches."""
+    df = q.QUERIES["document_chunks"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    (cols,) = scan_read_columns(df)
+    assert cols == {"doc_id", "text"}
