@@ -39,6 +39,101 @@ from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
 from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
 
 
+class SnapshotLog:
+    """Append-only snapshot log + atomic CURRENT pointer — the shared
+    commit protocol of ``ParquetStateTable`` (whole-snapshot data dirs)
+    and ``VersionedBucketMirror`` (per-bucket version manifests).
+
+    Records are opaque dicts carrying at least ``version`` and ``ts``.
+    Publishing is two atomic renames: the immutable log entry under
+    ``root/_log/v-<n>.json`` first, then the ``root/_CURRENT`` pointer. A
+    crash between them leaves an orphan entry above the pointer; version
+    allocation takes max(pointer, log) + 1 so the orphan is superseded,
+    and the next publish removes it (reporting it via ``on_orphan`` so
+    the owner can garbage-collect any data the crashed commit staged).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    @property
+    def pointer_path(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self.pointer_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def entries(self) -> list[dict]:
+        """All log records, version order. An unreadable file is skipped
+        rather than poisoning reads (entries are rename-published, so a
+        torn write can only be a foreign artifact)."""
+        try:
+            names = sorted(
+                n for n in os.listdir(self.log_dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out: list[dict] = []
+        for n in names:
+            try:
+                with open(os.path.join(self.log_dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def committed(self) -> list[dict]:
+        """Entries at or below the CURRENT pointer — the published
+        history. Entries above it are crash orphans and are excluded."""
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        return [e for e in self.entries() if e["version"] <= cur_version]
+
+    def next_version(self) -> int:
+        cur = self.current()
+        base = cur["version"] if cur else -1
+        entries = self.entries()
+        if entries:
+            base = max(base, entries[-1]["version"])
+        return base + 1
+
+    def publish(self, record: dict, on_orphan=None) -> dict:
+        os.makedirs(self.log_dir, exist_ok=True)
+        # crash recovery: entries above the still-current pointer never
+        # published — drop them (and let the owner GC their data) so they
+        # can't resurface once a later commit passes their version number
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        for e in self.entries():
+            if e["version"] > cur_version and e["version"] != record["version"]:
+                try:
+                    os.remove(
+                        os.path.join(self.log_dir, f"v-{e['version']:08d}.json")
+                    )
+                except OSError:
+                    pass
+                if on_orphan is not None:
+                    on_orphan(e)
+        lpath = os.path.join(self.log_dir, f"v-{record['version']:08d}.json")
+        ltmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(ltmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(ltmp, lpath)
+        tmp = self.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, self.pointer_path)  # atomic on posix
+        return record
+
+
 class ParquetStateTable:
     """Versioned parquet table with an atomic CURRENT pointer.
 
@@ -71,41 +166,22 @@ class ParquetStateTable:
     def __init__(self, root: str, keep_versions: int = 2) -> None:
         self.root = root
         self.keep_versions = keep_versions
+        self._log = SnapshotLog(root)
         os.makedirs(root, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
-        return os.path.join(self.root, "_CURRENT")
+        return self._log.pointer_path
 
     @property
     def _log_dir(self) -> str:
-        return os.path.join(self.root, "_log")
+        return self._log.log_dir
 
     def current(self) -> dict | None:
-        try:
-            with open(self._pointer) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return self._log.current()
 
     def _log_entries(self) -> list[dict]:
-        """All snapshot-log records, version order. Tolerates a torn entry
-        (crash mid-json-rename can't happen — entries are rename-published —
-        but an unreadable file is skipped rather than poisoning reads)."""
-        try:
-            names = sorted(
-                n for n in os.listdir(self._log_dir) if n.endswith(".json")
-            )
-        except FileNotFoundError:
-            return []
-        out: list[dict] = []
-        for n in names:
-            try:
-                with open(os.path.join(self._log_dir, n)) as fh:
-                    out.append(json.load(fh))
-            except (OSError, json.JSONDecodeError):
-                continue
-        return out
+        return self._log.entries()
 
     def history(self) -> list[dict]:
         """Committed snapshots, oldest first — version/dir/ts/meta plus
@@ -115,9 +191,7 @@ class ParquetStateTable:
         cur = self.current()
         cur_version = cur["version"] if cur else -1
         out = []
-        for e in self._log_entries():
-            if e["version"] > cur_version:
-                continue
+        for e in self._log.committed():
             e = dict(e)
             e["readable"] = os.path.isdir(e["dir"])
             e["is_current"] = e["version"] == cur_version
@@ -125,45 +199,14 @@ class ParquetStateTable:
         return out
 
     def _next_version(self) -> int:
-        cur = self.current()
-        base = cur["version"] if cur else -1
-        entries = self._log_entries()
-        if entries:
-            base = max(base, entries[-1]["version"])
-        return base + 1
+        return self._log.next_version()
 
     def _publish(self, record: dict, keep: str) -> dict:
-        """Append the snapshot-log entry, then swap the pointer — two
-        atomic renames; a crash between them leaves an orphan log entry
-        that ``_next_version`` supersedes and ``history`` hides."""
-        os.makedirs(self._log_dir, exist_ok=True)
-        # crash recovery: log entries above the still-current pointer are
-        # commits that never published — remove the entries (and their
-        # data dirs, best-effort) so they can't resurface in history()
-        # once a later commit passes their version number
-        cur = self.current()
-        cur_version = cur["version"] if cur else -1
-        for e in self._log_entries():
-            if e["version"] > cur_version and e["version"] != record["version"]:
-                try:
-                    os.remove(
-                        os.path.join(
-                            self._log_dir, f"v-{e['version']:08d}.json"
-                        )
-                    )
-                except OSError:
-                    pass
-                if e["dir"] != record["dir"]:
-                    shutil.rmtree(e["dir"], ignore_errors=True)
-        lpath = os.path.join(self._log_dir, f"v-{record['version']:08d}.json")
-        ltmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(ltmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(ltmp, lpath)
-        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(tmp, self._pointer)  # atomic on posix
+        def gc_orphan(e: dict) -> None:
+            if e["dir"] != record["dir"]:
+                shutil.rmtree(e["dir"], ignore_errors=True)
+
+        self._log.publish(record, on_orphan=gc_orphan)
         self._expire(keep=keep)
         return record
 
@@ -447,6 +490,248 @@ def cdc_merge_batch(
     return mirror.commit(new_state)
 
 
+class VersionedBucketMirror:
+    """Key-bucketed mirror with Iceberg-manifest commit semantics: the
+    delta-proportional merge of ``BucketPartitionedMirror`` PLUS the
+    snapshot history of ``ParquetStateTable`` — time travel at the 100 TB
+    design point.
+
+    Layout: ``root/data/bucket=<K>/v-<n>-<uuid>/*.parquet`` — every bucket
+    version dir is IMMUTABLE once written — plus a ``SnapshotLog`` whose
+    records are manifests: ``{"version": n, "ts": t, "buckets":
+    {"<K>": <dir>, ...}}`` (≤ n_buckets entries, O(KB), exactly an Iceberg
+    snapshot's manifest list in miniature). A merge stages only the
+    touched buckets, moves them in under NEW version names (live data is
+    never renamed aside, never overwritten), and publishes a manifest that
+    maps touched buckets to the new dirs and carries every untouched
+    bucket's existing dir forward. Commit cost ∝ touched buckets; history
+    costs nothing extra because untouched dirs are SHARED across
+    manifests, not copied.
+
+    Reads resolve the manifest and list only the referenced dirs — the
+    manifest IS the partition pruning (``read_buckets`` lists
+    |touched|/n_buckets of the mirror, same contract as the parent class,
+    now version-safe). ``read_version``/``read_as_of``/``rollback`` give
+    VERSION AS OF / TIMESTAMP AS OF / restore over the full mirror;
+    retention expires bucket-version dirs no retained manifest references
+    (a dir shared with a retained manifest survives — the rollback-target
+    rule falls out for free).
+
+    Crash safety is SIMPLER than the parent's rename-aside dance: staged
+    dirs for a never-published version are referenced by no manifest, so
+    ``_expire`` garbage-collects them on the next successful publish and
+    readers never saw them. No ``_recover()`` pass is needed.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        n_buckets: int = 64,
+        key_col: str = "id",
+        keep_versions: int = 2,
+    ) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.n_buckets = n_buckets
+        self.key_col = key_col
+        self.keep_versions = keep_versions
+        self._log = SnapshotLog(root)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def current(self) -> dict | None:
+        return self._log.current()
+
+    def exists(self) -> bool:
+        return self.current() is not None
+
+    def history(self) -> list[dict]:
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        out = []
+        for e in self._log.committed():
+            e = dict(e)
+            e["readable"] = all(
+                os.path.isdir(d) for d in e["buckets"].values()
+            )
+            e["is_current"] = e["version"] == cur_version
+            out.append(e)
+        return out
+
+    def _resolve(self, version: int | None) -> dict:
+        if version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"mirror {self.root} has no snapshot yet")
+            return cur
+        for e in self.history():
+            if e["version"] == version:
+                if not e["readable"]:
+                    raise ValueError(
+                        f"snapshot {version} of {self.root} has expired "
+                        f"(retention keep_versions={self.keep_versions})"
+                    )
+                return e
+        raise ValueError(f"no snapshot {version} in {self.root}")
+
+    def _read_dirs(self, spark: SparkSession, dirs: Sequence[str]) -> DataFrame | None:
+        if not dirs:
+            return None  # initialized-but-empty (every key deleted)
+        # mergeSchema: a column-adding batch rewrites only touched buckets,
+        # so bucket versions can disagree on schema. Listing is scoped to
+        # exactly the manifest's dirs — the manifest IS the pruning.
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        return self._read_dirs(spark, list(self._resolve(version)["buckets"].values()))
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame | None:
+        """VERSION AS OF over the whole mirror."""
+        return self.read(spark, version)
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame | None:
+        """TIMESTAMP AS OF: latest manifest committed at or before ``ts``."""
+        candidates = [e for e in self.history() if e["ts"] <= ts]
+        if not candidates:
+            raise ValueError(
+                f"no snapshot of {self.root} exists at or before ts={ts}"
+            )
+        return self.read(spark, candidates[-1]["version"])
+
+    def read_buckets(
+        self, spark: SparkSession, buckets: Sequence[int]
+    ) -> DataFrame | None:
+        mapping = self._resolve(None)["buckets"]
+        dirs = [mapping[str(int(b))] for b in buckets if str(int(b)) in mapping]
+        return self._read_dirs(spark, dirs)
+
+    def rollback(self, to_version: int) -> dict:
+        """Restore snapshot ``to_version`` as a NEW manifest sharing its
+        bucket dirs — append-only history, zero data movement."""
+        target = self._resolve(to_version)
+        record = {
+            "version": self._log.next_version(),
+            "ts": time.time(),
+            "buckets": dict(target["buckets"]),
+            "rollback_of": to_version,
+        }
+        self._log.publish(record)
+        self._expire(record)
+        return record
+
+    def initialize(self, df: DataFrame) -> dict:
+        return self._commit_staged(df, touched=None)
+
+    def merge_batch(
+        self,
+        batch_df: DataFrame,
+        target: CdcTarget,
+        tiebreak_cols: Sequence[str] = (),
+    ) -> dict:
+        """Apply one changelog micro-batch; stage + remap only touched
+        buckets, carry every other bucket's dir forward unchanged."""
+        spark = batch_df.sparkSession
+        key = target.key_column
+        touched = sorted(
+            r["b"]
+            for r in batch_df.select(self._bucket(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return {"touched_buckets": []}
+        current = self.read_buckets(spark, touched) if self.exists() else None
+        new_state = apply_changelog(
+            batch_df,
+            key_cols=key,
+            ts_cols=target.ts_column,
+            op_col=target.op_column,
+            delete_op=target.delete_op,
+            mirror=current,
+            tiebreak_cols=tiebreak_cols,
+            drop_envelope=(),
+        )
+        rec = self._commit_staged(new_state, touched=touched, key_col=key)
+        rec["touched_buckets"] = touched
+        return rec
+
+    def _commit_staged(
+        self,
+        df: DataFrame,
+        touched: Sequence[int] | None,
+        key_col: str | None = None,
+    ) -> dict:
+        """Stage ``df`` partitioned by bucket, install the staged buckets
+        under immutable new version names, publish the manifest.
+        ``touched=None`` means a full (re)initialization: the manifest
+        maps exactly the staged buckets. Otherwise untouched buckets carry
+        their current dirs forward and a touched bucket with no staged dir
+        (every key deleted) drops out of the mapping."""
+        key = key_col or self.key_col
+        version = self._log.next_version()
+        staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex[:8]}")
+        (
+            df.withColumn("bucket", self._bucket(F.col(key)))
+            .repartition("bucket")
+            .write.mode("errorifexists")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        cur = self.current()
+        mapping: dict[str, str] = (
+            dict(cur["buckets"]) if (cur and touched is not None) else {}
+        )
+        try:
+            staged = [
+                d for d in os.listdir(staging) if d.startswith("bucket=")
+            ]
+            install = (
+                [int(d.split("=", 1)[1]) for d in staged]
+                if touched is None
+                else list(touched)
+            )
+            for b in install:
+                src = os.path.join(staging, f"bucket={int(b)}")
+                if os.path.isdir(src):
+                    bdir = os.path.join(self.data_dir, f"bucket={int(b)}")
+                    os.makedirs(bdir, exist_ok=True)
+                    dst = os.path.join(
+                        bdir, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+                    )
+                    os.replace(src, dst)  # install under a NEW name only
+                    mapping[str(int(b))] = dst
+                else:
+                    mapping.pop(str(int(b)), None)  # bucket fully deleted
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        record = {"version": version, "ts": time.time(), "buckets": mapping}
+        self._log.publish(record)
+        self._expire(record)
+        return record
+
+    def _expire(self, just_published: dict) -> None:
+        """GC bucket-version dirs no retained manifest references. Kept:
+        everything referenced by the newest ``keep_versions`` committed
+        manifests (dir sharing means a rollback target or an untouched
+        bucket stays alive as long as any retained manifest points at it)
+        plus the record just published. Staged dirs of crashed commits are
+        referenced by nothing and die here."""
+        keep = max(self.keep_versions, 1)
+        referenced = set(just_published["buckets"].values())
+        for e in self._log.committed()[-keep:]:
+            referenced.update(e["buckets"].values())
+        for bdir in os.listdir(self.data_dir):
+            if not bdir.startswith("bucket="):
+                continue
+            bpath = os.path.join(self.data_dir, bdir)
+            for vdir in os.listdir(bpath):
+                full = os.path.join(bpath, vdir)
+                if vdir.startswith("v-") and full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+
+
 def start_changelog_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -505,6 +790,10 @@ def run_cdc_pipeline_available_now(
 
     ``mirror_layout``: ``"snapshot"`` (ParquetStateTable — atomic pointer
     swap, full-state rewrite per batch, simple and crash-safe) or
+    ``"bucketed_versioned"`` (VersionedBucketMirror — the bucketed merge
+    under Iceberg-manifest commits: immutable bucket-version dirs + a
+    snapshot manifest per batch, giving delta-proportional merges AND
+    mirror-wide time travel), or
     ``"bucketed"`` (BucketPartitionedMirror — merges rewrite only the key
     buckets the batch touches; the 100 TB shape).
 
@@ -516,6 +805,12 @@ def run_cdc_pipeline_available_now(
     checkpoint = os.path.join(work_dir, "_checkpoint")
     if mirror_layout == "bucketed":
         mirror = BucketPartitionedMirror(
+            os.path.join(work_dir, "mirror"),
+            n_buckets=n_buckets,
+            key_col=target.key_column,
+        )
+    elif mirror_layout == "bucketed_versioned":
+        mirror = VersionedBucketMirror(
             os.path.join(work_dir, "mirror"),
             n_buckets=n_buckets,
             key_col=target.key_column,
@@ -533,13 +828,13 @@ def run_cdc_pipeline_available_now(
             .filter(exclude_glob_filter(target.initial_load_exclude_glob))
             .withColumn("_src_file", F.input_file_name())
         )
-        if mirror_layout == "bucketed":
+        if mirror_layout in ("bucketed", "bucketed_versioned"):
             mirror.initialize(initial)
         else:
             mirror.commit(initial)
 
     def _merge(batch_df: DataFrame, _epoch: int) -> None:
-        if mirror_layout == "bucketed":
+        if mirror_layout in ("bucketed", "bucketed_versioned"):
             mirror.merge_batch(batch_df, target, tiebreak_cols=("_src_file",))
         else:
             cdc_merge_batch(

@@ -1,0 +1,163 @@
+"""Laws for VersionedBucketMirror (streaming/pipeline.py): the bucketed
+CDC merge under Iceberg-manifest commits — immutable bucket-version dirs
+plus a per-commit manifest, giving delta-proportional merges AND
+mirror-wide time travel. The golden pipeline tests
+(test_cdc_pipeline.py, parameterized over all three layouts) pin
+end-to-end CDC correctness and exactly-once replay; these pin the
+manifest mechanics: dir sharing across commits, version/timestamp
+resolution, append-only rollback, retention GC with shared-dir
+survival, and crash-staged orphan collection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    VersionedBucketMirror,
+)
+
+TARGET = CdcTarget(source_uri="file:///tmp/x", key_column="id", ts_column="ts")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, ts long, op string")
+
+
+def _state(spark, m, version=None):
+    df = m.read(spark, version=version)
+    if df is None:
+        return {}
+    return {r["id"]: r["name"] for r in df.select("id", "name").collect()}
+
+
+@pytest.fixture
+def mirror(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10
+    )
+    m.initialize(
+        _batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(16)])
+    )
+    return m
+
+
+def test_merge_shares_untouched_bucket_dirs(spark, mirror):
+    before = dict(mirror.current()["buckets"])
+    # touch exactly the buckets of keys {0, 1}
+    touched = {
+        r["b"]
+        for r in _batch(spark, [(0, "x", 1, "U"), (1, "y", 1, "U")])
+        .select(mirror._bucket(F.col("id")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    rec = mirror.merge_batch(
+        _batch(spark, [(0, "x", 1, "U"), (1, "y", 1, "U")]), TARGET
+    )
+    after = rec["buckets"]
+    assert set(rec["touched_buckets"]) == touched
+    for b, d in before.items():
+        if int(b) in touched:
+            assert after[b] != d  # new immutable version dir
+            assert os.path.isdir(d)  # ...and the old one still exists
+        else:
+            assert after[b] == d  # carried forward, byte-identical path
+
+
+def test_version_and_timestamp_resolution(spark, mirror):
+    mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    rec2 = mirror.merge_batch(_batch(spark, [(5, "D", 2, "D")]), TARGET)
+    s0, s1, s2 = (_state(spark, mirror, v) for v in (0, 1, 2))
+    assert s0[0] == "v0-0" and 5 in s0
+    assert s1[0] == "x" and 5 in s1
+    assert s2[0] == "x" and 5 not in s2
+    assert _state(spark, mirror) == s2
+    # as-of strictly before the head commit resolves to the previous one
+    hist = mirror.history()
+    mid = (hist[1]["ts"] + hist[2]["ts"]) / 2
+    assert {r["id"] for r in mirror.read_as_of(spark, mid).collect()} == set(
+        s1
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        mirror.read_as_of(spark, hist[0]["ts"] - 1)
+    with pytest.raises(ValueError, match="no snapshot 9"):
+        mirror.read_version(spark, 9)
+    assert rec2["version"] == 2
+
+
+def test_rollback_is_append_only_and_shares_dirs(spark, mirror):
+    mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    rec = mirror.rollback(0)
+    assert rec["version"] == 2 and rec["rollback_of"] == 0
+    assert _state(spark, mirror)[0] == "v0-0"
+    hist = mirror.history()
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert hist[2]["buckets"] == hist[0]["buckets"]  # shared, not copied
+    # the skipped snapshot remains readable
+    assert _state(spark, mirror, 1)[0] == "x"
+
+
+def test_retention_gc_keeps_shared_dirs_alive(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=2
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(8)]))
+    v0_dirs = set(m.current()["buckets"].values())
+    # three single-key merges: each rewrites ONE bucket, others shared
+    for i, ts in ((0, 1), (0, 2), (0, 3)):
+        m.merge_batch(_batch(spark, [(i, f"u{ts}", ts, "U")]), TARGET)
+    # v0 and v1 are out of retention (keep 2: v2, v3)
+    hist = m.history()
+    assert [e["readable"] for e in hist] == [False, False, True, True]
+    with pytest.raises(ValueError, match="expired"):
+        m.read_version(spark, 0)
+    # but v0 dirs for NEVER-touched buckets are still on disk — they are
+    # shared by the retained manifests
+    retained = set(hist[2]["buckets"].values()) | set(hist[3]["buckets"].values())
+    for d in v0_dirs & retained:
+        assert os.path.isdir(d)
+    # while bucket-0's superseded exclusive versions are gone
+    gone = v0_dirs - retained
+    assert gone and all(not os.path.isdir(d) for d in gone)
+    # current state is fully readable
+    assert _state(spark, m)[0] == "u3"
+
+
+def test_crash_staged_orphan_dirs_are_collected(spark, mirror):
+    # simulate a crash after install-moves but before manifest publish:
+    # a version dir exists that no manifest references
+    borphan = os.path.join(mirror.data_dir, "bucket=0", "v-00000099-dead")
+    os.makedirs(borphan)
+    with open(os.path.join(borphan, "junk.parquet"), "w") as fh:
+        fh.write("not really parquet")
+    mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    assert not os.path.isdir(borphan)  # GC'd by the next publish
+    assert _state(spark, mirror)[0] == "x"  # state unaffected
+
+
+def test_full_delete_drops_bucket_from_manifest(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=2, key_col="id", keep_versions=10
+    )
+    m.initialize(_batch(spark, [(0, "a", 0, "I"), (1, "b", 0, "I")]))
+    # delete every key of one bucket
+    bucket_of = {
+        r["id"]: r["b"]
+        for r in _batch(spark, [(0, "a", 0, "I"), (1, "b", 0, "I")])
+        .select("id", m._bucket(F.col("id")).alias("b"))
+        .collect()
+    }
+    victims = [k for k, b in bucket_of.items() if b == bucket_of[0]]
+    m.merge_batch(
+        _batch(spark, [(k, "x", 1, "D") for k in victims]), TARGET
+    )
+    assert str(bucket_of[0]) not in m.current()["buckets"]
+    survivors = _state(spark, m)
+    assert set(survivors) == {k for k in (0, 1) if k not in victims}
+    # time travel still sees the pre-delete bucket
+    assert set(_state(spark, m, 0)) == {0, 1}
