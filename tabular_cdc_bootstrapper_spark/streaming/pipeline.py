@@ -36,6 +36,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from tabular_cdc_bootstrapper_spark.config import CdcTarget
 from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
 from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
 
 
@@ -296,6 +297,49 @@ class ParquetStateTable:
         for d in all_dirs:
             if d not in kept:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+
+def table_changes(
+    spark: SparkSession,
+    table,
+    from_version: int,
+    to_version: int,
+    key_cols: str | Sequence[str],
+    drop_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Change data feed between two snapshots — the Delta CDF / Iceberg
+    ``CHANGES BETWEEN`` surface on the engine's versioned tables: the
+    minimal I/U/D changelog transforming snapshot ``from_version`` into
+    ``to_version``, derived by ``operators/diff.py table_diff`` (ONE full
+    outer join on the key — cost ∝ the two snapshots, not the history).
+
+    Works on anything with ``read_version`` (``ParquetStateTable`` and
+    ``VersionedBucketMirror``), so the feed composes with time travel:
+    consumers that missed N batches ask for one consolidated diff instead
+    of replaying N changelogs, and ``apply_changelog`` folds the result
+    back (diff.py's round-trip law). Version resolution errors (unknown /
+    expired snapshots) surface from ``read_version`` unchanged.
+
+    ``drop_cols``: per-event metadata to exclude from the comparison —
+    the CDC mirrors retain their changelog envelope (op/ts/_src_file),
+    which is provenance of the LAST event, not table state; diffing it
+    would re-emit rows whose payload never changed (and the op column
+    would collide with the feed's own classification column).
+    """
+    old = table.read_version(spark, from_version)
+    new = table.read_version(spark, to_version)
+    for c in drop_cols:
+        old = old.drop(c) if old is not None else None
+        new = new.drop(c) if new is not None else None
+    if old is None and new is None:  # both snapshots fully deleted
+        raise ValueError(
+            f"snapshots {from_version} and {to_version} are both empty"
+        )
+    if old is None:
+        old = new.limit(0)
+    if new is None:
+        new = old.limit(0)
+    return table_diff(old, new, key_cols)
 
 
 class MaintainedAggView:

@@ -93,3 +93,35 @@ def test_invalid_params_raise(spark):
         chunk_documents(d, chunk_size=64, stride=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(d, chunk_size=32, stride=48)
+
+
+def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path):
+    """chunk_documents is a pure narrow transformation, so the SAME
+    function body runs on a streaming DataFrame with no twin needed —
+    the streaming chunker IS the batch chunker. Pin it: file-source
+    stream → chunk → memory sink equals the batch result exactly."""
+    import uuid
+
+    docs = _docs(spark, [_toks(n) for n in (5, 70, 150)])
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    sink = f"chunks_{uuid.uuid4().hex[:8]}"
+    q = (
+        chunk_documents(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_md5)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_md5)
+        for r in chunk_documents(docs).collect()
+    }
+    assert got == want and len(want) == 1 + 2 + 3

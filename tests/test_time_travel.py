@@ -147,3 +147,97 @@ def test_pre_log_table_stays_readable_and_upgrades(spark, tmp_path):
     assert rec["version"] == 1  # continues the pointer's numbering
     assert [e["version"] for e in t.history()] == [1]
     assert _tags(spark, t) == [(j, "v1") for j in range(3)]
+
+
+def _named(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, name string")
+
+
+def test_table_changes_between_snapshots(spark, tmp_path):
+    """Change data feed (Delta CDF / Iceberg CHANGES parity): the minimal
+    I/U/D changelog between two snapshots, resolved through the log."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+        table_changes,
+    )
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_named(spark, [(0, "a"), (1, "b"), (4, "e")]))
+    t.commit(_named(spark, [(0, "A"), (1, "b"), (5, "f")]))
+    ch = table_changes(spark, t, 0, 1, key_cols="id")
+    got = {(r.id, r.op): r.name for r in ch.collect()}
+    # minimal: unchanged id=1 emits nothing; delete carries only its key
+    assert got == {(0, "U"): "A", (4, "D"): None, (5, "I"): "f"}
+    # round-trip law: fold the feed onto v0 -> v1 exactly
+    v0_as_log = t.read_version(spark, 0).selectExpr(
+        "id", "name", "'I' AS op", "0 AS seq"
+    )
+    folded = apply_changelog(
+        v0_as_log.unionByName(ch.selectExpr("id", "name", "op", "1 AS seq")),
+        key_cols="id",
+        ts_cols="seq",
+        drop_envelope=["op", "seq"],
+    )
+    assert {(r.id, r.name) for r in folded.collect()} == {
+        (0, "A"), (1, "b"), (5, "f"),
+    }
+    # direction inverts: I <-> D, U carries the other side's payload
+    rev = {(r.id, r.op): r.name for r in
+           table_changes(spark, t, 1, 0, key_cols="id").collect()}
+    assert rev == {(0, "U"): "a", (4, "I"): "e", (5, "D"): None}
+
+
+def test_table_changes_cross_layout_agreement(spark, tmp_path):
+    """The feed computed on the versioned BUCKETED mirror equals the one
+    computed on the snapshot layout for the same logical history."""
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+        VersionedBucketMirror,
+        table_changes,
+    )
+
+    target = CdcTarget(source_uri="file:///x", key_column="id", ts_column="ts")
+    b0 = spark.createDataFrame(
+        [(i, f"n{i}", 0, "I") for i in range(8)],
+        "id long, name string, ts long, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(0, "N0", 1, "U"), (7, "x", 1, "D"), (8, "n8", 1, "I")],
+        "id long, name string, ts long, op string",
+    )
+    vm = VersionedBucketMirror(
+        str(tmp_path / "vm"), n_buckets=4, key_col="id", keep_versions=10
+    )
+    vm.initialize(b0)
+    vm.merge_batch(b1, target)
+    st = ParquetStateTable(str(tmp_path / "st"), keep_versions=10)
+    st.commit(b0)
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+
+    st.commit(
+        apply_changelog(
+            st.read(spark).drop("op", "ts").selectExpr(
+                "id", "name", "'I' AS op", "0 AS ts"
+            ).unionByName(b1),
+            key_cols="id",
+            ts_cols="ts",
+        )
+    )
+
+    def feed(tbl):
+        # the mirrors retain their changelog envelope (op/ts): per-event
+        # provenance, not state — excluded from the comparison
+        return {
+            (r.id, r.op, r.name)
+            for r in table_changes(
+                spark, tbl, 0, 1, key_cols="id", drop_cols=("op", "ts")
+            )
+            .select("id", "op", "name")
+            .collect()
+        }
+
+    assert feed(vm) == feed(st) == {
+        (0, "U", "N0"), (7, "D", None), (8, "I", "n8"),
+    }
