@@ -405,6 +405,78 @@ def cdc_mirror_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_change_feed",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    s0 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog WHERE ts <= 0 GROUP BY o_orderkey
+    ),
+    s2 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog GROUP BY o_orderkey
+    ),
+    oldt AS (SELECT o_orderkey, o_orderstatus FROM s0 WHERE last_op <> 'D'),
+    newt AS (SELECT o_orderkey, o_orderstatus FROM s2 WHERE last_op <> 'D')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.o_orderstatus AS o_orderstatus
+    FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between mirror snapshots (streaming/pipeline.py
+    table_changes — the Delta CDF / Iceberg CHANGES surface on the
+    engine's versioned tables): commit the mirror before and after the
+    update+delete batches, then ask for the minimal I/U/D changelog
+    transforming snapshot 0 into snapshot 1. One full outer join on the
+    key (cost ∝ the two snapshots, not the history between them); the
+    unchanged majority of keys emits NOTHING — the minimal-feed property
+    the DuckDB oracle replays with a null-safe payload comparison.
+    Deletes carry only their key (DMS convention). The fold round-trip
+    and cross-layout (bucketed-versioned == snapshot) laws are pinned in
+    tests/test_time_travel.py."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+        table_changes,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_cdf_"), keep_versions=10
+    )
+    for upto in (0, 2):
+        mirror.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+    return table_changes(spark, mirror, 0, 1, key_cols="o_orderkey")
+
+
+@query(
     "snapshot_diff_changelog",
     oracle="""
     WITH oldt AS (
@@ -5904,7 +5976,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   array_hof_embedding_stats, r7-green, to the tail); document_chunks
 #   (NEW: sliding-window passage chunking, full md5-per-chunk oracle;
 #   displaces hybrid_retrieval_topk, r6-green — at the ceiling but legal,
-#   rotates back r9);
+#   rotates back r9); cdc_change_feed (NEW: table_changes CDF between
+#   mirror snapshots, full minimal-diff oracle; displaces
+#   winsorized_length_stats, r6-green — same ceiling note);
 #   the profiling family — table_profile_orders_approx (converted
 #   to a tolerance-verdict FULL oracle: the registry's last rows-only
 #   entry is gone), table_profile_lineitem (NEW generality proof),
@@ -5938,6 +6012,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
     "cdc_mirror_time_travel",
+    "cdc_change_feed",
     "table_profile_orders_approx",
     "table_profile_lineitem",
     "table_profile_orders",
@@ -5985,9 +6060,9 @@ _DRIVER_CHECK_PRIORITY = [
     "event_mix_drift",
     "unigram_surprisal_quality",
     "temperature_mixture_quota",
-    "winsorized_length_stats",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "winsorized_length_stats",
     "hybrid_retrieval_topk",
     "array_hof_embedding_stats",
     "q7_nation_volume",
