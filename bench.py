@@ -63,6 +63,7 @@ UDF_HEAVY = {
     "ivf_pq_topk",  # pandas-UDF assign+encode (r7)
     "ann_prebuilt_ivfpq_topk",  # one-time index build on first run (r8)
     "ann_index_maintained_topk",  # build+append harness, pandas-UDF encode (r8)
+    "semantic_dedup_summary",  # kmeans assignment pandas UDF (r8)
 }
 
 

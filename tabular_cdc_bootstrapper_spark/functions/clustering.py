@@ -156,10 +156,14 @@ def kmeans_fit_predict(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Lloyd k-means, returns (id, cid) assignments after ``iters`` rounds
     (fewer if the exact fixed point arrives first — same result either
-    way, see ``_fit``).
+    way, see ``_fit``). ``keep_vec=True`` also returns the quantized
+    vector column ``qv`` — consumers that need exact-integer geometry on
+    the assigned points (semantic_dedup's within-cluster cosine test)
+    read it instead of re-quantizing the corpus.
 
     Plan per iteration: corpus-resident assignment (no shuffle) → explode
     to (cid, dim_idx, val) → hash agg with map-side partials (shuffle is
@@ -181,4 +185,5 @@ def kmeans_fit_predict(
     +StorageLevel replication on clusters where that matters."""
     qdf = quantize_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
     centroids, _ = _fit(qdf, k, iters)
-    return _assign(qdf, centroids).select("id", "cid")
+    cols = ["id", "qv", "cid"] if keep_vec else ["id", "cid"]
+    return _assign(qdf, centroids).select(*cols)

@@ -728,3 +728,102 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    tau_num: int = 19,
+    tau_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication for web-scale pretraining corpora: k-means the
+    embedding space, then within each cluster drop every point whose
+    cosine similarity to a LOWER-id clustermate reaches
+    ``tau_num/tau_den``. Unlike the SRP/MinHash families (which block by
+    hash collisions), the k-means partition IS the blocking structure —
+    semantically close points land in the same cluster, so the pair scan
+    is per-cluster, never corpus×corpus.
+
+    Returns (id, cid, is_dup): every corpus point with its cluster and a
+    deterministic drop flag (keep-lowest-id per near-dup relation — the
+    same tie-break rule as the rest of the dedup family; the paper keeps
+    the point farthest from the centroid, which is RNG-order-dependent
+    in their implementation — lowest-id is the reproducible equivalent).
+
+    Exactness: the corpus is int64-quantized (functions/clustering.py
+    scheme), so the threshold test runs in EXACT integer arithmetic —
+    ``cos(u,v) ≥ t/d  ⟺  dot > 0 ∧ d²·dot² ≥ t²·‖u‖²·‖v‖²`` — with the
+    squares in decimal(38,0) (dot ≤ ~2^46 for dim ≤ 64 ⇒ d²·dot² ≤
+    ~2^101 < 10^38). No float boundary flips, so a DuckDB oracle
+    (HUGEINT on its side) replays the decision bit-for-bit.
+
+    Scale contract (100 TB): cluster count must grow with the corpus —
+    k ≈ n/⟨target cluster size⟩ (the paper uses ~1e5 clusters for 5e9
+    points; same selectivity-scales-with-n law as auto_srp_params /
+    auto_n_centroids). The pair join shuffles on cid and is quadratic
+    only WITHIN a cluster; ``max_cluster_size`` is the skew guard —
+    clusters above it are excluded from the pair scan (nothing dropped
+    there), mirroring the LSH families' max_bucket_size cap.
+    """
+    from tabular_cdc_bootstrapper_spark.functions.clustering import (
+        kmeans_fit_predict,
+    )
+
+    assigned = kmeans_fit_predict(
+        df, vec_col, id_col, k=k, iters=iters, keep_vec=True
+    ).localCheckpoint(eager=True)  # reused 3×: both pair sides + final mark
+    pts = assigned.withColumn(
+        "nrm",
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a, x: a + x * x),
+    )
+    if max_cluster_size is not None:
+        sizes = pts.groupBy("cid").agg(F.count("*").alias("csz"))
+        scannable = pts.join(
+            sizes.filter(F.col("csz") <= max_cluster_size).select("cid"), "cid"
+        )
+    else:
+        scannable = pts
+    left = scannable.select(
+        F.col("cid"),
+        F.col("id").alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    right = scannable.select(
+        F.col("cid"),
+        F.col("id").alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dec = "decimal(38,0)"
+    dot = F.aggregate(
+        F.zip_with("qv_a", "qv_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dotd = F.col("dot").cast(dec)
+    dups = (
+        left.join(right, "cid")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau_den * tau_den).cast(dec) * dotd * dotd
+                >= F.lit(tau_num * tau_num).cast(dec)
+                * F.col("nrm_a").cast(dec)
+                * F.col("nrm_b").cast(dec)
+            )
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return pts.join(dups, "id", "left").select(
+        "id", "cid", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )

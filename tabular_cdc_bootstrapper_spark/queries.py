@@ -2856,7 +2856,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle(
-    k: int = 8, iters: int = 2, final_select: str | None = None
+    k: int = 8,
+    iters: int = 2,
+    final_select: str | None = None,
+    corpus: str = "embeddings",
 ) -> str:
     """Unrolled Lloyd iterations in DuckDB SQL — possible because the Spark
     side quantizes to int64 (functions/clustering.py), so every distance,
@@ -2904,7 +2907,7 @@ def _kmeans_oracle(
         SELECT vec_id AS id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM {corpus}
     ),
     c0 AS (
         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, qv
@@ -3004,6 +3007,88 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster_id"),
         F.col("n_members").cast("bigint"),
         F.col("id_checksum").cast("bigint"),
+    )
+
+
+def _semdedup_oracle(tau_num: int = 19, tau_den: int = 20) -> str:
+    """Replays semantic_dedup(k=8, iters=2, tau=19/20) move-for-move: the
+    kmeans oracle's final assignment CTE ``{a}`` carries the quantized
+    int64 vectors, so the within-cluster threshold test — dot > 0 ∧
+    den²·dot² ≥ num²·‖a‖²·‖b‖² — runs in HUGEINT on DuckDB's side and
+    decimal(38,0) on Spark's, both exact, so the drop decision is
+    bit-identical (functions/dedup.py:semantic_dedup for the bounds).
+
+    The fixture corpus has no natural pair above cos 0.52 (measured), so
+    both engines run over the corpus plus ten PLANTED exact twins
+    (vec_id < 10 re-issued at id+1_000_000 — the same deterministic
+    transformation on both sides): the drop path is then exercised for
+    real — each twin must be dropped with its lowest-id original kept —
+    instead of the summary being trivially all-zero n_dropped."""
+    n2, d2 = tau_num * tau_num, tau_den * tau_den
+    return _kmeans_oracle(
+        corpus="""(SELECT vec_id, embedding FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 1000000, embedding
+                   FROM embeddings WHERE vec_id < 10)""",
+        final_select=f"""
+    , pts AS (
+        SELECT id, cid, qv,
+               list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x)) AS nrm
+        FROM {{a}}
+    ),
+    pr AS (
+        SELECT a.id, a.nrm AS na, b.nrm AS nb,
+               list_sum(list_transform(list_zip(a.qv, b.qv),
+                        p -> CAST(p[1] AS HUGEINT) * p[2])) AS dot
+        FROM pts a JOIN pts b ON a.cid = b.cid AND b.id < a.id
+    ),
+    dup AS (
+        SELECT DISTINCT id FROM pr
+        WHERE dot > 0 AND {d2} * dot * dot >= {n2} * na * nb
+    )
+    SELECT CAST(p.cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN d.id IS NULL THEN p.id END), 0)
+                AS BIGINT) AS kept_checksum
+    FROM pts p LEFT JOIN dup d ON p.id = d.id
+    GROUP BY p.cid
+    """
+    )
+
+
+@query("semantic_dedup_summary", oracle=_semdedup_oracle())
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus (arXiv:2303.09540): k-means is
+    the blocking structure — the pair scan joins on cluster id, quadratic
+    only within a cluster, never corpus×corpus — and the keep-lowest-id
+    drop rule runs in exact integer arithmetic so the oracle replays it
+    bit-for-bit. Per-cluster retention summary: members, dropped count,
+    checksum of the surviving ids. Ten exact twins are planted (ids < 10
+    re-issued at id+1e6, mirrored in the oracle) so the drop path is
+    hash-verified — the fixture corpus alone has no pair above cos 0.52."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    marked = semantic_dedup(emb.unionAll(planted), k=8, iters=2)
+    return (
+        marked.groupBy("cid")
+        .agg(
+            F.count("*").alias("nm"),
+            F.sum(F.col("is_dup").cast("long")).alias("nd"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_dup"), F.col("id"))), F.lit(0)
+            ).alias("kc"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("nm").cast("bigint").alias("n_members"),
+            F.col("nd").cast("bigint").alias("n_dropped"),
+            F.col("kc").cast("bigint").alias("kept_checksum"),
+        )
     )
 
 
@@ -5963,6 +6048,92 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_sql_interleave(sc_a: str, sc_b: str, bits: int = 16) -> str:
+    """The Morton interleave as a SQL bit expression — generated, not
+    hand-written, so the Spark column chain (functions/layout.py
+    zorder_key) and the oracle share one definition of bit placement:
+    bit i of dim a → position 2i+1, of dim b → position 2i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({sc_a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({sc_b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _zorder_sql_interleave("sc", "sd")
+    return f"""
+WITH d AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
+    FROM orders
+), mm AS (
+    SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+           MIN(day_idx) AS mnd, MAX(day_idx) AS mxd
+    FROM d
+), s AS (
+    SELECT o_custkey, day_idx,
+           ((o_custkey - mnc) * 65535) // GREATEST(mxc - mnc, 1) AS sc,
+           ((day_idx - mnd) * 65535) // GREATEST(mxd - mnd, 1) AS sd
+    FROM d CROSS JOIN mm
+), z AS (
+    SELECT o_custkey, day_idx, ({z}) AS zval FROM s
+)
+SELECT CAST(zval >> 28 AS BIGINT) AS file_group,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+       CAST(MIN(day_idx) AS BIGINT) AS min_day,
+       CAST(MAX(day_idx) AS BIGINT) AS max_day
+FROM z GROUP BY 1
+"""
+
+
+@query("zorder_layout_stats", oracle=_zorder_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over orders on (o_custkey, order day): Morton
+    code in exact integer arithmetic (min-max scale → bit interleave, all
+    JVM-side column expressions — functions/layout.py), file cells taken
+    as the top 4 Morton bits (= the 4×4 quadtree of custkey-quartile ×
+    date-quartile). Each cell's min/max per dimension demonstrates WHY
+    the layout prunes: every cell is a small rectangle of the key space,
+    so parquet/Iceberg min-max file stats cut selective predicates on
+    EITHER dimension. ``write_zordered`` is the corresponding
+    materialization path (repartitionByRange on the z-key — distributed
+    sampling, never a single-task sort)."""
+    from tabular_cdc_bootstrapper_spark.functions.layout import with_zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+        )
+        .cast("long")
+        .alias("day_idx"),
+    )
+    keyed = with_zorder_key(o, ["o_custkey", "day_idx"], bits=16)
+    return (
+        keyed.withColumn("file_group", F.shiftright("zval", 28))
+        .groupBy("file_group")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("day_idx").alias("min_day"),
+            F.max("day_idx").alias("max_day"),
+        )
+        .select(
+            F.col("file_group").cast("bigint"),
+            F.col("n_rows").cast("bigint"),
+            F.col("min_custkey").cast("bigint"),
+            F.col("max_custkey").cast("bigint"),
+            F.col("min_day").cast("bigint"),
+            F.col("max_day").cast("bigint"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
@@ -6002,6 +6173,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   windows, drift monitors, robust stats, hybrid retrieval, array HOFs).
 #   The remaining 22 r6 rows sit 2-rounds stale after r8 and rotate in r9
 #   alongside the r7 cohort.
+# - IN (late-r8 addition): semantic_dedup_summary (NEW: SemDeDup — k-means
+#   blocking + exact-integer within-cluster cosine pruning, full oracle;
+#   displaces temperature_mixture_quota, r7-green, to the tail);
+#   zorder_layout_stats (NEW: Morton-code multi-dim layout audit, full
+#   oracle; displaces unigram_surprisal_quality, r7-green, to the tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6040,6 +6216,8 @@ _DRIVER_CHECK_PRIORITY = [
     "weighted_mixture_sample",
     "leakage_safe_split",
     "kmeans_embedding_clusters",
+    "semantic_dedup_summary",
+    "zorder_layout_stats",
     "int8_quantized_topk",
     "heavy_hitter_terms",
     "hll_distinct_counts",
@@ -6058,10 +6236,10 @@ _DRIVER_CHECK_PRIORITY = [
     "skewed_priority_agg",
     "source_token_drift",
     "event_mix_drift",
-    "unigram_surprisal_quality",
-    "temperature_mixture_quota",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "unigram_surprisal_quality",
+    "temperature_mixture_quota",
     "winsorized_length_stats",
     "hybrid_retrieval_topk",
     "array_hof_embedding_stats",

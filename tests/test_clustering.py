@@ -189,3 +189,74 @@ def test_pq_unknown_codebook_strategy_rejected(spark):
     with pytest.raises(ValueError, match="unknown codebook strategy"):
         pq_adc_topk(df, q, n_subspaces=1, n_codes=2, dim=2,
                     codebook_strategy="pca")
+
+
+# --- semantic dedup (SemDeDup) -------------------------------------------
+
+
+def test_semantic_dedup_drops_twin_keeps_lowest_id(spark):
+    """A near-identical twin pair plus a far-away singleton: the higher-id
+    twin is dropped, the lower-id twin and the singleton survive."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    df = _vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (7, [1.0, 0.001, 0.0]),  # cos ≈ 0.9999995 to id 0
+            (9, [0.0, 0.0, 1.0]),  # orthogonal — never a dup
+        ],
+    )
+    got = {r["id"]: r["is_dup"] for r in semantic_dedup(df, k=2, iters=2).collect()}
+    assert got == {0: False, 7: True, 9: False}
+
+
+def test_semantic_dedup_below_threshold_kept(spark):
+    """cos = 0.6 (3-4-5 geometry) sits far below tau=0.95: both kept."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    df = _vec_df(spark, [(0, [3.0, 4.0]), (1, [5.0, 0.0])])
+    got = {r["id"]: r["is_dup"] for r in semantic_dedup(df, k=1, iters=1).collect()}
+    assert got == {0: False, 1: False}
+
+
+def test_semantic_dedup_exact_threshold_is_inclusive(spark):
+    """cos((15,20),(4,3)) = 120/125 = 0.96 ≥ 19/20 → dropped; the decision
+    runs in exact integer arithmetic on the quantized coordinates, so the
+    0.96-vs-0.95 margin cannot be blurred by float error."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    df = _vec_df(spark, [(1, [15.0, 20.0]), (2, [4.0, 3.0])])
+    got = {r["id"]: r["is_dup"] for r in semantic_dedup(df, k=1, iters=1).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_semantic_dedup_cluster_size_cap_guards_skew(spark):
+    """max_cluster_size below the cluster population: the oversized
+    cluster is excluded from the pair scan, nothing dropped (the LSH
+    max_bucket_size contract, applied to k-means blocking)."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    df = _vec_df(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.001])])
+    got = {
+        r["id"]: r["is_dup"]
+        for r in semantic_dedup(df, k=1, iters=1, max_cluster_size=2).collect()
+    }
+    assert got == {0: False, 1: False, 2: False}
+    # and with the cap lifted the twins ARE dropped
+    got2 = {
+        r["id"]: r["is_dup"] for r in semantic_dedup(df, k=1, iters=1).collect()
+    }
+    assert got2 == {0: False, 1: True, 2: True}
+
+
+def test_semantic_dedup_deterministic_across_runs(spark):
+    from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
+
+    df = _vec_df(
+        spark,
+        [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0]) for i in range(30)],
+    )
+    a = sorted(map(tuple, semantic_dedup(df, k=3, iters=2).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, k=3, iters=2).collect()))
+    assert a == b

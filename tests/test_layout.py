@@ -1,0 +1,132 @@
+"""Z-order layout (functions/layout.py): Morton bit placement matches the
+python reference, the integer scaling is exact, and the written layout
+delivers the property the operator exists for — contiguous, disjoint
+z-ranges per file and tight per-dimension bounding boxes. Oracle parity
+at fixture scale is covered by test_oracle_parity (zorder_layout_stats)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.functions.layout import (
+    minmax_scale,
+    with_zorder_key,
+    write_zordered,
+    zorder_key,
+)
+
+
+def _ref_z(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (40000, 123)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")]).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == _ref_z(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_is_quadrant_monotone(spark):
+    """The defining z-curve property: any point in the top-right quadrant
+    of the 2-bit-prefix grid codes above any point in the bottom-left."""
+    df = spark.createDataFrame(
+        [(10, 20), (40000, 50000)], "a long, b long"
+    )
+    lo, hi = [
+        r["z"]
+        for r in df.select(zorder_key([F.col("a"), F.col("b")]).alias("z"))
+        .orderBy("a")
+        .collect()
+    ]
+    assert lo < hi
+
+
+def test_minmax_scale_exact_and_degenerate(spark):
+    df = spark.createDataFrame([(0,), (50,), (100,)], "v long")
+    got = [
+        r["s"]
+        for r in df.select(
+            minmax_scale(
+                F.col("v"), F.lit(0).cast("long"), F.lit(100).cast("long")
+            ).alias("s")
+        )
+        .orderBy("v")
+        .collect()
+    ]
+    assert got == [0, (50 * 65535) // 100, 65535]
+    # degenerate span (mx == mn) maps everything to 0, no div-by-zero
+    one = spark.createDataFrame([(7,), (7,)], "v long")
+    got1 = [
+        r["s"]
+        for r in one.select(
+            minmax_scale(
+                F.col("v"), F.lit(7).cast("long"), F.lit(7).cast("long")
+            ).alias("s")
+        ).collect()
+    ]
+    assert got1 == [0, 0]
+
+
+def test_write_zordered_files_are_disjoint_tight_ranges(spark, tmp_path):
+    """Files written by write_zordered must cover DISJOINT z-ranges (the
+    contiguity that makes min/max file stats prune), and per-file
+    bounding boxes must be materially tighter than the global box."""
+    import pandas as pd
+
+    n = 4096
+    rows = [(i, (i * 2654435761) % 4096, (i * 40503) % 4096) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = str(tmp_path / "zo")
+    write_zordered(df, out, ["x", "y"], n_files=8, bits=12)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    # recompute z per file with the python reference (global min/max are
+    # 0..4095 by construction, so scaling is identity on 12 bits)
+    spans = []
+    boxes = []
+    for f in files:
+        pdf = pd.read_parquet(f)
+        z = [
+            _ref_z((x * 4095) // 4095, (y * 4095) // 4095, bits=12)
+            for x, y in zip(pdf["x"], pdf["y"])
+        ]
+        spans.append((min(z), max(z)))
+        boxes.append(
+            (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+        )
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file z-ranges overlap — layout is not contiguous"
+    # each file's rectangle must be well under the full 4096×4096 box
+    assert max(boxes) < (4096 * 4096) / 2
+
+
+def test_zorder_plan_is_range_partitioned_and_pruned(spark, sf_dir):
+    """The layout write must use sampled range partitioning (distributed
+    sort), and the stats query must read only the two layout columns."""
+    from tabular_cdc_bootstrapper_spark import queries as q
+    from tabular_cdc_bootstrapper_spark.plans.inspect import (
+        physical_plan,
+        scan_read_columns,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", F.col("o_orderkey").alias("day_idx")
+    )
+    keyed = with_zorder_key(o, ["o_custkey", "day_idx"], bits=16)
+    plan = physical_plan(keyed.repartitionByRange(8, "zval"))
+    assert "rangepartitioning" in plan.lower()
+    df = q.zorder_layout_stats(spark, sf_dir)
+    assert any(
+        cols <= {"o_custkey", "o_orderdate"} for cols in scan_read_columns(df)
+    )

@@ -162,6 +162,17 @@ def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
+    """SemDeDup's pair scan must be an equi-join keyed on the k-means
+    cluster id — quadratic only within a cluster — never an all-pairs
+    cartesian / nested-loop over the corpus."""
+    df = q.semantic_dedup_summary(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cid" in plan  # the equi-join key is the cluster id
+
+
 def test_bpe_token_counts_prunes_scan(spark, sf_dir):
     df = q.bpe_token_counts(spark, sf_dir)
     scans = scan_read_columns(df)
