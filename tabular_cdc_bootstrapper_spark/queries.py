@@ -6048,6 +6048,139 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rocchio_oracle() -> str:
+    """Replays nearest-centroid fit + predict + confusion end-to-end: the
+    class means are integer trunc-divs of one GROUP BY (HUGEINT sums cast
+    back), distances exact int64, argmin ties → smallest label — the same
+    closed-form determinism that makes the kmeans oracle possible
+    (functions/classify.py)."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    pats = {
+        "de": r"\b(der|die|und|das|ist)\b",
+        "en": r"\b(the|and|of|to|is)\b",
+        "es": r"\b(el|la|de|que|es)\b",
+        "fr": r"\b(le|la|et|les|est)\b",
+        # no \b for CJK: Java's \b is Unicode-aware, RE2's is ASCII-only,
+        # so a word-bounded CJK pattern silently diverges between engines
+        "zh": r"(的|是|了|在|我)",
+    }
+    plant = " ".join(
+        f"WHEN '{g}' THEN ' {p}'"
+        for g, p in [
+            ("de", "der die und"),
+            ("en", "the and of"),
+            ("es", "el la que"),
+            ("fr", "le et les"),
+            ("zh", "的 是 了"),
+        ]
+    )
+    feats = ",\n               ".join(
+        f"length(regexp_extract_all(lower(text), '{pats[g]}')) AS f_{g}"
+        for g in langs
+    )
+    cents = ",\n               ".join(
+        f"CAST(SUM(f_{g}) // COUNT(*) AS BIGINT) AS c_{g}" for g in langs
+    )
+    dist = " + ".join(f"(f.f_{g} - c.c_{g}) * (f.f_{g} - c.c_{g})" for g in langs)
+    return f"""
+    WITH planted AS (
+        SELECT doc_id, lang,
+               text || CASE WHEN doc_id % 4 <> 0
+                            THEN (CASE lang {plant} ELSE '' END)
+                            ELSE '' END AS text
+        FROM documents
+    ), f AS (
+        SELECT doc_id, lang,
+               {feats}
+        FROM planted
+    ), cent AS (
+        SELECT lang AS clang,
+               {cents}
+        FROM f GROUP BY lang
+    ), pairs AS (
+        SELECT f.doc_id, f.lang AS labeled_lang, c.clang,
+               {dist} AS dist
+        FROM f CROSS JOIN cent c
+    ), best AS (
+        SELECT labeled_lang, clang AS predicted_lang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY dist, clang) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+    """
+
+
+@query("rocchio_lang_confusion", oracle=_rocchio_oracle())
+def rocchio_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language classifier (nearest class mean / Rocchio) vs the
+    labeled lang column — the train/predict/evaluate curation pipeline as
+    one plan: codegen marker-count features, one groupBy fit (bounded
+    model collect: 5×5 ints), literal-model scoring with no corpus
+    shuffle, confusion-matrix aggregate. Complements lang_id_confusion
+    (the untrained heuristic) the way kmeans complements fixed IVF
+    centroids: the model comes FROM the data.
+
+    The fixture text is the same synthetic distribution for every lang
+    label (measured: marker means identical across classes), so — like
+    semantic_dedup's planted twins — a learnable signal is PLANTED on
+    both engines identically: docs with doc_id % 4 != 0 get their label's
+    3-marker phrase appended. The trained model must then recover a
+    near-diagonal confusion matrix, hash-verified, while the 25%
+    unplanted rows keep the evaluation non-trivial."""
+    from tabular_cdc_bootstrapper_spark.functions.classify import (
+        nearest_centroid_fit_predict,
+    )
+    from tabular_cdc_bootstrapper_spark.functions.text import (
+        LANG_MARKERS,
+        marker_count,
+    )
+
+    plant_phrase = {
+        "de": " der die und",
+        "en": " the and of",
+        "es": " el la que",
+        "fr": " le et les",
+        "zh": " 的 是 了",
+    }
+    d = _t(spark, sf_dir, "documents")
+    phrase = F.lit("")
+    for g, p in plant_phrase.items():
+        phrase = F.when(F.col("lang") == g, F.lit(p)).otherwise(phrase)
+    d = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 != 0, phrase).otherwise(F.lit("")),
+        ),
+    )
+    feat_cols = []
+    for g in sorted(LANG_MARKERS):
+        if g == "zh":
+            # no \b around CJK markers: Java's \b is Unicode-aware where
+            # RE2's (DuckDB) is ASCII-only — a word-bounded CJK pattern
+            # silently counts differently across engines (oracle mirrors)
+            feat = F.regexp_count(
+                F.lower(F.col("text")),
+                F.lit("(" + "|".join(LANG_MARKERS[g]) + ")"),
+            )
+        else:
+            feat = marker_count(F.col("text"), LANG_MARKERS[g])
+        d = d.withColumn(f"f_{g}", feat.cast("long"))
+        feat_cols.append(f"f_{g}")
+    scored = nearest_centroid_fit_predict(d, "lang", feat_cols, out_col="pred")
+    return (
+        scored.groupBy(
+            F.col("lang").alias("labeled_lang"),
+            F.col("pred").alias("predicted_lang"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select("labeled_lang", "predicted_lang", F.col("n").cast("bigint"))
+    )
+
+
 def _zorder_sql_interleave(sc_a: str, sc_b: str, bits: int = 16) -> str:
     """The Morton interleave as a SQL bit expression — generated, not
     hand-written, so the Spark column chain (functions/layout.py
@@ -6177,7 +6310,10 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   blocking + exact-integer within-cluster cosine pruning, full oracle;
 #   displaces temperature_mixture_quota, r7-green, to the tail);
 #   zorder_layout_stats (NEW: Morton-code multi-dim layout audit, full
-#   oracle; displaces unigram_surprisal_quality, r7-green, to the tail).
+#   oracle; displaces unigram_surprisal_quality, r7-green, to the tail);
+#   rocchio_lang_confusion (NEW: trained nearest-class-mean classifier,
+#   full fit+predict+confusion oracle; displaces event_mix_drift,
+#   r7-green, to the tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6218,6 +6354,7 @@ _DRIVER_CHECK_PRIORITY = [
     "kmeans_embedding_clusters",
     "semantic_dedup_summary",
     "zorder_layout_stats",
+    "rocchio_lang_confusion",
     "int8_quantized_topk",
     "heavy_hitter_terms",
     "hll_distinct_counts",
@@ -6235,9 +6372,9 @@ _DRIVER_CHECK_PRIORITY = [
     "salted_nation_revenue",
     "skewed_priority_agg",
     "source_token_drift",
-    "event_mix_drift",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "event_mix_drift",
     "unigram_surprisal_quality",
     "temperature_mixture_quota",
     "winsorized_length_stats",
