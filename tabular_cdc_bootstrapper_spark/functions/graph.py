@@ -411,3 +411,87 @@ def apply_cluster_update(mapping: DataFrame, update: DataFrame) -> DataFrame:
     rows win on id, everything else passes through unchanged."""
     keep = mapping.join(update.select("id"), "id", "left_anti")
     return keep.unionByName(update.select("id", "component_id"))
+
+
+def _trunc_div(a, b):
+    """Exact ``a // b`` for non-negative int64 columns without leaving the
+    JVM: ``a % b`` is exact, so the double division is of an exact
+    multiple (≤ 2^52 at PageRank magnitudes) and therefore exact."""
+    return ((a - a % b) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**9,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Damped PageRank in EXACT integer arithmetic — link-graph centrality
+    (the web-quality signal of pretraining pipelines) as a deterministic,
+    oracle-replayable iteration.
+
+    Ranks are integers at ``scale`` (init r = scale); one iteration is
+    ``r'(v) = (scale·(den−num))//den + (num·Σ_{u→v} r(u)//outdeg(u))//den``
+    with num/den = ``damping``. Every step is trunc-div / multiply / sum
+    on int64 (max ≈ n·scale·num ≪ 2^63), so any engine replays the
+    fixed-point trajectory bit-for-bit — the same determinism scheme as
+    clustering.py's quantized k-means. Dangling nodes receive rank but
+    leak their mass (the standard simplification); symmetrize the edge
+    set to avoid them entirely.
+
+    Scale shape per iteration: ONE join (edges ⋈ ranks, shuffled on the
+    source key — the static edges ⋈ outdeg frame is materialized once via
+    localCheckpoint) and ONE map-side-combinable aggregate on dst. Ranks
+    are checkpointed per round (lineage truncation — the CC star-round
+    pattern); driver state is zero. This is the canonical iterate-join-
+    aggregate shape GraphX/Pregel runs; at warehouse scale pre-partition
+    edges by src so the per-round join reuses one partitioning.
+    """
+    # materialize the edge set ONCE before anything else: deg, the
+    # edge⋈deg frame, and the node set all re-execute the caller's edge
+    # pipeline otherwise (the CC pre-loop lesson — upstream can be a
+    # join+distinct or a full pair generator)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)  # static per run
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    num, den = damping
+    base = (scale * (den - num)) // den
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for it in range(iters):
+        contrib = ed.join(ranks, ed["src"] == ranks["v"]).select(
+            F.col("dst").alias("v"),
+            _trunc_div(F.col("r"), F.col("deg")).alias("c"),
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "v", "left").select(
+            "v",
+            (
+                F.lit(base).cast("long")
+                + _trunc_div(
+                    F.lit(num).cast("long") * F.coalesce("s", F.lit(0)),
+                    F.lit(den).cast("long"),
+                )
+            ).alias("r"),
+        )
+        # truncate lineage every ``checkpoint_interval`` rounds rather
+        # than every round: a checkpoint is an eager job barrier, and
+        # letting Catalyst fuse rounds into one job measured 4.39 s →
+        # 4.09 s (interval 2) → 3.90 s (no mid-checkpoints) for 3 iters
+        # at sf0.1, bit-identical output (checkpointing never changes
+        # results, only scheduling). Interval 2 is the default because
+        # unbounded fusion re-expands lineage exponentially-deep plans
+        # on LONG iteration runs — the CC rounds lesson.
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("v").alias("node_id"), F.col("r").alias("rank_scaled"))

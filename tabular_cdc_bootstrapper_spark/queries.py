@@ -6048,6 +6048,85 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 3, scale: int = 10**9) -> str:
+    """Unrolled integer PageRank iterations in DuckDB SQL — possible
+    because functions/graph.py:pagerank keeps every step (trunc-div
+    contribution split, damped update) in exact int64, so the rank
+    trajectory is bit-identical across engines. num/den = 85/100."""
+    base = (scale * 15) // 100
+    parts = [
+        f"""
+    pe AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+        SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for n in range(1, iters + 1):
+        parts.append(f"""
+    it{n} AS (
+        SELECT e.dst AS v, SUM(r.r // dg.d) AS s
+        FROM e JOIN r{n - 1} r ON e.src = r.v JOIN deg dg ON e.src = dg.v
+        GROUP BY e.dst
+    ),
+    r{n} AS (
+        SELECT n.v,
+               CAST({base} + (85 * COALESCE(it{n}.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN it{n} ON n.v = it{n}.v
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS node_id,
+           CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           r AS rank_scaled
+    FROM r{iters} ORDER BY r DESC, v LIMIT 20
+    """
+    )
+
+
+@query("purchase_graph_pagerank", oracle=_pagerank_oracle())
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality (the PageRank web-quality signal of
+    pretraining pipelines) over the bipartite customer↔supplier purchase
+    graph: distinct (customer, supplier) trade edges from lineitem⋈orders,
+    symmetrized so no node dangles, 3 damped iterations in exact integer
+    arithmetic (functions/graph.py:pagerank — one src-keyed join + one
+    map-side-combinable dst aggregate per round, ranks checkpointed like
+    the CC star rounds), top-20 hubs with deterministic tie-breaks."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pe = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pe.union(pe.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iters=3)
+    return (
+        ranks.orderBy(F.col("rank_scaled").desc(), "node_id")
+        .limit(20)
+        .select(
+            F.col("node_id").cast("bigint"),
+            F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("rank_scaled").cast("bigint"),
+        )
+    )
+
+
 def _rocchio_oracle() -> str:
     """Replays nearest-centroid fit + predict + confusion end-to-end: the
     class means are integer trunc-divs of one GROUP BY (HUGEINT sums cast
@@ -6313,7 +6392,9 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   oracle; displaces unigram_surprisal_quality, r7-green, to the tail);
 #   rocchio_lang_confusion (NEW: trained nearest-class-mean classifier,
 #   full fit+predict+confusion oracle; displaces event_mix_drift,
-#   r7-green, to the tail).
+#   r7-green, to the tail); purchase_graph_pagerank (NEW: integer-exact
+#   link-graph centrality, unrolled-iteration oracle; displaces
+#   source_token_drift, r7-green, to the tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6355,6 +6436,7 @@ _DRIVER_CHECK_PRIORITY = [
     "semantic_dedup_summary",
     "zorder_layout_stats",
     "rocchio_lang_confusion",
+    "purchase_graph_pagerank",
     "int8_quantized_topk",
     "heavy_hitter_terms",
     "hll_distinct_counts",
@@ -6371,9 +6453,9 @@ _DRIVER_CHECK_PRIORITY = [
     "rolling_30d_revenue",
     "salted_nation_revenue",
     "skewed_priority_agg",
-    "source_token_drift",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "source_token_drift",
     "event_mix_drift",
     "unigram_surprisal_quality",
     "temperature_mixture_quota",

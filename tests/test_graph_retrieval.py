@@ -418,3 +418,63 @@ def test_update_clusters_fold_law_hypothesis(spark):
         assert got == want, (edges, cut)
 
     law()
+
+
+# --- PageRank (integer-exact) ---------------------------------------------
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_two_cycle_is_exact_fixed_point(spark):
+    """a↔b with outdeg 1 each: every iteration maps r=scale to
+    base + 85·scale//100 = scale exactly — the hand-computable invariant
+    that pins the damped-update arithmetic."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    out = pagerank(_edges_df(spark, [(1, 2), (2, 1)]), iters=3).collect()
+    assert {r["node_id"]: r["rank_scaled"] for r in out} == {
+        1: 10**9,
+        2: 10**9,
+    }
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Symmetric star: the hub aggregates every leaf's full contribution,
+    leaves split the hub's — hub rank must dominate."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    edges = []
+    for leaf in range(2, 8):
+        edges += [(1, leaf), (leaf, 1)]
+    got = {
+        r["node_id"]: r["rank_scaled"]
+        for r in pagerank(_edges_df(spark, edges), iters=3).collect()
+    }
+    assert all(got[1] > got[leaf] for leaf in range(2, 8))
+    assert len(set(got[leaf] for leaf in range(2, 8))) == 1  # symmetry
+
+
+def test_pagerank_dangling_node_decays_to_base(spark):
+    """Directed a→b only: a has no in-edges, so after one iteration its
+    rank is exactly the base term (the documented leaky simplification)."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    got = {
+        r["node_id"]: r["rank_scaled"]
+        for r in pagerank(_edges_df(spark, [(1, 2)]), iters=2).collect()
+    }
+    assert got[1] == 150_000_000  # (10^9 · 15) // 100
+    # b received a's full (decaying) contribution on top of base
+    assert got[2] > got[1]
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    edges = [(i, (i * 3) % 11 + 1) for i in range(1, 12)]
+    sym = edges + [(b, a) for a, b in edges]
+    a = sorted(map(tuple, pagerank(_edges_df(spark, sym), iters=3).collect()))
+    b = sorted(map(tuple, pagerank(_edges_df(spark, sym), iters=3).collect()))
+    assert a == b
