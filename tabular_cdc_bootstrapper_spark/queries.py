@@ -1653,6 +1653,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "n_bytes", "content_digest")
 
 
+@query(
+    "video_frame_samples",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(((n_chars * 10 - 1) // 1000) + 1 AS BIGINT) AS n_frames,
+           CAST(((n_chars * 10 - 1) // 1000) * 1000 AS BIGINT) AS last_frame_ms
+    FROM documents
+    """,
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (functions/multimodal.py
+    sample_frames): every_ms grid over each media item's duration,
+    exploded to one row per sampled frame — the decode itself stays
+    behind the stubbed codec boundary. The oracle is the CLOSED FORM of
+    the grid (⌈duration/step⌉ frames, last = (n−1)·step), so the
+    explode-based plan is verified against an implementation-independent
+    answer rather than a SQL copy of itself."""
+    from tabular_cdc_bootstrapper_spark.functions.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"), kind="video")
+    frames = sample_frames(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.max("frame_ts_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extended relational/temporal surface: as-of join, sessionization, pivot,
 # exact percentiles, statistical aggregates, string distance, array scalars.
@@ -6394,7 +6424,9 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   full fit+predict+confusion oracle; displaces event_mix_drift,
 #   r7-green, to the tail); purchase_graph_pagerank (NEW: integer-exact
 #   link-graph centrality, unrolled-iteration oracle; displaces
-#   source_token_drift, r7-green, to the tail).
+#   source_token_drift, r7-green, to the tail); video_frame_samples
+#   (NEW: frame-sampling plumbing vs a closed-form grid oracle;
+#   displaces skewed_priority_agg, r7-green, to the tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6416,6 +6448,7 @@ _DRIVER_CHECK_PRIORITY = [
     "ann_ivf_kmeans_topk",
     "incremental_cluster_maintenance",
     "multimodal_features",
+    "video_frame_samples",
     "cube_order_stats",
     "semi_join_active_customers",
     "anti_join_no_open_orders",
@@ -6452,9 +6485,9 @@ _DRIVER_CHECK_PRIORITY = [
     "session_stats",
     "rolling_30d_revenue",
     "salted_nation_revenue",
-    "skewed_priority_agg",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "skewed_priority_agg",
     "source_token_drift",
     "event_mix_drift",
     "unigram_surprisal_quality",
