@@ -51,3 +51,43 @@ def test_confusion_query_plan_single_shuffle(spark, sf_dir):
 
     df = q.rocchio_lang_confusion(spark, sf_dir)
     assert exchange_count(df) == 1
+
+
+def test_classifier_scoring_runs_unchanged_on_a_stream(spark, tmp_path):
+    """nearest_centroid_predict is a pure narrow expression over a LITERAL
+    model, so the SAME scoring column runs on a streaming DataFrame with
+    no twin needed (the serving path: fit offline on the labeled batch
+    table, score the live stream). Pin it: file-source stream → score →
+    memory sink equals the batch scoring exactly."""
+    import uuid
+
+    rows = [("a", 1, 0), ("a", 3, 0), ("b", 99, 0), ("b", 101, 0)]
+    df = _df(spark, rows)
+    model = nearest_centroid_fit(df, "label", ["f0", "f1"])
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sink = f"scored_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withColumn(
+            "pred", nearest_centroid_predict(model, ["f0", "f1"], "pred")
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.label, r.f0, r.pred)
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    want = {
+        (r.label, r.f0, r.pred)
+        for r in df.withColumn(
+            "pred", nearest_centroid_predict(model, ["f0", "f1"], "pred")
+        ).collect()
+    }
+    assert got == want
+    assert {p for (_, _, p) in want} == {"a", "b"}
