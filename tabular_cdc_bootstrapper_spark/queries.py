@@ -1654,6 +1654,70 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_orders_corrections",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.05
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 0.5 AS p
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_orders_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General multi-action MERGE INTO (operators/merge.py): one derived
+    corrections source carries conditional updates (+5% price for keys
+    ≡3 mod 10), deletes (keys ≡7) and inserts (key-shifted half-price
+    copies of keys ≡1) — applied through the full-outer-join merge
+    operator in one shuffle with MERGE's delete→update→keep precedence.
+    The oracle states the post-merge TABLE directly (set algebra over
+    orders), so the operator's join/CASE machinery is verified against an
+    implementation-independent answer. Prices aggregate as exact integer
+    cents (both engines compute the identical double product chain, then
+    round half-away-from-zero)."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import merge_into, src
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("U").alias("op")
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("D").alias("op")
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    source = upd.unionAll(dele).unionAll(ins)
+    merged = merge_into(
+        o,
+        source,
+        on=["o_orderkey"],
+        update_cond=src("op") == "U",
+        update_set={"o_totalprice": F.col("o_totalprice") * F.lit(1.05)},
+        delete_cond=src("op") == "D",
+        insert_cond=src("op") == "I",
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+@query(
     "video_frame_samples",
     oracle="""
     SELECT doc_id AS media_id,
@@ -6426,7 +6490,9 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   link-graph centrality, unrolled-iteration oracle; displaces
 #   source_token_drift, r7-green, to the tail); video_frame_samples
 #   (NEW: frame-sampling plumbing vs a closed-form grid oracle;
-#   displaces skewed_priority_agg, r7-green, to the tail).
+#   displaces skewed_priority_agg, r7-green, to the tail);
+#   merge_orders_corrections (NEW: general MERGE INTO with a set-algebra
+#   oracle; displaces salted_nation_revenue, r7-green, to the tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6438,6 +6504,7 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
     "cdc_mirror_time_travel",
     "cdc_change_feed",
+    "merge_orders_corrections",
     "table_profile_orders_approx",
     "table_profile_lineitem",
     "table_profile_orders",
@@ -6484,9 +6551,9 @@ _DRIVER_CHECK_PRIORITY = [
     "events_sliding_10min",
     "session_stats",
     "rolling_30d_revenue",
-    "salted_nation_revenue",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "salted_nation_revenue",
     "skewed_priority_agg",
     "source_token_drift",
     "event_mix_drift",
