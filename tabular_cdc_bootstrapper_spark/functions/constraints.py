@@ -1,0 +1,159 @@
+"""Declarative data-quality constraints — the Deequ/Great-Expectations
+verification suite as one Spark plan.
+
+`profile_table` (functions/profiling.py) DESCRIBES a table; this module
+JUDGES it: a rule list compiles into a single-scan aggregate whose output
+is one long-format row per rule — violations counted, pass/fail decided.
+At 100 TB the design constraint is the same as the profiler's: every
+row-level rule must ride ONE scan (a sum-of-CASE in one aggregate, no
+per-rule jobs), and only genuinely multi-pass rules (uniqueness, foreign
+keys) may add stages — uniqueness rides the same aggregate via
+count_distinct (one Expand, the documented profiler cost), foreign keys
+add one anti-join each against the (usually broadcastable) parent.
+
+The reference validates only config presence (`/root/reference/
+batch-bootstrapper/batch_bootstrapper.py:30-39` — env-var checks); a
+real ingest pipeline validates the DATA. This is that missing layer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Rule:
+    """One named constraint. ``violation_cond`` marks a row as violating
+    (row-level rules); ``distinct_unique_cols`` requests a uniqueness
+    check instead; ``fk`` = (parent_df, child_col, parent_col)."""
+
+    def __init__(
+        self,
+        name: str,
+        violation_cond: Column | None = None,
+        unique_cols: Sequence[str] | None = None,
+        fk: tuple[DataFrame, str, str] | None = None,
+    ) -> None:
+        if sum(x is not None for x in (violation_cond, unique_cols, fk)) != 1:
+            raise ValueError(f"rule {name!r}: exactly one check kind required")
+        self.name = name
+        self.violation_cond = violation_cond
+        self.unique_cols = list(unique_cols) if unique_cols else None
+        self.fk = fk
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", violation_cond=F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_range({col},{lo},{hi})",
+        violation_cond=c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi)),
+    )
+
+
+def in_set(col: str, values: Sequence) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_set({col})", violation_cond=c.isNull() | ~c.isin(list(values))
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"matches({col})",
+        violation_cond=c.isNull() | ~c.rlike(pattern),
+    )
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", unique_cols=cols)
+
+
+def foreign_key(child_col: str, parent: DataFrame, parent_col: str) -> Rule:
+    return Rule(
+        f"foreign_key({child_col})", fk=(parent, child_col, parent_col)
+    )
+
+
+def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, n_violations, passed) — one row
+    per rule, deterministic rule order irrelevant (long format, callers
+    sort). Row-level rules + uniqueness share ONE aggregate over ONE
+    scan; each foreign key adds one anti-join aggregate, unioned in."""
+    aggs: list[Column] = [F.count("*").alias("__n")]
+    row_rules: list[Rule] = []
+    for r in rules:
+        if r.violation_cond is not None:
+            aggs.append(
+                F.sum(F.when(r.violation_cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__v_{len(row_rules)}")
+            )
+            row_rules.append(r)
+    uniq_rules = [r for r in rules if r.unique_cols is not None]
+    for i, r in enumerate(uniq_rules):
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in r.unique_cols]).alias(
+                f"__u_{i}"
+            )
+        )
+        # count_distinct ignores rows with any NULL key: count them
+        # separately so uniqueness violations = n - distinct - nullkeyed
+        null_any = None
+        for c in r.unique_cols:
+            n = F.col(c).isNull()
+            null_any = n if null_any is None else (null_any | n)
+        aggs.append(
+            F.sum(F.when(null_any, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__un_{i}")
+        )
+    wide = df.agg(*aggs)
+
+    pieces: list[Column] = []
+    for i, r in enumerate(row_rules):
+        pieces.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+        )
+    for i, r in enumerate(uniq_rules):
+        pieces.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                (
+                    F.col("__n") - F.col(f"__u_{i}") - F.col(f"__un_{i}")
+                ).cast("long").alias("n_violations"),
+            )
+        )
+    if pieces:
+        report = wide.select(
+            F.explode(F.array(*pieces)).alias("p")
+        ).select("p.rule", "p.n_violations")
+    else:  # FK-only rule lists: typed empty base, unions attach below
+        report = df.sparkSession.createDataFrame(
+            [], "rule string, n_violations long"
+        )
+
+    for r in rules:
+        if r.fk is not None:
+            parent, child_col, parent_col = r.fk
+            orphans = (
+                df.select(F.col(child_col))
+                .join(
+                    parent.select(F.col(parent_col).alias(child_col)),
+                    child_col,
+                    "left_anti",
+                )
+                .agg(F.count("*").cast("long").alias("n_violations"))
+                .select(F.lit(r.name).alias("rule"), "n_violations")
+            )
+            report = report.unionAll(orphans)
+    return report.withColumn("passed", F.col("n_violations") == 0)

@@ -1654,6 +1654,83 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_constraint_report",
+    oracle="""
+    SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'not_null(o_orderkey)' AS rule,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                            - COUNT(*) FILTER (o_orderkey IS NULL)
+                     FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0,300000)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice IS NULL
+                        OR o_totalprice < 0 OR o_totalprice > 300000)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'in_range(order_year,1995,1999)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE year(o_orderdate) < 1995
+                        OR year(o_orderdate) > 1999) AS BIGINT)
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+        UNION ALL
+        SELECT 'matches(o_orderpriority)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderpriority IS NULL
+                        OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'foreign_key(o_custkey)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE NOT EXISTS (SELECT 1 FROM customer
+                                       WHERE c_custkey = o_custkey))
+                    AS BIGINT)
+    )
+    """,
+)
+def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (the Deequ suite —
+    functions/constraints.py): seven rules over orders in one plan —
+    row-level rules + uniqueness share a single scan/aggregate, the
+    foreign key adds one anti-join. The report mixes passing rules with
+    genuinely failing ones (price cap and order-year window violate on
+    the fixture), so the hash pins real violation COUNTS, not a wall of
+    zeros."""
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        check_constraints,
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 300000),
+        in_range("order_year", 1995, 1999),
+        in_set("o_orderstatus", ["O", "F", "P"]),
+        matches("o_orderpriority", "^[1-5]-"),
+        foreign_key("o_custkey", cust, "c_custkey"),
+    ]
+    return check_constraints(o, rules)
+
+
+@query(
     "merge_orders_corrections",
     oracle="""
     WITH merged AS (
@@ -6492,7 +6569,10 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (NEW: frame-sampling plumbing vs a closed-form grid oracle;
 #   displaces skewed_priority_agg, r7-green, to the tail);
 #   merge_orders_corrections (NEW: general MERGE INTO with a set-algebra
-#   oracle; displaces salted_nation_revenue, r7-green, to the tail).
+#   oracle; displaces salted_nation_revenue, r7-green, to the tail);
+#   orders_constraint_report (NEW: Deequ-style constraint suite with
+#   per-rule oracle; displaces rolling_30d_revenue, r7-green, to the
+#   tail).
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6505,6 +6585,7 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_mirror_time_travel",
     "cdc_change_feed",
     "merge_orders_corrections",
+    "orders_constraint_report",
     "table_profile_orders_approx",
     "table_profile_lineitem",
     "table_profile_orders",
@@ -6550,9 +6631,9 @@ _DRIVER_CHECK_PRIORITY = [
     "asof_purchase_signup",
     "events_sliding_10min",
     "session_stats",
-    "rolling_30d_revenue",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "rolling_30d_revenue",
     "salted_nation_revenue",
     "skewed_priority_agg",
     "source_token_drift",
