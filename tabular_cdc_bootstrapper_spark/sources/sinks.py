@@ -59,10 +59,18 @@ def compact_small_files(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     force: bool = False,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the
     new file count. Coalesce (no shuffle) because compaction only merges —
     it must not repartition data it didn't need to move.
+
+    ``zorder_by``: the `OPTIMIZE ... ZORDER BY` shape — compaction and
+    multi-dimensional clustering in ONE rewrite (functions/layout.py):
+    rows are range-partitioned on the Morton key over the named columns
+    and sorted within each file, so the compacted files carry tight
+    per-dimension min/max stats. This variant DOES shuffle (that is the
+    point — it re-clusters), unlike the plain merge-only path.
 
     Refuses a directory carrying a streaming file-sink ``_spark_metadata``
     log unless ``force=True``: compaction rewrites the part files, which
@@ -105,7 +113,21 @@ def compact_small_files(
         if f.name.endswith(".parquet") or f.name.endswith(".zstd.parquet")
     )
     n = max(1, math.ceil(total / target_file_bytes))
-    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    if zorder_by:
+        from tabular_cdc_bootstrapper_spark.functions.layout import (
+            with_zorder_key,
+        )
+
+        (
+            with_zorder_key(df, zorder_by)
+            .repartitionByRange(n, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(tmp)
     os.rename(live, bak)
     os.rename(tmp, live)
     shutil.rmtree(bak, ignore_errors=True)

@@ -127,3 +127,39 @@ def test_end_to_end_clean_corpus_materialization(spark, sf_dir, tmp_path):
     assert one_lang.count() == len(
         [r for r in corpus.collect() if r["lang"] == "en" and r["doc_id"] in ids]
     )
+
+
+def test_compaction_with_zorder_reclusters(spark, tmp_path):
+    """OPTIMIZE-with-ZORDER shape: compacting small files with zorder_by
+    preserves the data AND leaves every output file with a tight
+    two-dimensional bounding box (the min/max stats scans prune on)."""
+    import glob
+
+    import pandas as pd
+
+    from tabular_cdc_bootstrapper_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    n = 4096
+    rows = [(i, (i * 2654435761) % 4096, (i * 40503) % 4096) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    df.repartition(64).write.parquet(path)  # 64 small unclustered files
+    before = {(r.id, r.x, r.y) for r in spark.read.parquet(path).collect()}
+
+    n_files = compact_small_files(
+        spark, path, target_file_bytes=4 * 1024, zorder_by=["x", "y"]
+    )
+    after = {(r.id, r.x, r.y) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == n_files and n_files > 1
+    boxes = []
+    for f in files:
+        pdf = pd.read_parquet(f, columns=["x", "y"])
+        boxes.append(
+            (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+        )
+    # clustered rewrite: average per-file box well under the global box
+    assert sum(boxes) / len(boxes) < (4096 * 4096) / 3
