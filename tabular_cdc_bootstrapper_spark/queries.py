@@ -1654,6 +1654,142 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temporal_split_embargo",
+    oracle="""
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20'          THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-22'          THEN 'embargo'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events GROUP BY 1
+    """,
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap (purged
+    time-series holdout, López de Prado 2018 ch.7): rows inside the
+    embargo window train < [T−2d, T) < test are assigned to neither
+    split, so label leakage through time-adjacent samples (a user's
+    behavior just before the cutoff predicting their behavior just
+    after) cannot cross the boundary. Complements the HASH splits
+    (hash_split_counts / leakage_safe_split): those randomize i.i.d.
+    data; this is the correct split when the data is a time series.
+    Pure narrow CASE over the scan + one aggregate — the per-split
+    min/max timestamps in the output ARE the no-overlap proof the
+    oracle hashes."""
+    e = _t(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"), "train")
+        .when(F.col("ts") < F.lit("2024-01-22").cast("timestamp_ntz"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        e.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@query(
+    "mad_price_outliers",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), li AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT l_returnflag, cents * 20 AS cents
+        FROM base WHERE cents % 997 = 0
+    ), med AS (
+        SELECT l_returnflag, median(cents) AS med
+        FROM li GROUP BY l_returnflag
+    ), madt AS (
+        SELECT l.l_returnflag, med,
+               median(abs(l.cents - med)) AS mad
+        FROM li l JOIN med ON l.l_returnflag = med.l_returnflag
+        GROUP BY l.l_returnflag, med
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           m.med AS med_cents,
+           m.mad AS mad_cents,
+           CAST(COUNT(*) FILTER (abs(l.cents - m.med) > 3 * m.mad)
+                AS BIGINT) AS n_outliers
+    FROM li l JOIN madt m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med, m.mad
+    """,
+)
+def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    anomaly filter that, unlike stddev-based z-scores, is not dragged by
+    the outliers it hunts. Two exact-median passes (F.percentile ↔
+    DuckDB median), each a 3-row model broadcast back onto the fact —
+    the fact never shuffles; the final flag count rides the same scan as
+    the second pass.
+
+    Prices are quantized to INTEGER CENTS first: on raw doubles the two
+    engines' even-count interpolation differs by one ulp (Spark computes
+    lo + (hi−lo)·0.5, DuckDB (lo+hi)/2 — measured one-cent disagreement
+    at sf0.001), while on integers (and the half-integer deviations they
+    produce) both formulas are exact and bit-identical.
+
+    The fixture's uniform prices have no 3-MAD tail (max deviation ≈ 1.9
+    MAD), so ×20 outliers are PLANTED deterministically on both engines
+    (cents ≡ 0 mod 997 — the planted-input harness pattern): the flag
+    path is hash-verified, not vacuously zero."""
+    base = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    li = base.unionAll(
+        base.filter(F.col("cents") % 997 == 0).select(
+            "l_returnflag", (F.col("cents") * 20).alias("cents")
+        )
+    ).localCheckpoint(eager=True)  # 2 median passes + flag pass read the
+    # 2-column frame from storage instead of re-scanning lineitem 6×
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    with_med = li.join(F.broadcast(med), "l_returnflag")
+    madt = with_med.groupBy("l_returnflag", "med").agg(
+        F.percentile(F.abs(F.col("cents") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    joined = li.join(F.broadcast(madt), "l_returnflag")
+    return (
+        joined.groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med"))
+                    > F.lit(3) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
     "orders_constraint_report",
     oracle="""
     SELECT rule, n_violations, n_violations = 0 AS passed FROM (
@@ -6556,23 +6692,22 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   windows, drift monitors, robust stats, hybrid retrieval, array HOFs).
 #   The remaining 22 r6 rows sit 2-rounds stale after r8 and rotate in r9
 #   alongside the r7 cohort.
-# - IN (late-r8 addition): semantic_dedup_summary (NEW: SemDeDup — k-means
-#   blocking + exact-integer within-cluster cosine pruning, full oracle;
-#   displaces temperature_mixture_quota, r7-green, to the tail);
-#   zorder_layout_stats (NEW: Morton-code multi-dim layout audit, full
-#   oracle; displaces unigram_surprisal_quality, r7-green, to the tail);
-#   rocchio_lang_confusion (NEW: trained nearest-class-mean classifier,
-#   full fit+predict+confusion oracle; displaces event_mix_drift,
-#   r7-green, to the tail); purchase_graph_pagerank (NEW: integer-exact
-#   link-graph centrality, unrolled-iteration oracle; displaces
-#   source_token_drift, r7-green, to the tail); video_frame_samples
-#   (NEW: frame-sampling plumbing vs a closed-form grid oracle;
-#   displaces skewed_priority_agg, r7-green, to the tail);
-#   merge_orders_corrections (NEW: general MERGE INTO with a set-algebra
-#   oracle; displaces salted_nation_revenue, r7-green, to the tail);
-#   orders_constraint_report (NEW: Deequ-style constraint suite with
-#   per-rule oracle; displaces rolling_30d_revenue, r7-green, to the
-#   tail).
+# - IN (late-r8 additions — 9 NEW full-oracle entries): semantic_dedup_
+#   summary (SemDeDup: k-means blocking + exact-integer cosine pruning),
+#   zorder_layout_stats (Morton multi-dim layout audit),
+#   rocchio_lang_confusion (trained nearest-class-mean classifier, full
+#   fit+predict+confusion oracle), purchase_graph_pagerank (integer-exact
+#   link centrality, unrolled-iteration oracle), video_frame_samples
+#   (closed-form frame-grid oracle), merge_orders_corrections (general
+#   MERGE INTO, set-algebra oracle), orders_constraint_report (Deequ-
+#   style rule suite), temporal_split_embargo (purged time-series
+#   holdout), mad_price_outliers (robust MAD outlier detection). They
+#   displace nine r6-green rows (temperature_mixture_quota,
+#   unigram_surprisal_quality, event_mix_drift, source_token_drift,
+#   skewed_priority_agg, salted_nation_revenue, rolling_30d_revenue,
+#   session_stats, events_sliding_10min) to the tail — those join the 22
+#   r6 rows already scheduled to rotate back in r9 (2 rounds stale after
+#   r8, inside the ≤3-round policy); every r5 row stays IN-window.
 # - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
 #   every family keeps an in-window representative, and every oracle-backed
 #   entry is ALSO re-executed against DuckDB locally every round by
@@ -6586,6 +6721,8 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_change_feed",
     "merge_orders_corrections",
     "orders_constraint_report",
+    "temporal_split_embargo",
+    "mad_price_outliers",
     "table_profile_orders_approx",
     "table_profile_lineitem",
     "table_profile_orders",
@@ -6630,9 +6767,9 @@ _DRIVER_CHECK_PRIORITY = [
     "range_join_click_attribution",
     "asof_purchase_signup",
     "events_sliding_10min",
-    "session_stats",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "session_stats",
     "rolling_30d_revenue",
     "salted_nation_revenue",
     "skewed_priority_agg",
