@@ -39,11 +39,23 @@ def nearest_centroid_fit(
     corpus; the returned model is n_classes × n_features ints."""
     aggs = [F.sum(c).cast("long").alias(c) for c in feature_cols]
     aggs.append(F.count("*").alias("__n"))
-    rows = df.groupBy(label_col).agg(*aggs).collect()
+    # NULL labels carry no class: excluded from training (they would also
+    # break the deterministic sorted-label tie-break in predict)
+    rows = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .agg(*aggs)
+        .collect()
+    )
     model: dict[str, list[int]] = {}
     for r in rows:
         n = r["__n"]
-        model[r[label_col]] = [int(r[c]) // n for c in feature_cols]
+        cent = []
+        for c in feature_cols:
+            s = int(r[c])
+            q = abs(s) // n  # trunc toward zero, matching the module
+            cent.append(q if s >= 0 else -q)  # contract and the oracle's
+        model[r[label_col]] = cent  # emulated trunc-div (kmeans _fit)
     return model
 
 

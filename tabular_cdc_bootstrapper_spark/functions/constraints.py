@@ -38,6 +38,8 @@ class Rule:
     ) -> None:
         if sum(x is not None for x in (violation_cond, unique_cols, fk)) != 1:
             raise ValueError(f"rule {name!r}: exactly one check kind required")
+        if unique_cols is not None and not list(unique_cols):
+            raise ValueError(f"rule {name!r}: unique_cols must be non-empty")
         self.name = name
         self.violation_cond = violation_cond
         self.unique_cols = list(unique_cols) if unique_cols else None
@@ -91,7 +93,11 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for r in rules:
         if r.violation_cond is not None:
             aggs.append(
-                F.sum(F.when(r.violation_cond, 1).otherwise(0))
+                # coalesce: SUM over an EMPTY table is NULL; a quality
+                # gate must read 0 violations / passed=true there
+                F.coalesce(
+                    F.sum(F.when(r.violation_cond, 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias(f"__v_{len(row_rules)}")
             )
@@ -110,7 +116,7 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             n = F.col(c).isNull()
             null_any = n if null_any is None else (null_any | n)
         aggs.append(
-            F.sum(F.when(null_any, 1).otherwise(0))
+            F.coalesce(F.sum(F.when(null_any, 1).otherwise(0)), F.lit(0))
             .cast("long")
             .alias(f"__un_{i}")
         )

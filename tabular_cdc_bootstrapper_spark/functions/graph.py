@@ -415,9 +415,14 @@ def apply_cluster_update(mapping: DataFrame, update: DataFrame) -> DataFrame:
 
 def _trunc_div(a, b):
     """Exact ``a // b`` for non-negative int64 columns without leaving the
-    JVM: ``a % b`` is exact, so the double division is of an exact
-    multiple (≤ 2^52 at PageRank magnitudes) and therefore exact."""
-    return ((a - a % b) / b).cast("long")
+    JVM: ``a % b`` is exact in long arithmetic, so ``a − a % b`` is an
+    exact multiple of ``b``; the division then runs in decimal(38,0) —
+    never double — so the quotient is exact over the FULL int64 domain.
+    (A double-based divide is exact only below 2^53; a hub's damped mass
+    ``num·Σr`` can exceed that on ≥10^5-node graphs, which would silently
+    break the bit-exact oracle contract.)"""
+    dec = "decimal(38,0)"
+    return ((a - a % b).cast(dec) / b.cast(dec)).cast("long")
 
 
 def pagerank(

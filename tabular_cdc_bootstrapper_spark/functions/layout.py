@@ -46,6 +46,9 @@ def minmax_scale(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
     everything to 0. The // is emulated as ``(a − a % b) / b`` — a, b ≥ 0
     and a % b is exact, so the double division is of an exact multiple
     and therefore exact."""
+    # exactness domain: (col − mn)·(2^bits − 1) must stay below 2^53 for
+    # the emulated // (i.e. value span < ~2^37 at bits=16) — far beyond
+    # any scaled layout dimension, but a contract, not an accident
     top = F.lit((1 << bits) - 1).cast("long")
     span = F.greatest(mx - mn, F.lit(1).cast("long"))
     a = (col - mn) * top
@@ -54,8 +57,9 @@ def minmax_scale(col: Column, mn: Column, mx: Column, bits: int = 16) -> Column:
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     """Interleave ``bits`` low bits of each (already-scaled) column into a
-    Morton code. Bit i of column j lands at position ``i·len(cols) + j``
-    — column 0 owns the most-significant slot of each group, so the code
+    Morton code. Bit i of column j lands at position
+    ``i·n + (n − 1 − j)`` for n = len(cols) — column 0 owns the
+    most-significant slot of each group, so the code
     sorts first on col 0's high bit, then col 1's, alternating downward
     (the standard z-curve). Pure column expressions: whole-stage codegen,
     no shuffle, no UDF."""

@@ -45,6 +45,7 @@ def merge_into(
     delete_cond: Column | None = None,
     insert_cond: Column | None = None,
     insert_set: dict[str, Column] | None = None,
+    validate_unique_source: bool = True,
 ) -> DataFrame:
     """MERGE ``source`` into ``target`` on equality of the ``on`` columns;
     returns the merged frame with exactly the target's schema.
@@ -58,6 +59,22 @@ def merge_into(
     exist in the source schema)."""
     update_set = update_set or {}
     insert_set = insert_set or {}
+    if validate_unique_source:
+        # Iceberg/Delta MERGE raises on multiple source rows per target
+        # key; without this gate the full-outer join silently fans the
+        # target row out into duplicates. One keyed aggregate over the
+        # (skinny) source — pass False to skip when the source is known
+        # unique upstream.
+        dup = (
+            source.groupBy(*[F.col(k) for k in on])
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"merge_into: multiple source rows match key {dict((k, dup[0][k]) for k in on)}"
+            )
     # explicit presence markers, NOT key-nullness: merge keys join
     # null-safely, so a matched row may legitimately carry NULL keys on
     # both sides — only a literal flag survives the outer join as an
@@ -75,9 +92,13 @@ def merge_into(
     matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
     src_only = F.col("__t_present").isNull()
 
-    upd = update_cond if update_cond is not None else F.lit(True)
-    dele = delete_cond if delete_cond is not None else F.lit(False)
-    ins = insert_cond if insert_cond is not None else F.lit(True)
+    # NULL-evaluating conditions must act as FALSE (standard MERGE WHEN
+    # semantics and the update path's when() behavior) — without the
+    # coalesce a NULL delete_cond poisons the keep filter through
+    # three-valued logic and silently drops the row
+    upd = F.coalesce(update_cond, F.lit(False)) if update_cond is not None else F.lit(True)
+    dele = F.coalesce(delete_cond, F.lit(False)) if delete_cond is not None else F.lit(False)
+    ins = F.coalesce(insert_cond, F.lit(False)) if insert_cond is not None else F.lit(True)
 
     keep = ~(matched & dele) & ~(src_only & ~ins)
     out_cols = []

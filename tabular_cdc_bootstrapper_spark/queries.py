@@ -6766,9 +6766,9 @@ _DRIVER_CHECK_PRIORITY = [
     "cohort_retention",
     "range_join_click_attribution",
     "asof_purchase_signup",
-    "events_sliding_10min",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "events_sliding_10min",
     "session_stats",
     "rolling_30d_revenue",
     "salted_nation_revenue",

@@ -115,17 +115,10 @@ def compact_small_files(
     n = max(1, math.ceil(total / target_file_bytes))
     if zorder_by:
         from tabular_cdc_bootstrapper_spark.functions.layout import (
-            with_zorder_key,
+            write_zordered,
         )
 
-        (
-            with_zorder_key(df, zorder_by)
-            .repartitionByRange(n, "zval")
-            .sortWithinPartitions("zval")
-            .drop("zval")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        write_zordered(df, tmp, zorder_by, n_files=n)
     else:
         df.coalesce(n).write.mode("overwrite").parquet(tmp)
     os.rename(live, bak)

@@ -91,3 +91,17 @@ def test_classifier_scoring_runs_unchanged_on_a_stream(spark, tmp_path):
     }
     assert got == want
     assert {p for (_, _, p) in want} == {"a", "b"}
+
+
+def test_fit_excludes_null_labels_and_truncdiv_negatives(spark):
+    """NULL-labeled rows train nothing (and must not crash the sorted
+    tie-break); negative feature sums divide toward zero, matching the
+    module contract and the k-means oracle scheme."""
+    df = spark.createDataFrame(
+        [("a", -3, 0), ("a", 0, 0), (None, 999, 999)],
+        "label string, f0 long, f1 long",
+    )
+    model = nearest_centroid_fit(df, "label", ["f0", "f1"])
+    assert model == {"a": [-1, 0]}  # trunc(-3/2) = -1, not floor's -2
+    out = nearest_centroid_fit_predict(df, "label", ["f0", "f1"])
+    assert out.count() == 3  # null-labeled rows still get scored

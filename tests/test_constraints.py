@@ -86,3 +86,25 @@ def test_row_rules_share_one_scan(spark, sf_dir):
     scans = scan_read_columns(df)
     # orders appears twice (agg + FK child side), customer once
     assert len(scans) <= 3
+
+
+def test_empty_table_reports_zero_violations_everywhere(spark):
+    """SUM over an empty table is NULL in SQL; the report must still read
+    0 violations / passed=true for every rule kind (the legitimate
+    empty-ingest case), consistent with the FK path."""
+    empty = spark.createDataFrame([], "k long, s string")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    got = _report(
+        empty,
+        [not_null("k"), unique("k"), foreign_key("k", parent, "pk")],
+    )
+    assert got == {
+        "not_null(k)": (0, True),
+        "unique(k)": (0, True),
+        "foreign_key(k)": (0, True),
+    }
+
+
+def test_empty_unique_cols_rejected():
+    with pytest.raises(ValueError, match="non-empty"):
+        unique()

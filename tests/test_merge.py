@@ -112,3 +112,39 @@ def test_merge_single_shuffle_plan(spark):
     plan = physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_null_condition_acts_as_false(spark):
+    """A WHEN condition evaluating to NULL must behave as FALSE (standard
+    MERGE), not drop the row through three-valued logic."""
+    target = _t(spark, [(1, 10)])
+    source = spark.createDataFrame([(1, 11, None)], "k long, v long, op string")
+    out = merge_into(
+        target,
+        source,
+        on=["k"],
+        update_cond=src("op") == "U",
+        update_set={"v": src("v")},
+        delete_cond=src("op") == "D",  # NULL op → NULL cond → keep
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(1, 10)]
+
+
+def test_merge_rejects_multiple_source_rows_per_key(spark):
+    """Iceberg/Delta MERGE semantics: two source rows matching one target
+    key is an error, not silent duplication."""
+    import pytest
+
+    target = _t(spark, [(1, 10)])
+    source = _s(spark, [(1, 11, "U"), (1, 12, "U")])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(target, source, on=["k"], update_set={"v": src("v")})
+    # opt-out for sources known-unique upstream skips the validation scan
+    out = merge_into(
+        target,
+        _s(spark, [(1, 11, "U")]),
+        on=["k"],
+        update_set={"v": src("v")},
+        validate_unique_source=False,
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(1, 11)]
