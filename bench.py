@@ -67,7 +67,22 @@ UDF_HEAVY = {
 }
 
 
+def _parse_round_argv() -> str | None:
+    """Validate --round N up front (ADVICE r8: a trailing --round used to
+    IndexError only AFTER the full bench run, losing the artifact write).
+    Returns the value, or None when the flag is absent; exits when the
+    flag is present but missing/non-integer."""
+    if "--round" not in sys.argv:
+        return None
+    idx = sys.argv.index("--round") + 1
+    if idx >= len(sys.argv) or not sys.argv[idx].lstrip("-").isdigit():
+        print("bench: --round requires an integer value", file=sys.stderr)
+        raise SystemExit(2)
+    return sys.argv[idx]
+
+
 def main() -> None:
+    round_argv = _parse_round_argv()  # fail fast, before the expensive run
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -177,9 +192,7 @@ def main() -> None:
     # more recently than the driver's BENCH file, the inference is still
     # ambiguous, so the explicit path is the documented house rule for
     # any post-driver re-run.
-    round_arg = os.environ.get("SPARK_GRAFT_ROUND")
-    if "--round" in sys.argv:
-        round_arg = sys.argv[sys.argv.index("--round") + 1]
+    round_arg = round_argv or os.environ.get("SPARK_GRAFT_ROUND")
     if round_arg is not None:
         round_no = int(round_arg)
     else:

@@ -203,8 +203,17 @@ class ParquetStateTable:
         return self._log.next_version()
 
     def _publish(self, record: dict, keep: str) -> dict:
+        # Orphan GC must not touch dirs referenced by COMMITTED history
+        # (ADVICE r8): a rollback's log entry shares its dir with the older
+        # committed snapshot it re-points at, so a crash between its log
+        # append and pointer swap leaves an orphan whose dir still belongs
+        # to a retained committed snapshot — guarding only on the record
+        # being published would rmtree committed data. Snapshot the set
+        # before publish, while the pointer is still the pre-commit one.
+        committed_dirs = {e["dir"] for e in self._log.committed()}
+
         def gc_orphan(e: dict) -> None:
-            if e["dir"] != record["dir"]:
+            if e["dir"] != record["dir"] and e["dir"] not in committed_dirs:
                 shutil.rmtree(e["dir"], ignore_errors=True)
 
         self._log.publish(record, on_orphan=gc_orphan)

@@ -133,6 +133,30 @@ def test_crash_orphan_log_entry_is_superseded(spark, tmp_path):
     assert _tags(spark, t) == [(j, "v2") for j in range(3)]
 
 
+def test_crashed_rollback_orphan_gc_spares_committed_dir(spark, tmp_path):
+    """ADVICE r8 (medium): a rollback log entry SHARES its dir with the
+    older committed snapshot it re-points at. If the crash window between
+    log append and pointer swap hits, the orphan's dir must NOT be
+    GC'd by the next commit — it still holds a retained committed
+    snapshot's data."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    t.commit(_df(spark, "v1"))
+    v0_dir = t.history()[0]["dir"]
+    # simulate rollback(0) crashing between log append and pointer swap:
+    # log entry v2 exists, referencing v0's dir, but CURRENT still at v1
+    with open(os.path.join(t._log_dir, "v-00000002.json"), "w") as fh:
+        json.dump(
+            {"version": 2, "dir": v0_dir, "ts": 0.0, "rollback_of": 0}, fh
+        )
+    rec = t.commit(_df(spark, "v3"))  # triggers orphan GC of entry v2
+    assert rec["version"] == 3
+    # the committed v0 snapshot survives the orphan GC and stays readable
+    assert os.path.isdir(v0_dir)
+    assert _tags(spark, t, 0) == [(j, "v0") for j in range(3)]
+    assert [e["version"] for e in t.history()] == [0, 1, 3]
+
+
 def test_pre_log_table_stays_readable_and_upgrades(spark, tmp_path):
     # a table written before the snapshot log existed: data dir + pointer,
     # no _log
