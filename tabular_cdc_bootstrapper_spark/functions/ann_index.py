@@ -201,7 +201,15 @@ class AnnIndex:
         return self.model.current() is not None and self.codes.current() is not None
 
     def meta(self) -> dict:
-        return self.codes.current()["meta"]
+        cur = self.codes.current()
+        if cur is None:  # ADVICE r8: was a bare TypeError on None["meta"]
+            raise ValueError(
+                f"ANN index at {self.root} has not been built (no codes "
+                "manifest) — call build_ann_index first, or use "
+                "MaintainedAnnIndex(bootstrap=True) to build from the "
+                "first micro-batch"
+            )
+        return cur["meta"]
 
     def load_models(self, spark: SparkSession):
         """Bounded collect of the standing models (≈ n_centroids·dim +
@@ -405,14 +413,45 @@ class MaintainedAnnIndex:
     under checkpoint replay via the batch-id fence in the manifest meta
     (append + fence swap in one atomic manifest rename)."""
 
-    def __init__(self, root: str, drift_threshold: float = 1.5) -> None:
+    def __init__(
+        self,
+        root: str,
+        drift_threshold: float = 1.5,
+        bootstrap: bool = False,
+        build_opts: dict | None = None,
+    ) -> None:
         self.index = AnnIndex(root)
         self.drift_threshold = drift_threshold
+        self.bootstrap = bootstrap
+        self.build_opts = dict(build_opts or {})
 
     def apply_batch(self, spark: SparkSession, batch_df: DataFrame, batch_id: int) -> dict:
         cur = self.index.codes.current()
         if cur is not None and cur["meta"].get("last_batch_id", -1) >= batch_id:
             return {"skipped_replay": True, "batch_id": batch_id}
+        if cur is None:
+            # ADVICE r8: appending to a never-built index used to crash
+            # with TypeError. Either bootstrap-build from the first
+            # micro-batch (opt-in: the first batch becomes the training
+            # corpus, so callers should size it representatively) or fail
+            # with the descriptive error AnnIndex.meta() now raises.
+            if not self.bootstrap:
+                self.index.meta()  # raises the descriptive ValueError
+            opts = {"n_centroids": None, **self.build_opts}  # auto-√n default
+            build_ann_index(
+                spark,
+                batch_df,
+                self.index.root,
+                fingerprint=f"bootstrap-batch-{batch_id}",
+                **opts,
+            )
+            self.index.codes.update_meta({"last_batch_id": batch_id})
+            return {
+                "bootstrap_build": True,
+                "batch_id": batch_id,
+                "n_appended": batch_df.count(),
+                "needs_retrain": False,
+            }
         return append_to_index(
             spark,
             self.index,

@@ -78,6 +78,9 @@ def unique(*cols: str) -> Rule:
 
 
 def foreign_key(child_col: str, parent: DataFrame, parent_col: str) -> Rule:
+    """SQL FK semantics (ADVICE r8): a NULL child key PASSES — referential
+    integrity only constrains non-NULL references (ANSI MATCH SIMPLE).
+    Pair with ``not_null(child_col)`` when NULLs should also fail."""
     return Rule(
         f"foreign_key({child_col})", fk=(parent, child_col, parent_col)
     )
@@ -152,7 +155,12 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         if r.fk is not None:
             parent, child_col, parent_col = r.fk
             orphans = (
+                # NULL child keys are excluded: a left_anti equality join
+                # would count them as orphans (NULL never matches), but
+                # SQL FK semantics let NULL references pass — NULL checks
+                # belong to not_null rules (ADVICE r8)
                 df.select(F.col(child_col))
+                .filter(F.col(child_col).isNotNull())
                 .join(
                     parent.select(F.col(parent_col).alias(child_col)),
                     child_col,

@@ -1825,8 +1825,10 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)
         UNION ALL
         SELECT 'foreign_key(o_custkey)',
+               -- ANSI MATCH SIMPLE: NULL child keys pass (ADVICE r8)
                CAST((SELECT COUNT(*) FROM orders
-                     WHERE NOT EXISTS (SELECT 1 FROM customer
+                     WHERE o_custkey IS NOT NULL
+                       AND NOT EXISTS (SELECT 1 FROM customer
                                        WHERE c_custkey = o_custkey))
                     AS BIGINT)
     )

@@ -162,6 +162,48 @@ def test_maintained_index_replay_fence(spark, tmp_path):
     assert view.index.codes.read(spark).count() == 120
 
 
+def test_unbuilt_index_errors_clearly_or_bootstraps(spark, tmp_path):
+    """ADVICE r8: applying a batch to a never-built index used to crash
+    with TypeError (None["meta"]). Default: a descriptive ValueError;
+    with bootstrap=True the first micro-batch builds the index, later
+    batches append against the bootstrapped models."""
+    import pytest
+
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import (
+        append_to_index,
+    )
+
+    dim = 16
+    batch = spark.createDataFrame(
+        [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # default path: clear error, not a TypeError
+    view = MaintainedAnnIndex(str(tmp_path / "nofence"))
+    with pytest.raises(ValueError, match="has not been built"):
+        view.apply_batch(spark, batch, batch_id=0)
+    with pytest.raises(ValueError, match="has not been built"):
+        append_to_index(spark, AnnIndex(str(tmp_path / "nofence")), batch)
+    # bootstrap path: first batch builds, second appends, fence holds
+    boot = MaintainedAnnIndex(
+        str(tmp_path / "boot"),
+        bootstrap=True,
+        build_opts={"n_subspaces": 4, "n_codes": 4, "dim": dim},
+    )
+    r0 = boot.apply_batch(spark, batch, batch_id=0)
+    assert r0["bootstrap_build"] is True and r0["n_appended"] == 60
+    assert boot.index.exists()
+    replay = boot.apply_batch(spark, batch, batch_id=0)
+    assert replay == {"skipped_replay": True, "batch_id": 0}
+    nxt = spark.createDataFrame(
+        [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(60, 80)],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = boot.apply_batch(spark, nxt, batch_id=1)
+    assert r1["n_appended"] == 20 and "bootstrap_build" not in r1
+    assert boot.index.codes.read(spark).count() == 80
+
+
 def test_manifest_swap_is_atomic_and_prunes(spark, tmp_path):
     """SegmentedTable: replace() installs a single-segment manifest and
     prunes unreferenced segment dirs; update_meta() swaps metadata

@@ -68,6 +68,18 @@ def test_foreign_key_counts_orphans(spark):
     assert got["foreign_key(fk)"] == (2, False)  # both 9-rows orphaned
 
 
+def test_foreign_key_null_child_keys_pass(spark):
+    """ADVICE r8: SQL FK semantics (ANSI MATCH SIMPLE) — a NULL child key
+    is NOT an orphan; NULL checks belong to not_null rules."""
+    child = spark.createDataFrame([(1,), (None,), (None,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    got = _report(
+        child, [foreign_key("fk", parent, "pk"), not_null("fk")]
+    )
+    assert got["foreign_key(fk)"] == (1, False)  # only the 9-row
+    assert got["not_null(fk)"] == (2, False)  # NULLs fail separately
+
+
 def test_rule_requires_exactly_one_kind():
     with pytest.raises(ValueError):
         Rule("bad")
