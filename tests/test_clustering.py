@@ -250,6 +250,46 @@ def test_semantic_dedup_cluster_size_cap_guards_skew(spark):
     assert got2 == {0: False, 1: True, 2: True}
 
 
+def test_auto_semdedup_k_law():
+    """VERDICT r8 task 2: k ∝ n (⌈n/target⌉, clamped) — the SCALING.md
+    10×-probe law (fixed k=8 → 4.6× wall at 10× corpus; k ∝ n → 1.06×)
+    codified as a derivation, same pattern as auto_n_centroids."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import auto_semdedup_k
+
+    assert auto_semdedup_k(0) == 8  # floor
+    assert auto_semdedup_k(2_000) == 8  # sf0.1 corpus reproduces default
+    assert auto_semdedup_k(2_049) == 9  # ceil, not floor
+    assert auto_semdedup_k(20_000) == 79  # the 10×-probe operating point
+    assert auto_semdedup_k(10_000_000) == 39063
+    assert auto_semdedup_k(10**12) == 65536  # broadcast-ceiling cap
+    # 10× corpus → ~10× clusters → occupancy (the quadratic term) flat
+    assert 9.5 <= auto_semdedup_k(10**7) / auto_semdedup_k(10**6) <= 10.5
+
+
+def test_semantic_dedup_auto_k_matches_explicit(spark):
+    """k=None derives auto_semdedup_k(n) from one corpus count and is
+    otherwise identical to passing that k explicitly."""
+    from tabular_cdc_bootstrapper_spark.functions.dedup import (
+        auto_semdedup_k,
+        semantic_dedup,
+    )
+
+    df = _vec_df(
+        spark,
+        [(i, [float(i % 3), float((i + 1) % 3), 1.0]) for i in range(30)],
+    )
+    k_auto = auto_semdedup_k(30)
+    got_auto = sorted(
+        (r["id"], r["cid"], r["is_dup"])
+        for r in semantic_dedup(df, k=None, iters=1).collect()
+    )
+    got_expl = sorted(
+        (r["id"], r["cid"], r["is_dup"])
+        for r in semantic_dedup(df, k=k_auto, iters=1).collect()
+    )
+    assert got_auto == got_expl
+
+
 def test_semantic_dedup_deterministic_across_runs(spark):
     from tabular_cdc_bootstrapper_spark.functions.dedup import semantic_dedup
 
