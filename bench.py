@@ -64,6 +64,7 @@ UDF_HEAVY = {
     "ann_prebuilt_ivfpq_topk",  # one-time index build on first run (r8)
     "ann_index_maintained_topk",  # build+append harness, pandas-UDF encode (r8)
     "semantic_dedup_summary",  # kmeans assignment pandas UDF (r8)
+    "passage_ann_topk",  # one-time chunk-index build (pandas-UDF encode) (r9)
 }
 
 
