@@ -112,3 +112,99 @@ def merge_into(
             .alias(c)
         )
     return j.filter(keep).select(*out_cols)
+
+
+def merge_into_table(
+    spark,
+    table,
+    source: DataFrame,
+    on: list[str],
+    update_set: dict[str, Column] | None = None,
+    update_cond: Column | None = None,
+    delete_cond: Column | None = None,
+    insert_cond: Column | None = None,
+    insert_set: dict[str, Column] | None = None,
+    evolve_schema: bool | list[str] = False,
+    validate_unique_source: bool = True,
+    meta: dict | None = None,
+) -> dict:
+    """MERGE INTO a COMMITTED state table (VERDICT r8 task 4): one merge
+    = one commit — time-travelable where the table keeps a snapshot log
+    (``ParquetStateTable`` / ``VersionedBucketMirror``: the merge shows
+    up in ``history()``, old state stays readable via ``read_version``,
+    and ``table_changes(pre, post)`` yields exactly the merge's effect
+    as a CDF), crash-safe rename-swap on the plain
+    ``BucketPartitionedMirror``.
+
+    Storage dispatch mirrors the Delta/Iceberg cost model:
+
+    - snapshot table (``commit``): whole-state rewrite, atomic pointer
+      swap — the test-scale layout;
+    - bucketed mirrors (``read_buckets``/``commit_merged``): a MERGE
+      only modifies rows whose keys appear in the SOURCE (unmatched
+      target rows are untouched by definition), so the touched buckets
+      are the source keys' buckets — the merge reads, rewrites, and
+      commits ∝ |source's buckets|, never the table (the
+      Iceberg/Delta bucketed ``MERGE INTO`` shape).
+
+    ``evolve_schema=True`` adds source-only columns to the target schema
+    (Delta's ``withSchemaEvolution()``): existing rows read NULL, and
+    unless the caller overrides, an evolved column updates/inserts from
+    the source column of the same name. Pass a LIST of column names to
+    evolve only those (keeping control columns like an op selector out
+    of the table). On the bucketed layouts only touched buckets are
+    rewritten with the new column — readers mergeSchema across bucket
+    versions by design.
+
+    Returns the commit record (plus ``touched_buckets`` where bucketed).
+    """
+    update_set = dict(update_set or {})
+    bucketed = hasattr(table, "read_buckets")
+    touched: list[int] | None = None
+    if bucketed:
+        key = table.key_col
+        if key not in on:
+            raise ValueError(
+                f"bucketed merge requires the bucket key {key!r} in on={on}"
+            )
+        touched = sorted(
+            r["b"]
+            for r in source.select(table._bucket(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        target = table.read_buckets(spark, touched) if table.exists() else None
+        if target is not None and "bucket" in target.columns:
+            target = target.drop("bucket")
+    else:
+        target = table.read(spark)
+    if target is None:
+        # first merge into an empty/uninitialized table: everything
+        # inserts; the target schema is the source's merge-relevant shape
+        target = source.limit(0)
+    if evolve_schema:
+        wanted = None if evolve_schema is True else set(evolve_schema)
+        for f in source.schema.fields:
+            if f.name not in target.columns and (
+                wanted is None or f.name in wanted
+            ):
+                target = target.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+                update_set.setdefault(f.name, src(f.name))
+    merged = merge_into(
+        target,
+        source,
+        on,
+        update_set=update_set,
+        update_cond=update_cond,
+        delete_cond=delete_cond,
+        insert_cond=insert_cond,
+        insert_set=insert_set,
+        validate_unique_source=validate_unique_source,
+    )
+    if bucketed:
+        rec = table.commit_merged(merged, touched)
+    else:
+        rec = table.commit(merged, meta={**(meta or {}), "operation": "merge"})
+    return dict(rec)

@@ -1869,6 +1869,143 @@ def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_table_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 100 < 50
+    ), merged AS (
+        SELECT k, status, price_cents * 2 AS price_cents,
+               'corr-' || k AS note
+        FROM base WHERE k % 10 = 3
+        UNION ALL
+        SELECT k, status, price_cents, NULL AS note
+        FROM base WHERE k % 10 NOT IN (3, 7)
+        UNION ALL
+        SELECT k + 10000000, status, price_cents,
+               'corr-' || (k + 10000000) AS note
+        FROM base WHERE k % 10 = 1
+    )
+    SELECT 'v0' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+           CAST(0 AS BIGINT) AS n_notes
+    FROM base
+    UNION ALL
+    SELECT 'v1', CAST(COUNT(*) AS BIGINT), CAST(SUM(price_cents) AS BIGINT),
+           CAST(COUNT(note) AS BIGINT)
+    FROM merged
+    UNION ALL
+    SELECT 'cdf_U', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price_cents * 2) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM base WHERE k % 10 = 3
+    UNION ALL
+    SELECT 'cdf_D', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM base WHERE k % 10 = 7
+    UNION ALL
+    SELECT 'cdf_I', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(price_cents) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM base WHERE k % 10 = 1
+    """,
+)
+def merge_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over committed, versioned state (VERDICT r8 task 4 —
+    operators/merge.py merge_into_table): commit an orders-derived state
+    table (v0), apply one general MERGE WITH SCHEMA EVOLUTION as a
+    single snapshot commit (v1: conditional doubles for keys ≡3 mod 10,
+    deletes for ≡7, key-shifted inserts for ≡1, plus an evolved ``note``
+    column that pre-merge rows read as NULL), then prove the snapshot
+    semantics in one result: v0 aggregates via ``read_version`` (the
+    pre-merge state must remain bit-intact), v1 aggregates over the
+    merged head, and the ``table_changes(v0, v1)`` change feed grouped
+    by op — which must be EXACTLY the merge's effect (minimal CDF across
+    the schema-evolution boundary: untouched rows are not re-emitted
+    even though their schema changed). The oracle replays the merge as
+    set algebra and each phase's aggregate, all in exact integer cents.
+    """
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+        table_changes,
+    )
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 50)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_merge_tt_")
+    t = ParquetStateTable(root, keep_versions=10)
+    v0 = t.commit(base)["version"]
+    upd = base.filter(F.col("k") % 10 == 3).select(
+        "k", "status",
+        (F.col("price_cents") * 2).alias("price_cents"),
+        F.concat(F.lit("corr-"), F.col("k")).alias("note"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("k") % 10 == 7).select(
+        "k", "status", "price_cents",
+        F.lit(None).cast("string").alias("note"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(F.col("k") % 10 == 1).select(
+        (F.col("k") + 10000000).alias("k"),
+        "status", "price_cents",
+        F.concat(F.lit("corr-"), F.col("k") + 10000000).alias("note"),
+        F.lit("I").alias("op"),
+    )
+    merge_into_table(
+        spark, t, upd.unionAll(dele).unionAll(ins), on=["k"],
+        update_cond=src("op") == "U",
+        update_set={"price_cents": src("price_cents")},
+        delete_cond=src("op") == "D",
+        insert_cond=src("op") == "I",
+        evolve_schema=["note"],  # op is a control column, not table state
+        validate_unique_source=False,  # disjoint by construction
+    )
+    v1 = t.current()["version"]
+
+    def phase_agg(df: DataFrame, phase: str, with_note: bool) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.coalesce(F.sum("price_cents"), F.lit(0))
+            .cast("long")
+            .alias("total_cents"),
+            (
+                F.count("note") if with_note else F.lit(0)
+            ).cast("long").alias("n_notes"),
+        )
+
+    v0_row = phase_agg(t.read_version(spark, v0), "v0", with_note=False)
+    v1_row = phase_agg(t.read_version(spark, v1), "v1", with_note=True)
+    feed = table_changes(spark, t, v0, v1, key_cols="k")
+    cdf_rows = feed.groupBy("op").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("price_cents"), F.lit(0))
+        .cast("long")
+        .alias("total_cents"),
+        F.count("note").cast("long").alias("n_notes"),
+    ).select(
+        F.concat(F.lit("cdf_"), F.col("op")).alias("phase"),
+        "n_rows", "total_cents", "n_notes",
+    )
+    return v0_row.unionAll(v1_row).unionAll(cdf_rows)
+
+
+@query(
     "merge_orders_corrections",
     oracle="""
     WITH merged AS (
@@ -6900,6 +7037,7 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_mirror_time_travel",
     "cdc_change_feed",
     "merge_orders_corrections",
+    "merge_table_time_travel",
     "orders_constraint_report",
     "temporal_split_embargo",
     "mad_price_outliers",

@@ -348,6 +348,16 @@ def table_changes(
         old = new.limit(0)
     if new is None:
         new = old.limit(0)
+    # schema evolution across the window (r9): a snapshot written before a
+    # column-adding MERGE lacks the new column — align by adding each
+    # one-sided column as typed NULL (Delta CDF's behavior for evolved
+    # tables: pre-evolution rows read NULL, an added value classifies U/I)
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in old.schema.fields:
+        if f.name not in new.columns:
+            new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
     return table_diff(old, new, key_cols)
 
 
@@ -710,6 +720,17 @@ class VersionedBucketMirror:
         rec["touched_buckets"] = touched
         return rec
 
+    def commit_merged(
+        self, df: DataFrame, touched: Sequence[int], key_col: str | None = None
+    ) -> dict:
+        """Commit an externally-merged state slice for ``touched`` buckets
+        as one manifest (the hook ``operators/merge.py merge_into_table``
+        uses: a general MERGE = one time-travelable commit, cost ∝
+        touched buckets)."""
+        rec = self._commit_staged(df, touched=list(touched), key_col=key_col)
+        rec["touched_buckets"] = sorted(int(b) for b in touched)
+        return rec
+
     def _commit_staged(
         self,
         df: DataFrame,
@@ -1063,6 +1084,11 @@ class BucketPartitionedMirror:
             tiebreak_cols=tiebreak_cols,
             drop_envelope=(),
         )
+        return self._swap_staged(new_state, touched, key)
+
+    def _swap_staged(
+        self, new_state: DataFrame, touched: Sequence[int], key: str
+    ) -> dict:
         # stage-then-swap: the new bucket contents are written to a staging
         # dir FIRST (the merge plan reads the live bucket files — writing
         # over them in the same job would have the write re-read its own
@@ -1096,3 +1122,13 @@ class BucketPartitionedMirror:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return {"touched_buckets": sorted(touched)}
+
+    def commit_merged(
+        self, df: DataFrame, touched: Sequence[int], key_col: str | None = None
+    ) -> dict:
+        """Swap in an externally-merged state slice for ``touched``
+        buckets (the ``merge_into_table`` hook — same crash-safe
+        rename-aside discipline as the CDC merge)."""
+        return self._swap_staged(
+            df, [int(b) for b in touched], key_col or self.key_col
+        )
