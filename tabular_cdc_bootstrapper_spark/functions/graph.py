@@ -433,6 +433,7 @@ def pagerank(
     damping: tuple[int, int] = (85, 100),
     scale: int = 10**9,
     checkpoint_interval: int = 2,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Damped PageRank in EXACT integer arithmetic — link-graph centrality
     (the web-quality signal of pretraining pipelines) as a deterministic,
@@ -443,9 +444,18 @@ def pagerank(
     with num/den = ``damping``. Every step is trunc-div / multiply / sum
     on int64 (max ≈ n·scale·num ≪ 2^63), so any engine replays the
     fixed-point trajectory bit-for-bit — the same determinism scheme as
-    clustering.py's quantized k-means. Dangling nodes receive rank but
-    leak their mass (the standard simplification); symmetrize the edge
-    set to avoid them entirely.
+    clustering.py's quantized k-means.
+
+    Dangling nodes (no out-edges): by default they receive rank but leak
+    their mass (the classical simplification — fine when the caller
+    symmetrizes the edge set). Real link graphs are full of sinks, and
+    leaked mass makes ranks incomparable across graphs, so
+    ``redistribute_dangling=True`` applies the standard correction: each
+    iteration adds ``(Σ dangling rank) // n`` to every node's incoming
+    sum before damping — still exact int64 (one extra 1-row aggregate
+    per iteration, broadcast back via a literal-row cross join; n is one
+    static count at setup). With no dangling nodes the share is 0 and
+    the trajectory is bit-identical to the default path (pinned).
 
     Scale shape per iteration: ONE join (edges ⋈ ranks, shuffled on the
     source key — the static edges ⋈ outdeg frame is materialized once via
@@ -472,6 +482,7 @@ def pagerank(
     )
     num, den = damping
     base = (scale * (den - num)) // den
+    n_nodes = nodes.count() if redistribute_dangling else 0
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for it in range(iters):
         contrib = ed.join(ranks, ed["src"] == ranks["v"]).select(
@@ -479,12 +490,33 @@ def pagerank(
             _trunc_div(F.col("r"), F.col("deg")).alias("c"),
         )
         sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(sums, "v", "left").select(
+        incoming = F.coalesce("s", F.lit(0))
+        joined = nodes.join(sums, "v", "left")
+        if redistribute_dangling:
+            # Σ rank over out-degree-0 nodes, split n ways (trunc): one
+            # 1-row aggregate, broadcast back as a literal cross join —
+            # the bounded-collect-free pattern every model join here uses
+            share = (
+                ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0))
+                    .cast("long")
+                    .alias("__dt")
+                )
+                .select(
+                    _trunc_div(
+                        F.col("__dt"), F.lit(n_nodes).cast("long")
+                    ).alias("__share")
+                )
+            )
+            joined = joined.crossJoin(F.broadcast(share))
+            incoming = incoming + F.col("__share")
+        ranks = joined.select(
             "v",
             (
                 F.lit(base).cast("long")
                 + _trunc_div(
-                    F.lit(num).cast("long") * F.coalesce("s", F.lit(0)),
+                    F.lit(num).cast("long") * incoming,
                     F.lit(den).cast("long"),
                 )
             ).alias("r"),

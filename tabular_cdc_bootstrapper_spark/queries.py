@@ -6751,6 +6751,95 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_dangling_oracle(iters: int = 3, scale: int = 10**9) -> str:
+    """Unrolled integer PageRank WITH dangling-mass redistribution
+    (VERDICT r8 task 5): per iteration the ranks of out-degree-0 nodes
+    sum into one value, split n ways by trunc-div, and join every node's
+    incoming sum before damping — replayed in SQL because every step
+    stays exact int64 (sums in HUGEINT cast back). The directed
+    customer→supplier graph makes EVERY supplier a sink, so the
+    redistribution term is live, not vacuous."""
+    base = (scale * 15) // 100
+    parts = [
+        f"""
+    e AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for n in range(1, iters + 1):
+        parts.append(f"""
+    d{n} AS (
+        SELECT CAST(COALESCE(SUM(r.r), 0) // (SELECT n FROM nn) AS BIGINT)
+               AS share
+        FROM r{n - 1} r LEFT JOIN deg dg ON r.v = dg.v
+        WHERE dg.v IS NULL
+    ),
+    it{n} AS (
+        SELECT e.dst AS v, SUM(r.r // dg.d) AS s
+        FROM e JOIN r{n - 1} r ON e.src = r.v JOIN deg dg ON e.src = dg.v
+        GROUP BY e.dst
+    ),
+    r{n} AS (
+        SELECT n.v,
+               CAST({base} + (85 * (COALESCE(it{n}.s, 0)
+                     + (SELECT share FROM d{n}))) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN it{n} ON n.v = it{n}.v
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(v AS BIGINT) AS node_id,
+           CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           r AS rank_scaled
+    FROM r{iters} ORDER BY r DESC, v LIMIT 20
+    """
+    )
+
+
+@query("pagerank_dangling_directed", oracle=_pagerank_dangling_oracle())
+def pagerank_dangling_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (VERDICT r8 task 5 —
+    functions/graph.py pagerank(redistribute_dangling=True)) over the
+    DIRECTED customer→supplier purchase graph, where every supplier is a
+    sink: without the correction all supplier mass leaks each round and
+    ranks stop being comparable across graphs. The correction is the
+    standard uniform add-back — one extra 1-row aggregate per iteration
+    (Σ dangling rank // n), broadcast back as a literal cross join,
+    still exact int64 so the DuckDB oracle unrolls the corrected
+    trajectory bit-for-bit. Mass conservation at scale·n is law-tested
+    in tests/test_graph_retrieval.py."""
+    from tabular_cdc_bootstrapper_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, redistribute_dangling=True)
+    return (
+        ranks.orderBy(F.col("rank_scaled").desc(), "node_id")
+        .limit(20)
+        .select(
+            F.col("node_id").cast("bigint"),
+            F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("rank_scaled").cast("bigint"),
+        )
+    )
+
+
 def _rocchio_oracle() -> str:
     """Replays nearest-centroid fit + predict + confusion end-to-end: the
     class means are integer trunc-divs of one GROUP BY (HUGEINT sums cast
@@ -7074,6 +7163,7 @@ _DRIVER_CHECK_PRIORITY = [
     "zorder_layout_stats",
     "rocchio_lang_confusion",
     "purchase_graph_pagerank",
+    "pagerank_dangling_directed",
     "int8_quantized_topk",
     "heavy_hitter_terms",
     "hll_distinct_counts",
