@@ -171,3 +171,189 @@ def check_constraints(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             )
             report = report.unionAll(orphans)
     return report.withColumn("passed", F.col("n_violations") == 0)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly rules (VERDICT r8 task 6) — Deequ's second half: instead of
+# judging a table against absolute thresholds, judge the CURRENT commit
+# against a BASELINE snapshot ("row count within x% of the previous
+# version", "null rate didn't jump"). Composes with the snapshot log:
+# resolve any two versions via read_version/history and compare their
+# single-scan stats — each side is ONE aggregate (1 row), the comparison
+# is a broadcast cross join of two 1-row frames, and every verdict is
+# exact integer arithmetic (cross-multiplied ratios in decimal(38,0), no
+# float tolerance), so a DuckDB oracle replays pass/fail bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+class AnomalyRule:
+    """Relative-change check of one metric between two snapshots.
+
+    ``metric``: 'row_count' | 'null_count' (per ``col``) | 'sum' (per
+    ``col``) | 'distinct_count' (per ``col``). ``tolerance`` =
+    (num, den): the allowed relative change num/den vs the baseline.
+    ``one_sided=True`` flags only INCREASES (the null-rate shape:
+    growing completeness is fine, decaying completeness is the alarm)."""
+
+    def __init__(
+        self,
+        name: str,
+        metric: str,
+        tolerance: tuple[int, int],
+        col: str | None = None,
+        one_sided: bool = False,
+    ) -> None:
+        if metric not in {"row_count", "null_count", "sum", "distinct_count"}:
+            raise ValueError(f"unknown anomaly metric {metric!r}")
+        if metric != "row_count" and col is None:
+            raise ValueError(f"metric {metric!r} needs a column")
+        num, den = tolerance
+        if den <= 0 or num < 0:
+            raise ValueError(f"tolerance must be num>=0, den>0; got {tolerance}")
+        self.name = name
+        self.metric = metric
+        self.col = col
+        self.num = num
+        self.den = den
+        self.one_sided = one_sided
+
+
+def row_count_within(num: int, den: int) -> AnomalyRule:
+    return AnomalyRule(
+        f"row_count_within({num}/{den})", "row_count", (num, den)
+    )
+
+
+def sum_within(col: str, num: int, den: int) -> AnomalyRule:
+    return AnomalyRule(
+        f"sum_within({col},{num}/{den})", "sum", (num, den), col=col
+    )
+
+
+def distinct_count_within(col: str, num: int, den: int) -> AnomalyRule:
+    return AnomalyRule(
+        f"distinct_count_within({col},{num}/{den})",
+        "distinct_count",
+        (num, den),
+        col=col,
+    )
+
+
+def null_rate_within(col: str, num: int, den: int) -> AnomalyRule:
+    """Null RATE may not grow by more than num/den (absolute rate
+    points) over the baseline — one-sided: a shrinking null rate always
+    passes. Cross-multiplied exact form:
+    ``(nulls_cur·n_base − nulls_base·n_cur)·den ≤ num·n_cur·n_base``."""
+    return AnomalyRule(
+        f"null_rate_within({col},{num}/{den})",
+        "null_count",
+        (num, den),
+        col=col,
+        one_sided=True,
+    )
+
+
+def _anomaly_stats(df: DataFrame, rules: Sequence[AnomalyRule], tag: str):
+    aggs = [F.count("*").cast("long").alias(f"__{tag}_n")]
+    for i, r in enumerate(rules):
+        if r.metric == "null_count":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col(r.col).isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias(f"__{tag}_{i}")
+            )
+        elif r.metric == "sum":
+            aggs.append(
+                F.coalesce(F.sum(F.col(r.col)), F.lit(0))
+                .cast("long")
+                .alias(f"__{tag}_{i}")
+            )
+        elif r.metric == "distinct_count":
+            aggs.append(
+                F.count_distinct(F.col(r.col))
+                .cast("long")
+                .alias(f"__{tag}_{i}")
+            )
+        else:  # row_count
+            aggs.append(F.count("*").cast("long").alias(f"__{tag}_{i}"))
+    return df.agg(*aggs)
+
+
+def check_anomalies(
+    baseline: DataFrame, current: DataFrame, rules: Sequence[AnomalyRule]
+) -> DataFrame:
+    """Evaluate relative-change rules of ``current`` vs ``baseline``;
+    returns (rule, baseline, observed, passed) — one row per rule. One
+    single-scan aggregate per side, one broadcast cross join of the two
+    1-row stat frames; verdicts in exact integer arithmetic
+    (decimal(38,0) cross-products — overflow-safe past int64 at
+    warehouse row counts)."""
+    rules = list(rules)
+    if not rules:
+        raise ValueError("check_anomalies: at least one rule required")
+    b = _anomaly_stats(baseline, rules, "b")
+    c = _anomaly_stats(current, rules, "c")
+    j = b.crossJoin(F.broadcast(c))  # 1 row × 1 row
+    dec = "decimal(38,0)"
+    pieces: list[Column] = []
+    for i, r in enumerate(rules):
+        bv, cv = F.col(f"__b_{i}"), F.col(f"__c_{i}")
+        if r.metric == "null_count":
+            # rate comparison needs the row counts; empty sides have no
+            # rate — vacuously pass
+            nb, nc = F.col("__b_n"), F.col("__c_n")
+            lhs = (
+                (cv.cast(dec) * nb.cast(dec) - bv.cast(dec) * nc.cast(dec))
+                * F.lit(r.den).cast(dec)
+            )
+            rhs = F.lit(r.num).cast(dec) * nc.cast(dec) * nb.cast(dec)
+            passed = F.when((nb == 0) | (nc == 0), F.lit(True)).otherwise(
+                lhs <= rhs
+            )
+        else:
+            diff = cv - bv
+            diff = F.when(diff < 0, F.lit(0) if r.one_sided else -diff).otherwise(diff)
+            passed = F.when(
+                bv == 0, cv == 0
+            ).otherwise(
+                diff.cast(dec) * F.lit(r.den).cast(dec)
+                <= F.abs(bv).cast(dec) * F.lit(r.num).cast(dec)
+            )
+        pieces.append(
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                bv.alias("baseline"),
+                cv.alias("observed"),
+                passed.alias("passed"),
+            )
+        )
+    return j.select(F.explode(F.array(*pieces)).alias("p")).select(
+        "p.rule", "p.baseline", "p.observed", "p.passed"
+    )
+
+
+def check_anomalies_vs_previous(
+    spark,
+    table,
+    rules: Sequence[AnomalyRule],
+    current_version: int | None = None,
+) -> DataFrame:
+    """Compose the rules with the table's snapshot history: compare
+    ``current_version`` (default: CURRENT) against the committed version
+    immediately before it — the per-commit quality gate a warehouse
+    ingest runs after each snapshot publish."""
+    hist = [e["version"] for e in table.history()]
+    if current_version is None:
+        current_version = hist[-1]
+    idx = hist.index(current_version)
+    if idx == 0:
+        raise ValueError(
+            f"version {current_version} has no predecessor in {table.root}"
+        )
+    prev = hist[idx - 1]
+    return check_anomalies(
+        table.read_version(spark, prev),
+        table.read_version(spark, current_version),
+        rules,
+    )

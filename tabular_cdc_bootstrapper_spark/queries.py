@@ -1869,6 +1869,144 @@ def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_anomaly_report",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    state AS (
+        SELECT v.v AS upto, c.o_orderkey,
+               arg_max(c.o_orderstatus, c.ts) AS status,
+               arg_max(c.op, c.ts) AS last_op
+        FROM (VALUES (0), (1), (2)) v(v)
+        JOIN changelog c ON c.ts <= v.v
+        GROUP BY v.v, c.o_orderkey
+    ),
+    live AS (
+        SELECT upto, o_orderkey, status FROM state WHERE last_op <> 'D'
+    ),
+    s AS (
+        SELECT upto,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS ksum,
+               CAST(COUNT(DISTINCT status) AS BIGINT) AS nd,
+               CAST(COUNT(*) FILTER (WHERE status IS NULL) AS BIGINT) AS nnull
+        FROM live GROUP BY upto
+    ),
+    b01 AS (SELECT * FROM s WHERE upto = 0),
+    c01 AS (SELECT * FROM s WHERE upto = 1),
+    b12 AS (SELECT * FROM s WHERE upto = 1),
+    c12 AS (SELECT * FROM s WHERE upto = 2)
+    SELECT 'v0v1' AS phase, 'row_count_within(0/1)' AS rule,
+           b.n AS baseline, c.n AS observed,
+           abs(c.n - b.n) * 1 <= b.n * 0 AS passed
+    FROM b01 b, c01 c
+    UNION ALL
+    SELECT 'v0v1', 'distinct_count_within(o_orderstatus,50/100)',
+           b.nd, c.nd, abs(c.nd - b.nd) * 100 <= b.nd * 50
+    FROM b01 b, c01 c
+    UNION ALL
+    SELECT 'v0v1', 'distinct_count_within(o_orderstatus,25/100)',
+           b.nd, c.nd, abs(c.nd - b.nd) * 100 <= b.nd * 25
+    FROM b01 b, c01 c
+    UNION ALL
+    SELECT 'v0v1', 'null_rate_within(o_orderstatus,1/100)',
+           b.nnull, c.nnull,
+           (c.nnull * b.n - b.nnull * c.n) * 100 <= 1 * c.n * b.n
+    FROM b01 b, c01 c
+    UNION ALL
+    SELECT 'v1v2', 'row_count_within(5/100)',
+           b.n, c.n, abs(c.n - b.n) * 100 <= b.n * 5
+    FROM b12 b, c12 c
+    UNION ALL
+    SELECT 'v1v2', 'row_count_within(10/100)',
+           b.n, c.n, abs(c.n - b.n) * 100 <= b.n * 10
+    FROM b12 b, c12 c
+    UNION ALL
+    SELECT 'v1v2', 'sum_within(o_orderkey,5/100)',
+           b.ksum, c.ksum, abs(c.ksum - b.ksum) * 100 <= abs(b.ksum) * 5
+    FROM b12 b, c12 c
+    UNION ALL
+    SELECT 'v1v2', 'sum_within(o_orderkey,10/100)',
+           b.ksum, c.ksum, abs(c.ksum - b.ksum) * 100 <= abs(b.ksum) * 10
+    FROM b12 b, c12 c
+    """,
+)
+def cdc_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot anomaly detection (VERDICT r8 task 6 —
+    Deequ's second half, functions/constraints.py check_anomalies):
+    commit the CDC mirror after each deterministic DMS batch, then judge
+    each commit against its predecessor — v0→v1 (update-only batch: row
+    count must be EXACTLY flat at 0% tolerance, the status domain grows
+    by the planted 'X' so a 25% distinct-count band fails while 50%
+    passes, null rate must not jump) and v1→v2 via
+    ``check_anomalies_vs_previous`` (the delete batch removes the ≡0
+    mod 13 keys ≈ 7.7%: a 5% row-count band fails, 10% passes; same for
+    the key-sum drift). Every verdict is exact integer cross-multiplied
+    arithmetic (no float tolerance), so the oracle replays pass AND fail
+    rows bit-for-bit — the report pins real alarms, not a wall of
+    greens. Each side's stats are ONE single-scan aggregate; the
+    comparison is a broadcast cross join of two 1-row frames."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        check_anomalies,
+        check_anomalies_vs_previous,
+        distinct_count_within,
+        null_rate_within,
+        row_count_within,
+        sum_within,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_anom_"), keep_versions=10
+    )
+    for upto in (0, 1, 2):
+        state = apply_changelog(
+            ch.filter(F.col("ts") <= upto),
+            key_cols="o_orderkey",
+            ts_cols="ts",
+            op_col="op",
+            delete_op="D",
+            drop_envelope=["op", "ts"],
+        )
+        mirror.commit(state)
+    r01 = check_anomalies(
+        mirror.read_version(spark, 0),
+        mirror.read_version(spark, 1),
+        [
+            row_count_within(0, 1),
+            distinct_count_within("o_orderstatus", 50, 100),
+            distinct_count_within("o_orderstatus", 25, 100),
+            null_rate_within("o_orderstatus", 1, 100),
+        ],
+    ).select(F.lit("v0v1").alias("phase"), "*")
+    r12 = check_anomalies_vs_previous(
+        spark,
+        mirror,
+        [
+            row_count_within(5, 100),
+            row_count_within(10, 100),
+            sum_within("o_orderkey", 5, 100),
+            sum_within("o_orderkey", 10, 100),
+        ],
+        current_version=2,
+    ).select(F.lit("v1v2").alias("phase"), "*")
+    return r01.unionByName(r12)
+
+
+@query(
     "merge_table_time_travel",
     oracle="""
     WITH base AS (
@@ -7127,6 +7265,7 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_change_feed",
     "merge_orders_corrections",
     "merge_table_time_travel",
+    "cdc_anomaly_report",
     "orders_constraint_report",
     "temporal_split_embargo",
     "mad_price_outliers",

@@ -120,3 +120,127 @@ def test_empty_table_reports_zero_violations_everywhere(spark):
 def test_empty_unique_cols_rejected():
     with pytest.raises(ValueError, match="non-empty"):
         unique()
+
+
+# --- anomaly rules vs snapshot history (r9) ---
+
+
+def _anomaly_report(baseline, current, rules):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        check_anomalies,
+    )
+
+    return {
+        r["rule"]: (r["baseline"], r["observed"], r["passed"])
+        for r in check_anomalies(baseline, current, rules).collect()
+    }
+
+
+def test_anomaly_row_count_band(spark):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        row_count_within,
+    )
+
+    base = spark.range(100)
+    cur = spark.range(93)  # 7% drop
+    got = _anomaly_report(
+        base, cur, [row_count_within(5, 100), row_count_within(10, 100)]
+    )
+    assert got["row_count_within(5/100)"] == (100, 93, False)
+    assert got["row_count_within(10/100)"] == (100, 93, True)
+    # growth counts too (two-sided)
+    got2 = _anomaly_report(base, spark.range(108), [row_count_within(5, 100)])
+    assert got2["row_count_within(5/100)"] == (100, 108, False)
+
+
+def test_anomaly_zero_baseline_passes_only_when_zero(spark):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        row_count_within,
+    )
+
+    empty = spark.range(0)
+    assert _anomaly_report(empty, spark.range(0), [row_count_within(50, 100)])[
+        "row_count_within(50/100)"
+    ] == (0, 0, True)
+    assert _anomaly_report(empty, spark.range(3), [row_count_within(50, 100)])[
+        "row_count_within(50/100)"
+    ] == (0, 3, False)
+
+
+def test_anomaly_null_rate_is_one_sided(spark):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        null_rate_within,
+    )
+
+    def frame(n_null, n_val):
+        rows = [(None,)] * n_null + [("x",)] * n_val
+        return spark.createDataFrame(rows, "c string")
+
+    # 10% -> 25% null rate: +15 points, fails a 10-point band
+    got = _anomaly_report(
+        frame(10, 90), frame(25, 75), [null_rate_within("c", 10, 100)]
+    )
+    assert got["null_rate_within(c,10/100)"] == (10, 25, False)
+    # 10% -> 15%: +5 points, passes
+    got = _anomaly_report(
+        frame(10, 90), frame(15, 85), [null_rate_within("c", 10, 100)]
+    )
+    assert got["null_rate_within(c,10/100)"] == (10, 15, True)
+    # IMPROVING null rate always passes (one-sided)
+    got = _anomaly_report(
+        frame(50, 50), frame(0, 100), [null_rate_within("c", 1, 100)]
+    )
+    assert got["null_rate_within(c,1/100)"] == (50, 0, True)
+    # empty side: vacuous pass
+    got = _anomaly_report(
+        frame(0, 0), frame(5, 5), [null_rate_within("c", 1, 100)]
+    )
+    assert got["null_rate_within(c,1/100)"][2] is True
+
+
+def test_anomaly_vs_previous_resolves_history(spark, tmp_path):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        check_anomalies_vs_previous,
+        row_count_within,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(spark.range(100))
+    t.commit(spark.range(90))
+    t.commit(spark.range(89))
+    # default: current (v2=89) vs its predecessor (v1=90) -> ~1% drop
+    got = {
+        r["rule"]: r["passed"]
+        for r in check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)]
+        ).collect()
+    }
+    assert got == {"row_count_within(5/100)": True}
+    # explicit version: v1 (90) vs v0 (100) -> 10% drop fails the 5% band
+    got = {
+        r["rule"]: r["passed"]
+        for r in check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)], current_version=1
+        ).collect()
+    }
+    assert got == {"row_count_within(5/100)": False}
+    with pytest.raises(ValueError, match="no predecessor"):
+        check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)], current_version=0
+        )
+
+
+def test_anomaly_rule_validation():
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        AnomalyRule,
+    )
+
+    with pytest.raises(ValueError, match="unknown anomaly metric"):
+        AnomalyRule("x", "median", (1, 100))
+    with pytest.raises(ValueError, match="needs a column"):
+        AnomalyRule("x", "sum", (1, 100))
+    with pytest.raises(ValueError, match="tolerance"):
+        AnomalyRule("x", "row_count", (1, 0))
