@@ -310,6 +310,8 @@ def ann_query(
     shortlist: int = 50,
     query_id_col: str = "qid",
     vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
+    broadcast_threshold: int = 10_000,
 ) -> DataFrame:
     """IVF-PQ search over the PREBUILT index: probe lists → ADC over
     stored 8-byte codes → exact-cosine rerank over the stored uvec
@@ -317,12 +319,28 @@ def ann_query(
     frame); no corpus scan, no training — the amortized path whose cost
     is independent of build cost (SCALING.md carries the measurement).
     Bit-identical to inline ``ivf_pq_topk`` for lowest_id-trained
-    indexes (result-identity pinned by tests/test_ann_index.py)."""
+    indexes (result-identity pinned by tests/test_ann_index.py).
+
+    Query-side strategy (VERDICT r8 task 8): ``broadcast_queries=True``
+    ships the exploded query frame to every executor — right for
+    interactive top-k, a driver/executor-memory ceiling for the
+    batch-inference shape (millions of queries scored against the
+    index). ``False`` joins on ``list_id``/``qid`` by shuffle
+    (``shuffle_hash``-hinted so Catalyst can never silently re-broadcast
+    the query side) — the index codes and the query batch co-partition
+    and neither side needs to fit in memory. ``None`` (default)
+    auto-picks by one ``queries.count()`` against
+    ``broadcast_threshold`` — the same auto-knob pattern as
+    auto_n_centroids; pass an explicit bool when the caller already
+    knows the shape (oracle-replay entries pass True). Results are
+    identical by construction (identity-pinned)."""
     m = index.meta()
     n_subspaces, sub_dim = m["n_subspaces"], m["dim"] // m["n_subspaces"]
     cids, cmat_n, cb_sub = index.load_models(spark)
     cb_lit = _codebook_literal(cb_sub)
     probe = _probe_lists_udf(cids, cmat_n, n_probes)
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() <= broadcast_threshold
 
     c_idx = index.codes.read(spark)
     qv = queries.select(
@@ -330,11 +348,15 @@ def ann_query(
         _unit(F.col(vec_col)).alias("qv"),
         F.explode(probe(F.col(vec_col))).alias("list_id"),
     )
+
+    def q_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_queries else df.hint("shuffle_hash")
+
     adc = _adc_over_codes(cb_lit, n_subspaces, sub_dim)
     w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlisted = (
         c_idx.select("vec_id", "list_id", "codes")
-        .join(F.broadcast(qv), "list_id")
+        .join(q_side(qv), "list_id")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("adc", adc)
         .select("qid", "vec_id", "adc")
@@ -345,7 +367,7 @@ def ann_query(
     q_only = qv.select("qid", "qv").dropDuplicates(["qid"])
     cand = shortlisted.join(
         c_idx.select("vec_id", F.col("uvec").alias("cv")), "vec_id"
-    ).join(F.broadcast(q_only), "qid")
+    ).join(q_side(q_only), "qid")
     w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))

@@ -3382,7 +3382,7 @@ def ann_prebuilt_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return ann_query(spark, index, q, k=10)
+    return ann_query(spark, index, q, k=10, broadcast_queries=True)
 
 
 @query("ann_index_maintained_topk", oracle=_ivf_pq_oracle())
@@ -3422,7 +3422,7 @@ def ann_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return ann_query(spark, index, q, k=10)
+    return ann_query(spark, index, q, k=10, broadcast_queries=True)
 
 
 def _passage_ann_oracle() -> str:
@@ -3599,7 +3599,9 @@ def passage_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = cv.orderBy("vec_id").limit(3).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    hits = ann_query(spark, index, q, k=50, shortlist=50)
+    hits = ann_query(
+        spark, index, q, k=50, shortlist=50, broadcast_queries=True
+    )
     return dedup_hits_by_doc(hits, k=5)
 
 

@@ -229,3 +229,29 @@ def test_manifest_swap_is_atomic_and_prunes(spark, tmp_path):
     # manifest is valid JSON readable by a cold reader
     with open(t._manifest) as fh:
         assert json.load(fh)["meta"]["tag"] == "c"
+
+
+def test_large_batch_query_path_identical_and_never_broadcasts(spark, emb, built):
+    """VERDICT r8 task 8: the shuffle-join query path (the
+    batch-inference shape — millions of queries can't broadcast) returns
+    EXACTLY what the broadcast path returns, and its plan carries no
+    BroadcastExchange (shuffle_hash-hinted on both query-side joins, so
+    Catalyst cannot silently re-broadcast)."""
+    q = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    small = ann_query(spark, built, q, k=5, broadcast_queries=True)
+    large = ann_query(spark, built, q, k=5, broadcast_queries=False)
+    assert _rows(large) == _rows(small)
+    # both query-side joins (codes⋈queries on list_id, rerank⋈queries on
+    # qid) must be shuffle joins — the hint makes re-broadcast of the
+    # query side impossible; Catalyst broadcasting the small CODES side
+    # at test scale is its business (at warehouse scale codes are huge)
+    plan = physical_plan(large)
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    # auto knob: below threshold -> broadcast plan; above -> shuffle plan
+    auto_small = ann_query(spark, built, q, k=5, broadcast_threshold=1000)
+    assert "ShuffledHashJoin" not in physical_plan(auto_small)
+    auto_large = ann_query(spark, built, q, k=5, broadcast_threshold=10)
+    assert physical_plan(auto_large).count("ShuffledHashJoin") >= 2
+    assert _rows(auto_large) == _rows(small)
