@@ -3352,12 +3352,25 @@ def ann_prebuilt_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore measures the amortized QUERY cost — the number a warehouse
     user sees — while the one-time build cost is recorded separately in
     SCALING.md."""
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import ann_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _prebuilt_ann_index(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_query(spark, index, q, k=10, broadcast_queries=True)
+
+
+def _prebuilt_ann_index(spark: SparkSession, sf_dir: str):
+    """Resolve (or build) the cached IVF-PQ index over the embeddings
+    corpus — shared by the prebuilt / batch-shuffle registry entries so
+    repeat invocations measure the amortized query path."""
     import os
     import tempfile
 
     from tabular_cdc_bootstrapper_spark.functions.ann_index import (
         AnnIndex,
-        ann_query,
         build_ann_index,
     )
 
@@ -3371,18 +3384,36 @@ def ann_prebuilt_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark_graft_ann_index",
         sf_dir.strip("/").replace("/", "_"),
     )
-    emb = _t(spark, sf_dir, "embeddings")
     index = AnnIndex(root)
     if not (index.exists() and index.meta().get("fingerprint") == fingerprint):
         index = build_ann_index(
-            spark, emb, root,
+            spark, _t(spark, sf_dir, "embeddings"), root,
             n_centroids=64, n_subspaces=8, n_codes=16, dim=64,
             fingerprint=fingerprint,
         )
+    return index
+
+
+@query("ann_batch_shuffle_topk", oracle=_ivf_pq_oracle())
+def ann_batch_shuffle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-inference ANN query path (VERDICT r8 task 8 —
+    ann_query(broadcast_queries=False)): both query-side joins run as
+    shuffle_hash-hinted shuffle joins on list_id/qid, the shape that
+    survives millions of queries where the exploded query frame cannot
+    broadcast. Results are identical to the broadcast path by
+    construction, so this entry shares the inline IVF-PQ DuckDB oracle
+    verbatim — the driver hash-checks the shuffle plan end to end. The
+    ≥2-ShuffledHashJoin plan pin lives in tests/test_ann_index.py;
+    SCALING.md carries the 5/500/2000-query probe (shuffle ≤ broadcast
+    even where broadcast still fits)."""
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import ann_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index = _prebuilt_ann_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return ann_query(spark, index, q, k=10, broadcast_queries=True)
+    return ann_query(spark, index, q, k=10, broadcast_queries=False)
 
 
 @query("ann_index_maintained_topk", oracle=_ivf_pq_oracle())
@@ -7202,81 +7233,103 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-8 rotation (policy: keep every
-# query <= 3 rounds stale; VERDICT r7 #7 tightened this round's bound to
-# "no row older than r6 after r8"):
+# fresh driver-side correctness row. Round-9 rotation (policy: keep every
+# query <= 3 rounds stale; VERDICT r8 #7: after r9 no row may be older than
+# r7):
 #
-# - IN (new or changed this round): cdc_latest (flagship, in-window every
-#   round); cdc_mirror_time_travel (NEW: ParquetStateTable snapshot log —
-#   VERSION AS OF / TIMESTAMP AS OF / rollback, full oracle; displaces
-#   array_hof_embedding_stats, r7-green, to the tail); document_chunks
-#   (NEW: sliding-window passage chunking, full md5-per-chunk oracle;
-#   displaces hybrid_retrieval_topk, r6-green — at the ceiling but legal,
-#   rotates back r9); cdc_change_feed (NEW: table_changes CDF between
-#   mirror snapshots, full minimal-diff oracle; displaces
-#   winsorized_length_stats, r6-green — same ceiling note);
-#   the profiling family — table_profile_orders_approx (converted
-#   to a tolerance-verdict FULL oracle: the registry's last rows-only
-#   entry is gone), table_profile_lineitem (NEW generality proof),
-#   table_profile_orders (reimplemented over functions/profiling.py);
-#   the ANN index lifecycle — ann_prebuilt_ivfpq_topk (NEW: persisted
-#   index, amortized query path) and ann_index_maintained_topk (NEW:
-#   build+append fold, oracle-exact); ivf_pq_topk + pq_adc_topk +
-#   ann_ivf_kmeans_topk (model-training/encode logic refactored into
-#   shared helpers / kmeans clamp); incremental_cluster_maintenance
-#   (update_clusters grew persist tracking); multimodal_features (header
-#   parser hardened: JPEG fill bytes, dimension bounds).
-# - IN (r5 rows — at the 3-round staleness ceiling, all 14):
-#   cube_order_stats, semi_join_active_customers, anti_join_no_open_orders,
-#   orders_by_year, events_tumbling_10min, ann_lsh_topk, doc_fingerprints,
-#   q17_small_quantity_revenue, brand_having_filter, nations_with_presence,
-#   quality_score_histogram, bpe_token_counts, sequence_packing,
-#   weighted_mixture_sample.
-# - IN (r6 rows, family spread — 25 of 47): the heavier / family-
-#   representative half (dedup-split, kmeans, quantized ANN, sketches,
-#   snapshot/incremental CDC, funnel/cohort, range/as-of joins, streaming
-#   windows, drift monitors, robust stats, hybrid retrieval, array HOFs).
-#   The remaining 22 r6 rows sit 2-rounds stale after r8 and rotate in r9
-#   alongside the r7 cohort.
-# - IN (late-r8 additions — 9 NEW full-oracle entries): semantic_dedup_
-#   summary (SemDeDup: k-means blocking + exact-integer cosine pruning),
-#   zorder_layout_stats (Morton multi-dim layout audit),
-#   rocchio_lang_confusion (trained nearest-class-mean classifier, full
-#   fit+predict+confusion oracle), purchase_graph_pagerank (integer-exact
-#   link centrality, unrolled-iteration oracle), video_frame_samples
-#   (closed-form frame-grid oracle), merge_orders_corrections (general
-#   MERGE INTO, set-algebra oracle), orders_constraint_report (Deequ-
-#   style rule suite), temporal_split_embargo (purged time-series
-#   holdout), mad_price_outliers (robust MAD outlier detection). They
-#   displace nine r6-green rows (temperature_mixture_quota,
-#   unigram_surprisal_quality, event_mix_drift, source_token_drift,
-#   skewed_priority_agg, salted_nation_revenue, rolling_30d_revenue,
-#   session_stats, events_sliding_10min) to the tail — those join the 22
-#   r6 rows already scheduled to rotate back in r9 (2 rounds stale after
-#   r8, inside the ≤3-round policy); every r5 row stays IN-window.
-# - OUT (displaced to tail): 44 of the 50 r7-green rows (1 round stale) —
-#   every family keeps an in-window representative, and every oracle-backed
-#   entry is ALSO re-executed against DuckDB locally every round by
-#   tests/test_oracle_parity.py, so tail regressions cannot hide between
-#   driver rotations.
+# - IN (new r9, 4): passage_ann_topk (end-to-end chunk->embed->index->query
+#   ->doc-dedup composition), merge_table_time_travel (committed MERGE +
+#   schema evolution + CDF), cdc_anomaly_report (snapshot-to-snapshot
+#   anomaly rules), pagerank_dangling_directed (dangling-mass
+#   redistribution on a directed graph).
+# - IN (changed code this round, 5 + flagship): orders_constraint_report
+#   (FK NULL semantics fix, oracle updated), ann_prebuilt_ivfpq_topk /
+#   ann_index_maintained_topk (ann_query grew the batch query path;
+#   entries pin broadcast_queries=True), purchase_graph_pagerank
+#   (pagerank grew redistribute_dangling; default path bit-identical,
+#   law-tested), semantic_dedup_summary (auto_semdedup_k added; explicit-k
+#   path unchanged), cdc_latest (flagship, in-window every round).
+# - IN (the full r6 cohort, 32): every row whose latest driver check is
+#   r6 — at the 3-round ceiling after r9, all must recheck now (computed
+#   from CORRECTNESS_r01..r08; includes the 9 rows displaced late-r8 and
+#   the 13 long-scheduled r6 rows plus TPC-H q6/q8-q13/q18/q20/q21,
+#   sketch/set-op/text-drift families).
+# - IN (r7 family representatives, 8): q1_pricing_summary (TPC-H agg),
+#   minhash_near_duplicates (pair-gen UDF family), bm25_topk (retrieval),
+#   cdc_ops_histogram (observe/CDC stats), lang_id_confusion (text),
+#   cosine_topk (exact ANN), user_sessions (sessionization). With
+#   ann_batch_shuffle_topk (NEW) taking a slot, referential_integrity_
+#   report returns to the tail; the other 37 r7 rows
+#   sit 2 rounds stale after r9 and rotate in r10 with the r8 cohort.
+# - OUT (tail): all 44 remaining r8-green rows (1 round stale) + the 36
+#   r7 rows above — every family keeps an in-window representative, and
+#   every oracle-backed entry is ALSO re-executed against DuckDB locally
+#   every round by tests/test_oracle_parity.py, so tail regressions
+#   cannot hide between driver rotations.
 # ---------------------------------------------------------------------------
 
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
+    "passage_ann_topk",
+    "merge_table_time_travel",
+    "cdc_anomaly_report",
+    "pagerank_dangling_directed",
+    "orders_constraint_report",
+    "ann_prebuilt_ivfpq_topk",
+    "ann_index_maintained_topk",
+    "ann_batch_shuffle_topk",
+    "purchase_graph_pagerank",
+    "semantic_dedup_summary",
+    "array_hof_embedding_stats",
+    "benchmark_contamination",
+    "cluster_balanced_sample",
+    "duplicated_span_hashes",
+    "event_mix_drift",
+    "events_sliding_10min",
+    "grouping_sets_revenue",
+    "hybrid_retrieval_topk",
+    "orders_above_global_avg",
+    "orders_by_month",
+    "q10_returned_revenue",
+    "q11_value_share_shape",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q20_excess_share_shape",
+    "q21_sole_late_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_30d_revenue",
+    "salted_nation_revenue",
+    "session_stats",
+    "set_ops_multiset",
+    "skewed_priority_agg",
+    "source_token_drift",
+    "span_dedup_retention",
+    "temperature_mixture_quota",
+    "tfidf_top_terms",
+    "top_terms",
+    "unigram_surprisal_quality",
+    "winsorized_length_stats",
+    "q1_pricing_summary",
+    "minhash_near_duplicates",
+    "bm25_topk",
+    "cdc_ops_histogram",
+    "lang_id_confusion",
+    "cosine_topk",
+    "user_sessions",
+    # --- tail (51+): green driver rows on current code, family
+    # representative in window, still oracle-checked locally every round ---
+    "referential_integrity_report",
     "cdc_mirror_time_travel",
     "cdc_change_feed",
     "merge_orders_corrections",
-    "merge_table_time_travel",
-    "cdc_anomaly_report",
-    "orders_constraint_report",
     "temporal_split_embargo",
     "mad_price_outliers",
     "table_profile_orders_approx",
     "table_profile_lineitem",
     "table_profile_orders",
-    "ann_prebuilt_ivfpq_topk",
-    "ann_index_maintained_topk",
-    "passage_ann_topk",
     "ivf_pq_topk",
     "pq_adc_topk",
     "ann_ivf_kmeans_topk",
@@ -7300,11 +7353,8 @@ _DRIVER_CHECK_PRIORITY = [
     "weighted_mixture_sample",
     "leakage_safe_split",
     "kmeans_embedding_clusters",
-    "semantic_dedup_summary",
     "zorder_layout_stats",
     "rocchio_lang_confusion",
-    "purchase_graph_pagerank",
-    "pagerank_dangling_directed",
     "int8_quantized_topk",
     "heavy_hitter_terms",
     "hll_distinct_counts",
@@ -7316,30 +7366,12 @@ _DRIVER_CHECK_PRIORITY = [
     "cohort_retention",
     "range_join_click_attribution",
     "asof_purchase_signup",
-    # --- tail (51+): green driver rows on current code, family
-    # representative in window, still oracle-checked locally every round ---
-    "events_sliding_10min",
-    "session_stats",
-    "rolling_30d_revenue",
-    "salted_nation_revenue",
-    "skewed_priority_agg",
-    "source_token_drift",
-    "event_mix_drift",
-    "unigram_surprisal_quality",
-    "temperature_mixture_quota",
-    "winsorized_length_stats",
-    "hybrid_retrieval_topk",
-    "array_hof_embedding_stats",
     "q7_nation_volume",
-    "referential_integrity_report",
     "brand_name_distance",
-    "cdc_ops_histogram",
-    "cosine_topk",
     "customer_order_window_stats",
     "customer_order_years",
     "distinct_count_dims",
     "events_json_extract",
-    "lang_id_confusion",
     "outer_join_order_fill",
     "pivot_revenue_by_status",
     "price_percentiles",
@@ -7347,7 +7379,6 @@ _DRIVER_CHECK_PRIORITY = [
     "q15_top_supplier",
     "q16_brand_supplier_count",
     "q19_disjunctive_revenue",
-    "q1_pricing_summary",
     "q22_idle_balance",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -7359,41 +7390,18 @@ _DRIVER_CHECK_PRIORITY = [
     "string_funcs_parts",
     "text_stats_by_lang",
     "top3_orders_per_customer",
-    "user_sessions",
     "window_navigation",
-    "bm25_topk",
     "corpus_dedup_summary",
     "pii_redaction_by_source",
     "repetition_stats_by_lang",
     "near_dup_clusters",
     "embedding_near_duplicates",
     "ann_ivf_topk",
-    "minhash_near_duplicates",
     "simhash_near_duplicates",
     "ngram_jaccard_pairs",
     "dedup_exact_groups",
     "uniform_per_group_sample",
     "hash_split_counts",
-    "grouping_sets_revenue",
-    "set_ops_multiset",
-    "duplicated_span_hashes",
-    "span_dedup_retention",
-    "q11_value_share_shape",
-    "q20_excess_share_shape",
-    "orders_by_month",
-    "q18_large_volume_orders",
-    "top_terms",
-    "orders_above_global_avg",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q6_forecast_revenue",
-    "q21_sole_late_supplier",
-    "cluster_balanced_sample",
-    "tfidf_top_terms",
-    "benchmark_contamination",
 ]
 
 
