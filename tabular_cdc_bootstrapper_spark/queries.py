@@ -618,6 +618,142 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    WITH fact_base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, (o_custkey % 100) + 1, 'X', o_totalprice, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, (o_orderkey % 50) + 1, 'N',
+               o_totalprice, 'I', 1
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    fact_after AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+            FROM fact_base
+        ) WHERE rn = 1 AND op <> 'D'
+    ),
+    dim_base AS (
+        SELECT c_custkey, c_mktsegment, 'I' AS op, 0 AS ts
+        FROM customer WHERE c_custkey % 19 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'I', 1
+        FROM customer WHERE c_custkey % 19 = 0
+        UNION ALL
+        SELECT c_custkey, 'MOVED', 'U', 1
+        FROM customer WHERE c_custkey % 19 <> 0 AND c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'D', 2
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    dim_after AS (
+        SELECT c_custkey, c_mktsegment FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey ORDER BY ts DESC) AS rn
+            FROM dim_base
+        ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+           ROUND(f.o_totalprice, 2) AS o_totalprice, d.c_mktsegment
+    FROM fact_after f JOIN dim_after d ON f.o_custkey = d.c_custkey
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (`operators/incremental.py
+    maintain_join`): a materialized orders⋈customer view maintained through
+    one two-sided CDC batch by touching only changed keys — fact re-points
+    (key%7 moves to a different customer), fact deletes (%13), fact inserts
+    (%17), dim segment updates (%5), dim deletes (%11), and the hard case:
+    dim INSERTS (%19, withheld from the initial dim state) that make
+    previously-unmatched fact rows join, which an inner-join view cannot
+    answer from its own rows. The oracle recomputes the post-batch join
+    from scratch; the driver row proves incremental == recompute. Scale
+    shape: every join against a touched-key set broadcasts (|batch|-sized
+    probes); the corpus-sized view/fact inputs are scanned once with no
+    corpus shuffle."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_before = c.filter(F.col("c_custkey") % 19 != 0)
+    view_before = o.join(dim_before, o["o_custkey"] == dim_before["c_custkey"])
+
+    fact_cl = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumns(
+            {
+                "o_custkey": (F.col("o_custkey") % 100) + 1,
+                "o_orderstatus": F.lit("X"),
+                "op": F.lit("U"),
+                "ts": F.lit(1).cast("int"),
+            }
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+                {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                ((F.col("o_orderkey") % 50) + 1).alias("o_custkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+                F.lit("I").alias("op"),
+                F.lit(1).cast("int").alias("ts"),
+            )
+        )
+    )
+    dim_cl = (
+        c.filter(F.col("c_custkey") % 19 == 0)
+        .withColumns({"op": F.lit("I"), "ts": F.lit(1).cast("int")})
+        .unionByName(
+            dim_before.filter(F.col("c_custkey") % 5 == 0).withColumns(
+                {
+                    "c_mktsegment": F.lit("MOVED"),
+                    "op": F.lit("U"),
+                    "ts": F.lit(1).cast("int"),
+                }
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).withColumns(
+                {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+            )
+        )
+    )
+    out = maintain_join(
+        view_before,
+        fact_before=o,
+        dim_before=dim_before,
+        fact_changelog=fact_cl,
+        dim_changelog=dim_cl,
+        fact_keys="o_orderkey",
+        dim_keys="c_custkey",
+        fk_cols="o_custkey",
+        ts_cols="ts",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_mktsegment",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY.md §2.2-2.8 EXT): hash aggregates, star-schema
 # joins, windows, top-k, set ops, scalar/date/JSON functions. All expressed
@@ -7237,11 +7373,12 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query <= 3 rounds stale; VERDICT r8 #7: after r9 no row may be older than
 # r7):
 #
-# - IN (new r9, 4): passage_ann_topk (end-to-end chunk->embed->index->query
+# - IN (new r9, 5): passage_ann_topk (end-to-end chunk->embed->index->query
 #   ->doc-dedup composition), merge_table_time_travel (committed MERGE +
 #   schema evolution + CDF), cdc_anomaly_report (snapshot-to-snapshot
 #   anomaly rules), pagerank_dangling_directed (dangling-mass
-#   redistribution on a directed graph).
+#   redistribution on a directed graph), incremental_join_maintenance
+#   (maintain_join — incremental join-view maintenance, recompute oracle).
 # - IN (changed code this round, 5 + flagship): orders_constraint_report
 #   (FK NULL semantics fix, oracle updated), ann_prebuilt_ivfpq_topk /
 #   ann_index_maintained_topk (ann_query grew the batch query path;
@@ -7254,13 +7391,14 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   from CORRECTNESS_r01..r08; includes the 9 rows displaced late-r8 and
 #   the 13 long-scheduled r6 rows plus TPC-H q6/q8-q13/q18/q20/q21,
 #   sketch/set-op/text-drift families).
-# - IN (r7 family representatives, 8): q1_pricing_summary (TPC-H agg),
+# - IN (r7 family representatives, 6): q1_pricing_summary (TPC-H agg),
 #   minhash_near_duplicates (pair-gen UDF family), bm25_topk (retrieval),
 #   cdc_ops_histogram (observe/CDC stats), lang_id_confusion (text),
-#   cosine_topk (exact ANN), user_sessions (sessionization). With
-#   ann_batch_shuffle_topk (NEW) taking a slot, referential_integrity_
-#   report returns to the tail; the other 37 r7 rows
-#   sit 2 rounds stale after r9 and rotate in r10 with the r8 cohort.
+#   cosine_topk (exact ANN). With ann_batch_shuffle_topk and
+#   incremental_join_maintenance (both NEW) taking slots,
+#   referential_integrity_report and user_sessions return to the tail; the
+#   other r7 rows sit 2 rounds stale after r9 and rotate in r10 with the
+#   r8 cohort.
 # - OUT (tail): all 44 remaining r8-green rows (1 round stale) + the 36
 #   r7 rows above — every family keeps an in-window representative, and
 #   every oracle-backed entry is ALSO re-executed against DuckDB locally
@@ -7274,6 +7412,7 @@ _DRIVER_CHECK_PRIORITY = [
     "merge_table_time_travel",
     "cdc_anomaly_report",
     "pagerank_dangling_directed",
+    "incremental_join_maintenance",
     "orders_constraint_report",
     "ann_prebuilt_ivfpq_topk",
     "ann_index_maintained_topk",
@@ -7318,9 +7457,9 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_ops_histogram",
     "lang_id_confusion",
     "cosine_topk",
-    "user_sessions",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "user_sessions",
     "referential_integrity_report",
     "cdc_mirror_time_travel",
     "cdc_change_feed",

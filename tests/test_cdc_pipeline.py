@@ -589,6 +589,129 @@ def test_maintain_agg_equals_recompute(spark):
     assert got["gNEW"] == (1, 100.0)
 
 
+def _join_state(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_maintain_join_equals_recompute(spark):
+    """Incremental join-view maintenance over two sequential two-sided
+    batches must equal a from-scratch inner join of the post-batch mirrors —
+    fact inserts / payload updates / re-points / deletes, dim payload
+    updates / deletes, and the hard case: a dim INSERT that makes
+    previously-unmatched fact rows join."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    fact0 = spark.createDataFrame(
+        [(k, k % 7, f"f{k}") for k in range(40)],
+        "fid long, dref long, fval string",
+    )
+    # dim keys 0..4 only: fact rows referencing 5/6 start unmatched
+    dim0 = spark.createDataFrame(
+        [(d, f"d{d}") for d in range(5)], "did long, dval string"
+    )
+    view0 = fact0.join(dim0, fact0["dref"] == dim0["did"])
+
+    # batch 1: fact re-point + payload update + delete + insert;
+    # dim payload update + delete + insert-gains-match (key 5)
+    fb1 = spark.createDataFrame(
+        [(0, 3, "f0-new", "U", 1), (1, 1, "f1-new", "U", 1),
+         (2, None, None, "D", 2), (100, 5, "f100", "I", 1)],
+        "fid long, dref long, fval string, op string, ts long",
+    )
+    db1 = spark.createDataFrame(
+        [(3, "d3-new", "U", 1), (4, None, "D", 2), (5, "d5", "I", 1)],
+        "did long, dval string, op string, ts long",
+    )
+    view1 = maintain_join(
+        view0, fact0, dim0, fb1, db1, "fid", "did", "dref", "ts"
+    )
+    fact1 = apply_changelog(
+        fb1, "fid", "ts", mirror=fact0, drop_envelope=("op", "ts")
+    )
+    dim1 = apply_changelog(
+        db1, "did", "ts", mirror=dim0, drop_envelope=("op", "ts")
+    )
+    expect1 = fact1.join(dim1, fact1["dref"] == dim1["did"])
+    assert _join_state(view1) == _join_state(expect1)
+    # the gains-match case actually fired: key-5 fact rows are now in view
+    assert any(r[1] == 5 for r in _join_state(view1))
+
+    # batch 2 folds on batch 1: delete the just-inserted dim row, re-point
+    # a fact row onto a dim deleted in batch 1 (must drop), reinsert fact 2
+    fb2 = spark.createDataFrame(
+        [(3, 4, "f3-new", "U", 3), (2, 0, "f2-back", "I", 3)],
+        "fid long, dref long, fval string, op string, ts long",
+    )
+    db2 = spark.createDataFrame(
+        [(5, None, "D", 3)], "did long, dval string, op string, ts long"
+    )
+    view2 = maintain_join(
+        view1, fact1, dim1, fb2, db2, "fid", "did", "dref", "ts"
+    )
+    fact2 = apply_changelog(
+        fb2, "fid", "ts", mirror=fact1, drop_envelope=("op", "ts")
+    )
+    dim2 = apply_changelog(
+        db2, "did", "ts", mirror=dim1, drop_envelope=("op", "ts")
+    )
+    expect2 = fact2.join(dim2, fact2["dref"] == dim2["did"])
+    assert _join_state(view2) == _join_state(expect2)
+    s2 = _join_state(view2)
+    assert not any(r[1] == 5 for r in s2)  # dim 5 deleted again
+    assert not any(r[0] == 3 for r in s2)  # re-point onto deleted dim drops
+    assert any(r[0] == 2 for r in s2)  # reinserted fact row joined
+
+
+def test_maintain_join_one_sided_batches(spark):
+    """A None changelog on either side must behave as an empty batch."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    fact0 = spark.createDataFrame(
+        [(k, k % 3, f"f{k}") for k in range(12)],
+        "fid long, dref long, fval string",
+    )
+    dim0 = spark.createDataFrame(
+        [(d, f"d{d}") for d in range(3)], "did long, dval string"
+    )
+    view0 = fact0.join(dim0, fact0["dref"] == dim0["did"])
+
+    fb = spark.createDataFrame(
+        [(0, 2, "f0-new", "U", 1), (1, None, None, "D", 1)],
+        "fid long, dref long, fval string, op string, ts long",
+    )
+    out_f = maintain_join(
+        view0, fact0, dim0, fb, None, "fid", "did", "dref", "ts"
+    )
+    fact1 = apply_changelog(fb, "fid", "ts", mirror=fact0, drop_envelope=("op", "ts"))
+    assert _join_state(out_f) == _join_state(
+        fact1.join(dim0, fact1["dref"] == dim0["did"])
+    )
+
+    db = spark.createDataFrame(
+        [(0, "d0-new", "U", 1), (2, None, "D", 1)],
+        "did long, dval string, op string, ts long",
+    )
+    out_d = maintain_join(
+        view0, fact0, dim0, None, db, "fid", "did", "dref", "ts"
+    )
+    dim1 = apply_changelog(db, "did", "ts", mirror=dim0, drop_envelope=("op", "ts"))
+    assert _join_state(out_d) == _join_state(
+        fact0.join(dim1, fact0["dref"] == dim1["did"])
+    )
+
+
+def test_maintain_join_rejects_overlapping_columns(spark):
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    fact = spark.createDataFrame([(1, 1, "x")], "fid long, dref long, val string")
+    dim = spark.createDataFrame([(1, "y")], "did long, val string")
+    view = fact.join(dim, fact["dref"] == dim["did"]).select("fid", "did", "dref")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        maintain_join(view, fact, dim, None, None, "fid", "did", "dref", "ts")
+
+
 def _mk_view(tmp_path, name="v"):
     from tabular_cdc_bootstrapper_spark.streaming.pipeline import MaintainedAggView
 

@@ -296,6 +296,34 @@ def test_maintain_agg_delta_joins_are_bounded(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+def test_maintain_join_probes_broadcast(spark, sf_dir):
+    """Incremental join-view maintenance: every touched-key probe against a
+    corpus-sized input (view/fact/dim, semi and anti) must BROADCAST the
+    |batch|-sized probe — a sort-merge join would shuffle the corpus per
+    micro-batch and defeat the delta-cost design."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    view = o.join(c, o["o_custkey"] == c["c_custkey"])
+    fb = o.limit(20).withColumns({"op": F.lit("D"), "ts": F.lit(1).cast("int")})
+    db = c.limit(5).withColumns(
+        {"c_mktsegment": F.lit("M"), "op": F.lit("U"), "ts": F.lit(1).cast("int")}
+    )
+    out = maintain_join(
+        view, o, c, fb, db, "o_orderkey", "c_custkey", "o_custkey", "ts"
+    )
+    plan = physical_plan(out)
+    # 6 probe joins (2 view-anti, 2 fact-anti/semi, 2 dim-semi/anti) plus
+    # the part_dim dim join — all broadcast; no corpus-vs-corpus SMJ
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_repetition_stats_no_join_back(spark, sf_dir):
     """Carry columns ride aggregation keys; a corpus-sized join-back to
     re-attach metadata would double the shuffle volume."""
