@@ -109,6 +109,12 @@ def maintain_join(
         ).distinct()
 
     def _apply(changelog: DataFrame, mirror: DataFrame, keys: list[str]) -> DataFrame:
+        # strategy="window", not the max_by default: the combination of a
+        # checkpointed changelog + broadcast-semi mirror + max_by's struct
+        # aggregate trips a Spark Union.rewriteConstraints bug
+        # (NoSuchElementException: key not found in AttributeMap). The two
+        # strategies are result-identical (law-pinned in test_cdc_properties)
+        # and cost-identical on these |batch|-sized frames.
         return apply_changelog(
             changelog,
             keys,
@@ -117,6 +123,7 @@ def maintain_join(
             delete_op=delete_op,
             mirror=mirror,
             tiebreak_cols=tiebreak_cols,
+            strategy="window",
             drop_envelope=(
                 op_col,
                 *([ts_cols] if isinstance(ts_cols, str) else ts_cols),
@@ -192,10 +199,18 @@ def maintain_join(
     )
 
     cols = view_before.columns
+
+    def _fresh(df: DataFrame) -> DataFrame:
+        # per-branch re-alias → fresh attribute ids: the three parts share
+        # fact/dim/view lineage, and Union constraint rewriting throws
+        # (NoSuchElementException in AttributeMap) when branches carry
+        # duplicate expression ids in different column positions
+        return df.select(*[F.col(c).alias(c) for c in cols])
+
     return (
-        untouched.select(*cols)
-        .unionByName(part_fact.select(*cols))
-        .unionByName(part_dim.select(*cols))
+        _fresh(untouched)
+        .unionByName(_fresh(part_fact))
+        .unionByName(_fresh(part_dim))
     )
 
 
