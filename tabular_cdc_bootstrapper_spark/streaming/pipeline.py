@@ -456,6 +456,111 @@ class MaintainedAggView:
         return self.state.commit(out, meta={"last_batch_id": batch_id})
 
 
+class MaintainedJoinView:
+    """A materialized ``fact ⋈ dim`` inner-join view beside the mirrors,
+    maintained incrementally per micro-batch (`operators/incremental.py
+    maintain_join`) instead of re-joined — the streaming companion of
+    MaintainedAggView for JOIN views. Either side's changelog may be None
+    per batch (one-sided update, e.g. a fact stream against a
+    slowly-changing dim that only sometimes ships deltas).
+
+    Exactly-once: like the aggregate view, the delta update assumes
+    ``fact_before``/``dim_before`` are the PRE-batch mirror states, so a
+    replayed batch against post-merge mirrors would double-apply. The view
+    records the micro-batch id in its atomic state pointer and
+    ``apply_batch`` no-ops on an already-applied id; call it BEFORE the
+    mirror commits in ``foreachBatch``.
+
+    Scale: state is the view itself (join-cardinality); per batch it is
+    touched only by broadcast touched-key probes (maintain_join's plan pin
+    — no corpus shuffle). At 100 TB the snapshot swap becomes a
+    table-format MERGE on the touched keys, exactly like the mirror's.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        fact_keys: str | Sequence[str],
+        dim_keys: str | Sequence[str],
+        fk_cols: str | Sequence[str],
+        ts_col: str,
+        op_col: str = "op",
+        delete_op: str = "D",
+    ) -> None:
+        self.state = ParquetStateTable(root)
+        self.fact_keys = fact_keys
+        self.dim_keys = dim_keys
+        self.fk_cols = fk_cols
+        self.ts_col = ts_col
+        self.op_col = op_col
+        self.delete_op = delete_op
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self.state.read(spark)
+
+    def _join(self, fact: DataFrame, dim: DataFrame) -> DataFrame:
+        from functools import reduce as _reduce
+
+        fks = [self.fk_cols] if isinstance(self.fk_cols, str) else list(self.fk_cols)
+        dks = [self.dim_keys] if isinstance(self.dim_keys, str) else list(self.dim_keys)
+        cond = _reduce(
+            lambda a, b: a & b,
+            [fact[l] == dim[r] for l, r in zip(fks, dks)],
+        )
+        return fact.join(dim, cond)
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch_id: int,
+        fact_before: DataFrame | None,
+        dim_before: DataFrame | None,
+        fact_batch: DataFrame | None = None,
+        dim_batch: DataFrame | None = None,
+    ) -> dict:
+        """Advance the view through one micro-batch of either/both
+        changelogs. ``fact_before``/``dim_before`` must be the mirror
+        states BEFORE this batch's merges (pass the frames the merges
+        read). Replayed ``batch_id``s are skipped."""
+        from tabular_cdc_bootstrapper_spark.operators.incremental import (
+            maintain_join,
+        )
+
+        cur = self.state.current()
+        if cur is not None and cur.get("last_batch_id", -1) >= batch_id:
+            return {"skipped_replay": True, "batch_id": batch_id}
+
+        def _empty(batch: DataFrame | None, side: str) -> DataFrame:
+            if batch is None:
+                raise ValueError(
+                    f"{side}_before is None and no {side}_batch to derive "
+                    "an empty mirror schema from"
+                )
+            return batch.drop(self.op_col, self.ts_col).limit(0)
+
+        if fact_before is None:
+            fact_before = _empty(fact_batch, "fact")
+        if dim_before is None:
+            dim_before = _empty(dim_batch, "dim")
+        view_before = self.state.read(spark)
+        if view_before is None:
+            view_before = self._join(fact_before, dim_before)
+        out = maintain_join(
+            view_before,
+            fact_before,
+            dim_before,
+            fact_batch,
+            dim_batch,
+            fact_keys=self.fact_keys,
+            dim_keys=self.dim_keys,
+            fk_cols=self.fk_cols,
+            ts_cols=self.ts_col,
+            op_col=self.op_col,
+            delete_op=self.delete_op,
+        )
+        return self.state.commit(out, meta={"last_batch_id": batch_id})
+
+
 class MaintainedClusterView:
     """The near-dup cluster mapping (id → component_id), maintained per
     micro-batch of candidate PAIRS — the streaming companion VERDICT r6 #6

@@ -763,6 +763,80 @@ def test_maintained_agg_view_tracks_mirror(spark, tmp_path):
     assert "gX" not in got
 
 
+def test_maintained_join_view_tracks_mirrors(spark, tmp_path):
+    """Three micro-batches through view + both mirrors: after each, the
+    view must equal a from-scratch join of the post-batch mirrors —
+    bootstrap from empty mirrors, a two-sided batch, and a dim-only
+    batch (fact_batch=None) all exercised."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        MaintainedJoinView,
+        ParquetStateTable,
+    )
+
+    view = MaintainedJoinView(
+        str(tmp_path / "jv"), fact_keys="fid", dim_keys="did",
+        fk_cols="dref", ts_col="ts",
+    )
+    fmirror = ParquetStateTable(str(tmp_path / "fm"))
+    dmirror = ParquetStateTable(str(tmp_path / "dm"))
+    fschema = "fid long, dref long, fval string, op string, ts long"
+    dschema = "did long, dval string, op string, ts long"
+    batches = [
+        (
+            [(k, k % 3, f"f{k}", "I", 0) for k in range(8)],
+            [(d, f"d{d}", "I", 0) for d in range(2)],  # dim 2 missing
+        ),
+        (
+            [(0, 2, "f0-new", "U", 1), (1, None, None, "D", 1)],
+            [(2, "d2", "I", 1)],  # gains matches for dref=2 rows
+        ),
+        (None, [(0, None, "D", 2)]),  # dim-only batch
+    ]
+    for bid, (frows, drows) in enumerate(batches):
+        fb = spark.createDataFrame(frows, fschema) if frows else None
+        db = spark.createDataFrame(drows, dschema) if drows else None
+        f_before, d_before = fmirror.read(spark), dmirror.read(spark)
+        view.apply_batch(spark, bid, f_before, d_before, fb, db)
+        if fb is not None:
+            fmirror.commit(apply_changelog(
+                fb, "fid", "ts", mirror=f_before, drop_envelope=("op", "ts")
+            ))
+        if db is not None:
+            dmirror.commit(apply_changelog(
+                db, "did", "ts", mirror=d_before, drop_envelope=("op", "ts")
+            ))
+        f1, d1 = fmirror.read(spark), dmirror.read(spark)
+        expect = _join_state(f1.join(d1, f1["dref"] == d1["did"]))
+        got = _join_state(view.read(spark))
+        assert got == expect, f"batch {bid}"
+    assert not any(r[1] == 0 for r in got)  # dim 0 deleted in batch 3
+    assert any(r[1] == 2 for r in got)  # batch-2 dim insert gained matches
+
+
+def test_maintained_join_view_replay_is_noop(spark, tmp_path):
+    """Checkpoint replay delivers the same batch id twice; the second
+    apply must skip (the delta update is not idempotent)."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        MaintainedJoinView,
+    )
+
+    view = MaintainedJoinView(
+        str(tmp_path / "jv"), fact_keys="fid", dim_keys="did",
+        fk_cols="dref", ts_col="ts",
+    )
+    fb = spark.createDataFrame(
+        [(1, 0, "f1", "I", 0)], "fid long, dref long, fval string, op string, ts long"
+    )
+    db = spark.createDataFrame(
+        [(0, "d0", "I", 0)], "did long, dval string, op string, ts long"
+    )
+    view.apply_batch(spark, 0, None, None, fb, db)
+    out = view.apply_batch(spark, 0, None, None, fb, db)
+    assert out.get("skipped_replay")
+    assert view.read(spark).count() == 1
+
+
 def test_maintained_agg_view_replay_is_noop(spark, tmp_path):
     """Checkpoint replay delivers the same batch id twice; the second
     apply must not double-count (pointer carries last_batch_id)."""
