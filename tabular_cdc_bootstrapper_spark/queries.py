@@ -477,6 +477,76 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_purge_history",
+    oracle="""
+    WITH s0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    s1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT 0 AS version, o_orderkey, o_orderstatus
+    FROM s0 WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 1 AS version, o_orderkey, o_orderstatus
+    FROM s1 WHERE o_orderkey % 97 <> 0
+    """,
+)
+def cdc_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten purge (streaming/pipeline.py
+    ParquetStateTable.purge_keys): commit two mirror snapshots (base, then
+    update%7 + delete%13 — the cdc_change_feed batches), hard-delete keys
+    %97 from ALL retained history, then read BOTH snapshots back through
+    VERSION AS OF. The purged keys must be gone from every version — the
+    one deliberate history rewrite the engine supports (Delta
+    delete+REORG PURGE / Iceberg rewrite-data-files semantics); versions,
+    timestamps, and metadata survive. Cost ∝ retained snapshots × one
+    broadcast anti-join scan each; the DuckDB oracle replays both
+    snapshot states minus the purged keys."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_purge_"), keep_versions=10
+    )
+    for upto in (0, 2):
+        mirror.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+    purge = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+    )
+    mirror.purge_keys(spark, purge, "o_orderkey")
+    return (
+        mirror.read_version(spark, 0)
+        .select(F.lit(0).alias("version"), "o_orderkey", "o_orderstatus")
+        .unionByName(
+            mirror.read_version(spark, 1).select(
+                F.lit(1).alias("version"), "o_orderkey", "o_orderstatus"
+            )
+        )
+    )
+
+
+@query(
     "snapshot_diff_changelog",
     oracle="""
     WITH oldt AS (
@@ -7373,12 +7443,13 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query <= 3 rounds stale; VERDICT r8 #7: after r9 no row may be older than
 # r7):
 #
-# - IN (new r9, 5): passage_ann_topk (end-to-end chunk->embed->index->query
+# - IN (new r9, 6): passage_ann_topk (end-to-end chunk->embed->index->query
 #   ->doc-dedup composition), merge_table_time_travel (committed MERGE +
 #   schema evolution + CDF), cdc_anomaly_report (snapshot-to-snapshot
 #   anomaly rules), pagerank_dangling_directed (dangling-mass
 #   redistribution on a directed graph), incremental_join_maintenance
-#   (maintain_join — incremental join-view maintenance, recompute oracle).
+#   (maintain_join — incremental join-view maintenance, recompute oracle),
+#   cdc_purge_history (GDPR purge across retained snapshot history).
 # - IN (changed code this round, 5 + flagship): orders_constraint_report
 #   (FK NULL semantics fix, oracle updated), ann_prebuilt_ivfpq_topk /
 #   ann_index_maintained_topk (ann_query grew the batch query path;
@@ -7391,12 +7462,13 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   from CORRECTNESS_r01..r08; includes the 9 rows displaced late-r8 and
 #   the 13 long-scheduled r6 rows plus TPC-H q6/q8-q13/q18/q20/q21,
 #   sketch/set-op/text-drift families).
-# - IN (r7 family representatives, 6): q1_pricing_summary (TPC-H agg),
+# - IN (r7 family representatives, 5): q1_pricing_summary (TPC-H agg),
 #   minhash_near_duplicates (pair-gen UDF family), bm25_topk (retrieval),
-#   cdc_ops_histogram (observe/CDC stats), lang_id_confusion (text),
-#   cosine_topk (exact ANN). With ann_batch_shuffle_topk and
-#   incremental_join_maintenance (both NEW) taking slots,
-#   referential_integrity_report and user_sessions return to the tail; the
+#   cdc_ops_histogram (observe/CDC stats), lang_id_confusion (text). With
+#   ann_batch_shuffle_topk, incremental_join_maintenance, and
+#   cdc_purge_history (all NEW) taking slots,
+#   referential_integrity_report, user_sessions, and cosine_topk (the ANN
+#   family keeps three other in-window rows) return to the tail; the
 #   other r7 rows sit 2 rounds stale after r9 and rotate in r10 with the
 #   r8 cohort.
 # - OUT (tail): all 44 remaining r8-green rows (1 round stale) + the 36
@@ -7413,6 +7485,7 @@ _DRIVER_CHECK_PRIORITY = [
     "cdc_anomaly_report",
     "pagerank_dangling_directed",
     "incremental_join_maintenance",
+    "cdc_purge_history",
     "orders_constraint_report",
     "ann_prebuilt_ivfpq_topk",
     "ann_index_maintained_topk",
@@ -7456,9 +7529,9 @@ _DRIVER_CHECK_PRIORITY = [
     "bm25_topk",
     "cdc_ops_histogram",
     "lang_id_confusion",
-    "cosine_topk",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "cosine_topk",
     "user_sessions",
     "referential_integrity_report",
     "cdc_mirror_time_travel",

@@ -291,6 +291,94 @@ class ParquetStateTable:
         }
         return self._publish(record, keep=target["dir"])
 
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_cols: str | Sequence[str],
+    ) -> dict:
+        """GDPR-style hard delete: physically remove every row matching
+        ``keys_df`` from the CURRENT snapshot AND every retained historical
+        snapshot — the right-to-be-forgotten operation (Delta's
+        delete + REORG PURGE / Iceberg's rewrite-data-files shape). This is
+        the ONE deliberate exception to append-only history: versions,
+        timestamps, and metadata are preserved, but each retained data dir
+        is rewritten without the purged keys, so no VERSION AS OF /
+        TIMESTAMP AS OF / rollback / change-feed read can resurrect them.
+
+        Protocol (crash-safe, idempotent): (1) for each distinct retained
+        data dir, write a purged copy (keys broadcast into one anti-join —
+        the table side never shuffles, and dirs shared by several log
+        entries, e.g. rollback targets, are rewritten once); (2) rewrite
+        each log entry then the CURRENT pointer (each an atomic rename,
+        pointer last); (3) delete the old dirs. A crash mid-way leaves
+        every snapshot readable (old or new dir) and a re-run converges —
+        the anti-join of an already-purged dir is a no-op rewrite.
+
+        Scale: cost = one pruned scan + write per RETAINED snapshot
+        (retention bounds the work, the reason purge pairs with
+        ``keep_versions``); the purge-key probe broadcasts.
+        """
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        from functools import reduce as _reduce
+
+        probe = keys_df.select(
+            *[F.col(k).alias(f"__p_{i}") for i, k in enumerate(keys)]
+        ).distinct()
+        cur = self.current()
+        if cur is None:
+            return {"versions_rewritten": 0, "dirs_rewritten": 0}
+        entries = self._log.committed() or [cur]
+        dir_map: dict[str, str] = {}
+        for e in entries:
+            d = e["dir"]
+            if d in dir_map or not os.path.isdir(d):
+                continue
+            df = spark.read.parquet(d)
+            cond = _reduce(
+                lambda a, b: a & b,
+                [df[k].eqNullSafe(probe[f"__p_{i}"]) for i, k in enumerate(keys)],
+            )
+            clean = df.join(F.broadcast(probe), cond, "left_anti")
+            nd = os.path.join(
+                self.root,
+                f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
+            )
+            clean.write.mode("errorifexists").parquet(nd)
+            dir_map[d] = nd
+        now = time.time()
+        versions_rewritten = 0
+        for e in entries:
+            if e["dir"] not in dir_map:
+                continue
+            rec = dict(e)
+            rec["dir"] = dir_map[e["dir"]]
+            rec["purged_ts"] = now
+            lpath = os.path.join(self._log_dir, f"v-{e['version']:08d}.json")
+            if not os.path.exists(lpath):
+                # pre-snapshot-log table: only the pointer exists
+                versions_rewritten += 1
+                continue
+            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, lpath)
+            versions_rewritten += 1
+        if cur["dir"] in dir_map:
+            rec = dict(cur)
+            rec["dir"] = dir_map[cur["dir"]]
+            rec["purged_ts"] = now
+            tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, self._pointer)
+        for old in dir_map:
+            shutil.rmtree(old, ignore_errors=True)
+        return {
+            "versions_rewritten": versions_rewritten,
+            "dirs_rewritten": len(dir_map),
+        }
+
     def _expire(self, keep: str) -> None:
         """Drop data dirs outside retention. Kept: ``keep`` (the dir just
         published), the newest ``keep_versions`` dirs by version order
@@ -889,6 +977,106 @@ class VersionedBucketMirror:
         self._log.publish(record)
         self._expire(record)
         return record
+
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str | None = None,
+    ) -> dict:
+        """GDPR-style hard delete across the mirror's retained history —
+        the bucketed composition of ``ParquetStateTable.purge_keys``, and
+        the 100 TB shape: the purge keys hash to a bucket set, so only
+        TOUCHED bucket dirs are ever read or rewritten (cost ∝ touched
+        buckets × retained manifests, deduped — dirs shared across
+        manifests are rewritten once); the untouched majority of the
+        mirror is never scanned.
+
+        Protocol mirrors the state-table purge: per distinct touched dir
+        one broadcast anti-join rewrite installed under a new immutable
+        version name (a bucket emptied by the purge drops out of its
+        manifests, matching the merge path's fully-deleted-bucket rule);
+        manifests then the CURRENT pointer re-pointed by atomic renames
+        (versions/ts/meta preserved, ``purged_ts`` stamped); old dirs
+        deleted last. Crash mid-way leaves every snapshot readable and a
+        re-run converges.
+        """
+        key = key_col or self.key_col
+        cur = self.current()
+        if cur is None:
+            return {"manifests_rewritten": 0, "bucket_dirs_rewritten": 0}
+        probe = keys_df.select(F.col(key).alias("__p_0")).distinct()
+        touched = {
+            str(r["b"])
+            for r in keys_df.select(self._bucket(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+        }
+        entries = self._log.committed()
+        dir_map: dict[str, str | None] = {}
+        for e in entries:
+            for b, d in e["buckets"].items():
+                if b not in touched or d in dir_map or not os.path.isdir(d):
+                    continue
+                df = spark.read.parquet(d)
+                clean = df.join(
+                    F.broadcast(probe),
+                    df[key].eqNullSafe(probe["__p_0"]),
+                    "left_anti",
+                )
+                if clean.isEmpty():  # bucket emptied by the purge
+                    dir_map[d] = None
+                    continue
+                dst = os.path.join(
+                    self.data_dir,
+                    f"bucket={int(b)}",
+                    f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
+                )
+                clean.coalesce(1).write.mode("errorifexists").parquet(dst)
+                dir_map[d] = dst
+        now = time.time()
+
+        def _rewrite(buckets: dict[str, str]) -> dict[str, str] | None:
+            out = {
+                b: (dir_map[d] if d in dir_map else d)
+                for b, d in buckets.items()
+            }
+            out = {b: d for b, d in out.items() if d is not None}
+            return out if out != buckets else None
+
+        manifests_rewritten = 0
+        for e in entries:
+            newb = _rewrite(e["buckets"])
+            if newb is None:
+                continue
+            rec = dict(e)
+            rec["buckets"] = newb
+            rec["purged_ts"] = now
+            lpath = os.path.join(
+                self._log.log_dir, f"v-{e['version']:08d}.json"
+            )
+            if os.path.exists(lpath):
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+            manifests_rewritten += 1
+        newb = _rewrite(cur["buckets"])
+        if newb is not None:
+            rec = dict(cur)
+            rec["buckets"] = newb
+            rec["purged_ts"] = now
+            tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, self._log.pointer_path)
+        for old in dir_map:
+            shutil.rmtree(old, ignore_errors=True)
+        return {
+            "manifests_rewritten": manifests_rewritten,
+            "bucket_dirs_rewritten": len(dir_map),
+            "touched_buckets": sorted(int(b) for b in touched),
+        }
 
     def _expire(self, just_published: dict) -> None:
         """GC bucket-version dirs no retained manifest references. Kept:

@@ -265,3 +265,65 @@ def test_table_changes_cross_layout_agreement(spark, tmp_path):
     assert feed(vm) == feed(st) == {
         (0, "U", "N0"), (7, "D", None), (8, "I", "n8"),
     }
+
+
+# --- GDPR purge (r9): history-rewriting hard delete ------------------------
+
+
+def test_purge_keys_removes_from_all_retained_versions(spark, tmp_path):
+    """After purge, the keys are gone from CURRENT and from every
+    VERSION AS OF read; versions, order, and metadata survive."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    for i in range(3):
+        t.commit(_df(spark, f"v{i}", n=6), meta={"batch": i})
+    keys = spark.createDataFrame([(1,), (4,)], "id long")
+    out = t.purge_keys(spark, keys, "id")
+    assert out == {"versions_rewritten": 3, "dirs_rewritten": 3}
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert all(e["readable"] for e in h)
+    assert all("purged_ts" in e for e in h)
+    assert h[1]["batch"] == 1  # metadata preserved
+    for v in range(3):
+        ids = {i for i, _ in _tags(spark, t, version=v)}
+        assert ids == {0, 2, 3, 5}, v
+    assert {i for i, _ in _tags(spark, t)} == {0, 2, 3, 5}
+
+
+def test_purge_keys_handles_rollback_shared_dirs(spark, tmp_path):
+    """A rollback entry shares its data dir with the original snapshot:
+    purge must rewrite the dir ONCE and re-point both entries at it."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0", n=4))
+    t.commit(_df(spark, "v1", n=4))
+    t.rollback(0)  # version 2 shares version 0's dir
+    out = t.purge_keys(spark, spark.createDataFrame([(0,)], "id long"), "id")
+    assert out["versions_rewritten"] == 3
+    assert out["dirs_rewritten"] == 2  # v0+v2 share one dir
+    h = t.history()
+    assert h[0]["dir"] == h[2]["dir"]  # still shared after rewrite
+    for v in range(3):
+        assert 0 not in {i for i, _ in _tags(spark, t, version=v)}
+
+
+def test_purge_keys_is_idempotent_and_feed_safe(spark, tmp_path):
+    """Re-running the same purge converges (no-op rewrite), and the
+    change feed between snapshots never resurrects a purged key."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import table_changes
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0", n=5))
+    t.commit(_df(spark, "v1", n=5))
+    keys = spark.createDataFrame([(2,), (3,)], "id long")
+    t.purge_keys(spark, keys, "id")
+    again = t.purge_keys(spark, keys, "id")
+    assert again["versions_rewritten"] == 2  # converged, still clean
+    feed = table_changes(spark, t, 0, 1, key_cols="id")
+    assert {r.id for r in feed.collect()} & {2, 3} == set()
+    assert {i for i, _ in _tags(spark, t)} == {0, 1, 4}
+
+
+def test_purge_keys_empty_table_is_noop(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"))
+    out = t.purge_keys(spark, spark.createDataFrame([(1,)], "id long"), "id")
+    assert out == {"versions_rewritten": 0, "dirs_rewritten": 0}

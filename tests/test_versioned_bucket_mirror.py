@@ -161,3 +161,72 @@ def test_full_delete_drops_bucket_from_manifest(spark, tmp_path):
     assert set(survivors) == {k for k in (0, 1) if k not in victims}
     # time travel still sees the pre-delete bucket
     assert set(_state(spark, m, 0)) == {0, 1}
+
+
+# --- GDPR purge on the bucketed layout (r9) ---------------------------------
+
+
+def test_purge_keys_touches_only_key_buckets(spark, mirror):
+    """Purge must rewrite ONLY the buckets the purge keys hash to; every
+    other bucket dir must be byte-identical (same path) afterwards —
+    the bucketed purge's scale property."""
+    mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    before = dict(mirror.current()["buckets"])
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    touched = {
+        str(r["b"])
+        for r in keys.select(mirror._bucket(F.col("id")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    out = mirror.purge_keys(spark, keys)
+    assert sorted(int(b) for b in touched) == out["touched_buckets"]
+    after = dict(mirror.current()["buckets"])
+    for b, d in before.items():
+        if b in touched:
+            # rewritten under a new dir, or dropped if the purge emptied it
+            assert after.get(b) != d, f"touched bucket {b} not rewritten"
+        else:
+            assert after[b] == d, f"untouched bucket {b} was rewritten"
+    # keys gone from CURRENT and from every retained version
+    for v in (0, 1):
+        state = _state(spark, mirror, version=v)
+        assert 3 not in state and 7 not in state, v
+    assert 0 in _state(spark, mirror)  # everything else intact
+
+
+def test_purge_keys_empties_bucket_and_preserves_history(spark, tmp_path):
+    """Purging every key of a bucket drops it from all manifests (the
+    fully-deleted-bucket rule); versions and rollback targets survive."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=10
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(12)]))
+    m.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    m.rollback(0)
+    # find every key living in key 5's bucket and purge them all
+    b5 = [r["b"] for r in
+          spark.createDataFrame([(5,)], "id long")
+          .select(m._bucket(F.col("id")).alias("b")).collect()][0]
+    all_keys = spark.range(12).select(F.col("id"))
+    bucket_keys = all_keys.filter(m._bucket(F.col("id")) == b5)
+    doomed = {r["id"] for r in bucket_keys.collect()}
+    out = m.purge_keys(spark, bucket_keys)
+    assert out["manifests_rewritten"] == 3
+    h = m.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert all(str(b5) not in e["buckets"] for e in h)
+    assert all("purged_ts" in e for e in h)
+    for v in (0, 1, 2):
+        state = _state(spark, m, version=v)
+        assert not (doomed & set(state)), v
+    assert 0 in _state(spark, m)  # rollback state (v0 names) still reads
+
+
+def test_purge_keys_is_idempotent(spark, mirror):
+    keys = spark.createDataFrame([(2,)], "id long")
+    mirror.purge_keys(spark, keys)
+    state1 = _state(spark, mirror)
+    mirror.purge_keys(spark, keys)  # converges: same state, key still gone
+    assert _state(spark, mirror) == state1
+    assert 2 not in state1
