@@ -65,6 +65,8 @@ UDF_HEAVY = {
     "ann_index_maintained_topk",  # build+append harness, pandas-UDF encode (r8)
     "semantic_dedup_summary",  # kmeans assignment pandas UDF (r8)
     "passage_ann_topk",  # one-time chunk-index build (pandas-UDF encode) (r9)
+    "ann_batch_shuffle_topk",  # shares the prebuilt index build (r9)
+    "ann_index_purged_topk",  # index copy + purge + pandas-UDF query encode (r9)
 }
 
 

@@ -429,6 +429,69 @@ def append_to_index(
     }
 
 
+def delete_from_index(
+    spark: SparkSession,
+    index: AnnIndex,
+    keys_df: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """GDPR purge for the persisted ANN index — the companion of
+    ``ParquetStateTable.purge_keys`` (streaming/pipeline.py) on the
+    retrieval side: hard-delete the given vec_ids from the codes table so
+    no ``ann_query`` can ever return (or even score) them. The standing
+    models are untouched — centroids/codebooks are aggregates that do not
+    reproduce any individual vector, so deletion is a codes-only rewrite
+    (the same reasoning Iceberg/Delta apply: purge data files, keep
+    statistics).
+
+    Cost ∝ TOUCHED segments: each segment is first probed with a pruned
+    vec_id-only broadcast semi-join (isEmpty — a metadata-cheap scan);
+    untouched segments keep their dirs byte-identical in the new manifest,
+    touched ones are rewritten by one broadcast anti-join (a segment
+    emptied by the purge drops out). One atomic manifest swap publishes
+    the result; the commit's pruning deletes the replaced segment dirs.
+    Crash before the swap leaves the old manifest fully readable and the
+    orphan rewrites are pruned by the next commit; re-running converges.
+    """
+    cur = index.codes.current()
+    if cur is None:
+        raise ValueError(
+            f"ANN index at {index.root} has not been built (no codes "
+            "manifest) — nothing to delete from"
+        )
+    probe = keys_df.select(F.col(id_col).alias("__p_0")).distinct()
+    new_segments: list[str] = []
+    rewritten = dropped = 0
+    for seg in cur["segments"]:
+        df = spark.read.parquet(seg)
+        ids = df.select("vec_id")
+        if ids.join(
+            F.broadcast(probe),
+            ids["vec_id"].eqNullSafe(probe["__p_0"]),
+            "left_semi",
+        ).isEmpty():
+            new_segments.append(seg)
+            continue
+        clean = df.join(
+            F.broadcast(probe),
+            df["vec_id"].eqNullSafe(probe["__p_0"]),
+            "left_anti",
+        )
+        if clean.isEmpty():
+            dropped += 1
+            continue
+        new_segments.append(index.codes._write_segment(clean))
+        rewritten += 1
+    index.codes._commit(
+        new_segments, {**cur["meta"], "purged_ts": time.time()}
+    )
+    return {
+        "segments_rewritten": rewritten,
+        "segments_dropped": dropped,
+        "segments_total": len(cur["segments"]),
+    }
+
+
 class MaintainedAnnIndex:
     """foreachBatch wiring for a stream of new vectors (the
     MaintainedClusterView pattern, streaming/pipeline.py): idempotent

@@ -3426,13 +3426,18 @@ def _ivf_oracle() -> str:
     """
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(candidate_filter: str = "") -> str:
     """Replicates ivf_pq_topk(k=10, n_centroids=64, n_probes=4,
     n_subspaces=8, n_codes=16, shortlist=50): the IVF assignment CTEs
     (raw-cosine argmax, cid tie-break — same as _ivf_oracle) compose with
     the PQ train/encode/ADC CTEs (same as pq_adc_topk's oracle, incl. the
     s-ORDERED list_sum for float-order parity), candidates restricted to
-    the query's 4 probed lists, exact-cosine rerank of the top-50."""
+    the query's 4 probed lists, exact-cosine rerank of the top-50.
+
+    ``candidate_filter``: extra SQL ANDed into the candidate side (the
+    `terms` CTE) — the purged-index entry uses it to exclude deleted
+    vec_ids while the training CTEs stay on the full corpus, exactly
+    matching a standing-models deletion."""
     cos_ec = _sql_cos("e.embedding", "c.cv")
     return f"""
     WITH cents AS (
@@ -3490,7 +3495,7 @@ def _ivf_pq_oracle() -> str:
         JOIN enc e ON e.vec_id = a.vec_id
         JOIN cb ON cb.code = e.code
         JOIN norm qn ON qn.vec_id = q.qid
-        WHERE a.vec_id <> q.qid
+        WHERE a.vec_id <> q.qid {candidate_filter}
     ), adc AS (
         SELECT qid, vec_id, list_sum(list(t ORDER BY s)) AS adc
         FROM terms GROUP BY qid, vec_id
@@ -3620,6 +3625,42 @@ def ann_batch_shuffle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return ann_query(spark, index, q, k=10, broadcast_queries=False)
+
+
+@query("ann_index_purged_topk", oracle=_ivf_pq_oracle("AND a.vec_id % 31 <> 0"))
+def ann_index_purged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR purge on the retrieval side (`functions/ann_index.py
+    delete_from_index` — the companion of cdc_purge_history): copy the
+    prebuilt IVF-PQ index, hard-delete vec_id%31 from its codes table
+    (touched segments rewritten by broadcast anti-join, untouched segment
+    dirs shared into the new manifest, one atomic swap), then answer the
+    standard top-k query against the purged index. The standing models
+    are untouched — centroids/codebooks are aggregates that reproduce no
+    individual vector — so the oracle is the inline IVF-PQ replay with
+    ONLY the candidate side filtered: deleted vectors can never be
+    scored, every surviving result is bit-identical to the unpurged
+    ranking minus the deleted candidates."""
+    import shutil as _shutil
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import (
+        AnnIndex,
+        ann_query,
+        delete_from_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = _prebuilt_ann_index(spark, sf_dir)
+    dst_root = tempfile.mkdtemp(prefix="spark_graft_annpurge_")
+    _shutil.rmtree(dst_root)
+    _shutil.copytree(src.root, dst_root)
+    index = AnnIndex(dst_root)
+    purge = emb.filter(F.col("vec_id") % 31 == 0).select("vec_id")
+    delete_from_index(spark, index, purge)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ann_query(spark, index, q, k=10, broadcast_queries=True)
 
 
 @query("ann_index_maintained_topk", oracle=_ivf_pq_oracle())
@@ -7443,13 +7484,15 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query <= 3 rounds stale; VERDICT r8 #7: after r9 no row may be older than
 # r7):
 #
-# - IN (new r9, 6): passage_ann_topk (end-to-end chunk->embed->index->query
+# - IN (new r9, 7): passage_ann_topk (end-to-end chunk->embed->index->query
 #   ->doc-dedup composition), merge_table_time_travel (committed MERGE +
 #   schema evolution + CDF), cdc_anomaly_report (snapshot-to-snapshot
 #   anomaly rules), pagerank_dangling_directed (dangling-mass
 #   redistribution on a directed graph), incremental_join_maintenance
 #   (maintain_join — incremental join-view maintenance, recompute oracle),
-#   cdc_purge_history (GDPR purge across retained snapshot history).
+#   cdc_purge_history (GDPR purge across retained snapshot history),
+#   ann_index_purged_topk (delete_from_index — GDPR purge of the ANN
+#   codes table, candidate-filtered IVF-PQ oracle).
 # - IN (changed code this round, 5 + flagship): orders_constraint_report
 #   (FK NULL semantics fix, oracle updated), ann_prebuilt_ivfpq_topk /
 #   ann_index_maintained_topk (ann_query grew the batch query path;
@@ -7462,15 +7505,16 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   from CORRECTNESS_r01..r08; includes the 9 rows displaced late-r8 and
 #   the 13 long-scheduled r6 rows plus TPC-H q6/q8-q13/q18/q20/q21,
 #   sketch/set-op/text-drift families).
-# - IN (r7 family representatives, 5): q1_pricing_summary (TPC-H agg),
-#   minhash_near_duplicates (pair-gen UDF family), bm25_topk (retrieval),
-#   cdc_ops_histogram (observe/CDC stats), lang_id_confusion (text). With
-#   ann_batch_shuffle_topk, incremental_join_maintenance, and
-#   cdc_purge_history (all NEW) taking slots,
-#   referential_integrity_report, user_sessions, and cosine_topk (the ANN
-#   family keeps three other in-window rows) return to the tail; the
-#   other r7 rows sit 2 rounds stale after r9 and rotate in r10 with the
-#   r8 cohort.
+# - IN (r7 family representatives, 4): q1_pricing_summary (TPC-H agg),
+#   minhash_near_duplicates (pair-gen UDF family), cdc_ops_histogram
+#   (observe/CDC stats), lang_id_confusion (text). With
+#   ann_batch_shuffle_topk, incremental_join_maintenance,
+#   cdc_purge_history, and ann_index_purged_topk (all NEW) taking slots,
+#   referential_integrity_report, user_sessions, cosine_topk (ANN keeps
+#   four other in-window rows), and bm25_topk (retrieval keeps
+#   hybrid_retrieval_topk in-window) return to the tail; the other r7
+#   rows sit 2 rounds stale after r9 and rotate in r10 with the r8
+#   cohort.
 # - OUT (tail): all 44 remaining r8-green rows (1 round stale) + the 36
 #   r7 rows above — every family keeps an in-window representative, and
 #   every oracle-backed entry is ALSO re-executed against DuckDB locally
@@ -7490,6 +7534,7 @@ _DRIVER_CHECK_PRIORITY = [
     "ann_prebuilt_ivfpq_topk",
     "ann_index_maintained_topk",
     "ann_batch_shuffle_topk",
+    "ann_index_purged_topk",
     "purchase_graph_pagerank",
     "semantic_dedup_summary",
     "array_hof_embedding_stats",
@@ -7526,11 +7571,11 @@ _DRIVER_CHECK_PRIORITY = [
     "winsorized_length_stats",
     "q1_pricing_summary",
     "minhash_near_duplicates",
-    "bm25_topk",
     "cdc_ops_histogram",
     "lang_id_confusion",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "bm25_topk",
     "cosine_topk",
     "user_sessions",
     "referential_integrity_report",

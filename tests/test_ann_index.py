@@ -255,3 +255,74 @@ def test_large_batch_query_path_identical_and_never_broadcasts(spark, emb, built
     auto_large = ann_query(spark, built, q, k=5, broadcast_threshold=10)
     assert physical_plan(auto_large).count("ShuffledHashJoin") >= 2
     assert _rows(auto_large) == _rows(small)
+
+
+def test_delete_from_index_purges_and_shares_untouched_segments(
+    spark, emb, built, tmp_path
+):
+    """GDPR purge laws: deleted vec_ids never appear in results or in the
+    codes table; segments without purged ids keep their dirs (shared into
+    the new manifest); survivors' ranking equals the unpurged ranking
+    minus the deleted candidates (standing models untouched)."""
+    import shutil
+
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import (
+        delete_from_index,
+    )
+
+    root = str(tmp_path / "copy")
+    shutil.copytree(built.root, root)
+    idx = AnnIndex(root)
+    # append a second segment so untouched-segment sharing is observable
+    extra = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_index(spark, idx, extra)
+    segs_before = list(idx.codes.current()["segments"])
+    assert len(segs_before) == 2
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    before = _rows(ann_query(spark, idx, q, k=10))
+    doomed = {v for _, v, _, _ in before[:3]}  # purge some actual hits
+    keys = spark.createDataFrame([(v,) for v in sorted(doomed)], "vec_id long")
+    out = delete_from_index(spark, idx, keys)
+    assert out["segments_rewritten"] >= 1
+    segs_after = list(idx.codes.current()["segments"])
+    # the appended segment (ids >= 1M, never doomed) is shared unchanged
+    assert segs_before[1] in segs_after
+    codes_ids = {r["vec_id"] for r in idx.codes.read(spark).select("vec_id").collect()}
+    assert not (doomed & codes_ids)
+    after = _rows(ann_query(spark, idx, q, k=10))
+    assert not any(v in doomed for _, v, _, _ in after)
+    # survivors keep their relative order and scores
+    surv_before = [(qid, v, s) for qid, v, s, _ in before if v not in doomed]
+    surv_after_set = {(qid, v, s) for qid, v, s, _ in after}
+    assert set(surv_before) <= surv_after_set
+    assert "purged_ts" in idx.codes.current()["meta"]
+
+
+def test_delete_from_index_empty_and_unbuilt(spark, emb, built, tmp_path):
+    import shutil
+
+    import pytest as _pytest
+
+    from tabular_cdc_bootstrapper_spark.functions.ann_index import (
+        delete_from_index,
+    )
+
+    with _pytest.raises(ValueError, match="has not been built"):
+        delete_from_index(
+            spark, AnnIndex(str(tmp_path / "nope")),
+            spark.createDataFrame([(1,)], "vec_id long"),
+        )
+    root = str(tmp_path / "copy2")
+    shutil.copytree(built.root, root)
+    idx = AnnIndex(root)
+    segs = list(idx.codes.current()["segments"])
+    out = delete_from_index(
+        spark, idx, spark.createDataFrame([(-42,)], "vec_id long")
+    )
+    assert out["segments_rewritten"] == 0 and out["segments_dropped"] == 0
+    assert idx.codes.current()["segments"] == segs  # manifest unchanged dirs
