@@ -379,6 +379,56 @@ class ParquetStateTable:
             "dirs_rewritten": len(dir_map),
         }
 
+    def expire_snapshots(
+        self,
+        older_than_ts: float | None = None,
+        keep_last: int | None = None,
+    ) -> dict:
+        """Explicit snapshot expiry — the Iceberg ``expire_snapshots``
+        maintenance action, completing the triad beside compaction
+        (sources/sinks.py) and GDPR purge. Retention via ``keep_versions``
+        expires per-commit as a side effect; this is the storage-reclaim
+        op a warehouse runs on a schedule: drop the DATA of committed
+        snapshots strictly older than ``older_than_ts`` (commit clock)
+        and/or beyond the newest ``keep_last``, while the log entries stay
+        (metadata is tiny; ``history()`` marks them ``readable: false``).
+        The CURRENT snapshot and every dir it shares (rollback heads) are
+        always kept. Returns the expired versions and reclaimed dirs."""
+        cur = self.current()
+        if cur is None:
+            return {"expired_versions": [], "dirs_removed": 0}
+        committed = self._log.committed()
+        keep_versions = {cur["version"]}
+        if keep_last is not None:
+            keep_versions.update(
+                e["version"] for e in committed[-max(keep_last, 1):]
+            )
+        expired = []
+        for e in committed:
+            if e["version"] in keep_versions:
+                continue
+            if older_than_ts is not None and e["ts"] >= older_than_ts:
+                continue
+            if older_than_ts is None and keep_last is None:
+                continue  # no criterion given: expire nothing
+            expired.append(e)
+        expired_versions = {e["version"] for e in expired}
+        kept_dirs = {
+            e["dir"]
+            for e in committed
+            if e["version"] not in expired_versions
+        }
+        doomed = {e["dir"] for e in expired if e["dir"] not in kept_dirs}
+        removed = 0
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {
+            "expired_versions": sorted(expired_versions),
+            "dirs_removed": removed,
+        }
+
     def _expire(self, keep: str) -> None:
         """Drop data dirs outside retention. Kept: ``keep`` (the dir just
         published), the newest ``keep_versions`` dirs by version order
@@ -1076,6 +1126,58 @@ class VersionedBucketMirror:
             "manifests_rewritten": manifests_rewritten,
             "bucket_dirs_rewritten": len(dir_map),
             "touched_buckets": sorted(int(b) for b in touched),
+        }
+
+    def expire_snapshots(
+        self,
+        older_than_ts: float | None = None,
+        keep_last: int | None = None,
+    ) -> dict:
+        """Explicit snapshot expiry on the bucketed layout — same contract
+        as ``ParquetStateTable.expire_snapshots``: drop the bucket-version
+        dirs referenced ONLY by manifests older than ``older_than_ts``
+        and/or beyond the newest ``keep_last``; dir sharing means an
+        untouched bucket's dir survives for as long as ANY retained
+        manifest points at it (so expiring old history reclaims exactly
+        the bucket versions that were since rewritten — the Iceberg
+        expire_snapshots accounting). Manifest log entries stay
+        (``history()`` marks them unreadable)."""
+        cur = self.current()
+        if cur is None:
+            return {"expired_versions": [], "dirs_removed": 0}
+        committed = self._log.committed()
+        keep_versions = {cur["version"]}
+        if keep_last is not None:
+            keep_versions.update(
+                e["version"] for e in committed[-max(keep_last, 1):]
+            )
+        expired = []
+        for e in committed:
+            if e["version"] in keep_versions:
+                continue
+            if older_than_ts is not None and e["ts"] >= older_than_ts:
+                continue
+            if older_than_ts is None and keep_last is None:
+                continue
+            expired.append(e)
+        expired_versions = {e["version"] for e in expired}
+        kept_dirs: set[str] = set()
+        for e in committed:
+            if e["version"] not in expired_versions:
+                kept_dirs.update(e["buckets"].values())
+        doomed: set[str] = set()
+        for e in expired:
+            doomed.update(
+                d for d in e["buckets"].values() if d not in kept_dirs
+            )
+        removed = 0
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {
+            "expired_versions": sorted(expired_versions),
+            "dirs_removed": removed,
         }
 
     def _expire(self, just_published: dict) -> None:

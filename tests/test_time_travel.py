@@ -327,3 +327,46 @@ def test_purge_keys_empty_table_is_noop(spark, tmp_path):
     t = ParquetStateTable(str(tmp_path / "t"))
     out = t.purge_keys(spark, spark.createDataFrame([(1,)], "id long"), "id")
     assert out == {"versions_rewritten": 0, "dirs_rewritten": 0}
+
+
+# --- explicit snapshot expiry (r9) ------------------------------------------
+
+
+def test_expire_snapshots_keep_last(spark, tmp_path):
+    """keep_last=N reclaims older snapshots' data, keeps their log entries
+    (readable=false), and never touches CURRENT or shared rollback dirs."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    for i in range(4):
+        t.commit(_df(spark, f"v{i}"))
+    out = t.expire_snapshots(keep_last=2)
+    assert out["expired_versions"] == [0, 1]
+    assert out["dirs_removed"] == 2
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2, 3]  # log intact
+    assert [e["readable"] for e in h] == [False, False, True, True]
+    assert _tags(spark, t, version=3)  # current still reads
+    with pytest.raises(ValueError, match="expired"):
+        t.read_version(spark, 0)
+
+
+def test_expire_snapshots_spares_rollback_shared_dir(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    t.commit(_df(spark, "v1"))
+    t.rollback(0)  # v2 shares v0's dir
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == [0, 1]
+    assert out["dirs_removed"] == 1  # only v1's dir: v0's is shared by head
+    assert _tags(spark, t, version=0)  # still readable via the shared dir
+    assert _tags(spark, t, version=2)
+
+
+def test_expire_snapshots_older_than_and_no_criterion(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    t.commit(_df(spark, "v1"))
+    assert t.expire_snapshots() == {"expired_versions": [], "dirs_removed": 0}
+    cutoff = t.history()[1]["ts"]  # strictly-older semantics
+    out = t.expire_snapshots(older_than_ts=cutoff)
+    assert out["expired_versions"] == [0]
+    assert t.history()[0]["readable"] is False

@@ -230,3 +230,20 @@ def test_purge_keys_is_idempotent(spark, mirror):
     mirror.purge_keys(spark, keys)  # converges: same state, key still gone
     assert _state(spark, mirror) == state1
     assert 2 not in state1
+
+
+def test_expire_snapshots_reclaims_only_superseded_bucket_dirs(spark, mirror):
+    """Expiring old manifests reclaims exactly the bucket versions that
+    later merges rewrote; shared (untouched) bucket dirs survive."""
+    m0 = dict(mirror.current()["buckets"])
+    rec = mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    touched = {str(b) for b in rec["touched_buckets"]}
+    out = mirror.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == [0]
+    # only the superseded (since-rewritten) bucket dirs were removed
+    assert out["dirs_removed"] == len(touched)
+    for b, d in m0.items():
+        assert os.path.isdir(d) == (b not in touched), b
+    h = mirror.history()
+    assert [e["readable"] for e in h] == [False, True]
+    assert _state(spark, mirror)[0] == "x"  # current intact
