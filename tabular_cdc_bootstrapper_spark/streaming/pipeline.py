@@ -379,6 +379,65 @@ class ParquetStateTable:
             "dirs_rewritten": len(dir_map),
         }
 
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        rules: Sequence,
+        meta: dict | None = None,
+    ) -> dict:
+        """Iceberg's write-audit-publish (WAP) pattern: stage ``df`` as an
+        UNPUBLISHED snapshot, audit the staged files with a Deequ-style
+        rule suite (`functions/constraints.py`), and publish only if every
+        rule passes — a failing batch never becomes a readable version and
+        the table is untouched. The audit reads the staged parquet BACK
+        from disk, so it validates exactly the bytes readers would see
+        (the point of WAP over pre-write validation: encoding/casting
+        surprises are caught too).
+
+        Staging uses a ``wap-*`` dir invisible to readers and retention;
+        publish is one atomic rename into a version name + the normal
+        log/pointer protocol. A crash mid-audit leaves an unreferenced
+        ``wap-*`` dir that the next WAP call garbage-collects. Returns
+        ``{"published": bool, "report": [...], ...}``; on success the
+        commit record rides along (``audited: true`` in its metadata)."""
+        from tabular_cdc_bootstrapper_spark.functions.constraints import (
+            check_constraints,
+        )
+
+        for d in os.listdir(self.root):  # GC crashed-audit leftovers
+            if d.startswith("wap-"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(wdir)
+        staged = spark.read.parquet(wdir)
+        report = [
+            {
+                "rule": r["rule"],
+                "n_violations": r["n_violations"],
+                "passed": r["passed"],
+            }
+            for r in check_constraints(staged, rules).collect()
+        ]
+        if not all(r["passed"] for r in report):
+            shutil.rmtree(wdir, ignore_errors=True)
+            return {"published": False, "version": None, "report": report}
+        version = self._next_version()
+        vdir = os.path.join(
+            self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        os.replace(wdir, vdir)
+        record = {
+            "version": version,
+            "dir": vdir,
+            "ts": time.time(),
+            "audited": True,
+        }
+        if meta:
+            record.update(meta)
+        self._publish(record, keep=vdir)
+        return {"published": True, **record, "report": report}
+
     def expire_snapshots(
         self,
         older_than_ts: float | None = None,

@@ -370,3 +370,60 @@ def test_expire_snapshots_older_than_and_no_criterion(spark, tmp_path):
     out = t.expire_snapshots(older_than_ts=cutoff)
     assert out["expired_versions"] == [0]
     assert t.history()[0]["readable"] is False
+
+
+# --- write-audit-publish (r9) ------------------------------------------------
+
+
+def test_wap_failing_audit_never_publishes(spark, tmp_path):
+    """A batch violating the rule suite must not become a readable
+    version: history unchanged, current state unchanged, staging dir
+    cleaned, and the report names the failing rules."""
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        in_range,
+        not_null,
+    )
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    bad = spark.createDataFrame(
+        [(1, "ok"), (None, "bad")], "id long, tag string"
+    )
+    out = t.write_audit_publish(
+        spark, bad, [not_null("id"), in_range("id", 0, 100)]
+    )
+    assert out["published"] is False and out["version"] is None
+    failed = {r["rule"] for r in out["report"] if not r["passed"]}
+    assert "not_null(id)" in failed or any("id" in f for f in failed)
+    assert [e["version"] for e in t.history()] == [0]
+    assert _tags(spark, t) == _tags(spark, t, version=0)
+    assert not [d for d in os.listdir(t.root) if d.startswith("wap-")]
+
+
+def test_wap_passing_audit_publishes_atomically(spark, tmp_path):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import not_null
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    good = spark.createDataFrame([(7, "g")], "id long, tag string")
+    out = t.write_audit_publish(spark, good, [not_null("id")], meta={"b": 1})
+    assert out["published"] is True and out["version"] == 1
+    assert all(r["passed"] for r in out["report"])
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1]
+    assert h[1]["audited"] is True and h[1]["b"] == 1
+    assert _tags(spark, t) == [(7, "g")]
+    assert _tags(spark, t, version=0)  # old snapshot intact
+
+
+def test_wap_gc_collects_crashed_audit_staging(spark, tmp_path):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import not_null
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    orphan = os.path.join(t.root, "wap-deadbeef")
+    os.makedirs(orphan)
+    t.write_audit_publish(
+        spark, _df(spark, "v0"), [not_null("id")]
+    )
+    assert not os.path.isdir(orphan)
+    assert _tags(spark, t)
