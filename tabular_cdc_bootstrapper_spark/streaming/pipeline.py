@@ -379,6 +379,66 @@ class ParquetStateTable:
             "dirs_rewritten": len(dir_map),
         }
 
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self.root, "_tags")
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Create (or move) a named immutable ref to a snapshot — the
+        Iceberg tag. Tags are KB metadata (``_tags/<name>.json``, atomic
+        rename); a tagged snapshot's data survives retention and
+        ``expire_snapshots`` for as long as the tag exists (the ref-keeps-
+        snapshot rule), so a `prod`/`training-run-42` tag is a durable,
+        reproducible read point."""
+        if version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to tag")
+            version = cur["version"]
+        if not any(e["version"] == version for e in self._log.committed()):
+            raise ValueError(f"no snapshot {version} in {self.root}")
+        if any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        os.makedirs(self._tags_dir, exist_ok=True)
+        rec = {"name": name, "version": version, "ts": time.time()}
+        path = os.path.join(self._tags_dir, f"{name}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+        return rec
+
+    def tags(self) -> list[dict]:
+        try:
+            names = sorted(
+                n for n in os.listdir(self._tags_dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                with open(os.path.join(self._tags_dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        for t in self.tags():
+            if t["name"] == name:
+                return self.read_version(spark, t["version"])
+        raise ValueError(f"no tag {name!r} in {self.root}")
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._tags_dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r} in {self.root}") from None
+
+    def _tagged_versions(self) -> set[int]:
+        return {t["version"] for t in self.tags()}
+
     def write_audit_publish(
         self,
         spark: SparkSession,
@@ -457,7 +517,7 @@ class ParquetStateTable:
         if cur is None:
             return {"expired_versions": [], "dirs_removed": 0}
         committed = self._log.committed()
-        keep_versions = {cur["version"]}
+        keep_versions = {cur["version"]} | self._tagged_versions()
         if keep_last is not None:
             keep_versions.update(
                 e["version"] for e in committed[-max(keep_last, 1):]
@@ -494,12 +554,18 @@ class ParquetStateTable:
         (pre-log behavior, still what governs tables with no snapshot log),
         and every dir referenced by the newest ``keep_versions`` log
         entries (so a rollback that re-points at an old dir keeps that dir
-        alive for as long as the rollback snapshot is retained)."""
+        alive for as long as the rollback snapshot is retained) — plus
+        every dir a TAG references (the Iceberg ref-keeps-snapshot rule)."""
         all_dirs = sorted(d for d in os.listdir(self.root) if d.startswith("v-"))
         kept = {os.path.basename(keep)}
         kept.update(all_dirs[-max(self.keep_versions, 1):])
         for e in self._log_entries()[-max(self.keep_versions, 1):]:
             kept.add(os.path.basename(e["dir"]))
+        tagged = self._tagged_versions()
+        if tagged:
+            for e in self._log_entries():
+                if e["version"] in tagged:
+                    kept.add(os.path.basename(e["dir"]))
         for d in all_dirs:
             if d not in kept:
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

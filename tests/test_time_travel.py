@@ -427,3 +427,56 @@ def test_wap_gc_collects_crashed_audit_staging(spark, tmp_path):
     )
     assert not os.path.isdir(orphan)
     assert _tags(spark, t)
+
+
+# --- tags: named immutable refs (r9) ------------------------------------------
+
+
+def test_tag_keeps_snapshot_alive_through_retention(spark, tmp_path):
+    """A tagged snapshot's data survives per-commit retention AND explicit
+    expire_snapshots for as long as the tag exists (Iceberg ref rule);
+    deleting the tag releases it."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=2)
+    t.commit(_df(spark, "v0"))
+    t.tag("training-run", 0)
+    for i in range(1, 5):
+        t.commit(_df(spark, f"v{i}"))
+    # v0 is far outside keep_versions=2 but tagged → still readable
+    assert _tags(spark, t, version=0) == [(i, "v0") for i in range(3)]
+    assert {r[1] for r in _tags(spark, t)} == {"v4"}
+    assert t.read_tag(spark, "training-run").collect()
+    out = t.expire_snapshots(keep_last=1)
+    assert 0 not in out["expired_versions"]  # tagged: never expired
+    assert _tags(spark, t, version=0)
+    t.delete_tag("training-run")
+    out = t.expire_snapshots(keep_last=1)
+    assert 0 in out["expired_versions"]
+    with pytest.raises(ValueError, match="expired"):
+        t.read_version(spark, 0)
+
+
+def test_tag_validation_and_listing(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    with pytest.raises(ValueError, match="no snapshot to tag"):
+        t.tag("x")
+    t.commit(_df(spark, "v0"))
+    t.commit(_df(spark, "v1"))
+    t.tag("prod")  # defaults to current
+    t.tag("audit", 0)
+    assert [(x["name"], x["version"]) for x in t.tags()] == [
+        ("audit", 0), ("prod", 1)
+    ]
+    with pytest.raises(ValueError, match="no snapshot 9"):
+        t.tag("nope", 9)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("../evil", 0)
+    with pytest.raises(ValueError, match="no tag"):
+        t.read_tag(spark, "ghost")
+    with pytest.raises(ValueError, match="no tag"):
+        t.delete_tag("ghost")
+    # moving a tag re-points it
+    t.tag("prod", 0)
+    assert {r[1] for r in
+            {(x[0], x[1]) for x in _tags(spark, t)}} == {"v1"}
+    assert {x[1] for x in _tags(spark, t, version=0)} == {"v0"}
+    assert t.read_tag(spark, "prod").collect()[0]["tag"] == "v0"
