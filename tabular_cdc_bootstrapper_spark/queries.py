@@ -1903,6 +1903,64 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_quartile_bins",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), q AS (
+        SELECT quantile_cont(cents, 0.25) AS q1,
+               quantile_cont(cents, 0.50) AS q2,
+               quantile_cont(cents, 0.75) AS q3
+        FROM o
+    )
+    SELECT CASE WHEN cents <= q1 THEN 1
+                WHEN cents <= q2 THEN 2
+                WHEN cents <= q3 THEN 3
+                ELSE 4 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM o CROSS JOIN q
+    GROUP BY 1
+    """,
+)
+def price_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile binning (feature discretization — the quartile-bucket
+    feature a training pipeline derives before embedding/crossing):
+    edges from ONE distributed exact-percentile aggregate over integer
+    cents (the mad_price_outliers integer-quantization rule: Spark
+    F.percentile and DuckDB quantile_cont interpolate identically on
+    integers), broadcast back as a 1-row frame, bins assigned by
+    comparison. No global sort, no NTILE single-partition window — the
+    fact is scanned twice (edges + assignment) and shuffles only the
+    4-row bin aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    q = o.agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.50)).alias("q2"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    binned = o.crossJoin(F.broadcast(q)).select(
+        "cents",
+        F.when(F.col("cents") <= F.col("q1"), F.lit(1))
+        .when(F.col("cents") <= F.col("q2"), F.lit(2))
+        .when(F.col("cents") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )
+
+
+@query(
     "mad_price_outliers",
     oracle="""
     WITH base AS (
@@ -7492,7 +7550,8 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   (maintain_join — incremental join-view maintenance, recompute oracle),
 #   cdc_purge_history (GDPR purge across retained snapshot history),
 #   ann_index_purged_topk (delete_from_index — GDPR purge of the ANN
-#   codes table, candidate-filtered IVF-PQ oracle).
+#   codes table, candidate-filtered IVF-PQ oracle), price_quartile_bins
+#   (exact quantile binning — broadcast-edges, no global sort). 8 total.
 # - IN (changed code this round, 5 + flagship): orders_constraint_report
 #   (FK NULL semantics fix, oracle updated), ann_prebuilt_ivfpq_topk /
 #   ann_index_maintained_topk (ann_query grew the batch query path;
@@ -7505,16 +7564,14 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   from CORRECTNESS_r01..r08; includes the 9 rows displaced late-r8 and
 #   the 13 long-scheduled r6 rows plus TPC-H q6/q8-q13/q18/q20/q21,
 #   sketch/set-op/text-drift families).
-# - IN (r7 family representatives, 4): q1_pricing_summary (TPC-H agg),
-#   minhash_near_duplicates (pair-gen UDF family), cdc_ops_histogram
-#   (observe/CDC stats), lang_id_confusion (text). With
-#   ann_batch_shuffle_topk, incremental_join_maintenance,
-#   cdc_purge_history, and ann_index_purged_topk (all NEW) taking slots,
+# - IN (r7 family representatives, 3): q1_pricing_summary (TPC-H agg),
+#   minhash_near_duplicates (pair-gen UDF family), lang_id_confusion
+#   (text). With the five NEW oracle entries taking slots,
 #   referential_integrity_report, user_sessions, cosine_topk (ANN keeps
-#   four other in-window rows), and bm25_topk (retrieval keeps
-#   hybrid_retrieval_topk in-window) return to the tail; the other r7
-#   rows sit 2 rounds stale after r9 and rotate in r10 with the r8
-#   cohort.
+#   four other in-window rows), bm25_topk (retrieval keeps
+#   hybrid_retrieval_topk in-window), and cdc_ops_histogram (CDC keeps
+#   four other in-window rows) return to the tail; the other r7 rows sit
+#   2 rounds stale after r9 and rotate in r10 with the r8 cohort.
 # - OUT (tail): all 44 remaining r8-green rows (1 round stale) + the 36
 #   r7 rows above — every family keeps an in-window representative, and
 #   every oracle-backed entry is ALSO re-executed against DuckDB locally
@@ -7530,6 +7587,7 @@ _DRIVER_CHECK_PRIORITY = [
     "pagerank_dangling_directed",
     "incremental_join_maintenance",
     "cdc_purge_history",
+    "price_quartile_bins",
     "orders_constraint_report",
     "ann_prebuilt_ivfpq_topk",
     "ann_index_maintained_topk",
@@ -7571,10 +7629,10 @@ _DRIVER_CHECK_PRIORITY = [
     "winsorized_length_stats",
     "q1_pricing_summary",
     "minhash_near_duplicates",
-    "cdc_ops_histogram",
     "lang_id_confusion",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "cdc_ops_histogram",
     "bm25_topk",
     "cosine_topk",
     "user_sessions",
