@@ -135,6 +135,62 @@ class SnapshotLog:
         return record
 
 
+class TagSet:
+    """Named immutable refs over a SnapshotLog's versions — the Iceberg
+    tag store shared by ParquetStateTable and VersionedBucketMirror. Each
+    tag is one rename-published JSON under ``root/_tags/``; both owners'
+    retention paths honor ``versions()`` (ref-keeps-snapshot)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.dir = os.path.join(root, "_tags")
+
+    def tag(self, name: str, version: int, log: SnapshotLog) -> dict:
+        if not any(e["version"] == version for e in log.committed()):
+            raise ValueError(f"no snapshot {version} in {self.root}")
+        if any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        os.makedirs(self.dir, exist_ok=True)
+        rec = {"name": name, "version": version, "ts": time.time()}
+        path = os.path.join(self.dir, f"{name}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+        return rec
+
+    def tags(self) -> list[dict]:
+        try:
+            names = sorted(
+                n for n in os.listdir(self.dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                with open(os.path.join(self.dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def resolve(self, name: str) -> int:
+        for t in self.tags():
+            if t["name"] == name:
+                return t["version"]
+        raise ValueError(f"no tag {name!r} in {self.root}")
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r} in {self.root}") from None
+
+    def versions(self) -> set[int]:
+        return {t["version"] for t in self.tags()}
+
+
 class ParquetStateTable:
     """Versioned parquet table with an atomic CURRENT pointer.
 
@@ -379,10 +435,6 @@ class ParquetStateTable:
             "dirs_rewritten": len(dir_map),
         }
 
-    @property
-    def _tags_dir(self) -> str:
-        return os.path.join(self.root, "_tags")
-
     def tag(self, name: str, version: int | None = None) -> dict:
         """Create (or move) a named immutable ref to a snapshot — the
         Iceberg tag. Tags are KB metadata (``_tags/<name>.json``, atomic
@@ -395,49 +447,23 @@ class ParquetStateTable:
             if cur is None:
                 raise ValueError(f"{self.root} has no snapshot to tag")
             version = cur["version"]
-        if not any(e["version"] == version for e in self._log.committed()):
-            raise ValueError(f"no snapshot {version} in {self.root}")
-        if any(c in name for c in "/\\\0") or name.startswith("."):
-            raise ValueError(f"invalid tag name {name!r}")
-        os.makedirs(self._tags_dir, exist_ok=True)
-        rec = {"name": name, "version": version, "ts": time.time()}
-        path = os.path.join(self._tags_dir, f"{name}.json")
-        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, path)
-        return rec
+        return self._tagset.tag(name, version, self._log)
 
     def tags(self) -> list[dict]:
-        try:
-            names = sorted(
-                n for n in os.listdir(self._tags_dir) if n.endswith(".json")
-            )
-        except FileNotFoundError:
-            return []
-        out = []
-        for n in names:
-            try:
-                with open(os.path.join(self._tags_dir, n)) as fh:
-                    out.append(json.load(fh))
-            except (OSError, json.JSONDecodeError):
-                continue
-        return out
+        return self._tagset.tags()
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
-        for t in self.tags():
-            if t["name"] == name:
-                return self.read_version(spark, t["version"])
-        raise ValueError(f"no tag {name!r} in {self.root}")
+        return self.read_version(spark, self._tagset.resolve(name))
 
     def delete_tag(self, name: str) -> None:
-        try:
-            os.remove(os.path.join(self._tags_dir, f"{name}.json"))
-        except FileNotFoundError:
-            raise ValueError(f"no tag {name!r} in {self.root}") from None
+        self._tagset.delete(name)
+
+    @property
+    def _tagset(self) -> "TagSet":
+        return TagSet(self.root)
 
     def _tagged_versions(self) -> set[int]:
-        return {t["version"] for t in self.tags()}
+        return self._tagset.versions()
 
     def write_audit_publish(
         self,
@@ -1038,6 +1064,30 @@ class VersionedBucketMirror:
         dirs = [mapping[str(int(b))] for b in buckets if str(int(b)) in mapping]
         return self._read_dirs(spark, dirs)
 
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Named immutable ref on the bucketed mirror — same contract as
+        ParquetStateTable.tag (shared TagSet): a tagged manifest's bucket
+        dirs survive retention and expire_snapshots until the tag is
+        deleted."""
+        if version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to tag")
+            version = cur["version"]
+        return TagSet(self.root).tag(name, version, self._log)
+
+    def tags(self) -> list[dict]:
+        return TagSet(self.root).tags()
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame | None:
+        return self.read_version(spark, TagSet(self.root).resolve(name))
+
+    def delete_tag(self, name: str) -> None:
+        TagSet(self.root).delete(name)
+
+    def _tagged_versions(self) -> set[int]:
+        return TagSet(self.root).versions()
+
     def rollback(self, to_version: int) -> dict:
         """Restore snapshot ``to_version`` as a NEW manifest sharing its
         bucket dirs — append-only history, zero data movement."""
@@ -1271,7 +1321,7 @@ class VersionedBucketMirror:
         if cur is None:
             return {"expired_versions": [], "dirs_removed": 0}
         committed = self._log.committed()
-        keep_versions = {cur["version"]}
+        keep_versions = {cur["version"]} | self._tagged_versions()
         if keep_last is not None:
             keep_versions.update(
                 e["version"] for e in committed[-max(keep_last, 1):]
@@ -1316,6 +1366,11 @@ class VersionedBucketMirror:
         referenced = set(just_published["buckets"].values())
         for e in self._log.committed()[-keep:]:
             referenced.update(e["buckets"].values())
+        tagged = self._tagged_versions()
+        if tagged:  # ref-keeps-snapshot: tagged manifests' dirs survive
+            for e in self._log.committed():
+                if e["version"] in tagged:
+                    referenced.update(e["buckets"].values())
         for bdir in os.listdir(self.data_dir):
             if not bdir.startswith("bucket="):
                 continue

@@ -247,3 +247,28 @@ def test_expire_snapshots_reclaims_only_superseded_bucket_dirs(spark, mirror):
     h = mirror.history()
     assert [e["readable"] for e in h] == [False, True]
     assert _state(spark, mirror)[0] == "x"  # current intact
+
+
+def test_tag_keeps_manifest_alive_on_bucketed_mirror(spark, tmp_path):
+    """Tags on the bucketed mirror: a tagged manifest's bucket dirs
+    survive per-commit retention AND expire_snapshots until the tag is
+    deleted — including dirs later merges superseded."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=2
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(8)]))
+    m.tag("training-run")  # defaults to current (v0)
+    for ts in (1, 2, 3):
+        m.merge_batch(_batch(spark, [(0, f"u{ts}", ts, "U")]), TARGET)
+    # v0 is outside keep_versions=2 but tagged → fully readable
+    assert _state(spark, m, version=0)[0] == "v0-0"
+    assert {r["id"] for r in m.read_tag(spark, "training-run").collect()} == set(range(8))
+    out = m.expire_snapshots(keep_last=1)
+    assert 0 not in out["expired_versions"]
+    assert _state(spark, m, version=0)[0] == "v0-0"
+    m.delete_tag("training-run")
+    out = m.expire_snapshots(keep_last=1)
+    assert 0 in out["expired_versions"]
+    with pytest.raises(ValueError, match="expired"):
+        m.read_version(spark, 0)
+    assert _state(spark, m)[0] == "u3"  # current untouched
