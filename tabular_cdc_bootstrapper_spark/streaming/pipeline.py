@@ -258,6 +258,76 @@ class ParquetStateTable:
     def _next_version(self) -> int:
         return self._log.next_version()
 
+    def _owns(self, d: str) -> bool:
+        """True iff ``d`` lives under this table's root. A SHALLOW clone's
+        log references the SOURCE table's data dirs; every destructive
+        path (orphan GC, purge, expiry) must refuse to delete storage it
+        does not own — the clone may drop its reference, never the
+        source's bytes."""
+        root = os.path.realpath(self.root)
+        return os.path.realpath(d).startswith(root + os.sep)
+
+    def clone_to(
+        self,
+        dst_root: str,
+        mode: str = "shallow",
+        version: int | None = None,
+    ) -> "ParquetStateTable":
+        """Delta-style CLONE: create an independent table at ``dst_root``
+        whose history is this table's committed history up to ``version``
+        (default: current head). ``shallow`` copies only metadata — the
+        clone's log references the source's data dirs (zero-copy dev/test
+        branch; O(KB) regardless of table size); ``deep`` copies every
+        referenced dir. Either way the clone evolves independently: its
+        commits write under its own root, and its destructive operations
+        (purge/expiry/orphan GC) are ownership-guarded so they can drop
+        the clone's REFERENCES to source data but never the source's
+        bytes — a purge on a shallow clone rewrites into the clone's root
+        and leaves the source intact (purging the source itself is the
+        source's ``purge_keys``). Expired source snapshots are skipped
+        (their data is gone); expiry on a shallow clone reclaims only
+        clone-owned dirs."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"unknown clone mode {mode!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot to clone")
+        head = cur["version"] if version is None else version
+        entries = [
+            e
+            for e in self._log.committed()
+            if e["version"] <= head and os.path.isdir(e["dir"])
+        ]
+        if not any(e["version"] == head for e in entries):
+            raise ValueError(f"no readable snapshot {head} in {self.root}")
+        dst = ParquetStateTable(dst_root, keep_versions=self.keep_versions)
+        os.makedirs(dst._log_dir, exist_ok=True)
+        dir_copy: dict[str, str] = {}
+        head_rec: dict | None = None
+        for e in entries:
+            rec = dict(e)
+            if mode == "deep":
+                if e["dir"] not in dir_copy:
+                    nd = os.path.join(dst_root, os.path.basename(e["dir"]))
+                    shutil.copytree(e["dir"], nd)
+                    dir_copy[e["dir"]] = nd
+                rec["dir"] = dir_copy[e["dir"]]
+            rec["cloned_from"] = self.root
+            lpath = os.path.join(
+                dst._log_dir, f"v-{rec['version']:08d}.json"
+            )
+            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, lpath)
+            if rec["version"] == head:
+                head_rec = rec
+        tmp = dst._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, dst._pointer)
+        return dst
+
     def _publish(self, record: dict, keep: str) -> dict:
         # Orphan GC must not touch dirs referenced by COMMITTED history
         # (ADVICE r8): a rollback's log entry shares its dir with the older
@@ -269,7 +339,11 @@ class ParquetStateTable:
         committed_dirs = {e["dir"] for e in self._log.committed()}
 
         def gc_orphan(e: dict) -> None:
-            if e["dir"] != record["dir"] and e["dir"] not in committed_dirs:
+            if (
+                e["dir"] != record["dir"]
+                and e["dir"] not in committed_dirs
+                and self._owns(e["dir"])
+            ):
                 shutil.rmtree(e["dir"], ignore_errors=True)
 
         self._log.publish(record, on_orphan=gc_orphan)
@@ -428,8 +502,12 @@ class ParquetStateTable:
             with open(tmp, "w") as fh:
                 json.dump(rec, fh)
             os.replace(tmp, self._pointer)
+        # ownership guard: a shallow clone drops only its REFERENCE to a
+        # source-owned dir; deleting the source's bytes is the source
+        # table's own purge_keys to perform
         for old in dir_map:
-            shutil.rmtree(old, ignore_errors=True)
+            if self._owns(old):
+                shutil.rmtree(old, ignore_errors=True)
         return {
             "versions_rewritten": versions_rewritten,
             "dirs_rewritten": len(dir_map),
@@ -563,7 +641,11 @@ class ParquetStateTable:
             for e in committed
             if e["version"] not in expired_versions
         }
-        doomed = {e["dir"] for e in expired if e["dir"] not in kept_dirs}
+        doomed = {
+            e["dir"]
+            for e in expired
+            if e["dir"] not in kept_dirs and self._owns(e["dir"])
+        }
         removed = 0
         for d in doomed:
             if os.path.isdir(d):

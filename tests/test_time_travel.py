@@ -480,3 +480,79 @@ def test_tag_validation_and_listing(spark, tmp_path):
             {(x[0], x[1]) for x in _tags(spark, t)}} == {"v1"}
     assert {x[1] for x in _tags(spark, t, version=0)} == {"v0"}
     assert t.read_tag(spark, "prod").collect()[0]["tag"] == "v0"
+
+
+# --- CLONE: shallow/deep table branches (r9) ----------------------------------
+
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    """A shallow clone reads every cloned version zero-copy; its commits
+    diverge without touching the source, and the source's later commits
+    don't appear in the clone."""
+    src = ParquetStateTable(str(tmp_path / "src"), keep_versions=10)
+    src.commit(_df(spark, "v0"))
+    src.commit(_df(spark, "v1"))
+    clone = src.clone_to(str(tmp_path / "dev"), mode="shallow")
+    assert _tags(spark, clone) == _tags(spark, src)
+    assert _tags(spark, clone, version=0) == _tags(spark, src, version=0)
+    assert clone.history()[-1]["cloned_from"] == src.root
+    clone.commit(_df(spark, "dev2"))
+    src.commit(_df(spark, "src2"))
+    assert {r[1] for r in _tags(spark, clone)} == {"dev2"}
+    assert {r[1] for r in _tags(spark, src)} == {"src2"}
+    # both heads are version 2, but they are DIFFERENT snapshots
+    assert clone.history()[-1]["dir"] != src.history()[-1]["dir"]
+
+
+def test_shallow_clone_destructive_ops_spare_source_bytes(spark, tmp_path):
+    """Purge and expiry on a shallow clone must never delete the source's
+    data dirs: the clone re-points/drops references only."""
+    src = ParquetStateTable(str(tmp_path / "src"), keep_versions=10)
+    src.commit(_df(spark, "v0", n=6))
+    src.commit(_df(spark, "v1", n=6))
+    src_dirs = [e["dir"] for e in src.history()]
+    clone = src.clone_to(str(tmp_path / "dev"), mode="shallow")
+    out = clone.purge_keys(
+        spark, spark.createDataFrame([(1,)], "id long"), "id"
+    )
+    assert out["versions_rewritten"] == 2
+    # clone no longer shows key 1 anywhere...
+    for v in (0, 1):
+        assert 1 not in {i for i, _ in _tags(spark, clone, version=v)}
+    # ...but the source is byte-for-byte intact
+    assert all(os.path.isdir(d) for d in src_dirs)
+    assert 1 in {i for i, _ in _tags(spark, src)}
+    clone.commit(_df(spark, "dev", n=2))
+    out = clone.expire_snapshots(keep_last=1)
+    assert 0 in out["expired_versions"]
+    assert all(os.path.isdir(d) for d in src_dirs)  # still intact
+    assert _tags(spark, src, version=0)  # source history fully readable
+
+
+def test_deep_clone_is_fully_independent(spark, tmp_path):
+    import shutil
+
+    src = ParquetStateTable(str(tmp_path / "src"), keep_versions=10)
+    src.commit(_df(spark, "v0"))
+    src.commit(_df(spark, "v1"))
+    clone = src.clone_to(str(tmp_path / "deep"), mode="deep")
+    assert _tags(spark, clone) == _tags(spark, src)
+    # destroying the source leaves the deep clone fully readable
+    shutil.rmtree(src.root)
+    assert _tags(spark, clone, version=0) and _tags(spark, clone, version=1)
+
+
+def test_clone_validation(spark, tmp_path):
+    src = ParquetStateTable(str(tmp_path / "src"), keep_versions=10)
+    with pytest.raises(ValueError, match="no snapshot to clone"):
+        src.clone_to(str(tmp_path / "x"))
+    src.commit(_df(spark, "v0"))
+    with pytest.raises(ValueError, match="unknown clone mode"):
+        src.clone_to(str(tmp_path / "x"), mode="sideways")
+    with pytest.raises(ValueError, match="no readable snapshot 7"):
+        src.clone_to(str(tmp_path / "x"), version=7)
+    # clone at an old version: head is that version
+    src.commit(_df(spark, "v1"))
+    old = src.clone_to(str(tmp_path / "old"), version=0)
+    assert {r[1] for r in _tags(spark, old)} == {"v0"}
+    assert len(old.history()) == 1
