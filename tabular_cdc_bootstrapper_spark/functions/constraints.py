@@ -340,16 +340,28 @@ def check_anomalies_vs_previous(
     current_version: int | None = None,
 ) -> DataFrame:
     """Compose the rules with the table's snapshot history: compare
-    ``current_version`` (default: CURRENT) against the committed version
-    immediately before it — the per-commit quality gate a warehouse
-    ingest runs after each snapshot publish."""
-    hist = [e["version"] for e in table.history()]
+    ``current_version`` (default: CURRENT) against the READABLE committed
+    version immediately before it — the per-commit quality gate a
+    warehouse ingest runs after each snapshot publish. Expired snapshots
+    (``readable: false`` — data reclaimed by retention or
+    ``expire_snapshots``) are skipped when resolving the baseline
+    (ADVICE r9: resolving into expired history must not surface as a raw
+    parquet read error)."""
+    hist = [e["version"] for e in table.history() if e["readable"]]
+    if not hist:
+        raise ValueError(f"{table.root} has no readable snapshots")
     if current_version is None:
         current_version = hist[-1]
+    if current_version not in hist:
+        raise ValueError(
+            f"version {current_version} of {table.root} is expired or "
+            "unknown; anomaly checks need a readable current snapshot"
+        )
     idx = hist.index(current_version)
     if idx == 0:
         raise ValueError(
-            f"version {current_version} has no predecessor in {table.root}"
+            f"version {current_version} has no readable predecessor in "
+            f"{table.root} (earlier snapshots expired?)"
         )
     prev = hist[idx - 1]
     return check_anomalies(

@@ -483,6 +483,17 @@ def pagerank(
     num, den = damping
     base = (scale * (den - num)) // den
     n_nodes = nodes.count() if redistribute_dangling else 0
+    # the dangling SET is static per graph (out-degree never changes
+    # across iterations) — compute it once, checkpointed like ``ed``,
+    # so each round runs a semi-join against a static frame instead of
+    # re-running the deg aggregate + anti-join (VERDICT r9 item 1)
+    dangling = (
+        nodes.join(deg, nodes["v"] == deg["src"], "left_anti")
+        .select("v")
+        .localCheckpoint(eager=True)
+        if redistribute_dangling
+        else None
+    )
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for it in range(iters):
         contrib = ed.join(ranks, ed["src"] == ranks["v"]).select(
@@ -497,7 +508,7 @@ def pagerank(
             # 1-row aggregate, broadcast back as a literal cross join —
             # the bounded-collect-free pattern every model join here uses
             share = (
-                ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
+                ranks.join(dangling, "v", "left_semi")
                 .agg(
                     F.coalesce(F.sum("r"), F.lit(0))
                     .cast("long")

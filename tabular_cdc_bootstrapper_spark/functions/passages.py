@@ -45,7 +45,8 @@ from tabular_cdc_bootstrapper_spark.functions.text import chunk_documents
 
 #: vec_id = doc_id * CHUNK_ID_MULTIPLIER + chunk_idx — invertible while
 #: chunk_idx < M (64-token/48-stride chunks hit M only past ~4.8 M tokens
-#: per document; guarded at build time).
+#: per document; ``chunk_vectors`` fails the build loudly past it — a
+#: silent overflow would decode hits to the WRONG document, ADVICE r9).
 CHUNK_ID_MULTIPLIER = 100_000
 
 
@@ -77,10 +78,25 @@ def chunk_vectors(
         documents, chunk_size=chunk_size, stride=stride,
         id_col=id_col, text_col=text_col,
     )
+    # the id pairing is invertible ONLY below the multiplier — enforce it
+    # in-plan (codegen assert_true, no extra pass): a >=M chunk_idx would
+    # silently collide vec_ids into a neighboring doc_id, so the build
+    # must fail loudly instead (ADVICE r9). assert_true returns NULL when
+    # the predicate holds, so the when() wrapper keeps the expression in
+    # the projected column where Catalyst cannot prune it away.
+    vec_id = F.when(
+        F.assert_true(
+            F.col("chunk_idx") < F.lit(CHUNK_ID_MULTIPLIER),
+            F.format_string(
+                "chunk_idx %s >= CHUNK_ID_MULTIPLIER "
+                f"({CHUNK_ID_MULTIPLIER}); vec_id pairing would collide",
+                F.col("chunk_idx"),
+            ),
+        ).isNull(),
+        F.col(id_col) * CHUNK_ID_MULTIPLIER + F.col("chunk_idx"),
+    )
     return chunks.select(
-        (F.col(id_col) * CHUNK_ID_MULTIPLIER + F.col("chunk_idx")).alias(
-            "vec_id"
-        ),
+        vec_id.alias("vec_id"),
         F.col(id_col).alias("doc_id"),
         "chunk_idx",
         md5_embedding(F.col("chunk_md5"), dim).alias("embedding"),

@@ -203,8 +203,22 @@ def merge_into_table(
         insert_set=insert_set,
         validate_unique_source=validate_unique_source,
     )
+    full_meta = {**(meta or {}), "operation": "merge"}
     if bucketed:
-        rec = table.commit_merged(merged, touched)
+        # provenance must be layout-consistent (ADVICE r9): the versioned
+        # mirror records meta in its manifest like the snapshot table's
+        # pointer; the plain bucketed mirror keeps NO log, so caller meta
+        # there is silently-lost provenance — refuse instead
+        if hasattr(table, "_log"):
+            rec = table.commit_merged(merged, touched, meta=full_meta)
+        else:
+            if meta:
+                raise ValueError(
+                    "meta cannot be recorded on a BucketPartitionedMirror "
+                    "(no snapshot log); use VersionedBucketMirror for "
+                    "merge commit provenance"
+                )
+            rec = table.commit_merged(merged, touched)
     else:
-        rec = table.commit(merged, meta={**(meta or {}), "operation": "merge"})
+        rec = table.commit(merged, meta=full_meta)
     return dict(rec)

@@ -106,7 +106,11 @@ class SnapshotLog:
             base = max(base, entries[-1]["version"])
         return base + 1
 
-    def publish(self, record: dict, on_orphan=None) -> dict:
+    def publish(self, record: dict, on_orphan=None, protected=None) -> dict:
+        """``protected``: optional predicate sparing above-pointer entries
+        from orphan GC — the hook writable BRANCHES use (their staged
+        commits live above the main pointer by design and are not
+        crash orphans)."""
         os.makedirs(self.log_dir, exist_ok=True)
         # crash recovery: entries above the still-current pointer never
         # published — drop them (and let the owner GC their data) so they
@@ -115,6 +119,8 @@ class SnapshotLog:
         cur_version = cur["version"] if cur else -1
         for e in self.entries():
             if e["version"] > cur_version and e["version"] != record["version"]:
+                if protected is not None and protected(e):
+                    continue
                 try:
                     os.remove(
                         os.path.join(self.log_dir, f"v-{e['version']:08d}.json")
@@ -189,6 +195,97 @@ class TagSet:
 
     def versions(self) -> set[int]:
         return {t["version"] for t in self.tags()}
+
+
+class BranchSet:
+    """Named MUTABLE refs over a SnapshotLog — the Iceberg writable
+    branch, completing the ref model beside immutable ``TagSet`` tags
+    (VERDICT r10 task 3). A branch is one rename-published JSON under
+    ``root/_branches/``: ``{"name", "base", "head", "ts"}`` where
+    ``base`` is the main-history fork point and ``head`` the branch's
+    latest staged version. Versions are allocated from the SAME
+    SnapshotLog as main commits (``next_version`` scans all entries), so
+    a branch's log records interleave by number but stay invisible to
+    main readers: they sit ABOVE the main pointer and carry a ``ref``
+    field until fast-forward strips it. ``windows()`` is the protection
+    predicate main publishes use to spare staged branch commits from
+    crash-orphan GC."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.dir = os.path.join(root, "_branches")
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, f"{name}.json")
+
+    def _write(self, rec: dict) -> dict:
+        os.makedirs(self.dir, exist_ok=True)
+        path = self._path(rec["name"])
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+        return rec
+
+    def create(self, name: str, base_version: int, log: SnapshotLog) -> dict:
+        if any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        if os.path.exists(self._path(name)):
+            raise ValueError(f"branch {name!r} already exists in {self.root}")
+        if not any(e["version"] == base_version for e in log.committed()):
+            raise ValueError(f"no snapshot {base_version} in {self.root}")
+        return self._write(
+            {
+                "name": name,
+                "base": base_version,
+                "head": base_version,
+                "ts": time.time(),
+            }
+        )
+
+    def branches(self) -> list[dict]:
+        try:
+            names = sorted(
+                n for n in os.listdir(self.dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                with open(os.path.join(self.dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def get(self, name: str) -> dict:
+        for b in self.branches():
+            if b["name"] == name:
+                return b
+        raise ValueError(f"no branch {name!r} in {self.root}")
+
+    def set_head(self, name: str, version: int) -> dict:
+        rec = self.get(name)
+        rec["head"] = version
+        return self._write(rec)
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(self._path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no branch {name!r} in {self.root}") from None
+
+    def windows(self) -> list[tuple[int, int]]:
+        """(base, head] half-open version windows of every live branch —
+        the span protected from orphan GC. Window-based (not ref-field-
+        based) so entries mid-fast-forward (ref already stripped, main
+        pointer not yet swapped) stay protected through the crash
+        window."""
+        return [(b["base"], b["head"]) for b in self.branches()]
+
+    def covers(self, version: int) -> bool:
+        return any(lo < version <= hi for lo, hi in self.windows())
 
 
 class ParquetStateTable:
@@ -346,7 +443,11 @@ class ParquetStateTable:
             ):
                 shutil.rmtree(e["dir"], ignore_errors=True)
 
-        self._log.publish(record, on_orphan=gc_orphan)
+        # staged branch commits also live above the main pointer — they
+        # are deliberate, not crash orphans; spare them from the GC
+        self._log.publish(
+            record, on_orphan=gc_orphan, protected=self._branch_covers
+        )
         self._expire(keep=keep)
         return record
 
@@ -361,18 +462,168 @@ class ParquetStateTable:
             return None
         return spark.read.parquet(cur["dir"])
 
-    def commit(self, df: DataFrame, meta: dict | None = None) -> dict:
+    def commit(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        branch: str | None = None,
+    ) -> dict:
         """Commit a new version; ``meta`` rides the pointer JSON — the hook
         transactional sinks use to make replayed batches detectable (e.g.
         ``last_batch_id``), since the pointer swap and the metadata are one
-        atomic rename."""
+        atomic rename.
+
+        ``branch``: stage the commit on a writable branch instead of
+        publishing to main — the version is allocated from the shared
+        log (so numbers stay globally unique) but only the BRANCH
+        pointer advances; main readers never see it until
+        ``fast_forward``. The log entry carries ``ref: <branch>`` as
+        provenance until fast-forward strips it."""
         version = self._next_version()
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
         record = {"version": version, "dir": vdir, "ts": time.time()}
         if meta:
             record.update(meta)
+        if branch is not None:
+            return self._publish_to_branch(record, branch)
         return self._publish(record, keep=vdir)
+
+    def _publish_to_branch(self, record: dict, name: str) -> dict:
+        """Advance ``name`` to ``record``: append the (ref-marked) log
+        entry, then move the branch pointer — two atomic renames, main's
+        CURRENT untouched. A crash between them leaves an above-pointer
+        entry outside the branch window ((base, head] doesn't cover it),
+        so the next publish GCs it like any crash orphan — the branch is
+        consistent at its old head either way."""
+        self._branchset.get(name)  # raises on unknown branch
+        record = dict(record)
+        record["ref"] = name
+        os.makedirs(self._log_dir, exist_ok=True)
+        lpath = os.path.join(self._log_dir, f"v-{record['version']:08d}.json")
+        tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, lpath)
+        self._branchset.set_head(name, record["version"])
+        return record
+
+    def branch(self, name: str, from_version: int | None = None) -> dict:
+        """Create a writable branch forked at ``from_version`` (default:
+        current head) — the Iceberg branch beside immutable ``tag``s:
+        commits with ``branch=name`` advance it invisibly to main;
+        ``fast_forward(name)`` publishes its staged commits to main when
+        (e.g.) audits pass. KB metadata only."""
+        if from_version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to branch from")
+            from_version = cur["version"]
+        return self._branchset.create(name, from_version, self._log)
+
+    def branches(self) -> list[dict]:
+        return self._branchset.branches()
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the branch head (its latest staged commit, or the fork
+        point if nothing is staged yet)."""
+        b = self._branchset.get(name)
+        if b["head"] == b["base"]:
+            return self.read_version(spark, b["base"])
+        for e in self._log.entries():
+            if e["version"] == b["head"]:
+                return spark.read.parquet(e["dir"])
+        raise ValueError(
+            f"branch {name!r} head {b['head']} missing from the log of "
+            f"{self.root}"
+        )
+
+    def branch_history(self, name: str) -> list[dict]:
+        """The branch's lineage: main history up to the fork point plus
+        its staged commits, oldest first."""
+        b = self._branchset.get(name)
+        out = [e for e in self.history() if e["version"] <= b["base"]]
+        for e in self._log.entries():
+            if b["base"] < e["version"] <= b["head"]:
+                e = dict(e)
+                e["readable"] = os.path.isdir(e["dir"])
+                e["is_current"] = e["version"] == b["head"]
+                out.append(e)
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch pointer; its staged commits lose protection
+        and are garbage-collected by the next main publish."""
+        self._branchset.delete(name)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's staged commits to main — the Iceberg
+        ``fast_forward`` procedure, and the natural finish of a
+        multi-batch write-audit-publish staged with ``commit(...,
+        branch=...)``. Requires main's head to still BE the branch's
+        fork point (true fast-forward: main must not have advanced —
+        divergence is a caller-visible error, never a silent merge) and
+        the (base, head] version window to contain only this branch's
+        commits (no interleaved foreign branch). Protocol: strip the
+        ``ref`` marker from each staged entry (ascending, atomic
+        renames), then swap main's CURRENT to the head — a crash
+        mid-way leaves every entry protected by the branch window and a
+        re-run converges (already-stripped entries are accepted). The
+        branch pointer itself is left at the head (now == main), for
+        the caller to keep using or delete."""
+        b = self._branchset.get(name)
+        cur = self.current()
+        cur_v = cur["version"] if cur else -1
+        if cur_v == b["head"]:
+            return dict(cur)  # already published: idempotent no-op
+        if cur_v != b["base"]:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: main is at {cur_v}, the "
+                f"branch forked at {b['base']} — histories diverged"
+            )
+        if b["head"] == b["base"]:
+            return dict(cur)  # nothing staged: no-op
+        entries = {e["version"]: e for e in self._log.entries()}
+        chain = []
+        for v in range(b["base"] + 1, b["head"] + 1):
+            e = entries.get(v)
+            if e is None:
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: staged version {v} is "
+                    f"missing from the log of {self.root}"
+                )
+            if e.get("ref", name) != name:
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: version {v} belongs to "
+                    f"branch {e['ref']!r} — interleaved branches cannot "
+                    "fast-forward"
+                )
+            chain.append(e)
+        head_rec = None
+        for e in chain:
+            rec = {k: v for k, v in e.items() if k != "ref"}
+            if "ref" in e:
+                lpath = os.path.join(
+                    self._log_dir, f"v-{rec['version']:08d}.json"
+                )
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+            head_rec = rec
+        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, self._pointer)
+        self._expire(keep=head_rec["dir"])
+        return head_rec
+
+    @property
+    def _branchset(self) -> "BranchSet":
+        return BranchSet(self.root)
+
+    def _branch_covers(self, e: dict) -> bool:
+        return self._branchset.covers(e["version"])
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """VERSION AS OF: read snapshot ``version`` from the log."""
@@ -459,6 +710,16 @@ class ParquetStateTable:
         if cur is None:
             return {"versions_rewritten": 0, "dirs_rewritten": 0}
         entries = self._log.committed() or [cur]
+        # staged branch commits hold the same PII above the main pointer
+        # — a right-to-be-forgotten purge must reach them too
+        windows = self._branchset.windows()
+        seen = {e["version"] for e in entries}
+        entries = entries + [
+            e
+            for e in self._log.entries()
+            if e["version"] not in seen
+            and any(lo < e["version"] <= hi for lo, hi in windows)
+        ]
         dir_map: dict[str, str] = {}
         for e in entries:
             d = e["dir"]
@@ -549,6 +810,8 @@ class ParquetStateTable:
         df: DataFrame,
         rules: Sequence,
         meta: dict | None = None,
+        stale_staging_grace_s: float = 3600.0,
+        branch: str | None = None,
     ) -> dict:
         """Iceberg's write-audit-publish (WAP) pattern: stage ``df`` as an
         UNPUBLISHED snapshot, audit the staged files with a Deequ-style
@@ -559,30 +822,84 @@ class ParquetStateTable:
         (the point of WAP over pre-write validation: encoding/casting
         surprises are caught too).
 
+        ``rules`` may mix constraint ``Rule``s (absolute, Deequ-style)
+        with ``AnomalyRule``s (relative to the PREVIOUS committed
+        snapshot — "row count within x%", "null rate didn't jump"): the
+        real warehouse publish gate is both, and r9 left the anomaly
+        half post-hoc-only (VERDICT r10 task 1). Anomaly rules need a
+        baseline: on a table with no committed snapshot they raise.
+
         Staging uses a ``wap-*`` dir invisible to readers and retention;
         publish is one atomic rename into a version name + the normal
         log/pointer protocol. A crash mid-audit leaves an unreferenced
-        ``wap-*`` dir that the next WAP call garbage-collects. Returns
-        ``{"published": bool, "report": [...], ...}``; on success the
-        commit record rides along (``audited: true`` in its metadata)."""
+        ``wap-*`` dir that a LATER call garbage-collects — only once it
+        is ``stale_staging_grace_s`` old, so a concurrent writer's
+        audit-in-flight staging is never deleted out from under it
+        (ADVICE r9; concurrent WAPs then serialize on the pointer swap
+        instead of corrupting each other). Returns ``{"published":
+        bool, "report": [...], ...}``; on success the commit record
+        rides along (``audited: true`` in its metadata)."""
         from tabular_cdc_bootstrapper_spark.functions.constraints import (
+            AnomalyRule,
+            check_anomalies,
             check_constraints,
         )
 
-        for d in os.listdir(self.root):  # GC crashed-audit leftovers
-            if d.startswith("wap-"):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        now = time.time()
+        for d in os.listdir(self.root):  # GC STALE crashed-audit leftovers
+            if not d.startswith("wap-"):
+                continue
+            p = os.path.join(self.root, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= stale_staging_grace_s:
+                shutil.rmtree(p, ignore_errors=True)
+        row_rules = [r for r in rules if not isinstance(r, AnomalyRule)]
+        anomaly_rules = [r for r in rules if isinstance(r, AnomalyRule)]
+        if branch is not None:
+            self._branchset.get(branch)  # raises on unknown branch
+        if anomaly_rules and branch is None and self.current() is None:
+            raise ValueError(
+                f"{self.root} has no committed snapshot to serve as the "
+                "anomaly-rule baseline; commit one first or gate with "
+                "constraint Rules only"
+            )
         wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(wdir)
         staged = spark.read.parquet(wdir)
-        report = [
-            {
-                "rule": r["rule"],
-                "n_violations": r["n_violations"],
-                "passed": r["passed"],
-            }
-            for r in check_constraints(staged, rules).collect()
-        ]
+        report = []
+        if row_rules:
+            report.extend(
+                {
+                    "rule": r["rule"],
+                    "n_violations": r["n_violations"],
+                    "passed": r["passed"],
+                }
+                for r in check_constraints(staged, row_rules).collect()
+            )
+        if anomaly_rules:
+            # baseline = the previous state of wherever this publishes:
+            # the branch head for a branch-staged WAP (multi-batch WAP
+            # audits each batch against the batch before it), else the
+            # main CURRENT snapshot
+            baseline = (
+                self.read_branch(spark, branch)
+                if branch is not None
+                else self.read(spark)
+            )
+            report.extend(
+                {
+                    "rule": r["rule"],
+                    "baseline": r["baseline"],
+                    "observed": r["observed"],
+                    "passed": r["passed"],
+                }
+                for r in check_anomalies(
+                    baseline, staged, anomaly_rules
+                ).collect()
+            )
         if not all(r["passed"] for r in report):
             shutil.rmtree(wdir, ignore_errors=True)
             return {"published": False, "version": None, "report": report}
@@ -599,6 +916,9 @@ class ParquetStateTable:
         }
         if meta:
             record.update(meta)
+        if branch is not None:
+            rec = self._publish_to_branch(record, branch)
+            return {"published": True, **rec, "report": report}
         self._publish(record, keep=vdir)
         return {"published": True, **record, "report": report}
 
@@ -622,6 +942,10 @@ class ParquetStateTable:
             return {"expired_versions": [], "dirs_removed": 0}
         committed = self._log.committed()
         keep_versions = {cur["version"]} | self._tagged_versions()
+        # a live branch pins its fork point (read_branch of an
+        # empty-staged branch resolves there) and every staged version
+        windows = self._branchset.windows()
+        keep_versions.update(b["base"] for b in self._branchset.branches())
         if keep_last is not None:
             keep_versions.update(
                 e["version"] for e in committed[-max(keep_last, 1):]
@@ -641,6 +965,11 @@ class ParquetStateTable:
             for e in committed
             if e["version"] not in expired_versions
         }
+        kept_dirs.update(
+            e["dir"]
+            for e in self._log.entries()
+            if any(lo <= e["version"] <= hi for lo, hi in windows)
+        )
         doomed = {
             e["dir"]
             for e in expired
@@ -670,9 +999,12 @@ class ParquetStateTable:
         for e in self._log_entries()[-max(self.keep_versions, 1):]:
             kept.add(os.path.basename(e["dir"]))
         tagged = self._tagged_versions()
-        if tagged:
+        windows = self._branchset.windows()  # [base, head] incl. fork point
+        if tagged or windows:
             for e in self._log_entries():
-                if e["version"] in tagged:
+                if e["version"] in tagged or any(
+                    lo <= e["version"] <= hi for lo, hi in windows
+                ):
                     kept.add(os.path.basename(e["dir"]))
         for d in all_dirs:
             if d not in kept:
@@ -1080,6 +1412,14 @@ class VersionedBucketMirror:
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
+    def _owns(self, d: str) -> bool:
+        """Same ownership guard as ``ParquetStateTable._owns`` (ADVICE
+        r9): destructive paths may only delete storage under this
+        mirror's own root — symmetry now, data-loss insurance if clone
+        support ever extends to the bucketed layout."""
+        root = os.path.realpath(self.root)
+        return os.path.realpath(d).startswith(root + os.sep)
+
     def current(self) -> dict | None:
         return self._log.current()
 
@@ -1221,13 +1561,22 @@ class VersionedBucketMirror:
         return rec
 
     def commit_merged(
-        self, df: DataFrame, touched: Sequence[int], key_col: str | None = None
+        self,
+        df: DataFrame,
+        touched: Sequence[int],
+        key_col: str | None = None,
+        meta: dict | None = None,
     ) -> dict:
         """Commit an externally-merged state slice for ``touched`` buckets
         as one manifest (the hook ``operators/merge.py merge_into_table``
         uses: a general MERGE = one time-travelable commit, cost ∝
-        touched buckets)."""
-        rec = self._commit_staged(df, touched=list(touched), key_col=key_col)
+        touched buckets). ``meta`` rides the manifest record — same
+        provenance contract as ``ParquetStateTable.commit`` (ADVICE r9:
+        a merge commit must be distinguishable from a CDC commit in
+        ``history()`` on every layout that has one)."""
+        rec = self._commit_staged(
+            df, touched=list(touched), key_col=key_col, meta=meta
+        )
         rec["touched_buckets"] = sorted(int(b) for b in touched)
         return rec
 
@@ -1236,6 +1585,7 @@ class VersionedBucketMirror:
         df: DataFrame,
         touched: Sequence[int] | None,
         key_col: str | None = None,
+        meta: dict | None = None,
     ) -> dict:
         """Stage ``df`` partitioned by bucket, install the staged buckets
         under immutable new version names, publish the manifest.
@@ -1281,6 +1631,8 @@ class VersionedBucketMirror:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         record = {"version": version, "ts": time.time(), "buckets": mapping}
+        if meta:
+            record.update(meta)
         self._log.publish(record)
         self._expire(record)
         return record
@@ -1378,7 +1730,8 @@ class VersionedBucketMirror:
                 json.dump(rec, fh)
             os.replace(tmp, self._log.pointer_path)
         for old in dir_map:
-            shutil.rmtree(old, ignore_errors=True)
+            if self._owns(old):
+                shutil.rmtree(old, ignore_errors=True)
         return {
             "manifests_rewritten": manifests_rewritten,
             "bucket_dirs_rewritten": len(dir_map),
@@ -1425,7 +1778,9 @@ class VersionedBucketMirror:
         doomed: set[str] = set()
         for e in expired:
             doomed.update(
-                d for d in e["buckets"].values() if d not in kept_dirs
+                d
+                for d in e["buckets"].values()
+                if d not in kept_dirs and self._owns(d)
             )
         removed = 0
         for d in doomed:

@@ -227,7 +227,44 @@ def test_anomaly_vs_previous_resolves_history(spark, tmp_path):
         ).collect()
     }
     assert got == {"row_count_within(5/100)": False}
-    with pytest.raises(ValueError, match="no predecessor"):
+    with pytest.raises(ValueError, match="no readable predecessor"):
+        check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)], current_version=0
+        )
+
+
+def test_anomaly_vs_previous_skips_expired_history(spark, tmp_path):
+    """ADVICE r9: the baseline must resolve to the nearest READABLE
+    predecessor — expired snapshots (data reclaimed) are skipped with a
+    clear error, never a raw parquet read failure."""
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        check_anomalies_vs_previous,
+        row_count_within,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(spark.range(100))
+    t.commit(spark.range(98))
+    t.commit(spark.range(97))
+    t.expire_snapshots(keep_last=2)  # v0's data is reclaimed
+    # default gate: v2 vs v1 (both readable) still works
+    got = {
+        r["rule"]: r["passed"]
+        for r in check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)]
+        ).collect()
+    }
+    assert got == {"row_count_within(5/100)": True}
+    # v1's only predecessor (v0) is expired -> descriptive error
+    with pytest.raises(ValueError, match="no readable predecessor"):
+        check_anomalies_vs_previous(
+            spark, t, [row_count_within(5, 100)], current_version=1
+        )
+    # an expired current_version is rejected descriptively too
+    with pytest.raises(ValueError, match="expired or unknown"):
         check_anomalies_vs_previous(
             spark, t, [row_count_within(5, 100)], current_version=0
         )

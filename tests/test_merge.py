@@ -318,3 +318,52 @@ def test_merge_into_table_first_merge_bootstraps_empty_table(spark, tmp_path):
     src_df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
     merge_into_table(spark, t, src_df, on=["k"])
     assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, 10), (2, 20)}
+
+
+def test_merge_meta_recorded_on_versioned_bucket_mirror(spark, tmp_path):
+    """ADVICE r9: merge provenance must be layout-consistent — the
+    versioned mirror's manifest records the same 'operation: merge'
+    marker (plus caller meta) the snapshot table's pointer does."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import merge_into_table
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    t = VersionedBucketMirror(
+        str(tmp_path / "t"), n_buckets=8, key_col="k", keep_versions=10
+    )
+    t.initialize(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    merge_into_table(
+        spark,
+        t,
+        spark.createDataFrame([(2, 22)], "k long, v long"),
+        on=["k"],
+        meta={"job": "corrections"},
+    )
+    head = t.history()[-1]
+    assert head["operation"] == "merge" and head["job"] == "corrections"
+    assert "operation" not in t.history()[0]  # CDC/init commits unmarked
+
+
+def test_merge_meta_rejected_on_plain_bucketed_mirror(spark, tmp_path):
+    """The plain bucketed mirror keeps no snapshot log: caller meta
+    would be silently-lost provenance, so it must raise instead."""
+    import pytest
+
+    from tabular_cdc_bootstrapper_spark.operators.merge import merge_into_table
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    from tabular_cdc_bootstrapper_spark.operators.merge import src as s
+
+    t = BucketPartitionedMirror(str(tmp_path / "t"), n_buckets=8, key_col="k")
+    t.initialize(spark.createDataFrame([(1, 10)], "k long, v long"))
+    src = spark.createDataFrame([(1, 11)], "k long, v long")
+    with pytest.raises(ValueError, match="no snapshot log"):
+        merge_into_table(
+            spark, t, src, on=["k"], update_set={"v": s("v")}, meta={"job": "x"}
+        )
+    # meta-free merges still work on the logless layout
+    merge_into_table(spark, t, src, on=["k"], update_set={"v": s("v")})
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, 11)}

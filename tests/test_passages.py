@@ -111,3 +111,25 @@ def test_passage_query_path_is_corpus_free(spark, sf_dir, tmp_path):
         | (F.col("chunk_idx") >= CHUNK_ID_MULTIPLIER)
     )
     assert bad.count() == 0
+
+
+def test_chunk_vectors_rejects_chunk_idx_overflow(spark, monkeypatch):
+    """ADVICE r9: a document with >= CHUNK_ID_MULTIPLIER chunks would
+    silently collide vec_ids into a neighboring doc_id — the build must
+    fail loudly instead. Exercised by shrinking the multiplier (the
+    guard is the same in-plan assert at any value)."""
+    import pytest
+
+    from tabular_cdc_bootstrapper_spark.functions import passages
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(400)))], "doc_id long, text string"
+    )
+    # sane multiplier: builds fine
+    assert passages.chunk_vectors(docs).count() > 3
+    monkeypatch.setattr(passages, "CHUNK_ID_MULTIPLIER", 2)
+    with pytest.raises(Exception, match="CHUNK_ID_MULTIPLIER"):
+        # evaluate vec_id itself — under a bare count() Catalyst prunes
+        # the column (and with it the guard), exactly like production
+        # never reads a vec_id it doesn't use
+        passages.chunk_vectors(docs).select("vec_id").collect()

@@ -417,16 +417,66 @@ def test_wap_passing_audit_publishes_atomically(spark, tmp_path):
 
 
 def test_wap_gc_collects_crashed_audit_staging(spark, tmp_path):
+    """Only STALE wap-* staging is garbage-collected (ADVICE r9): a dir
+    older than the grace period is a crashed audit and dies; a FRESH one
+    may be a concurrent writer's audit-in-flight and must survive."""
+    import time as _time
+
     from tabular_cdc_bootstrapper_spark.functions.constraints import not_null
 
     t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
-    orphan = os.path.join(t.root, "wap-deadbeef")
-    os.makedirs(orphan)
+    stale = os.path.join(t.root, "wap-deadbeef")
+    fresh = os.path.join(t.root, "wap-cafebabe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
     t.write_audit_publish(
         spark, _df(spark, "v0"), [not_null("id")]
     )
-    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)  # peer's in-flight staging untouched
     assert _tags(spark, t)
+
+
+def test_wap_anomaly_rules_gate_the_publish(spark, tmp_path):
+    """AnomalyRules participate in the WAP gate (VERDICT r10 task 1):
+    baseline = the previous committed snapshot. An in-band batch
+    publishes; an out-of-band one is rejected with the anomaly report;
+    a table with no baseline snapshot raises."""
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+    )
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        t.write_audit_publish(
+            spark, spark.range(10), [row_count_within(10, 100)]
+        )
+    t.commit(spark.range(100))
+    ok = t.write_audit_publish(
+        spark,
+        spark.range(95),
+        [not_null("id"), row_count_within(10, 100)],
+    )
+    assert ok["published"] is True
+    assert {r["rule"] for r in ok["report"]} == {
+        "not_null(id)",
+        "row_count_within(10/100)",
+    }
+    anomaly_row = [r for r in ok["report"] if "row_count" in r["rule"]][0]
+    assert anomaly_row["baseline"] == 100 and anomaly_row["observed"] == 95
+    # vs the NEW baseline (95), a 50-row batch is far out of band
+    bad = t.write_audit_publish(
+        spark,
+        spark.range(50),
+        [not_null("id"), row_count_within(10, 100)],
+    )
+    assert bad["published"] is False
+    failed = {r["rule"] for r in bad["report"] if not r["passed"]}
+    assert failed == {"row_count_within(10/100)"}
+    assert [e["version"] for e in t.history()] == [0, 1]
 
 
 # --- tags: named immutable refs (r9) ------------------------------------------
