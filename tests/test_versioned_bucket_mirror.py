@@ -272,3 +272,139 @@ def test_tag_keeps_manifest_alive_on_bucketed_mirror(spark, tmp_path):
     with pytest.raises(ValueError, match="expired"):
         m.read_version(spark, 0)
     assert _state(spark, m)[0] == "u3"  # current untouched
+
+
+# --- write-audit-publish on the bucketed layout (r10) -------------------------
+
+
+def test_wap_bucketed_failing_audit_never_publishes(spark, mirror):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+    )
+
+    v_before = mirror.current()["version"]
+    state_before = _state(spark, mirror)
+    bad = _batch(spark, [(i, f"v1-{i}", 1, "I") for i in range(3)])  # -81%
+    out = mirror.write_audit_publish(
+        spark, bad, [not_null("id"), row_count_within(10, 100)]
+    )
+    assert out["published"] is False and out["version"] is None
+    failed = {r["rule"] for r in out["report"] if not r["passed"]}
+    assert failed == {"row_count_within(10/100)"}
+    anomaly = [r for r in out["report"] if "row_count" in r["rule"]][0]
+    assert anomaly["baseline"] == 16 and anomaly["observed"] == 3
+    assert mirror.current()["version"] == v_before
+    assert _state(spark, mirror) == state_before
+    assert not [d for d in os.listdir(mirror.root) if d.startswith("wap-")]
+
+
+def test_wap_bucketed_passing_audit_publishes_one_manifest(spark, mirror):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+    )
+
+    good = _batch(spark, [(i, f"v1-{i}", 1, "I") for i in range(15)])
+    out = mirror.write_audit_publish(
+        spark,
+        good,
+        [not_null("id"), row_count_within(10, 100)],
+        meta={"job": "nightly"},
+    )
+    assert out["published"] is True
+    head = mirror.current()
+    assert head["audited"] is True and head["job"] == "nightly"
+    assert _state(spark, mirror) == {i: f"v1-{i}" for i in range(15)}
+    # full-state semantics: the manifest maps exactly the staged buckets
+    assert set(head["buckets"]) == {
+        str(r["b"])
+        for r in good.select(mirror._bucket(F.col("id")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    # old snapshot stays time-travelable
+    assert _state(spark, mirror, version=0) == {
+        i: f"v0-{i}" for i in range(16)
+    }
+
+
+def test_wap_bucketed_stale_staging_gc_spares_fresh(spark, mirror):
+    import time as _time
+
+    from tabular_cdc_bootstrapper_spark.functions.constraints import not_null
+
+    stale = os.path.join(mirror.root, "wap-deadbeef")
+    fresh = os.path.join(mirror.root, "wap-cafebabe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    mirror.write_audit_publish(
+        spark,
+        _batch(spark, [(1, "x", 1, "I")]),
+        [not_null("id")],
+    )
+    assert not os.path.isdir(stale)
+    assert os.path.isdir(fresh)
+
+
+def test_wap_bucketed_anomaly_needs_baseline(spark, tmp_path):
+    import pytest as _pytest
+
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        row_count_within,
+    )
+
+    m = VersionedBucketMirror(
+        str(tmp_path / "m2"), n_buckets=4, key_col="id", keep_versions=5
+    )
+    with _pytest.raises(ValueError, match="no committed snapshot"):
+        m.write_audit_publish(
+            spark,
+            _batch(spark, [(1, "a", 0, "I")]),
+            [row_count_within(5, 100)],
+        )
+
+
+# --- rewrite_data_files: manifest-aware small-file compaction (r10) -----------
+
+
+def test_rewrite_data_files_compacts_and_preserves_history(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=10
+    )
+    rows = [(i, f"v0-{i}", 0, "I") for i in range(64)]
+    # ~16 rows/bucket at 5 rows/file -> 4 files per bucket dir
+    m.initialize(_batch(spark, rows), max_records_per_file=5)
+
+    def nfiles(d):
+        return sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+
+    before = dict(m.current()["buckets"])
+    assert any(nfiles(d) >= 2 for d in before.values())  # genuinely fragmented
+    state_before = _state(spark, m)
+    out = m.rewrite_data_files(spark)
+    assert out["buckets_compacted"] >= 1
+    assert out["files_after"] < out["files_before"]
+    head = m.current()
+    assert head["operation"] == "rewrite_data_files"
+    # data identical, one file per compacted bucket dir
+    assert _state(spark, m) == state_before
+    for b, d in head["buckets"].items():
+        if nfiles(before[b]) >= 2:
+            assert d != before[b] and nfiles(d) == 1
+    # history untouched: v0 still readable through its own (fragmented) dirs
+    assert _state(spark, m, version=0) == state_before
+    for d in before.values():
+        assert os.path.isdir(d)
+    # idempotent: nothing left to compact
+    again = m.rewrite_data_files(spark)
+    assert again["buckets_compacted"] == 0 and again["version"] is None
+
+
+def test_rewrite_data_files_skips_tight_dirs(spark, mirror):
+    # default layout writes one file per bucket: compaction is a no-op
+    out = mirror.rewrite_data_files(spark)
+    assert out["buckets_compacted"] == 0
+    assert out["version"] is None
