@@ -1,0 +1,1144 @@
+"""CDC flagship + snapshot/state-table maintenance registry entries.
+
+Split from the single-file registry (VERDICT r9 item 3); every entry
+registers via the shared ``@query`` decorator in ``_registry``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.queries._registry import (_t, query)
+
+
+# ---------------------------------------------------------------------------
+# CDC flagship (SURVEY.md §2.5 W1 / §2.4 A1 / §2.3 J1-J2) — the reference's
+# delegated DMS merge (tabular.py:58-62) exercised at oracle-checkable scale
+# via a changelog derived deterministically from `orders` (FIXTURES.md §C):
+#   ts=0 insert of every order; ts=1 update (status → 'X') where key%7=0;
+#   ts=2 delete where key%13=0. Expected mirror: latest non-D row per key.
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def derived_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    inserts = o.select(*_ORDER_COLS).withColumns(
+        {"op": F.lit("I"), "ts": F.lit(0).cast("int")}
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .select(*_ORDER_COLS)
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")})
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .select(*_ORDER_COLS)
+        .withColumns({"op": F.lit("D"), "ts": F.lit(2).cast("int")})
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+@query(
+    "cdc_ops_histogram",
+    oracle="""
+    WITH changelog AS (
+        SELECT 'I' AS op FROM orders
+        UNION ALL SELECT 'U' FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL SELECT 'D' FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM changelog GROUP BY op
+    """,
+)
+def cdc_ops_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest observability: per-op event counts (SURVEY.md §2.4 A2)."""
+    return derived_orders_changelog(spark, sf_dir).groupBy("op").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "cdc_latest",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+               o_orderdate, o_orderpriority, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+        FROM changelog
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: DMS changelog → current-state mirror (single-shuffle max_by)."""
+    changelog = derived_orders_changelog(spark, sf_dir)
+    return apply_changelog(
+        changelog,
+        key_cols="o_orderkey",
+        ts_cols="ts",
+        op_col="op",
+        delete_op="D",
+        drop_envelope=["op", "ts"],
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', o_totalprice, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ), v AS (
+        SELECT *, LEAD(ts) OVER (
+            PARTITION BY o_orderkey ORDER BY ts) AS valid_to
+        FROM changelog
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ts AS valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the same DMS changelog the mirror consumes:
+    every surviving version of every key with [valid_from, valid_to)
+    bounds — "state at time T" beside the mirror's "state now". One
+    window shuffle (`operators/cdc.py scd2_history`); updates close the
+    prior version, deletes terminate without emitting a row."""
+    from tabular_cdc_bootstrapper_spark.operators.cdc import scd2_history
+
+    ch = derived_orders_changelog(spark, sf_dir)
+    return scd2_history(ch, "o_orderkey", "ts").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@query(
+    "cdc_mirror_time_travel",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    state AS (
+        SELECT v.v AS upto, c.o_orderkey,
+               arg_max(c.o_orderstatus, c.ts) AS status,
+               arg_max(c.op, c.ts) AS last_op
+        FROM (VALUES (0), (1), (2)) v(v)
+        JOIN changelog c ON c.ts <= v.v
+        GROUP BY v.v, c.o_orderkey
+    ),
+    agg AS (
+        SELECT upto,
+               CAST(COUNT(*) FILTER (WHERE last_op <> 'D') AS BIGINT)
+                   AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE last_op <> 'D' AND status = 'X')
+                   AS BIGINT) AS n_updated,
+               CAST(SUM(o_orderkey) FILTER (WHERE last_op <> 'D') AS BIGINT)
+                   AS key_sum
+        FROM state GROUP BY upto
+    )
+    SELECT CAST(upto AS BIGINT) AS snapshot, n_rows, n_updated, key_sum
+    FROM agg
+    UNION ALL
+    SELECT 3, n_rows, n_updated, key_sum FROM agg WHERE upto = 1
+    UNION ALL
+    SELECT 4, n_rows, n_updated, key_sum FROM agg WHERE upto = 1
+    """,
+)
+def cdc_mirror_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the CDC mirror — the Iceberg semantics
+    the reference gets from its table format (tabular.py:8,92: pyiceberg
+    tables carry snapshot history / VERSION AS OF / rollback), reproduced
+    natively by ParquetStateTable's append-only snapshot log
+    (streaming/pipeline.py).
+
+    The entry commits the mirror after each of the three deterministic
+    DMS batches (ts 0=insert, 1=update, 2=delete), then answers five
+    reads through five DIFFERENT resolution paths and emits one aggregate
+    row per read:
+
+    - snapshot 0/1/2 — ``read_version`` (VERSION AS OF) on each commit;
+    - snapshot 3 — ``read_as_of`` (TIMESTAMP AS OF) between the v1 and v2
+      commit timestamps, which must resolve to v1's data;
+    - snapshot 4 — ``read()`` of CURRENT after ``rollback(1)``, which
+      must also equal v1's data while leaving history append-only.
+
+    The DuckDB oracle recomputes each batch-prefix state from the same
+    fixture, so the driver hash-checks that every time-travel path
+    returns exactly the state the changelog prefix implies. Aggregates
+    are integer-exact (counts + key sum). History/retention/crash-orphan
+    laws are pinned in tests/test_time_travel.py."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_timetravel_"), keep_versions=10
+    )
+    recs = []
+    for upto in (0, 1, 2):
+        state = apply_changelog(
+            ch.filter(F.col("ts") <= upto),
+            key_cols="o_orderkey",
+            ts_cols="ts",
+            op_col="op",
+            delete_op="D",
+            drop_envelope=["op", "ts"],
+        )
+        recs.append(mirror.commit(state, meta={"upto": upto}))
+
+    def snap_agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "X", 1)).alias(
+                "n_updated"
+            ),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(snap).cast("long").alias("snapshot"),
+            "n_rows",
+            "n_updated",
+            "key_sum",
+        )
+
+    parts = [snap_agg(mirror.read_version(spark, v), v) for v in (0, 1, 2)]
+    # strictly between the v1 and v2 commit stamps: resolves to v1
+    parts.append(
+        snap_agg(
+            mirror.read_as_of(spark, (recs[1]["ts"] + recs[2]["ts"]) / 2), 3
+        )
+    )
+    mirror.rollback(1)
+    parts.append(snap_agg(mirror.read(spark), 4))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "cdc_change_feed",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    s0 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog WHERE ts <= 0 GROUP BY o_orderkey
+    ),
+    s2 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog GROUP BY o_orderkey
+    ),
+    oldt AS (SELECT o_orderkey, o_orderstatus FROM s0 WHERE last_op <> 'D'),
+    newt AS (SELECT o_orderkey, o_orderstatus FROM s2 WHERE last_op <> 'D')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.o_orderstatus AS o_orderstatus
+    FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between mirror snapshots (streaming/pipeline.py
+    table_changes — the Delta CDF / Iceberg CHANGES surface on the
+    engine's versioned tables): commit the mirror before and after the
+    update+delete batches, then ask for the minimal I/U/D changelog
+    transforming snapshot 0 into snapshot 1. One full outer join on the
+    key (cost ∝ the two snapshots, not the history between them); the
+    unchanged majority of keys emits NOTHING — the minimal-feed property
+    the DuckDB oracle replays with a null-safe payload comparison.
+    Deletes carry only their key (DMS convention). The fold round-trip
+    and cross-layout (bucketed-versioned == snapshot) laws are pinned in
+    tests/test_time_travel.py."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+        table_changes,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_cdf_"), keep_versions=10
+    )
+    for upto in (0, 2):
+        mirror.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+    return table_changes(spark, mirror, 0, 1, key_cols="o_orderkey")
+
+
+@query(
+    "cdc_purge_history",
+    oracle="""
+    WITH s0 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    s1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT 0 AS version, o_orderkey, o_orderstatus
+    FROM s0 WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT 1 AS version, o_orderkey, o_orderstatus
+    FROM s1 WHERE o_orderkey % 97 <> 0
+    """,
+)
+def cdc_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten purge (streaming/pipeline.py
+    ParquetStateTable.purge_keys): commit two mirror snapshots (base, then
+    update%7 + delete%13 — the cdc_change_feed batches), hard-delete keys
+    %97 from ALL retained history, then read BOTH snapshots back through
+    VERSION AS OF. The purged keys must be gone from every version — the
+    one deliberate history rewrite the engine supports (Delta
+    delete+REORG PURGE / Iceberg rewrite-data-files semantics); versions,
+    timestamps, and metadata survive. Cost ∝ retained snapshots × one
+    broadcast anti-join scan each; the DuckDB oracle replays both
+    snapshot states minus the purged keys."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_purge_"), keep_versions=10
+    )
+    for upto in (0, 2):
+        mirror.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+    purge = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey")
+    )
+    mirror.purge_keys(spark, purge, "o_orderkey")
+    return (
+        mirror.read_version(spark, 0)
+        .select(F.lit(0).alias("version"), "o_orderkey", "o_orderstatus")
+        .unionByName(
+            mirror.read_version(spark, 1).select(
+                F.lit(1).alias("version"), "o_orderkey", "o_orderstatus"
+            )
+        )
+    )
+
+
+@query(
+    "snapshot_diff_changelog",
+    oracle="""
+    WITH oldt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+    ),
+    newt AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    j AS (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    WHEN n.o_custkey IS DISTINCT FROM o.o_custkey
+                      OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                      OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                      OR n.o_orderdate IS DISTINCT FROM o.o_orderdate
+                      OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+                    THEN 'U' END AS op,
+               CASE WHEN n.o_orderkey IS NULL THEN NULL
+                    ELSE n.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_orderkey IS NULL THEN NULL
+                    ELSE ROUND(n.o_totalprice, 2) END AS o_totalprice
+        FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, op, o_orderstatus, o_totalprice
+    FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog GENERATION (operators/diff.py — the inverse of the CDC
+    apply): two deterministic snapshots of `orders` (status flip on
+    key%7, deletes on key%13, inserts on key%17) diff into the minimal
+    I/U/D feed that transforms one into the other. One full-outer join on
+    the key = one shuffle; null-safe payload comparison catches NULL
+    transitions. The round-trip law (apply(diff(old,new)) == new) is
+    property-tested in test_diff.py."""
+    from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    updated = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    new = updated.unionByName(inserted)
+    diff = table_diff(o, new, "o_orderkey")
+    return diff.select(
+        "o_orderkey",
+        "op",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ), changelog AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice, 'I' AS op, 0 AS ts
+        FROM base
+        UNION ALL
+        SELECT o_orderkey, '9-MOVED', o_totalprice, 'U', 1
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, 'D', 2
+        FROM base WHERE o_orderkey % 13 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+        FROM changelog
+    ), live AS (
+        SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM live GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-priority (count, sum) aggregate
+    maintained through an update+delete batch by touching ONLY changed
+    keys (`operators/incremental.py maintain_agg`) — including the hard
+    case, updates that MOVE rows to a new group ('9-MOVED'), which force
+    retraction from the old group and insertion into the new one. The
+    oracle recomputes the post-batch aggregate from scratch; the driver
+    row proves incremental == recompute."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_agg
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    agg_before = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+    batch = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderpriority", F.lit("9-MOVED"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")})
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+                {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+            )
+        )
+    )
+    out = maintain_agg(
+        agg_before,
+        mirror_before=o,
+        changelog=batch,
+        group_cols="o_orderpriority",
+        key_cols="o_orderkey",
+        ts_cols="ts",
+        sum_cols={"total_price": "o_totalprice"},
+        count_col="n_orders",
+    )
+    return out.select(
+        "o_orderpriority", "n_orders", F.round("total_price", 2).alias("total_price")
+    )
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    WITH fact_base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, (o_custkey % 100) + 1, 'X', o_totalprice, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, (o_orderkey % 50) + 1, 'N',
+               o_totalprice, 'I', 1
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    fact_after AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+            FROM fact_base
+        ) WHERE rn = 1 AND op <> 'D'
+    ),
+    dim_base AS (
+        SELECT c_custkey, c_mktsegment, 'I' AS op, 0 AS ts
+        FROM customer WHERE c_custkey % 19 <> 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'I', 1
+        FROM customer WHERE c_custkey % 19 = 0
+        UNION ALL
+        SELECT c_custkey, 'MOVED', 'U', 1
+        FROM customer WHERE c_custkey % 19 <> 0 AND c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 'D', 2
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    dim_after AS (
+        SELECT c_custkey, c_mktsegment FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey ORDER BY ts DESC) AS rn
+            FROM dim_base
+        ) WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+           ROUND(f.o_totalprice, 2) AS o_totalprice, d.c_mktsegment
+    FROM fact_after f JOIN dim_after d ON f.o_custkey = d.c_custkey
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (`operators/incremental.py
+    maintain_join`): a materialized orders⋈customer view maintained through
+    one two-sided CDC batch by touching only changed keys — fact re-points
+    (key%7 moves to a different customer), fact deletes (%13), fact inserts
+    (%17), dim segment updates (%5), dim deletes (%11), and the hard case:
+    dim INSERTS (%19, withheld from the initial dim state) that make
+    previously-unmatched fact rows join, which an inner-join view cannot
+    answer from its own rows. The oracle recomputes the post-batch join
+    from scratch; the driver row proves incremental == recompute. Scale
+    shape: every join against a touched-key set broadcasts (|batch|-sized
+    probes); the corpus-sized view/fact inputs are scanned once with no
+    corpus shuffle."""
+    from tabular_cdc_bootstrapper_spark.operators.incremental import maintain_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_before = c.filter(F.col("c_custkey") % 19 != 0)
+    view_before = o.join(dim_before, o["o_custkey"] == dim_before["c_custkey"])
+
+    fact_cl = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumns(
+            {
+                "o_custkey": (F.col("o_custkey") % 100) + 1,
+                "o_orderstatus": F.lit("X"),
+                "op": F.lit("U"),
+                "ts": F.lit(1).cast("int"),
+            }
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+                {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                ((F.col("o_orderkey") % 50) + 1).alias("o_custkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+                F.lit("I").alias("op"),
+                F.lit(1).cast("int").alias("ts"),
+            )
+        )
+    )
+    dim_cl = (
+        c.filter(F.col("c_custkey") % 19 == 0)
+        .withColumns({"op": F.lit("I"), "ts": F.lit(1).cast("int")})
+        .unionByName(
+            dim_before.filter(F.col("c_custkey") % 5 == 0).withColumns(
+                {
+                    "c_mktsegment": F.lit("MOVED"),
+                    "op": F.lit("U"),
+                    "ts": F.lit(1).cast("int"),
+                }
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).withColumns(
+                {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+            )
+        )
+    )
+    out = maintain_join(
+        view_before,
+        fact_before=o,
+        dim_before=dim_before,
+        fact_changelog=fact_cl,
+        dim_changelog=dim_cl,
+        fact_keys="o_orderkey",
+        dim_keys="c_custkey",
+        fk_cols="o_custkey",
+        ts_cols="ts",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance registry entries (r10): the r9 maintenance surface —
+# WAP (now on the bucketed layout, with anomaly rules in the gate), tags +
+# clone + expiry composition, writable branches, and manifest-aware
+# compaction — each pinned by a full DuckDB-hash oracle, per VERDICT r9
+# "What's missing" #5 (test-pinned-only maintenance ops are exactly where
+# subtle corruption hides from a rows-only check).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wap_anomaly_gate",
+    oracle="""
+    WITH a0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) c, CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM orders
+    ),
+    a1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) c, CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    ab AS (
+        SELECT CAST(COUNT(*) AS BIGINT) c, CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    f AS (
+        SELECT
+            CASE WHEN ABS(a1.c - a0.c) * 100 <= a0.c * 10 THEN 1 ELSE 0 END AS rc1,
+            CASE WHEN ABS(a1.s - a0.s) * 100 <= ABS(a0.s) * 10 THEN 1 ELSE 0 END AS sm1,
+            CASE WHEN ABS(ab.c - a1.c) * 100 <= a1.c * 10 THEN 1 ELSE 0 END AS rc2,
+            CASE WHEN ABS(ab.s - a1.s) * 100 <= ABS(a1.s) * 10 THEN 1 ELSE 0 END AS sm2,
+            a0.c AS c0, a0.s AS s0, a1.c AS c1, a1.s AS s1
+        FROM a0, a1, ab
+    )
+    SELECT 'audit1:not_null(o_orderkey)' AS item, CAST(1 AS BIGINT) AS value FROM f
+    UNION ALL SELECT 'audit1:row_count_within(10/100)', CAST(rc1 AS BIGINT) FROM f
+    UNION ALL SELECT 'audit1:sum_within(o_orderkey,10/100)', CAST(sm1 AS BIGINT) FROM f
+    UNION ALL SELECT 'audit1:published',
+        CAST(CASE WHEN rc1 = 1 AND sm1 = 1 THEN 1 ELSE 0 END AS BIGINT) FROM f
+    UNION ALL SELECT 'audit2:not_null(o_orderkey)', CAST(1 AS BIGINT) FROM f
+    UNION ALL SELECT 'audit2:row_count_within(10/100)', CAST(rc2 AS BIGINT) FROM f
+    UNION ALL SELECT 'audit2:sum_within(o_orderkey,10/100)', CAST(sm2 AS BIGINT) FROM f
+    UNION ALL SELECT 'audit2:published',
+        CAST(CASE WHEN rc2 = 1 AND sm2 = 1 THEN 1 ELSE 0 END AS BIGINT) FROM f
+    UNION ALL SELECT 'n_versions', CAST(2 AS BIGINT) FROM f
+    UNION ALL SELECT 'head_audited', CAST(1 AS BIGINT) FROM f
+    UNION ALL SELECT 'v0_rows', c0 FROM f
+    UNION ALL SELECT 'v0_keysum', s0 FROM f
+    UNION ALL SELECT 'v1_rows', c1 FROM f
+    UNION ALL SELECT 'v1_keysum', s1 FROM f
+    """,
+)
+def wap_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish with anomaly rules in the gate, on the
+    bucketed 100 TB mirror layout (streaming/pipeline.py
+    VersionedBucketMirror.write_audit_publish — VERDICT r10 task 1).
+
+    Plants one PASSING batch (orders minus the %13 deletes, ~7.7% row
+    drop — inside the 10% band) and one FAILING batch (only the %3 keys,
+    a ~65% drop vs the new baseline), each audited by a mixed rule
+    suite: a constraint Rule (not_null) plus two AnomalyRules
+    (row_count_within, sum_within — baseline = the previous committed
+    snapshot, so the second audit compares against the batch the first
+    one published). Emits every per-rule verdict, both publish
+    decisions, the resulting history length, the head's audited marker,
+    and integer aggregates of both readable versions; the DuckDB oracle
+    replays the cross-multiplied tolerance arithmetic exactly (the
+    verdicts are integer-exact by construction, functions/
+    constraints.py check_anomalies). A rejected batch leaving ANY trace
+    in history or state breaks the hash."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+        sum_within,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_wapgate_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    mirror.initialize(orders)
+    rules = [
+        not_null("o_orderkey"),
+        row_count_within(10, 100),
+        sum_within("o_orderkey", 10, 100),
+    ]
+    r1 = mirror.write_audit_publish(
+        spark, orders.filter(F.col("o_orderkey") % 13 != 0), rules
+    )
+    r2 = mirror.write_audit_publish(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0), rules
+    )
+    items: list[tuple[str, int]] = []
+    for tag, rep in (("audit1", r1), ("audit2", r2)):
+        for row in rep["report"]:
+            items.append((f"{tag}:{row['rule']}", int(bool(row["passed"]))))
+        items.append((f"{tag}:published", int(bool(rep["published"]))))
+    items.append(("n_versions", len(mirror.history())))
+    items.append(("head_audited", int(bool(mirror.current().get("audited")))))
+    out = spark.createDataFrame(items, "item string, value long")
+
+    def agg_rows(df: DataFrame, n_item: str, s_item: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("o_orderkey").cast("long").alias("__s"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(n_item).alias("item"),
+                            F.col("__n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(s_item).alias("item"),
+                            F.col("__s").alias("value"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.item", "p.value")
+        )
+
+    out = out.unionByName(
+        agg_rows(mirror.read_version(spark, 0), "v0_rows", "v0_keysum")
+    )
+    return out.unionByName(
+        agg_rows(mirror.read_version(spark, 1), "v1_rows", "v1_keysum")
+    )
+
+
+@query(
+    "snapshot_refs_report",
+    oracle="""
+    WITH s0 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    s2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    a0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT) u,
+               CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM s0
+    ),
+    a2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT) u,
+               CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM s2
+    ),
+    a0p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT) u,
+               CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM s0 WHERE o_orderkey % 97 <> 0
+    )
+    SELECT 'src:v0' AS ref, CAST(0 AS BIGINT) AS version,
+           n AS n_rows, u AS n_updated, s AS key_sum FROM a0
+    UNION ALL SELECT 'src:v1', 1, -1, -1, -1
+    UNION ALL SELECT 'src:v2', 2, n, u, s FROM a2
+    UNION ALL SELECT 'src:tag:t0', 0, n, u, s FROM a0
+    UNION ALL SELECT 'clone:main', 0, n, u, s FROM a0p
+    UNION ALL SELECT 'clone:v0', 0, n, u, s FROM a0p
+    """,
+)
+def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the r9 ref/maintenance surface under one hash
+    (VERDICT r10 task 2): commit v0..v2 of the CDC mirror, tag v0,
+    expire everything but the head (keep_last=1 — the tag must keep v0
+    readable while v1's data is reclaimed), shallow-clone at the tag,
+    GDPR-purge the CLONE, then report (ref, version, rows, updated,
+    key_sum) for every readable ref on source and clone.
+
+    The hash pins three retention laws at once: ref-keeps-snapshot (the
+    tagged v0 survives expiry that reclaims v1 — v1's row reads -1
+    sentinels), clone ownership isolation (the clone's purge rewrites
+    only clone-owned references: src:v0 still contains the %97 keys the
+    clone dropped), and clone-at-version semantics (clone history =
+    exactly v0). streaming/pipeline.py tag/expire_snapshots/clone_to/
+    purge_keys."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    mirror = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_refs_"), keep_versions=10
+    )
+    for upto in (0, 1, 2):
+        mirror.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+    mirror.tag("t0", 0)
+    mirror.expire_snapshots(keep_last=1)  # reclaims v1; tag keeps v0
+    clone = mirror.clone_to(
+        tempfile.mkdtemp(prefix="spark_graft_refsclone_"),
+        mode="shallow",
+        version=mirror._tagset.resolve("t0"),
+    )
+    clone.purge_keys(
+        spark,
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey"),
+        "o_orderkey",
+    )
+
+    def ref_row(df: DataFrame | None, ref: str, version: int) -> DataFrame:
+        if df is None:  # unreadable (expired) ref: sentinel row
+            return spark.createDataFrame(
+                [(ref, version, -1, -1, -1)],
+                "ref string, version long, n_rows long, n_updated long, "
+                "key_sum long",
+            )
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "X", 1))
+            .cast("long")
+            .alias("n_updated"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(
+            F.lit(ref).alias("ref"),
+            F.lit(version).cast("long").alias("version"),
+            "n_rows",
+            "n_updated",
+            "key_sum",
+        )
+
+    parts = []
+    for e in mirror.history():
+        parts.append(
+            ref_row(
+                mirror.read_version(spark, e["version"])
+                if e["readable"]
+                else None,
+                f"src:v{e['version']}",
+                e["version"],
+            )
+        )
+    parts.append(
+        ref_row(mirror.read_tag(spark, "t0"), "src:tag:t0", 0)
+    )
+    parts.append(ref_row(clone.read(spark), "clone:main", 0))
+    for e in clone.history():
+        parts.append(
+            ref_row(
+                clone.read_version(spark, e["version"]),
+                f"clone:v{e['version']}",
+                e["version"],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "snapshot_branch_publish",
+    oracle="""
+    WITH s0 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    s2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    a0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT) u,
+               CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM s0
+    ),
+    a2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT) u,
+               CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM s2
+    )
+    SELECT 'main_before_ff' AS ref, n AS n_rows, u AS n_updated,
+           s AS key_sum FROM a0
+    UNION ALL SELECT 'branch_head', n, u, s FROM a2
+    UNION ALL SELECT 'main_after_ff', n, u, s FROM a2
+    """,
+)
+def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branches + fast-forward publish (VERDICT r10 task 3,
+    streaming/pipeline.py branch/commit(branch=)/fast_forward): stage
+    the update+delete batch as an AUDITED commit on an 'etl' branch
+    (write_audit_publish(branch=...) — the multi-batch WAP flow
+    branches exist for), verify main still serves the fork point, then
+    fast-forward and verify main serves the branch head.
+
+    The three aggregate rows pin the branch laws in one hash: staged
+    commits invisible to main readers (main_before_ff == the fork
+    state even though the branch commit already exists in the shared
+    log), branch reads see the staged state, and fast-forward is an
+    atomic publish (main_after_ff == branch_head). The frames are
+    bound to snapshot dirs at call time, so before/after reads coexist
+    in one result."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    ch = derived_orders_changelog(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "op", "ts"
+    )
+    table = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_branchpub_"), keep_versions=10
+    )
+    table.commit(
+        apply_changelog(
+            ch.filter(F.col("ts") <= 0),
+            key_cols="o_orderkey",
+            ts_cols="ts",
+            op_col="op",
+            delete_op="D",
+            drop_envelope=["op", "ts"],
+        )
+    )
+    table.branch("etl")
+    staged_state = apply_changelog(
+        ch,
+        key_cols="o_orderkey",
+        ts_cols="ts",
+        op_col="op",
+        delete_op="D",
+        drop_envelope=["op", "ts"],
+    )
+    table.write_audit_publish(
+        spark,
+        staged_state,
+        [not_null("o_orderkey"), row_count_within(20, 100)],
+        branch="etl",
+    )
+
+    def agg_row(df: DataFrame, ref: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "X", 1))
+            .cast("long")
+            .alias("n_updated"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(ref).alias("ref"), "n_rows", "n_updated", "key_sum")
+
+    before = agg_row(table.read(spark), "main_before_ff")
+    branch_head = agg_row(table.read_branch(spark, "etl"), "branch_head")
+    table.fast_forward("etl")
+    after = agg_row(table.read(spark), "main_after_ff")
+    return before.unionByName(branch_head).unionByName(after)
+
+
+@query(
+    "bucket_compaction_roundtrip",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM orders
+    )
+    SELECT 'files_reduced' AS item, CAST(1 AS BIGINT) AS value FROM a
+    UNION ALL SELECT 'head_op_is_rewrite', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'n_versions', CAST(2 AS BIGINT) FROM a
+    UNION ALL SELECT 'v0_rows', n FROM a
+    UNION ALL SELECT 'v0_keysum', s FROM a
+    UNION ALL SELECT 'v1_rows', n FROM a
+    UNION ALL SELECT 'v1_keysum', s FROM a
+    """,
+)
+def bucket_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-aware small-file compaction (VERDICT r10 task 4,
+    streaming/pipeline.py VersionedBucketMirror.rewrite_data_files):
+    bulk-load orders fragmented (maxRecordsPerFile sized to ~4 files
+    per bucket at ANY scale factor — the production file-size knob),
+    compact, and verify the roundtrip under one hash — file count
+    strictly reduced, the compaction is its own marked manifest commit,
+    history grows to 2, and BOTH versions read back the identical
+    integer aggregates (the pre-compaction manifest still references
+    the fragmented dirs; compaction must never rewrite history)."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_compact_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    mirror.initialize(
+        orders, max_records_per_file=max(1, orders.count() // 32)
+    )
+    out = mirror.rewrite_data_files(spark)
+    items = [
+        ("files_reduced", int(out["files_after"] < out["files_before"])),
+        (
+            "head_op_is_rewrite",
+            int(mirror.current().get("operation") == "rewrite_data_files"),
+        ),
+        ("n_versions", len(mirror.history())),
+    ]
+    flags = spark.createDataFrame(items, "item string, value long")
+
+    def agg_rows(df: DataFrame, n_item: str, s_item: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("o_orderkey").cast("long").alias("__s"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(n_item).alias("item"),
+                            F.col("__n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(s_item).alias("item"),
+                            F.col("__s").alias("value"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.item", "p.value")
+        )
+
+    return flags.unionByName(
+        agg_rows(mirror.read_version(spark, 0), "v0_rows", "v0_keysum")
+    ).unionByName(
+        agg_rows(mirror.read_version(spark, 1), "v1_rows", "v1_keysum")
+    )

@@ -179,16 +179,22 @@ def test_sequence_packing_matches_python_reference(spark):
             ref.setdefault((lang, cum // 2048), []).append(n)
             cum += n
 
+    import importlib
+
     import tabular_cdc_bootstrapper_spark.queries as q
 
-    orig = q._t
+    # patch the fixture loader in the query's DEFINING module — since the
+    # registry split (r10) the package-level `_t` is a hoisted copy, not
+    # the binding the query function resolves against
+    mod = importlib.import_module(q.sequence_packing.__module__)
+    orig = mod._t
     try:
-        q._t = lambda _spark, _sf, _name: df  # run the query on our corpus
+        mod._t = lambda _spark, _sf, _name: df  # run the query on our corpus
         got = {
             (r["lang"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
             for r in q.sequence_packing(spark, "ignored").collect()
         }
     finally:
-        q._t = orig
+        mod._t = orig
     exp = {k: (len(v), sum(v)) for k, v in ref.items()}
     assert got == exp
