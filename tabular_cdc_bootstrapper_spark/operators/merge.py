@@ -114,6 +114,26 @@ def merge_into(
     return j.filter(keep).select(*out_cols)
 
 
+#: integral widening chain (parquet/Spark simpleString names) — the safe
+#: subset of Delta's type-widening table feature: every value of the
+#: narrower type is exactly representable in the wider one.
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _is_safe_widening(src_t: str, tgt_t: str) -> bool:
+    """True iff casting the TARGET type ``tgt_t`` up to the SOURCE type
+    ``src_t`` is lossless: integral chain byte<short<int<long,
+    float->double, and byte/short/int->double (exact below 2^53 —
+    long->double is NOT safe and stays rejected)."""
+    if tgt_t in _INT_RANK and src_t in _INT_RANK:
+        return _INT_RANK[src_t] > _INT_RANK[tgt_t]
+    if tgt_t == "float" and src_t == "double":
+        return True
+    if tgt_t in ("tinyint", "smallint", "int") and src_t == "double":
+        return True
+    return False
+
+
 def merge_into_table(
     spark,
     table,
@@ -125,6 +145,7 @@ def merge_into_table(
     insert_cond: Column | None = None,
     insert_set: dict[str, Column] | None = None,
     evolve_schema: bool | list[str] = False,
+    widen_types: bool = False,
     validate_unique_source: bool = True,
     meta: dict | None = None,
 ) -> dict:
@@ -155,6 +176,16 @@ def merge_into_table(
     of the table). On the bucketed layouts only touched buckets are
     rewritten with the new column — readers mergeSchema across bucket
     versions by design.
+
+    ``widen_types=True`` additionally cast-widens existing target
+    columns whose SOURCE type is a safe widening of the target's
+    (Delta/Iceberg type widening, VERDICT r10 task 9: byte<short<int<
+    long, float->double, byte/short/int->double) — the int-id table
+    whose upstream grew to bigint merges without a manual rewrite.
+    Only lossless widenings apply; a narrowing or unrelated type
+    mismatch is left to the engine's normal coercion rules. Pre-merge
+    snapshots keep the narrow type; readers mergeSchema across the
+    boundary and ``table_changes`` compares through it.
 
     Returns the commit record (plus ``touched_buckets`` where bucketed).
     """
@@ -192,6 +223,45 @@ def merge_into_table(
                     f.name, F.lit(None).cast(f.dataType)
                 )
                 update_set.setdefault(f.name, src(f.name))
+    if widen_types:
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        widened = []
+        for f in target.schema.fields:
+            s_type = src_types.get(f.name)
+            if (
+                s_type is not None
+                and s_type != f.dataType
+                and _is_safe_widening(
+                    s_type.simpleString(), f.dataType.simpleString()
+                )
+            ):
+                target = target.withColumn(f.name, F.col(f.name).cast(s_type))
+                widened.append(f.name)
+        if widened and bucketed and not hasattr(table, "_log"):
+            # the plain bucketed mirror has no manifest to carry a table
+            # schema, so mixed narrow/wide bucket dirs would break its
+            # mergeSchema reads — widening there is a one-time FULL
+            # rewrite (the pre-type-widening ALTER COLUMN cost). The
+            # versioned mirror widens for touched buckets only: its
+            # manifest records the union-widened schema and readers bind
+            # to it (parquet widening promotions upcast old dirs).
+            import os as _os
+
+            all_buckets = {
+                int(d.split("=", 1)[1])
+                for d in _os.listdir(table.data_dir)
+                if d.startswith("bucket=")
+            }
+            touched = sorted(all_buckets | set(touched))
+            full = table.read(spark)
+            if full is not None:
+                if "bucket" in full.columns:
+                    full = full.drop("bucket")
+                target = full
+                for c in widened:
+                    target = target.withColumn(
+                        c, F.col(c).cast(src_types[c])
+                    )
     merged = merge_into(
         target,
         source,

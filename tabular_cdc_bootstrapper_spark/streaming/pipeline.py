@@ -1361,6 +1361,49 @@ def cdc_merge_batch(
     return mirror.commit(new_state)
 
 
+def _widen_struct(
+    prev: T.StructType | None, new: T.StructType
+) -> T.StructType:
+    """Union-widen two schemas — the manifest-schema evolution rule of
+    ``VersionedBucketMirror`` (r10): same-name numeric fields resolve to
+    the wider type (integral chain, float<double, int×float mix →
+    double), one-sided fields join as nullable (untouched bucket dirs
+    read NULL for them). Field order: previous schema first, new fields
+    appended — stable across commits."""
+    if prev is None:
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in new.fields]
+        )
+    int_rank = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+    flt_rank = {"float": 1, "double": 2}
+
+    def wide(a: T.DataType, b: T.DataType) -> T.DataType:
+        sa, sb = a.simpleString(), b.simpleString()
+        if sa == sb:
+            return a
+        if sa in int_rank and sb in int_rank:
+            return a if int_rank[sa] >= int_rank[sb] else b
+        if sa in flt_rank and sb in flt_rank:
+            return a if flt_rank[sa] >= flt_rank[sb] else b
+        if (sa in int_rank or sa in flt_rank) and (
+            sb in int_rank or sb in flt_rank
+        ):
+            return T.DoubleType()
+        return b  # non-numeric divergence: latest commit wins
+
+    new_by = {f.name: f for f in new.fields}
+    fields = []
+    for f in prev.fields:
+        nf = new_by.get(f.name)
+        dt = f.dataType if nf is None else wide(f.dataType, nf.dataType)
+        fields.append(T.StructField(f.name, dt, True))
+    seen = {f.name for f in prev.fields}
+    for f in new.fields:
+        if f.name not in seen:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
+
+
 class VersionedBucketMirror:
     """Key-bucketed mirror with Iceberg-manifest commit semantics: the
     delta-proportional merge of ``BucketPartitionedMirror`` PLUS the
@@ -1455,16 +1498,34 @@ class VersionedBucketMirror:
                 return e
         raise ValueError(f"no snapshot {version} in {self.root}")
 
-    def _read_dirs(self, spark: SparkSession, dirs: Sequence[str]) -> DataFrame | None:
+    def _read_dirs(
+        self,
+        spark: SparkSession,
+        dirs: Sequence[str],
+        schema_json: dict | None = None,
+    ) -> DataFrame | None:
         if not dirs:
             return None  # initialized-but-empty (every key deleted)
-        # mergeSchema: a column-adding batch rewrites only touched buckets,
-        # so bucket versions can disagree on schema. Listing is scoped to
-        # exactly the manifest's dirs — the manifest IS the pruning.
+        if schema_json is not None:
+            # the manifest carries the table schema (r10, the Iceberg
+            # schema-in-metadata rule): no footer-merging pass at all,
+            # and bucket dirs written before a type widening read
+            # through the parquet reader's widening promotions
+            # (int32->int64, float->double — Spark 4 vectorized reader)
+            return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(
+                *dirs
+            )
+        # pre-r10 manifests (no schema recorded): mergeSchema fallback —
+        # a column-adding batch rewrites only touched buckets, so bucket
+        # versions can disagree on schema. Listing is scoped to exactly
+        # the manifest's dirs — the manifest IS the pruning.
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
-        return self._read_dirs(spark, list(self._resolve(version)["buckets"].values()))
+        e = self._resolve(version)
+        return self._read_dirs(
+            spark, list(e["buckets"].values()), e.get("schema")
+        )
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame | None:
         """VERSION AS OF over the whole mirror."""
@@ -1482,9 +1543,10 @@ class VersionedBucketMirror:
     def read_buckets(
         self, spark: SparkSession, buckets: Sequence[int]
     ) -> DataFrame | None:
-        mapping = self._resolve(None)["buckets"]
+        e = self._resolve(None)
+        mapping = e["buckets"]
         dirs = [mapping[str(int(b))] for b in buckets if str(int(b)) in mapping]
-        return self._read_dirs(spark, dirs)
+        return self._read_dirs(spark, dirs, e.get("schema"))
 
     def tag(self, name: str, version: int | None = None) -> dict:
         """Named immutable ref on the bucketed mirror — same contract as
@@ -1520,6 +1582,8 @@ class VersionedBucketMirror:
             "buckets": dict(target["buckets"]),
             "rollback_of": to_version,
         }
+        if "schema" in target:
+            record["schema"] = target["schema"]
         self._log.publish(record)
         self._expire(record)
         return record
@@ -1637,6 +1701,7 @@ class VersionedBucketMirror:
             "ts": time.time(),
             "buckets": mapping,
             "audited": True,
+            "schema": _widen_struct(None, staged.schema).jsonValue(),
         }
         if meta:
             record.update(meta)
@@ -1714,9 +1779,7 @@ class VersionedBucketMirror:
                 "files_after": 0,
             }
         files_before = sum(_nfiles(d) for d in todo.values())
-        frag = spark.read.option("mergeSchema", "true").parquet(
-            *todo.values()
-        )
+        frag = self._read_dirs(spark, list(todo.values()), cur.get("schema"))
         rec = self._commit_staged(
             frag,
             touched=[int(b) for b in todo],
@@ -1856,6 +1919,19 @@ class VersionedBucketMirror:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         record = {"version": version, "ts": time.time(), "buckets": mapping}
+        # manifest-recorded table schema (r10): reads bind to it instead
+        # of footer-merging; union-widened so untouched buckets' narrower
+        # columns read through the parquet widening promotions. Legacy
+        # manifests without a schema stay schema-free (mergeSchema path)
+        # — recording one would misdescribe their unknown carried dirs.
+        new_schema = T.StructType(
+            [f for f in staged_df.schema.fields if f.name != "bucket"]
+        )
+        if touched is None or cur is None:
+            record["schema"] = _widen_struct(None, new_schema).jsonValue()
+        elif "schema" in cur:
+            prev_schema = T.StructType.fromJson(cur["schema"])
+            record["schema"] = _widen_struct(prev_schema, new_schema).jsonValue()
         if meta:
             record.update(meta)
         self._log.publish(record)
