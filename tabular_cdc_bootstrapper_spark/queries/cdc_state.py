@@ -855,6 +855,8 @@ def wap_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'src:tag:t0', 0, n, u, s FROM a0
     UNION ALL SELECT 'clone:main', 0, n, u, s FROM a0p
     UNION ALL SELECT 'clone:v0', 0, n, u, s FROM a0p
+    UNION ALL SELECT 'bsrc:main', 0, n, u, s FROM a0
+    UNION ALL SELECT 'bclone:main', 0, n, u, s FROM a0p
     """,
 )
 def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,8 +872,11 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinels), clone ownership isolation (the clone's purge rewrites
     only clone-owned references: src:v0 still contains the %97 keys the
     clone dropped), and clone-at-version semantics (clone history =
-    exactly v0). streaming/pipeline.py tag/expire_snapshots/clone_to/
-    purge_keys."""
+    exactly v0). The bsrc/bclone rows re-pin ownership isolation on the
+    bucketed 100 TB layout (VersionedBucketMirror.clone_to, r10): the
+    clone's purge rewrites only clone-owned bucket references; source
+    dirs stay byte-intact. streaming/pipeline.py
+    tag/expire_snapshots/clone_to/purge_keys."""
     import tempfile
 
     from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
@@ -954,6 +959,32 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e["version"],
             )
         )
+    # same ownership-isolation law on the bucketed 100 TB layout (r10):
+    # shallow-clone the bucketed mirror, purge the CLONE — every source
+    # bucket dir must stay byte-intact (the purge's _owns guard)
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    bmirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_refs_b_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    bmirror.initialize(mirror.read_version(spark, 0))
+    bclone = bmirror.clone_to(
+        tempfile.mkdtemp(prefix="spark_graft_refs_bclone_"), mode="shallow"
+    )
+    bclone.purge_keys(
+        spark,
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey"),
+        "o_orderkey",
+    )
+    parts.append(ref_row(bmirror.read(spark), "bsrc:main", 0))
+    parts.append(ref_row(bclone.read(spark), "bclone:main", 0))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -986,6 +1017,9 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            s AS key_sum FROM a0
     UNION ALL SELECT 'branch_head', n, u, s FROM a2
     UNION ALL SELECT 'main_after_ff', n, u, s FROM a2
+    UNION ALL SELECT 'bucket:main_before_ff', n, u, s FROM a0
+    UNION ALL SELECT 'bucket:branch_head', n, u, s FROM a2
+    UNION ALL SELECT 'bucket:main_after_ff', n, u, s FROM a2
     """,
 )
 def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,13 +1030,15 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches exist for), verify main still serves the fork point, then
     fast-forward and verify main serves the branch head.
 
-    The three aggregate rows pin the branch laws in one hash: staged
-    commits invisible to main readers (main_before_ff == the fork
-    state even though the branch commit already exists in the shared
-    log), branch reads see the staged state, and fast-forward is an
-    atomic publish (main_after_ff == branch_head). The frames are
-    bound to snapshot dirs at call time, so before/after reads coexist
-    in one result."""
+    The aggregate rows pin the branch laws in one hash, on BOTH layouts
+    (shared BranchOps, r10 — the bucket: rows stage the same batch as a
+    branch CDC MERGE on a VersionedBucketMirror, touched buckets only,
+    carried from the branch head): staged commits invisible to main
+    readers (main_before_ff == the fork state even though the branch
+    commit already exists in the shared log), branch reads see the
+    staged state, and fast-forward is an atomic publish (main_after_ff
+    == branch_head). The frames are bound to snapshot dirs at call
+    time, so before/after reads coexist in one result."""
     import tempfile
 
     from tabular_cdc_bootstrapper_spark.functions.constraints import (
@@ -1058,7 +1094,42 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch_head = agg_row(table.read_branch(spark, "etl"), "branch_head")
     table.fast_forward("etl")
     after = agg_row(table.read(spark), "main_after_ff")
-    return before.unionByName(branch_head).unionByName(after)
+    out = before.unionByName(branch_head).unionByName(after)
+
+    # same laws on the bucketed 100 TB layout (shared BranchOps, r10):
+    # the update+delete batch stages as a branch CDC MERGE — touched
+    # buckets only, carried from the BRANCH head — then fast-forwards
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_branchpub_b_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    mirror.initialize(ch.filter(F.col("ts") <= 0))
+    mirror.branch("etl")
+    mirror.merge_batch(
+        ch.filter(F.col("ts") >= 1),
+        CdcTarget(
+            source_uri="file:///dev/null",
+            key_column="o_orderkey",
+            ts_column="ts",
+        ),
+        branch="etl",
+    )
+    out = out.unionByName(
+        agg_row(mirror.read(spark), "bucket:main_before_ff")
+    ).unionByName(
+        agg_row(mirror.read_branch(spark, "etl"), "bucket:branch_head")
+    )
+    mirror.fast_forward("etl")
+    return out.unionByName(
+        agg_row(mirror.read(spark), "bucket:main_after_ff")
+    )
 
 
 @query(

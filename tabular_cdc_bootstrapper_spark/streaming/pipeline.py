@@ -93,10 +93,18 @@ class SnapshotLog:
 
     def committed(self) -> list[dict]:
         """Entries at or below the CURRENT pointer — the published
-        history. Entries above it are crash orphans and are excluded."""
+        history. Entries above it are crash orphans and are excluded, as
+        are ``ref``-marked entries at ANY position: those are branch
+        staging, and once main advances past a diverged branch's version
+        numbers they sit below the pointer WITHOUT ever having been
+        published to main (fast-forward strips the marker on publish)."""
         cur = self.current()
         cur_version = cur["version"] if cur else -1
-        return [e for e in self.entries() if e["version"] <= cur_version]
+        return [
+            e
+            for e in self.entries()
+            if e["version"] <= cur_version and "ref" not in e
+        ]
 
     def next_version(self) -> int:
         cur = self.current()
@@ -118,7 +126,16 @@ class SnapshotLog:
         cur = self.current()
         cur_version = cur["version"] if cur else -1
         for e in self.entries():
-            if e["version"] > cur_version and e["version"] != record["version"]:
+            # above-pointer entries are crash orphans; BELOW-pointer
+            # ref-marked entries are staging of a branch that diverged
+            # and was then deleted (fast-forward would have stripped the
+            # marker) — both are unpublished and reclaimed here, unless
+            # a live branch's window protects them
+            is_orphan = (
+                e["version"] > cur_version
+                and e["version"] != record["version"]
+            ) or ("ref" in e and e["version"] <= cur_version)
+            if is_orphan:
                 if protected is not None and protected(e):
                     continue
                 try:
@@ -288,7 +305,141 @@ class BranchSet:
         return any(lo < version <= hi for lo, hi in self.windows())
 
 
-class ParquetStateTable:
+class BranchOps:
+    """Writable-branch operations shared by every SnapshotLog-backed
+    table (VERDICT r10 task 3; generalized to the bucketed mirror the
+    same way TagSet generalized tags in r9). Hosts must provide:
+    ``self.root``, ``self._log`` (SnapshotLog), ``current()``,
+    ``history()``, ``_entry_readable(e)`` (layout-specific data-dir
+    check), and ``_after_fast_forward(head_rec)`` (layout-specific
+    retention pass). Layouts own their ``read_branch`` (data access
+    differs) and thread ``branch=`` through their commit entry points
+    to ``_publish_to_branch``."""
+
+    @property
+    def _branchset(self) -> "BranchSet":
+        return BranchSet(self.root)
+
+    def _branch_covers(self, e: dict) -> bool:
+        return self._branchset.covers(e["version"])
+
+    def _publish_to_branch(self, record: dict, name: str) -> dict:
+        """Advance ``name`` to ``record``: append the (ref-marked) log
+        entry, then move the branch pointer — two atomic renames, main's
+        CURRENT untouched. A crash between them leaves an above-pointer
+        entry outside the branch window ((base, head] doesn't cover it),
+        so the next publish GCs it like any crash orphan — the branch is
+        consistent at its old head either way."""
+        self._branchset.get(name)  # raises on unknown branch
+        record = dict(record)
+        record["ref"] = name
+        os.makedirs(self._log.log_dir, exist_ok=True)
+        lpath = os.path.join(self._log.log_dir, f"v-{record['version']:08d}.json")
+        tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, lpath)
+        self._branchset.set_head(name, record["version"])
+        return record
+
+    def branch(self, name: str, from_version: int | None = None) -> dict:
+        """Create a writable branch forked at ``from_version`` (default:
+        current head) — the Iceberg branch beside immutable ``tag``s:
+        commits with ``branch=name`` advance it invisibly to main;
+        ``fast_forward(name)`` publishes its staged commits to main when
+        (e.g.) audits pass. KB metadata only."""
+        if from_version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to branch from")
+            from_version = cur["version"]
+        return self._branchset.create(name, from_version, self._log)
+
+    def branches(self) -> list[dict]:
+        return self._branchset.branches()
+
+    def branch_history(self, name: str) -> list[dict]:
+        """The branch's lineage: main history up to the fork point plus
+        its staged commits, oldest first."""
+        b = self._branchset.get(name)
+        out = [e for e in self.history() if e["version"] <= b["base"]]
+        for e in self._log.entries():
+            if b["base"] < e["version"] <= b["head"]:
+                e = dict(e)
+                e["readable"] = self._entry_readable(e)
+                e["is_current"] = e["version"] == b["head"]
+                out.append(e)
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch pointer; its staged commits lose protection
+        and are garbage-collected by the next main publish."""
+        self._branchset.delete(name)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's staged commits to main — the Iceberg
+        ``fast_forward`` procedure, and the natural finish of a
+        multi-batch write-audit-publish staged with ``commit(...,
+        branch=...)``. Requires main's head to still BE the branch's
+        fork point (true fast-forward: main must not have advanced —
+        divergence is a caller-visible error, never a silent merge) and
+        the (base, head] version window to contain only this branch's
+        commits (no interleaved foreign branch). Protocol: strip the
+        ``ref`` marker from each staged entry (ascending, atomic
+        renames), then swap main's CURRENT to the head — a crash
+        mid-way leaves every entry protected by the branch window and a
+        re-run converges (already-stripped entries are accepted). The
+        branch pointer itself is left at the head (now == main), for
+        the caller to keep using or delete."""
+        b = self._branchset.get(name)
+        cur = self.current()
+        cur_v = cur["version"] if cur else -1
+        if cur_v == b["head"]:
+            return dict(cur)  # already published: idempotent no-op
+        if cur_v != b["base"]:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: main is at {cur_v}, the "
+                f"branch forked at {b['base']} — histories diverged"
+            )
+        if b["head"] == b["base"]:
+            return dict(cur)  # nothing staged: no-op
+        entries = {e["version"]: e for e in self._log.entries()}
+        chain = []
+        for v in range(b["base"] + 1, b["head"] + 1):
+            e = entries.get(v)
+            if e is None:
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: staged version {v} is "
+                    f"missing from the log of {self.root}"
+                )
+            if e.get("ref", name) != name:
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: version {v} belongs to "
+                    f"branch {e['ref']!r} — interleaved branches cannot "
+                    "fast-forward"
+                )
+            chain.append(e)
+        head_rec = None
+        for e in chain:
+            rec = {k: v for k, v in e.items() if k != "ref"}
+            if "ref" in e:
+                lpath = os.path.join(
+                    self._log.log_dir, f"v-{rec['version']:08d}.json"
+                )
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+            head_rec = rec
+        tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, self._log.pointer_path)
+        self._after_fast_forward(head_rec)
+        return head_rec
+
+
+class ParquetStateTable(BranchOps):
     """Versioned parquet table with an atomic CURRENT pointer.
 
     Layout: ``root/v-<n>-<uuid>/*.parquet`` + ``root/_CURRENT`` (JSON:
@@ -489,41 +640,6 @@ class ParquetStateTable:
             return self._publish_to_branch(record, branch)
         return self._publish(record, keep=vdir)
 
-    def _publish_to_branch(self, record: dict, name: str) -> dict:
-        """Advance ``name`` to ``record``: append the (ref-marked) log
-        entry, then move the branch pointer — two atomic renames, main's
-        CURRENT untouched. A crash between them leaves an above-pointer
-        entry outside the branch window ((base, head] doesn't cover it),
-        so the next publish GCs it like any crash orphan — the branch is
-        consistent at its old head either way."""
-        self._branchset.get(name)  # raises on unknown branch
-        record = dict(record)
-        record["ref"] = name
-        os.makedirs(self._log_dir, exist_ok=True)
-        lpath = os.path.join(self._log_dir, f"v-{record['version']:08d}.json")
-        tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(tmp, lpath)
-        self._branchset.set_head(name, record["version"])
-        return record
-
-    def branch(self, name: str, from_version: int | None = None) -> dict:
-        """Create a writable branch forked at ``from_version`` (default:
-        current head) — the Iceberg branch beside immutable ``tag``s:
-        commits with ``branch=name`` advance it invisibly to main;
-        ``fast_forward(name)`` publishes its staged commits to main when
-        (e.g.) audits pass. KB metadata only."""
-        if from_version is None:
-            cur = self.current()
-            if cur is None:
-                raise ValueError(f"{self.root} has no snapshot to branch from")
-            from_version = cur["version"]
-        return self._branchset.create(name, from_version, self._log)
-
-    def branches(self) -> list[dict]:
-        return self._branchset.branches()
-
     def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
         """Read the branch head (its latest staged commit, or the fork
         point if nothing is staged yet)."""
@@ -538,92 +654,11 @@ class ParquetStateTable:
             f"{self.root}"
         )
 
-    def branch_history(self, name: str) -> list[dict]:
-        """The branch's lineage: main history up to the fork point plus
-        its staged commits, oldest first."""
-        b = self._branchset.get(name)
-        out = [e for e in self.history() if e["version"] <= b["base"]]
-        for e in self._log.entries():
-            if b["base"] < e["version"] <= b["head"]:
-                e = dict(e)
-                e["readable"] = os.path.isdir(e["dir"])
-                e["is_current"] = e["version"] == b["head"]
-                out.append(e)
-        return out
+    def _entry_readable(self, e: dict) -> bool:
+        return os.path.isdir(e["dir"])
 
-    def delete_branch(self, name: str) -> None:
-        """Drop the branch pointer; its staged commits lose protection
-        and are garbage-collected by the next main publish."""
-        self._branchset.delete(name)
-
-    def fast_forward(self, name: str) -> dict:
-        """Publish a branch's staged commits to main — the Iceberg
-        ``fast_forward`` procedure, and the natural finish of a
-        multi-batch write-audit-publish staged with ``commit(...,
-        branch=...)``. Requires main's head to still BE the branch's
-        fork point (true fast-forward: main must not have advanced —
-        divergence is a caller-visible error, never a silent merge) and
-        the (base, head] version window to contain only this branch's
-        commits (no interleaved foreign branch). Protocol: strip the
-        ``ref`` marker from each staged entry (ascending, atomic
-        renames), then swap main's CURRENT to the head — a crash
-        mid-way leaves every entry protected by the branch window and a
-        re-run converges (already-stripped entries are accepted). The
-        branch pointer itself is left at the head (now == main), for
-        the caller to keep using or delete."""
-        b = self._branchset.get(name)
-        cur = self.current()
-        cur_v = cur["version"] if cur else -1
-        if cur_v == b["head"]:
-            return dict(cur)  # already published: idempotent no-op
-        if cur_v != b["base"]:
-            raise ValueError(
-                f"cannot fast-forward {name!r}: main is at {cur_v}, the "
-                f"branch forked at {b['base']} — histories diverged"
-            )
-        if b["head"] == b["base"]:
-            return dict(cur)  # nothing staged: no-op
-        entries = {e["version"]: e for e in self._log.entries()}
-        chain = []
-        for v in range(b["base"] + 1, b["head"] + 1):
-            e = entries.get(v)
-            if e is None:
-                raise ValueError(
-                    f"cannot fast-forward {name!r}: staged version {v} is "
-                    f"missing from the log of {self.root}"
-                )
-            if e.get("ref", name) != name:
-                raise ValueError(
-                    f"cannot fast-forward {name!r}: version {v} belongs to "
-                    f"branch {e['ref']!r} — interleaved branches cannot "
-                    "fast-forward"
-                )
-            chain.append(e)
-        head_rec = None
-        for e in chain:
-            rec = {k: v for k, v in e.items() if k != "ref"}
-            if "ref" in e:
-                lpath = os.path.join(
-                    self._log_dir, f"v-{rec['version']:08d}.json"
-                )
-                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as fh:
-                    json.dump(rec, fh)
-                os.replace(tmp, lpath)
-            head_rec = rec
-        tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(head_rec, fh)
-        os.replace(tmp, self._pointer)
+    def _after_fast_forward(self, head_rec: dict) -> None:
         self._expire(keep=head_rec["dir"])
-        return head_rec
-
-    @property
-    def _branchset(self) -> "BranchSet":
-        return BranchSet(self.root)
-
-    def _branch_covers(self, e: dict) -> bool:
-        return self._branchset.covers(e["version"])
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """VERSION AS OF: read snapshot ``version`` from the log."""
@@ -1404,7 +1439,7 @@ def _widen_struct(
     return T.StructType(fields)
 
 
-class VersionedBucketMirror:
+class VersionedBucketMirror(BranchOps):
     """Key-bucketed mirror with Iceberg-manifest commit semantics: the
     delta-proportional merge of ``BucketPartitionedMirror`` PLUS the
     snapshot history of ``ParquetStateTable`` — time travel at the 100 TB
@@ -1572,6 +1607,102 @@ class VersionedBucketMirror:
     def _tagged_versions(self) -> set[int]:
         return TagSet(self.root).versions()
 
+    def _entry_readable(self, e: dict) -> bool:
+        return all(os.path.isdir(d) for d in e["buckets"].values())
+
+    def _after_fast_forward(self, head_rec: dict) -> None:
+        self._expire(head_rec)
+
+    def _branch_head_entry(self, name: str) -> dict:
+        """The manifest the branch currently points at (the fork-point
+        manifest when nothing is staged yet)."""
+        b = self._branchset.get(name)
+        if b["head"] == b["base"]:
+            return self._resolve(b["base"])
+        for e in self._log.entries():
+            if e["version"] == b["head"]:
+                return e
+        raise ValueError(
+            f"branch {name!r} head {b['head']} missing from the log of "
+            f"{self.root}"
+        )
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Read the branch head (latest staged manifest, or the fork
+        point when nothing is staged yet)."""
+        e = self._branch_head_entry(name)
+        return self._read_dirs(
+            spark, list(e["buckets"].values()), e.get("schema")
+        )
+
+    def clone_to(
+        self,
+        dst_root: str,
+        mode: str = "shallow",
+        version: int | None = None,
+    ) -> "VersionedBucketMirror":
+        """Delta-style CLONE of the bucketed mirror — same contract as
+        ``ParquetStateTable.clone_to`` (r10; closes the r9 latent-hazard
+        note that motivated the purge ownership guard): ``shallow``
+        copies only manifests (the clone's log references the SOURCE's
+        bucket dirs — zero-copy, O(KB)); ``deep`` copies every
+        referenced bucket dir. Clones evolve independently; their
+        destructive ops (purge/expiry/orphan GC) are ``_owns``-guarded,
+        so a shallow clone can drop its REFERENCES to source buckets
+        but never delete the source's bytes."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"unknown clone mode {mode!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot to clone")
+        head = cur["version"] if version is None else version
+        entries = [
+            e
+            for e in self._log.committed()
+            if e["version"] <= head and self._entry_readable(e)
+        ]
+        if not any(e["version"] == head for e in entries):
+            raise ValueError(f"no readable snapshot {head} in {self.root}")
+        dst = VersionedBucketMirror(
+            dst_root,
+            n_buckets=self.n_buckets,
+            key_col=self.key_col,
+            keep_versions=self.keep_versions,
+        )
+        os.makedirs(dst._log.log_dir, exist_ok=True)
+        dir_copy: dict[str, str] = {}
+        head_rec: dict | None = None
+        for e in entries:
+            rec = dict(e)
+            if mode == "deep":
+                newb = {}
+                for b, d in e["buckets"].items():
+                    if d not in dir_copy:
+                        nd = os.path.join(
+                            dst.data_dir,
+                            f"bucket={int(b)}",
+                            os.path.basename(d),
+                        )
+                        shutil.copytree(d, nd)
+                        dir_copy[d] = nd
+                    newb[b] = dir_copy[d]
+                rec["buckets"] = newb
+            rec["cloned_from"] = self.root
+            lpath = os.path.join(
+                dst._log.log_dir, f"v-{rec['version']:08d}.json"
+            )
+            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, lpath)
+            if rec["version"] == head:
+                head_rec = rec
+        tmp = dst._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, dst._log.pointer_path)
+        return dst
+
     def rollback(self, to_version: int) -> dict:
         """Restore snapshot ``to_version`` as a NEW manifest sharing its
         bucket dirs — append-only history, zero data movement."""
@@ -1584,7 +1715,7 @@ class VersionedBucketMirror:
         }
         if "schema" in target:
             record["schema"] = target["schema"]
-        self._log.publish(record)
+        self._log.publish(record, protected=self._branch_covers)
         self._expire(record)
         return record
 
@@ -1596,6 +1727,7 @@ class VersionedBucketMirror:
         meta: dict | None = None,
         key_col: str | None = None,
         stale_staging_grace_s: float = 3600.0,
+        branch: str | None = None,
     ) -> dict:
         """Write-audit-publish on the bucketed 100 TB layout (VERDICT r10
         task 1 — r9 gave this only to ``ParquetStateTable``): stage
@@ -1637,7 +1769,9 @@ class VersionedBucketMirror:
                 shutil.rmtree(p, ignore_errors=True)
         row_rules = [r for r in rules if not isinstance(r, AnomalyRule)]
         anomaly_rules = [r for r in rules if isinstance(r, AnomalyRule)]
-        if anomaly_rules and self.current() is None:
+        if branch is not None:
+            self._branchset.get(branch)  # raises on unknown branch
+        if anomaly_rules and branch is None and self.current() is None:
             raise ValueError(
                 f"{self.root} has no committed snapshot to serve as the "
                 "anomaly-rule baseline; initialize first or gate with "
@@ -1674,7 +1808,11 @@ class VersionedBucketMirror:
                     "passed": r["passed"],
                 }
                 for r in check_anomalies(
-                    self.read(spark), staged, anomaly_rules
+                    self.read_branch(spark, branch)
+                    if branch is not None
+                    else self.read(spark),
+                    staged,
+                    anomaly_rules,
                 ).collect()
             )
         if not all(r["passed"] for r in report):
@@ -1705,7 +1843,10 @@ class VersionedBucketMirror:
         }
         if meta:
             record.update(meta)
-        self._log.publish(record)
+        if branch is not None:
+            rec = self._publish_to_branch(record, branch)
+            return {"published": True, **rec, "report": report}
+        self._log.publish(record, protected=self._branch_covers)
         self._expire(record)
         return {"published": True, **record, "report": report}
 
@@ -1800,9 +1941,13 @@ class VersionedBucketMirror:
         batch_df: DataFrame,
         target: CdcTarget,
         tiebreak_cols: Sequence[str] = (),
+        branch: str | None = None,
     ) -> dict:
         """Apply one changelog micro-batch; stage + remap only touched
-        buckets, carry every other bucket's dir forward unchanged."""
+        buckets, carry every other bucket's dir forward unchanged.
+        ``branch``: merge against (and advance) a writable branch's head
+        instead of main — the stage-risky-batch-then-fast-forward flow,
+        with the same touched-bucket cost."""
         spark = batch_df.sparkSession
         key = target.key_column
         touched = sorted(
@@ -1813,7 +1958,19 @@ class VersionedBucketMirror:
         )
         if not touched:
             return {"touched_buckets": []}
-        current = self.read_buckets(spark, touched) if self.exists() else None
+        if branch is not None:
+            base = self._branch_head_entry(branch)
+            mapping = base["buckets"]
+            dirs = [
+                mapping[str(int(b))]
+                for b in touched
+                if str(int(b)) in mapping
+            ]
+            current = self._read_dirs(spark, dirs, base.get("schema"))
+        else:
+            current = (
+                self.read_buckets(spark, touched) if self.exists() else None
+            )
         new_state = apply_changelog(
             batch_df,
             key_cols=key,
@@ -1824,7 +1981,9 @@ class VersionedBucketMirror:
             tiebreak_cols=tiebreak_cols,
             drop_envelope=(),
         )
-        rec = self._commit_staged(new_state, touched=touched, key_col=key)
+        rec = self._commit_staged(
+            new_state, touched=touched, key_col=key, branch=branch
+        )
         rec["touched_buckets"] = touched
         return rec
 
@@ -1834,6 +1993,7 @@ class VersionedBucketMirror:
         touched: Sequence[int],
         key_col: str | None = None,
         meta: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Commit an externally-merged state slice for ``touched`` buckets
         as one manifest (the hook ``operators/merge.py merge_into_table``
@@ -1843,7 +2003,8 @@ class VersionedBucketMirror:
         a merge commit must be distinguishable from a CDC commit in
         ``history()`` on every layout that has one)."""
         rec = self._commit_staged(
-            df, touched=list(touched), key_col=key_col, meta=meta
+            df, touched=list(touched), key_col=key_col, meta=meta,
+            branch=branch,
         )
         rec["touched_buckets"] = sorted(int(b) for b in touched)
         return rec
@@ -1856,6 +2017,7 @@ class VersionedBucketMirror:
         meta: dict | None = None,
         files_per_bucket: int = 1,
         max_records_per_file: int | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Stage ``df`` partitioned by bucket, install the staged buckets
         under immutable new version names, publish the manifest.
@@ -1891,7 +2053,13 @@ class VersionedBucketMirror:
                 "maxRecordsPerFile", int(max_records_per_file)
             )
         writer.partitionBy("bucket").parquet(staging)
-        cur = self.current()
+        # untouched buckets carry forward from wherever this commit lands:
+        # the branch head for a branch-staged commit, main's CURRENT else
+        cur = (
+            self._branch_head_entry(branch)
+            if branch is not None
+            else self.current()
+        )
         mapping: dict[str, str] = (
             dict(cur["buckets"]) if (cur and touched is not None) else {}
         )
@@ -1934,7 +2102,11 @@ class VersionedBucketMirror:
             record["schema"] = _widen_struct(prev_schema, new_schema).jsonValue()
         if meta:
             record.update(meta)
-        self._log.publish(record)
+        if branch is not None:
+            # branch staging: only the branch pointer advances; staged
+            # dirs are protected by the branch window, no retention pass
+            return self._publish_to_branch(record, branch)
+        self._log.publish(record, protected=self._branch_covers)
         self._expire(record)
         return record
 
@@ -1973,6 +2145,15 @@ class VersionedBucketMirror:
             .collect()
         }
         entries = self._log.committed()
+        # staged branch manifests hold the same PII above the main pointer
+        windows = self._branchset.windows()
+        seen_v = {e["version"] for e in entries}
+        entries = entries + [
+            e
+            for e in self._log.entries()
+            if e["version"] not in seen_v
+            and any(lo < e["version"] <= hi for lo, hi in windows)
+        ]
         dir_map: dict[str, str | None] = {}
         for e in entries:
             for b, d in e["buckets"].items():
@@ -2058,6 +2239,8 @@ class VersionedBucketMirror:
             return {"expired_versions": [], "dirs_removed": 0}
         committed = self._log.committed()
         keep_versions = {cur["version"]} | self._tagged_versions()
+        windows = self._branchset.windows()
+        keep_versions.update(b["base"] for b in self._branchset.branches())
         if keep_last is not None:
             keep_versions.update(
                 e["version"] for e in committed[-max(keep_last, 1):]
@@ -2075,6 +2258,9 @@ class VersionedBucketMirror:
         kept_dirs: set[str] = set()
         for e in committed:
             if e["version"] not in expired_versions:
+                kept_dirs.update(e["buckets"].values())
+        for e in self._log.entries():
+            if any(lo <= e["version"] <= hi for lo, hi in windows):
                 kept_dirs.update(e["buckets"].values())
         doomed: set[str] = set()
         for e in expired:
@@ -2105,9 +2291,12 @@ class VersionedBucketMirror:
         for e in self._log.committed()[-keep:]:
             referenced.update(e["buckets"].values())
         tagged = self._tagged_versions()
-        if tagged:  # ref-keeps-snapshot: tagged manifests' dirs survive
-            for e in self._log.committed():
-                if e["version"] in tagged:
+        windows = self._branchset.windows()  # [base, head] incl. fork point
+        if tagged or windows:  # ref-keeps-snapshot: tags AND live branches
+            for e in self._log.entries():
+                if e["version"] in tagged or any(
+                    lo <= e["version"] <= hi for lo, hi in windows
+                ):
                     referenced.update(e["buckets"].values())
         for bdir in os.listdir(self.data_dir):
             if not bdir.startswith("bucket="):

@@ -275,3 +275,31 @@ def test_wap_on_branch_multi_batch_then_fast_forward(spark, tmp_path):
     assert head["audited"] is True
     assert t.read(spark).count() == 90
     assert [e["version"] for e in t.history()] == [0, 1, 2]
+
+
+def test_diverged_branch_entries_never_leak_into_main_history(spark, tmp_path):
+    """Once main advances PAST a staged branch's version numbers, the
+    ref-marked entries sit below the pointer — they must stay invisible
+    to main history/time travel (they were never published), and after
+    the branch is deleted the next publish reclaims entry AND data."""
+    import os as _os
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    t.branch("b")
+    staged = t.commit(_df(spark, "b1"), branch="b")  # v1 on the branch
+    t.commit(_df(spark, "v2"))  # main advances past v1
+    assert [e["version"] for e in t.history()] == [0, 2]
+    with pytest.raises(ValueError, match="no snapshot 1"):
+        t.read_version(spark, 1)
+    # the diverged branch stays readable on its own ref
+    assert _tags(spark, t.read_branch(spark, "b")) == _tags(
+        spark, _df(spark, "b1")
+    )
+    t.delete_branch("b")
+    t.commit(_df(spark, "v3"))  # publish reclaims the dead staging
+    assert not _os.path.isdir(staged["dir"])
+    assert not _os.path.exists(
+        _os.path.join(t._log_dir, f"v-{staged['version']:08d}.json")
+    )
+    assert [e["version"] for e in t.history()] == [0, 2, 3]

@@ -408,3 +408,155 @@ def test_rewrite_data_files_skips_tight_dirs(spark, mirror):
     out = mirror.rewrite_data_files(spark)
     assert out["buckets_compacted"] == 0
     assert out["version"] is None
+
+
+# --- writable branches on the bucketed layout (r10, shared BranchOps) ---------
+
+
+def test_mirror_branch_merge_invisible_until_fast_forward(spark, mirror):
+    """Stage a CDC merge on a branch: main reads/history untouched, the
+    branch head serves the merged state (touched-bucket cost, carry from
+    the BRANCH head), fast-forward publishes atomically."""
+    mirror.branch("risky")
+    rec = mirror.merge_batch(
+        _batch(spark, [(0, "b1-0", 1, "U"), (99, "b1-99", 1, "I")]),
+        TARGET,
+        branch="risky",
+    )
+    assert rec["ref"] == "risky" and rec["touched_buckets"]
+    # main untouched
+    assert _state(spark, mirror) == {i: f"v0-{i}" for i in range(16)}
+    assert [e["version"] for e in mirror.history()] == [0]
+    # branch sees the merge; second branch merge carries from branch head
+    got = {
+        r["id"]: r["name"]
+        for r in mirror.read_branch(spark, "risky").collect()
+    }
+    assert got[0] == "b1-0" and got[99] == "b1-99" and got[5] == "v0-5"
+    mirror.merge_batch(
+        _batch(spark, [(99, "b2-99", 2, "U")]), TARGET, branch="risky"
+    )
+    got = {
+        r["id"]: r["name"]
+        for r in mirror.read_branch(spark, "risky").collect()
+    }
+    assert got[99] == "b2-99" and got[0] == "b1-0"
+    hist = mirror.branch_history("risky")
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    head = mirror.fast_forward("risky")
+    assert head["version"] == 2 and "ref" not in head
+    final = _state(spark, mirror)
+    assert final[0] == "b1-0" and final[99] == "b2-99"
+    assert [e["version"] for e in mirror.history()] == [0, 1, 2]
+
+
+def test_mirror_branch_staging_survives_main_merge_gc(spark, mirror):
+    """A staged branch manifest + its bucket dirs must survive a main
+    merge's publish-time orphan GC and retention pass; divergence then
+    blocks fast-forward."""
+    import pytest as _pytest
+
+    mirror.branch("b")
+    staged = mirror.merge_batch(
+        _batch(spark, [(0, "br", 1, "U")]), TARGET, branch="b"
+    )
+    staged_dirs = [
+        d for d in staged["buckets"].values() if "v-00000001" in d
+    ]
+    assert staged_dirs
+    mirror.merge_batch(_batch(spark, [(1, "m", 1, "U")]), TARGET)  # main
+    for d in staged_dirs:
+        assert os.path.isdir(d)
+    assert {
+        r["id"]: r["name"]
+        for r in mirror.read_branch(spark, "b").collect()
+    }[0] == "br"
+    with _pytest.raises(ValueError, match="diverged"):
+        mirror.fast_forward("b")
+    # deleting the branch releases its staging to the next publish's GC
+    mirror.delete_branch("b")
+    mirror.merge_batch(_batch(spark, [(2, "m2", 2, "U")]), TARGET)
+    for d in staged_dirs:
+        assert not os.path.isdir(d)
+
+
+def test_mirror_wap_on_branch_then_fast_forward(spark, mirror):
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        not_null,
+        row_count_within,
+    )
+
+    mirror.branch("etl")
+    good = _batch(spark, [(i, f"w-{i}", 1, "I") for i in range(15)])
+    out = mirror.write_audit_publish(
+        spark,
+        good,
+        [not_null("id"), row_count_within(10, 100)],
+        branch="etl",
+    )
+    assert out["published"] is True and out["ref"] == "etl"
+    assert _state(spark, mirror) == {i: f"v0-{i}" for i in range(16)}
+    # audit2 baseline is the BRANCH head (15 rows), not main (16)
+    bad = mirror.write_audit_publish(
+        spark,
+        _batch(spark, [(1, "x", 2, "I")]),
+        [row_count_within(10, 100)],
+        branch="etl",
+    )
+    assert bad["published"] is False
+    mirror.fast_forward("etl")
+    assert _state(spark, mirror) == {i: f"w-{i}" for i in range(15)}
+
+
+def test_mirror_purge_reaches_staged_branch_buckets(spark, mirror):
+    mirror.branch("b")
+    mirror.merge_batch(
+        _batch(spark, [(3, "secret", 1, "U")]), TARGET, branch="b"
+    )
+    out = mirror.purge_keys(
+        spark, spark.createDataFrame([(3,)], "id long"), "id"
+    )
+    assert out["bucket_dirs_rewritten"] >= 2  # main dir AND staged dir
+    assert 3 not in _state(spark, mirror)
+    assert 3 not in {
+        r["id"] for r in mirror.read_branch(spark, "b").collect()
+    }
+    assert mirror.fast_forward("b")["version"] == 1
+
+
+# --- clone on the bucketed layout (r10) ----------------------------------------
+
+
+def test_mirror_shallow_clone_is_isolated(spark, mirror, tmp_path):
+    mirror.merge_batch(_batch(spark, [(0, "v1-0", 1, "U")]), TARGET)
+    clone = mirror.clone_to(str(tmp_path / "clone"), mode="shallow")
+    assert _state(spark, clone) == _state(spark, mirror)
+    assert _state(spark, clone, version=0) == {
+        i: f"v0-{i}" for i in range(16)
+    }
+    # clone-side purge never touches source bytes
+    clone.purge_keys(spark, spark.createDataFrame([(5,)], "id long"), "id")
+    assert 5 not in _state(spark, clone)
+    assert 5 not in _state(spark, clone, version=0)
+    assert _state(spark, mirror)[5] == "v0-5"
+    assert _state(spark, mirror, version=0)[5] == "v0-5"
+    # clone evolves independently under its own root
+    clone.merge_batch(_batch(spark, [(7, "c", 2, "U")]), TARGET)
+    assert _state(spark, clone)[7] == "c" and _state(spark, mirror)[7] == "v0-7"
+
+
+def test_mirror_deep_clone_survives_source_deletion(spark, mirror, tmp_path):
+    import shutil as _shutil
+
+    clone = mirror.clone_to(str(tmp_path / "deep"), mode="deep")
+    _shutil.rmtree(mirror.root)
+    assert _state(spark, clone) == {i: f"v0-{i}" for i in range(16)}
+
+
+def test_mirror_clone_version_and_mode_validation(spark, mirror, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown clone mode"):
+        mirror.clone_to(str(tmp_path / "x"), mode="sideways")
+    with _pytest.raises(ValueError, match="no readable snapshot 9"):
+        mirror.clone_to(str(tmp_path / "x"), version=9)
