@@ -857,6 +857,11 @@ def wap_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'clone:v0', 0, n, u, s FROM a0p
     UNION ALL SELECT 'bsrc:main', 0, n, u, s FROM a0
     UNION ALL SELECT 'bclone:main', 0, n, u, s FROM a0p
+    UNION ALL SELECT 'bsrc:pruned', 0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s0 WHERE o_orderkey <= 1000),
+        (SELECT CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'X') AS BIGINT)
+         FROM s0 WHERE o_orderkey <= 1000),
+        (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM s0 WHERE o_orderkey <= 1000)
     """,
 )
 def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,8 +880,11 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly v0). The bsrc/bclone rows re-pin ownership isolation on the
     bucketed 100 TB layout (VersionedBucketMirror.clone_to, r10): the
     clone's purge rewrites only clone-owned bucket references; source
-    dirs stay byte-intact. streaming/pipeline.py
-    tag/expire_snapshots/clone_to/purge_keys."""
+    dirs stay byte-intact. The bsrc:pruned row additionally pins
+    manifest-stats data skipping (read_pruned, r10): a key-range read
+    lists only bucket dirs whose recorded min/max overlap the range and
+    must stay row-exact whatever the stats pruned. streaming/pipeline.py
+    tag/expire_snapshots/clone_to/purge_keys/read_pruned."""
     import tempfile
 
     from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
@@ -971,6 +979,7 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
         key_col="o_orderkey",
         keep_versions=10,
+        stats_cols=["o_orderkey"],
     )
     bmirror.initialize(mirror.read_version(spark, 0))
     bclone = bmirror.clone_to(
@@ -985,6 +994,16 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts.append(ref_row(bmirror.read(spark), "bsrc:main", 0))
     parts.append(ref_row(bclone.read(spark), "bclone:main", 0))
+    # manifest-stats data skipping (r10): the range read lists only the
+    # bucket dirs whose recorded min/max overlap [*, 1000] and must be
+    # row-exact regardless of which buckets the stats pruned
+    parts.append(
+        ref_row(
+            bmirror.read_pruned(spark, "o_orderkey", upper=1000),
+            "bsrc:pruned",
+            0,
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1478,12 +1478,30 @@ class VersionedBucketMirror(BranchOps):
         n_buckets: int = 64,
         key_col: str = "id",
         keep_versions: int = 2,
+        stats_cols: Sequence[str] = (),
+        sort_cols: Sequence[str] = (),
     ) -> None:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.n_buckets = n_buckets
         self.key_col = key_col
         self.keep_versions = keep_versions
+        #: columns whose per-bucket min/max ride each manifest (Iceberg
+        #: column-statistics data skipping, r10): every commit through
+        #: ``_commit_staged`` records them for the staged buckets (one
+        #: bounded ≤ n_buckets-row aggregate) and ``read_pruned`` skips
+        #: bucket dirs whose range cannot overlap a predicate. HONEST
+        #: LIMIT (measured, SCALING.md r10): key-HASH bucketing spreads
+        #: every value range across all buckets, so bucket-level stats
+        #: prune only predicates disjoint from a bucket's whole range —
+        #: out-of-domain keys, beyond-retention time windows, and
+        #: ingest-clustered columns. For mid-domain range scans pair
+        #: with ``sort_cols``: files inside each bucket dir then carry
+        #: TIGHT parquet row-group stats and Spark's pushed filters skip
+        #: them natively (the Iceberg sorted-table shape). Numeric or
+        #: string columns only (stats are JSON in the manifest).
+        self.stats_cols = list(stats_cols)
+        self.sort_cols = list(sort_cols)
         self._log = SnapshotLog(root)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -1582,6 +1600,60 @@ class VersionedBucketMirror(BranchOps):
         mapping = e["buckets"]
         dirs = [mapping[str(int(b))] for b in buckets if str(int(b)) in mapping]
         return self._read_dirs(spark, dirs, e.get("schema"))
+
+    def _pruned_buckets(
+        self, col: str, lower=None, upper=None, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Bucket ids whose recorded [min, max] for ``col`` can overlap
+        [lower, upper] (None = unbounded), plus the total bucket count.
+        A bucket with no recorded stats for ``col`` is KEPT — stats only
+        ever prune when they prove non-overlap (stale-but-safe bounds:
+        purges may widen them, never narrow)."""
+        e = self._resolve(version)
+        stats = e.get("stats") or {}
+        kept = []
+        for b in e["buckets"]:
+            st = (stats.get(b) or {}).get(col)
+            if st is None or st[0] is None or st[1] is None:
+                kept.append(b)
+                continue
+            mn, mx = st
+            if lower is not None and mx < lower:
+                continue
+            if upper is not None and mn > upper:
+                continue
+            kept.append(b)
+        return kept, len(e["buckets"])
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """Range-predicate read with manifest-stats data skipping (r10 —
+        the Iceberg column-statistics prune): list ONLY the bucket dirs
+        whose recorded min/max for ``col`` can overlap [lower, upper],
+        then apply the predicate as a normal (pushed-down) filter for
+        row-level exactness. The key-hash bucket layout prunes point
+        lookups; this prunes RANGE scans (event-time windows, sort-key
+        ranges) — at the 100 TB design point the file listing itself is
+        the cost a time-window query must not pay for cold buckets.
+        Buckets without stats are read (safe), so the result is always
+        exact regardless of stats coverage."""
+        e = self._resolve(version)
+        kept, _total = self._pruned_buckets(col, lower, upper, version)
+        dirs = [e["buckets"][b] for b in kept]
+        df = self._read_dirs(spark, dirs, e.get("schema"))
+        if df is None:
+            return None
+        if lower is not None:
+            df = df.filter(F.col(col) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(col) <= F.lit(upper))
+        return df
 
     def tag(self, name: str, version: int | None = None) -> dict:
         """Named immutable ref on the bucketed mirror — same contract as
@@ -1715,6 +1787,8 @@ class VersionedBucketMirror(BranchOps):
         }
         if "schema" in target:
             record["schema"] = target["schema"]
+        if "stats" in target:
+            record["stats"] = target["stats"]
         self._log.publish(record, protected=self._branch_covers)
         self._expire(record)
         return record
@@ -2047,12 +2121,38 @@ class VersionedBucketMirror(BranchOps):
             staged_df = staged_df.repartition(F.col("bucket"), salt)
         else:
             staged_df = staged_df.repartition("bucket")
+        if self.sort_cols:
+            # declarative sort order (Iceberg's WRITE ORDERED BY): rows
+            # land sorted inside each bucket's files, so parquet
+            # row-group/file stats are tight and Spark's pushed range
+            # filters skip them natively — the pruning hash bucketing
+            # cannot give (see stats_cols note)
+            staged_df = staged_df.sortWithinPartitions(
+                "bucket", *self.sort_cols
+            )
         writer = staged_df.write.mode("errorifexists")
         if max_records_per_file:
             writer = writer.option(
                 "maxRecordsPerFile", int(max_records_per_file)
             )
         writer.partitionBy("bucket").parquet(staging)
+        # per-bucket column stats (r10, Iceberg data skipping): ONE
+        # bounded aggregate (<= n_buckets rows) over the staged BYTES —
+        # reading the staging dir back costs one scan of the delta, not
+        # a re-execution of the upstream merge plan
+        staged_stats: dict[str, dict] = {}
+        if self.stats_cols:
+            sdf = df.sparkSession.read.parquet(staging)
+            present = [c for c in self.stats_cols if c in sdf.columns]
+            if present:
+                aggs = []
+                for c in present:
+                    aggs.append(F.min(c).alias(f"__mn_{c}"))
+                    aggs.append(F.max(c).alias(f"__mx_{c}"))
+                for r in sdf.groupBy("bucket").agg(*aggs).collect():
+                    staged_stats[str(int(r["bucket"]))] = {
+                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                    }
         # untouched buckets carry forward from wherever this commit lands:
         # the branch head for a branch-staged commit, main's CURRENT else
         cur = (
@@ -2087,6 +2187,17 @@ class VersionedBucketMirror(BranchOps):
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         record = {"version": version, "ts": time.time(), "buckets": mapping}
+        # carried-forward buckets keep their previous stats; staged ones
+        # take the fresh bounds. Stats are pruning BOUNDS only — a
+        # purge/delete may leave them wider than the data
+        # (stale-but-safe), never narrower.
+        if self.stats_cols:
+            stats: dict[str, dict] = dict(
+                (cur.get("stats") or {}) if (cur and touched is not None) else {}
+            )
+            stats.update(staged_stats)
+            # a fully-deleted bucket drops its stats with its mapping
+            stats = {b: v for b, v in stats.items() if b in mapping}
         # manifest-recorded table schema (r10): reads bind to it instead
         # of footer-merging; union-widened so untouched buckets' narrower
         # columns read through the parquet widening promotions. Legacy
@@ -2100,6 +2211,8 @@ class VersionedBucketMirror(BranchOps):
         elif "schema" in cur:
             prev_schema = T.StructType.fromJson(cur["schema"])
             record["schema"] = _widen_struct(prev_schema, new_schema).jsonValue()
+        if self.stats_cols:
+            record["stats"] = stats
         if meta:
             record.update(meta)
         if branch is not None:

@@ -560,3 +560,143 @@ def test_mirror_clone_version_and_mode_validation(spark, mirror, tmp_path):
         mirror.clone_to(str(tmp_path / "x"), mode="sideways")
     with _pytest.raises(ValueError, match="no readable snapshot 9"):
         mirror.clone_to(str(tmp_path / "x"), version=9)
+
+
+# --- manifest column stats + data-skipping reads (r10) -------------------------
+
+
+def _stats_mirror(spark, tmp_path, rows):
+    m = VersionedBucketMirror(
+        str(tmp_path / "sm"),
+        n_buckets=4,
+        key_col="id",
+        keep_versions=10,
+        stats_cols=["ts", "name"],
+    )
+    m.initialize(_batch(spark, rows))
+    return m
+
+
+def test_manifest_records_per_bucket_stats(spark, tmp_path):
+    rows = [(i, f"n{i:02d}", i * 10, "I") for i in range(16)]
+    m = _stats_mirror(spark, tmp_path, rows)
+    stats = m.current()["stats"]
+    assert set(stats) == set(m.current()["buckets"])
+    # bounds are genuine min/max per bucket
+    from pyspark.sql import functions as F2
+
+    for b, st in stats.items():
+        got = (
+            m.read_buckets(spark, [int(b)])
+            .agg(F2.min("ts"), F2.max("ts"), F2.min("name"), F2.max("name"))
+            .collect()[0]
+        )
+        assert st["ts"] == [got[0], got[1]] and st["name"] == [got[2], got[3]]
+
+
+def test_read_pruned_skips_disjoint_buckets_exactly(spark, tmp_path):
+    rows = [(i, f"n{i:02d}", i * 10, "I") for i in range(16)]
+    m = _stats_mirror(spark, tmp_path, rows)
+    full = {r["id"] for r in m.read(spark).collect()}
+    # a range covering only some ts values: result exact, listing pruned
+    kept, total = m._pruned_buckets("ts", 0, 30)
+    assert total == len(m.current()["buckets"])
+    expect_ids = {i for i in range(16) if 0 <= i * 10 <= 30}
+    got = {r["id"] for r in m.read_pruned(spark, "ts", 0, 30).collect()}
+    assert got == expect_ids and got < full
+    # the kept listing must cover exactly the buckets holding those rows
+    import pyspark.sql.functions as F2
+
+    needed = {
+        str(r["b"])
+        for r in _batch(spark, [(i, "x", i * 10, "I") for i in expect_ids])
+        .select(m._bucket(F2.col("id")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert needed <= set(kept)
+    # a fully-disjoint range prunes EVERY bucket
+    kept2, _ = m._pruned_buckets("ts", 10_000, 20_000)
+    assert kept2 == []
+    assert m.read_pruned(spark, "ts", 10_000, 20_000) is None
+
+
+def test_merge_updates_touched_stats_and_carries_rest(spark, tmp_path):
+    rows = [(i, f"n{i:02d}", i * 10, "I") for i in range(16)]
+    m = _stats_mirror(spark, tmp_path, rows)
+    before = m.current()["stats"]
+    import pyspark.sql.functions as F2
+
+    touched = {
+        str(r["b"])
+        for r in _batch(spark, [(0, "zz", 999, "U")])
+        .select(m._bucket(F2.col("id")).alias("b"))
+        .collect()
+    }
+    m.merge_batch(_batch(spark, [(0, "zz", 999, "U")]), TARGET)
+    after = m.current()["stats"]
+    for b in after:
+        if b in touched:
+            assert after[b]["ts"][1] == 999  # fresh bound
+        else:
+            assert after[b] == before[b]  # carried, not recomputed
+    # stale-but-safe after purge: bounds unchanged, result still exact
+    m.purge_keys(spark, spark.createDataFrame([(0,)], "id long"), "id")
+    assert m.read_pruned(spark, "ts", 500, 2000).count() == 0
+    kept, _ = m._pruned_buckets("ts", 500, 2000)
+    assert set(kept) == touched  # stats still claim the range (safe)
+
+
+def test_stats_survive_rollback_and_missing_stats_read_safe(spark, tmp_path):
+    rows = [(i, f"n{i:02d}", i * 10, "I") for i in range(8)]
+    m = _stats_mirror(spark, tmp_path, rows)
+    m.merge_batch(_batch(spark, [(0, "u", 777, "U")]), TARGET)
+    rec = m.rollback(0)
+    assert rec["stats"] == m.history()[0]["stats"]
+    # a mirror WITHOUT stats_cols reads everything through read_pruned
+    m2 = VersionedBucketMirror(
+        str(tmp_path / "nostats"), n_buckets=4, key_col="id", keep_versions=5
+    )
+    m2.initialize(_batch(spark, rows))
+    assert m2.read_pruned(spark, "ts", 0, 20).count() == 3
+    kept, total = m2._pruned_buckets("ts", 0, 20)
+    assert len(kept) == total  # nothing pruned, nothing lost
+
+
+def test_sort_cols_gives_tight_per_file_stats(spark, tmp_path):
+    """sort_cols (Iceberg WRITE ORDERED BY): with rows sorted inside each
+    bucket's files, the files' own parquet stats are tight/disjoint —
+    the native data-skipping layout for mid-domain range scans that
+    bucket-level manifest stats cannot prune (hash spread)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    m = VersionedBucketMirror(
+        str(tmp_path / "sorted"),
+        n_buckets=2,
+        key_col="id",
+        keep_versions=5,
+        sort_cols=["ts"],
+    )
+    rows = [(i, f"n{i}", (i * 37) % 1000, "I") for i in range(400)]
+    m.initialize(_batch(spark, rows), max_records_per_file=50)
+    for d in m.current()["buckets"].values():
+        ranges = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "ts":
+                        mins.append(col.statistics.min)
+                        maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        assert len(ranges) >= 2  # genuinely split into several files
+        # sorted writes -> file ranges are non-overlapping when ordered
+        ordered = sorted(ranges)
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ordered, ordered[1:]):
+            assert a_hi <= b_lo
+    # data unchanged by the sort
+    assert {r["id"] for r in m.read(spark).collect()} == set(range(400))
