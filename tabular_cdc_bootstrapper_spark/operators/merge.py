@@ -192,7 +192,17 @@ def merge_into_table(
     update_set = dict(update_set or {})
     bucketed = hasattr(table, "read_buckets")
     touched: list[int] | None = None
+    # CAS basis (r11): the head version the merge inputs are read from —
+    # threaded into the commit so a concurrent commit in between raises
+    # CommitConflict (or rebases, when provably disjoint on the bucketed
+    # layout) instead of silently losing one side's update
+    basis_version: int | None = None
+    if hasattr(table, "_log"):
+        cur = table.current()
+        basis_version = cur["version"] if cur else -1
     if bucketed:
+        if hasattr(table, "_sync_spec"):
+            table._sync_spec()  # bind to the current bucket spec (r11)
         key = table.key_col
         if key not in on:
             raise ValueError(
@@ -213,6 +223,7 @@ def merge_into_table(
         # first merge into an empty/uninitialized table: everything
         # inserts; the target schema is the source's merge-relevant shape
         target = source.limit(0)
+    evolved_cols: list = []  # (name, dataType) added by evolve_schema
     if evolve_schema:
         wanted = None if evolve_schema is True else set(evolve_schema)
         for f in source.schema.fields:
@@ -222,6 +233,7 @@ def merge_into_table(
                 target = target.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
                 )
+                evolved_cols.append((f.name, f.dataType))
                 update_set.setdefault(f.name, src(f.name))
     if widen_types:
         src_types = {f.name: f.dataType for f in source.schema.fields}
@@ -237,27 +249,53 @@ def merge_into_table(
             ):
                 target = target.withColumn(f.name, F.col(f.name).cast(s_type))
                 widened.append(f.name)
-        if widened and bucketed and not hasattr(table, "_log"):
-            # the plain bucketed mirror has no manifest to carry a table
-            # schema, so mixed narrow/wide bucket dirs would break its
-            # mergeSchema reads — widening there is a one-time FULL
-            # rewrite (the pre-type-widening ALTER COLUMN cost). The
-            # versioned mirror widens for touched buckets only: its
-            # manifest records the union-widened schema and readers bind
-            # to it (parquet widening promotions upcast old dirs).
-            import os as _os
+        # a widening rewrite must go FULL-table when the layout cannot
+        # describe mixed narrow/wide bucket dirs to its readers: the
+        # plain bucketed mirror has no manifest at all, and a versioned
+        # mirror whose current manifest predates manifest-recorded
+        # schemas (ADVICE r10: its touched-buckets-only widen would
+        # strand a schema-free commit over mixed int/bigint dirs that
+        # the mergeSchema fallback read cannot reconcile). The schema'd
+        # versioned mirror widens for touched buckets only: readers
+        # bind to the manifest schema and parquet widening promotions
+        # upcast the old narrow dirs. A full rewrite is the
+        # pre-type-widening ALTER COLUMN cost, paid once — and on the
+        # versioned mirror it replaces every carried dir, so the commit
+        # records a schema and later widenings are touched-only.
+        has_log = hasattr(table, "_log")
+        legacy_manifest = (
+            has_log
+            and table.current() is not None
+            and "schema" not in table.current()
+        )
+        if widened and bucketed and (not has_log or legacy_manifest):
+            if has_log:
+                all_buckets = {
+                    int(b) for b in (table.current() or {}).get("buckets", {})
+                }
+            else:
+                import os as _os
 
-            all_buckets = {
-                int(d.split("=", 1)[1])
-                for d in _os.listdir(table.data_dir)
-                if d.startswith("bucket=")
-            }
+                all_buckets = {
+                    int(d.split("=", 1)[1])
+                    for d in _os.listdir(table.data_dir)
+                    if d.startswith("bucket=")
+                }
             touched = sorted(all_buckets | set(touched))
             full = table.read(spark)
             if full is not None:
                 if "bucket" in full.columns:
                     full = full.drop("bucket")
                 target = full
+                # the full-state read replaces the evolve_schema'd
+                # target (ADVICE r10: without re-adding them, the
+                # evolved columns and their source values silently
+                # never land)
+                for name, dtype in evolved_cols:
+                    if name not in target.columns:
+                        target = target.withColumn(
+                            name, F.lit(None).cast(dtype)
+                        )
                 for c in widened:
                     target = target.withColumn(
                         c, F.col(c).cast(src_types[c])
@@ -280,7 +318,10 @@ def merge_into_table(
         # pointer; the plain bucketed mirror keeps NO log, so caller meta
         # there is silently-lost provenance — refuse instead
         if hasattr(table, "_log"):
-            rec = table.commit_merged(merged, touched, meta=full_meta)
+            rec = table.commit_merged(
+                merged, touched, meta=full_meta,
+                expected_version=basis_version,
+            )
         else:
             if meta:
                 raise ValueError(
@@ -290,5 +331,7 @@ def merge_into_table(
                 )
             rec = table.commit_merged(merged, touched)
     else:
-        rec = table.commit(merged, meta=full_meta)
+        rec = table.commit(
+            merged, meta=full_meta, expected_version=basis_version
+        )
     return dict(rec)

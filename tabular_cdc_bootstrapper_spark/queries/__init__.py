@@ -38,36 +38,90 @@ del _m, _k
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-10 rotation (policy: keep every
-# query <= 3 rounds stale; VERDICT r9 #8: after r10 no row may be older
-# than r8):
+# fresh driver-side correctness row. Round-11 rotation (policy: keep every
+# query <= 3 rounds stale; VERDICT r10 #7: after r11 no row may be older
+# than r9):
 #
-# - IN (new r10, 4): wap_anomaly_gate (WAP on the bucketed mirror with
-#   AnomalyRules in the publish gate), snapshot_refs_report (tags +
-#   expiry + shallow clone + clone-side purge composition),
-#   snapshot_branch_publish (writable branch staged via audited WAP,
-#   fast-forward publish), bucket_compaction_roundtrip
-#   (rewrite_data_files: manifest-aware small-file compaction).
-# - IN (changed code this round, 4 + flagship): cdc_anomaly_report
-#   (check_anomalies_vs_previous now resolves readable baselines),
-#   merge_table_time_travel (merge meta threaded through the bucketed
-#   commit), pagerank_dangling_directed (static dangling set hoisted
-#   out of the iteration loop), passage_ann_topk (vec_id overflow guard
-#   in chunk_vectors), cdc_latest (flagship, in-window every round).
-# - IN (the full r7 cohort, 41): every row whose latest driver check is
-#   r7 — at the 3-round staleness ceiling after r10 (computed from
-#   CORRECTNESS_r07/08/09: r7-green minus the r8/r9 windows).
-# - OUT (tail): the 44 r8 rows (2 rounds stale, scheduled to rotate in
-#   r11) and the r9 rows (1 round stale). Every family keeps an
-#   in-window representative, and every oracle-backed entry is ALSO
-#   re-executed against DuckDB locally every round by
-#   tests/test_oracle_parity.py, so tail regressions cannot hide
-#   between driver rotations.
+# - IN (new r11, 4): concurrent_merge_serialization (optimistic CAS
+#   commits: disjoint-bucket rebase + overlap conflict),
+#   mor_merge_fold_roundtrip (merge-on-read delta commits +
+#   rewrite_data_files fold), change_feed_stream_fold (checkpointed
+#   per-commit CDF consumer, fold law), mirror_rebucket_roundtrip
+#   (bucket-spec evolution, history intact, new-spec lookup).
+# - IN (changed code this round): wap_anomaly_gate — the WAP publish
+#   path was restructured into the conflict/re-audit loop and is the
+#   one r11-changed path the new entries don't already exercise
+#   (_commit_staged/commit_merged/rewrite_data_files are covered by
+#   the four new entries). cdc_latest is the flagship, in-window every
+#   round.
+# - IN (the full r8 cohort, 44): every row whose latest driver check is
+#   r8 — at the 3-round staleness ceiling after r11 (computed from
+#   CORRECTNESS_r08/09/10: r8-green minus the r9/r10 windows).
+# - OUT (tail): the r9 rows (2 rounds stale, scheduled to rotate in
+#   r12) and the r10 rows (1 round stale) — including the other
+#   r10-maintenance entries whose code moved this round
+#   (snapshot_branch_publish, bucket_compaction_roundtrip,
+#   snapshot_refs_report, merge_table_time_travel, cdc_purge_history):
+#   window arithmetic is exact at 50 and the staleness ceiling binds
+#   first; every one of them is still re-executed against DuckDB
+#   locally this round by tests/test_oracle_parity.py plus the
+#   session's full verify drive, so regressions cannot hide between
+#   driver rotations.
 # ---------------------------------------------------------------------------
 
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
+    "concurrent_merge_serialization",
+    "mor_merge_fold_roundtrip",
+    "change_feed_stream_fold",
+    "mirror_rebucket_roundtrip",
     "wap_anomaly_gate",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_topk",
+    "anti_join_no_open_orders",
+    "approx_price_percentiles",
+    "asof_purchase_signup",
+    "bpe_token_counts",
+    "brand_having_filter",
+    "cdc_change_feed",
+    "cdc_mirror_time_travel",
+    "cdc_scd2_history",
+    "cohort_retention",
+    "cube_order_stats",
+    "doc_fingerprints",
+    "document_chunks",
+    "event_funnel",
+    "events_tumbling_10min",
+    "heavy_hitter_terms",
+    "hll_distinct_counts",
+    "incremental_agg_maintenance",
+    "incremental_cluster_maintenance",
+    "int8_quantized_topk",
+    "ivf_pq_topk",
+    "kmeans_embedding_clusters",
+    "leakage_safe_split",
+    "mad_price_outliers",
+    "merge_orders_corrections",
+    "multimodal_features",
+    "nations_with_presence",
+    "orders_by_year",
+    "pq_adc_topk",
+    "q17_small_quantity_revenue",
+    "quality_score_histogram",
+    "range_join_click_attribution",
+    "rocchio_lang_confusion",
+    "semi_join_active_customers",
+    "sequence_packing",
+    "snapshot_diff_changelog",
+    "table_profile_lineitem",
+    "table_profile_orders",
+    "table_profile_orders_approx",
+    "temporal_split_embargo",
+    "video_frame_samples",
+    "weighted_mixture_sample",
+    "zorder_layout_stats",
+    # --- tail (51+): green driver rows on current code, family
+    # representative in window, still oracle-checked locally every round ---
     "snapshot_refs_report",
     "snapshot_branch_publish",
     "bucket_compaction_roundtrip",
@@ -116,8 +170,6 @@ _DRIVER_CHECK_PRIORITY = [
     "uniform_per_group_sample",
     "user_sessions",
     "window_navigation",
-    # --- tail (51+): green driver rows on current code, family
-    # representative in window, still oracle-checked locally every round ---
     "incremental_join_maintenance",
     "cdc_purge_history",
     "price_quartile_bins",
@@ -163,50 +215,6 @@ _DRIVER_CHECK_PRIORITY = [
     "q1_pricing_summary",
     "minhash_near_duplicates",
     "lang_id_confusion",
-    "cdc_mirror_time_travel",
-    "cdc_change_feed",
-    "merge_orders_corrections",
-    "temporal_split_embargo",
-    "mad_price_outliers",
-    "table_profile_orders_approx",
-    "table_profile_lineitem",
-    "table_profile_orders",
-    "ivf_pq_topk",
-    "pq_adc_topk",
-    "ann_ivf_kmeans_topk",
-    "incremental_cluster_maintenance",
-    "multimodal_features",
-    "video_frame_samples",
-    "cube_order_stats",
-    "semi_join_active_customers",
-    "anti_join_no_open_orders",
-    "orders_by_year",
-    "events_tumbling_10min",
-    "ann_lsh_topk",
-    "doc_fingerprints",
-    "q17_small_quantity_revenue",
-    "brand_having_filter",
-    "nations_with_presence",
-    "quality_score_histogram",
-    "bpe_token_counts",
-    "document_chunks",
-    "sequence_packing",
-    "weighted_mixture_sample",
-    "leakage_safe_split",
-    "kmeans_embedding_clusters",
-    "zorder_layout_stats",
-    "rocchio_lang_confusion",
-    "int8_quantized_topk",
-    "heavy_hitter_terms",
-    "hll_distinct_counts",
-    "approx_price_percentiles",
-    "snapshot_diff_changelog",
-    "incremental_agg_maintenance",
-    "cdc_scd2_history",
-    "event_funnel",
-    "cohort_retention",
-    "range_join_click_attribution",
-    "asof_purchase_signup",
 ]
 
 def _reorder_registry() -> None:

@@ -1232,3 +1232,496 @@ def bucket_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         agg_rows(mirror.read_version(spark, 1), "v1_rows", "v1_keysum")
     )
+
+
+@query(
+    "concurrent_merge_serialization",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(o_orderkey) AS BIGINT) s
+        FROM orders
+    )
+    SELECT 'final_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'final_keysum', s FROM a
+    UNION ALL SELECT 'n_updated', n FROM a
+    UNION ALL SELECT 'history_linear', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'b_rebased_on_a', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'overlap_conflict_raised', CAST(1 AS BIGINT) FROM a
+    """,
+)
+def concurrent_merge_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency on snapshot commits (r11, VERDICT task 1 —
+    the commit model the reference's Iceberg tables imply, reference
+    batch-bootstrapper/tabular.py:69-70 ``transaction()`` = CAS + retry):
+    two writers prepare merges against the SAME basis manifest of a
+    ``VersionedBucketMirror``; writer A lands first; writer B's commit
+    detects the moved head, validates that A touched only DISJOINT
+    buckets, rebases, and lands on top — one linear history, neither
+    update lost. A third writer then attempts a stale-basis merge into a
+    bucket A already rewrote and must raise ``CommitConflict``. The hash
+    pins the converged state (every row updated exactly once) plus the
+    serialization flags. Writers split the key space by bucket-id parity
+    (a Spark-side hash), so every emitted value is split-independent:
+    totals over ALL keys, never per-writer counts."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        CommitConflict,
+        VersionedBucketMirror,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_conc_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    mirror.initialize(orders)
+    v0 = mirror.current()["version"]
+    present = sorted(
+        int(b)
+        for b in mirror.current()["buckets"]
+    )
+    buckets_a = [b for b in present if b < 4]
+    buckets_b = [b for b in present if b >= 4]
+
+    def updated_slice(buckets):
+        return (
+            mirror.read_buckets(spark, buckets)
+            .withColumn("o_orderstatus", F.lit("CONC"))
+        )
+
+    # writer A: normal merge on half the buckets, basis v0
+    slice_a = updated_slice(buckets_a)
+    rec_a = mirror.commit_merged(
+        slice_a, touched=buckets_a, expected_version=v0
+    )
+    # writer B: prepared BEFORE A landed (stale basis v0) on the other,
+    # provably disjoint half — validates and rebases onto A's manifest
+    slice_b = updated_slice(buckets_b)
+    rec_b = mirror.commit_merged(
+        slice_b, touched=buckets_b, expected_version=v0
+    )
+    head = mirror.current()["buckets"]
+    b_rebased = int(
+        rec_b["version"] == v0 + 2
+        and all(
+            head[str(b)] == rec_a["buckets"][str(b)] for b in buckets_a
+        )
+    )
+    # writer C: stale basis into a bucket A rewrote — must conflict
+    try:
+        mirror.commit_merged(
+            updated_slice(buckets_a[:1]),
+            touched=buckets_a[:1],
+            expected_version=v0,
+        )
+        conflict_raised = 0
+    except CommitConflict:
+        conflict_raised = 1
+    history = [e["version"] for e in mirror.history()]
+    flags = spark.createDataFrame(
+        [
+            ("history_linear", int(history == [v0, v0 + 1, v0 + 2])),
+            ("b_rebased_on_a", b_rebased),
+            ("overlap_conflict_raised", conflict_raised),
+        ],
+        "item string, value long",
+    )
+    final = mirror.read(spark)
+    aggs = final.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("o_orderkey").cast("long").alias("__s"),
+        F.count(F.when(F.col("o_orderstatus") == "CONC", 1))
+        .cast("long")
+        .alias("__u"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("final_rows").alias("item"),
+                    F.col("__n").alias("value"),
+                ),
+                F.struct(
+                    F.lit("final_keysum").alias("item"),
+                    F.col("__s").alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_updated").alias("item"),
+                    F.col("__u").alias("value"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    return flags.unionByName(aggs)
+
+
+@query(
+    "mor_merge_fold_roundtrip",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x
+        FROM final
+    )
+    SELECT 'prefold_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'prefold_keysum', s FROM a
+    UNION ALL SELECT 'prefold_x', x FROM a
+    UNION ALL SELECT 'postfold_rows', n FROM a
+    UNION ALL SELECT 'postfold_keysum', s FROM a
+    UNION ALL SELECT 'postfold_x', x FROM a
+    UNION ALL SELECT 'histfold_rows', n FROM a
+    UNION ALL SELECT 'histfold_keysum', s FROM a
+    UNION ALL SELECT 'histfold_x', x FROM a
+    UNION ALL SELECT 'delta_chain_before', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'delta_chain_after', CAST(0 AS BIGINT) FROM a
+    """,
+)
+def mor_merge_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC with compaction fold (r11, VERDICT task 2 —
+    the Iceberg v2 delete-file / Delta deletion-vector cost model the
+    reference's format family implies): initialize a ``merge_on_read``
+    VersionedBucketMirror from orders, apply the derived update batch
+    (status → 'X' where key%7=0) and delete batch (key%13=0) as DELTA
+    commits — base dirs never rewritten, write amplification ∝ batch —
+    then ``rewrite_data_files`` folds the chains into fresh bases. One
+    hash pins: the folded read (pre-compaction), the post-fold read,
+    AND the pre-fold SNAPSHOT re-read through its retained delta chain
+    (history intact) — all equal to the CDC oracle — plus the chain
+    presence flags."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_mor_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+        merge_on_read=True,
+    )
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("int")})
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")})
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+        {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+    )
+    mirror.merge_batch(updates, target)
+    mirror.merge_batch(deletes, target)
+    pre_version = mirror.current()["version"]
+    chain_before = int(bool(mirror.current().get("deltas")))
+
+    def agg_items(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("o_orderkey").cast("long").alias("__s"),
+                F.count(F.when(F.col("o_orderstatus") == "X", 1))
+                .cast("long")
+                .alias("__x"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(f"{prefix}_rows").alias("item"),
+                            F.col("__n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_keysum").alias("item"),
+                            F.col("__s").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_x").alias("item"),
+                            F.col("__x").alias("value"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.item", "p.value")
+        )
+
+    pre = agg_items(mirror.read(spark), "prefold")
+    mirror.rewrite_data_files(spark)
+    chain_after = int(bool(mirror.current().get("deltas")))
+    post = agg_items(mirror.read(spark), "postfold")
+    hist = agg_items(mirror.read_version(spark, pre_version), "histfold")
+    flags = spark.createDataFrame(
+        [
+            ("delta_chain_before", chain_before),
+            ("delta_chain_after", chain_after),
+        ],
+        "item string, value long",
+    )
+    return pre.unionByName(post).unionByName(hist).unionByName(flags)
+
+
+@query(
+    "change_feed_stream_fold",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x
+        FROM final
+    )
+    SELECT 'n_windows' AS item, CAST(2 AS BIGINT) AS value FROM a
+    UNION ALL SELECT 'folded_rows', n FROM a
+    UNION ALL SELECT 'folded_keysum', s FROM a
+    UNION ALL SELECT 'folded_x', x FROM a
+    UNION ALL SELECT 'head_rows', n FROM a
+    UNION ALL SELECT 'head_keysum', s FROM a
+    UNION ALL SELECT 'head_x', x FROM a
+    """,
+)
+def change_feed_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-feed source (r11, VERDICT task 3 — the
+    Delta-CDF ``readStream`` analog, ``streaming/pipeline.py
+    ChangeFeedStream``): three commits on a snapshot table derived from
+    orders (load → update statuses where key%7=0 → delete key%13=0); a
+    checkpointed consumer drains the feed per commit (each commit's CDF
+    exactly once — state is one acked-version file), and the fold of the
+    delivered diffs onto the FIRST snapshot must equal the head. One
+    hash pins the window count, the folded aggregates, and the head
+    aggregates against the direct SQL of the final state."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ChangeFeedStream,
+        ParquetStateTable,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    work = tempfile.mkdtemp(prefix="spark_graft_cfs_")
+    t = ParquetStateTable(f"{work}/t", keep_versions=10)
+    t.commit(o)
+    v1 = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    t.commit(v1)
+    t.commit(v1.filter(F.col("o_orderkey") % 13 != 0))
+    feed = ChangeFeedStream(
+        t, key_cols="o_orderkey", checkpoint_path=f"{work}/ckpt.json"
+    )
+    state = t.read_version(spark, 0)
+    windows = []
+
+    def apply(diff, from_v, to_v):
+        nonlocal state
+        windows.append((from_v, to_v))
+        log = state.selectExpr(
+            "o_orderkey", "o_orderstatus", "'I' AS op", "0 AS seq"
+        )
+        state = apply_changelog(
+            log.unionByName(
+                diff.selectExpr("o_orderkey", "o_orderstatus", "op", "1 AS seq")
+            ),
+            key_cols="o_orderkey",
+            ts_cols="seq",
+            drop_envelope=["op", "seq"],
+        )
+
+    feed.process_available(spark, apply)
+
+    def agg_items(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("o_orderkey").cast("long").alias("__s"),
+                F.count(F.when(F.col("o_orderstatus") == "X", 1))
+                .cast("long")
+                .alias("__x"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(f"{prefix}_rows").alias("item"),
+                            F.col("__n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_keysum").alias("item"),
+                            F.col("__s").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_x").alias("item"),
+                            F.col("__x").alias("value"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.item", "p.value")
+        )
+
+    flags = spark.createDataFrame(
+        [("n_windows", len(windows))], "item string, value long"
+    )
+    return (
+        flags.unionByName(agg_items(state, "folded"))
+        .unionByName(agg_items(t.read(spark), "head"))
+    )
+
+
+@query(
+    "mirror_rebucket_roundtrip",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x
+        FROM final
+    )
+    SELECT 'final_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'final_keysum', s FROM a
+    UNION ALL SELECT 'final_x', x FROM a
+    UNION ALL SELECT 'spec_after', CAST(32 AS BIGINT) FROM a
+    UNION ALL SELECT 'history_intact', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'lookup_key',
+        (SELECT CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+         WHERE o_orderkey % 13 <> 0) FROM a
+    UNION ALL SELECT 'lookup_found', CAST(1 AS BIGINT) FROM a
+    """,
+)
+def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count (partition-spec) evolution (r11, VERDICT task 4 —
+    the Iceberg spec-evolution analog): a 4-bucket mirror takes the
+    derived update batch, ``rebucket``s to 32 as ONE manifest commit,
+    then takes the delete batch under the NEW spec. One hash pins: the
+    final CDC state (equal to the oracle), the recorded spec, history
+    intactness across the boundary (the pre-rebucket snapshot re-read
+    equals its original aggregates), and a point lookup of the minimum
+    order key pruned under the new spec."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_rebucket_"),
+        n_buckets=4,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("int")})
+    )
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")}),
+        target,
+    )
+    pre_version = mirror.current()["version"]
+    pre_agg = mirror.read(spark).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    mirror.rebucket(spark, 32)
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+            {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+        ),
+        target,
+    )
+    hist_agg = mirror.read_version(spark, pre_version).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    history_intact = int(
+        (hist_agg["n"], hist_agg["s"]) == (pre_agg["n"], pre_agg["s"])
+    )
+    # point lookup of the minimum SURVIVING key (%13 keys were deleted),
+    # pruned to ONE bucket of the new spec
+    k = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .agg(F.min("o_orderkey").alias("k"))
+        .collect()[0]["k"]
+    )
+    b = (
+        spark.range(1)
+        .select(mirror._bucket(F.lit(k).cast("long")).alias("b"))
+        .collect()[0]["b"]
+    )
+    hit = (
+        mirror.read_buckets(spark, [b])
+        .filter(F.col("o_orderkey") == k)
+        .count()
+    )
+    flags = spark.createDataFrame(
+        [
+            ("spec_after", int(mirror.current()["n_buckets"])),
+            ("history_intact", history_intact),
+            ("lookup_key", int(k)),
+            ("lookup_found", int(hit == 1)),
+        ],
+        "item string, value long",
+    )
+    final = mirror.read(spark)
+    aggs = final.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("o_orderkey").cast("long").alias("__s"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1))
+        .cast("long")
+        .alias("__x"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("final_rows").alias("item"),
+                    F.col("__n").alias("value"),
+                ),
+                F.struct(
+                    F.lit("final_keysum").alias("item"),
+                    F.col("__s").alias("value"),
+                ),
+                F.struct(
+                    F.lit("final_x").alias("item"),
+                    F.col("__x").alias("value"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    return flags.unionByName(aggs)

@@ -35,9 +35,56 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from tabular_cdc_bootstrapper_spark.config import CdcTarget
-from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.operators.cdc import (
+    apply_changelog,
+    latest_by_key,
+)
 from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
 from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+
+
+class CommitConflict(RuntimeError):
+    """An optimistic snapshot commit lost the race: another writer's
+    commit landed between this writer's basis read and its publish (the
+    Iceberg/Delta commit-conflict, surfaced instead of silently
+    last-write-winning). Callers either retry against the new head
+    (blind full-state commits do this internally), re-validate and
+    re-apply (disjoint-bucket merges), or propagate (overlapping
+    writes, where the caller's inputs are stale)."""
+
+
+#: record fields owned by the snapshot protocol — caller commit meta may
+#: not shadow them (ADVICE r10: meta containing e.g. ``ref`` would make
+#: ``committed()`` silently hide a published commit from history and
+#: expose its data to orphan GC)
+_RESERVED_META_KEYS = frozenset(
+    {
+        "version", "dir", "buckets", "ts", "ref", "schema", "stats",
+        "deltas", "n_buckets", "audited", "rollback_of", "purged_ts",
+        "cloned_from", "readable", "is_current",
+    }
+)
+
+
+#: conflict-retry backoff (seconds). Sums past ``conflict_grace_s`` so a
+#: blind commit blocked by a crash orphan outlasts the grace window and
+#: self-heals; under a real race the first retries resolve in ms.
+_RETRY_BACKOFF = (0.05, 0.1, 0.3, 0.8, 2.0, 4.0, 8.0)
+
+#: sentinel distinguishing "no basis given: resolve the current head"
+#: from an explicit ``basis=None`` (empty table)
+_UNSET = object()
+
+
+def _check_meta(meta: dict | None) -> None:
+    if not meta:
+        return
+    bad = sorted(_RESERVED_META_KEYS & set(meta))
+    if bad:
+        raise ValueError(
+            f"commit meta keys {bad} are reserved snapshot-record fields "
+            "(ADVICE r10); rename or namespace them (e.g. 'job_ref')"
+        )
 
 
 class SnapshotLog:
@@ -46,13 +93,31 @@ class SnapshotLog:
     and ``VersionedBucketMirror`` (per-bucket version manifests).
 
     Records are opaque dicts carrying at least ``version`` and ``ts``.
-    Publishing is two atomic renames: the immutable log entry under
-    ``root/_log/v-<n>.json`` first, then the ``root/_CURRENT`` pointer. A
-    crash between them leaves an orphan entry above the pointer; version
-    allocation takes max(pointer, log) + 1 so the orphan is superseded,
-    and the next publish removes it (reporting it via ``on_orphan`` so
-    the owner can garbage-collect any data the crashed commit staged).
+    Publishing is an EXCLUSIVE create of the immutable log entry under
+    ``root/_log/v-<n>.json`` (the serialization point: two writers that
+    allocated the same version cannot both win — the Iceberg/Delta
+    put-if-absent commit), a conflict scan of the window between the
+    current pointer and ``n``, then the atomic ``root/_CURRENT`` pointer
+    rename. A FRESH ref-less entry in the window is a concurrent
+    writer's in-flight commit — this publish retracts its own entry and
+    raises :class:`CommitConflict` (r11, VERDICT task 1); an entry older
+    than ``conflict_grace_s`` is a crash orphan — it is removed
+    (reported via ``on_orphan`` so the owner can garbage-collect any
+    data the crashed commit staged) and the publish proceeds. A crash
+    between entry create and pointer swap leaves such an orphan; version
+    allocation takes max(pointer, log) + 1 so it is superseded either
+    way. ``expected_head``: the version this commit was computed
+    against — when given, the publish additionally fails with
+    :class:`CommitConflict` if the pointer has moved past it (the CAS
+    validate step based merges need; -1 means "expect empty table").
     """
+
+    #: seconds an above-pointer ref-less log entry is presumed to be a
+    #: concurrent writer's in-flight commit (publish raises
+    #: CommitConflict) before it is reclassified as a crash orphan and
+    #: garbage-collected. Writers' internal retry/backoff outlasts this,
+    #: so a commit blocked by a genuine crash orphan self-heals.
+    conflict_grace_s: float = 10.0
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -114,48 +179,114 @@ class SnapshotLog:
             base = max(base, entries[-1]["version"])
         return base + 1
 
-    def publish(self, record: dict, on_orphan=None, protected=None) -> dict:
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v-{version:08d}.json")
+
+    def _entry_age(self, e: dict) -> float:
+        """Seconds since the entry FILE was written (commit wall-clock,
+        not the record's ``ts``, which tests and clones backdate). A
+        missing file counts as infinitely old."""
+        try:
+            return time.time() - os.path.getmtime(self._entry_path(e["version"]))
+        except OSError:
+            return float("inf")
+
+    def publish(
+        self,
+        record: dict,
+        on_orphan=None,
+        protected=None,
+        expected_head: int | None = None,
+    ) -> dict:
         """``protected``: optional predicate sparing above-pointer entries
         from orphan GC — the hook writable BRANCHES use (their staged
         commits live above the main pointer by design and are not
-        crash orphans)."""
+        crash orphans). ``expected_head``: CAS basis check, see class
+        docstring. Raises :class:`CommitConflict` on any lost race."""
         os.makedirs(self.log_dir, exist_ok=True)
-        # crash recovery: entries above the still-current pointer never
-        # published — drop them (and let the owner GC their data) so they
-        # can't resurface once a later commit passes their version number
+        n = record["version"]
+        lpath = self._entry_path(n)
+        # serialization point: exclusive create — a concurrent writer
+        # that allocated the same version loses here, never overwrites
+        # (ADVICE r10: os.replace silently erased the loser's commit)
+        try:
+            with open(lpath, "x") as fh:
+                json.dump(record, fh)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {n} of {self.root} already has a log entry — "
+                "a concurrent commit won this version"
+            ) from None
         cur = self.current()
         cur_version = cur["version"] if cur else -1
+        if expected_head is not None and cur_version != expected_head:
+            self._retract(lpath)
+            raise CommitConflict(
+                f"{self.root} advanced to v{cur_version} past this "
+                f"commit's basis v{expected_head}"
+            )
+        # window scan between pointer and n: a FRESH ref-less entry is a
+        # concurrent in-flight commit (it created its entry before ours
+        # — it wins, we retract); an aged one is a crash orphan (GC).
+        # Fresh entries ABOVE n belong to writers that will see OUR
+        # entry in their own window and retract themselves. Ref-marked
+        # entries above the pointer are branch staging (in-flight while
+        # fresh, orphaned-branch leftovers when aged and unprotected);
+        # ref-marked entries below it are staging of a deleted diverged
+        # branch — reclaimed, as before, unless a live branch window
+        # protects them.
+        conflict: dict | None = None
         for e in self.entries():
-            # above-pointer entries are crash orphans; BELOW-pointer
-            # ref-marked entries are staging of a branch that diverged
-            # and was then deleted (fast-forward would have stripped the
-            # marker) — both are unpublished and reclaimed here, unless
-            # a live branch's window protects them
-            is_orphan = (
-                e["version"] > cur_version
-                and e["version"] != record["version"]
-            ) or ("ref" in e and e["version"] <= cur_version)
-            if is_orphan:
-                if protected is not None and protected(e):
-                    continue
-                try:
-                    os.remove(
-                        os.path.join(self.log_dir, f"v-{e['version']:08d}.json")
-                    )
-                except OSError:
-                    pass
-                if on_orphan is not None:
-                    on_orphan(e)
-        lpath = os.path.join(self.log_dir, f"v-{record['version']:08d}.json")
-        ltmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(ltmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(ltmp, lpath)
+            if e["version"] == n:
+                continue
+            if protected is not None and protected(e):
+                continue
+            dead_branch = "ref" in e and e["version"] <= cur_version
+            above = e["version"] > cur_version
+            if dead_branch:
+                self._gc_entry(e, on_orphan)
+                continue
+            if not above:
+                continue
+            fresh = self._entry_age(e) < self.conflict_grace_s
+            if fresh:
+                if "ref" not in e and e["version"] < n:
+                    conflict = e
+                    break
+                continue  # fresh branch staging / higher-version writer
+            self._gc_entry(e, on_orphan)
+        if conflict is not None:
+            self._retract(lpath)
+            raise CommitConflict(
+                f"in-flight concurrent commit v{conflict['version']} in "
+                f"{self.root} (entry younger than "
+                f"{self.conflict_grace_s:.0f}s grace)"
+            )
+        # pointer may have moved since the entry create (a writer whose
+        # window was already clear) — re-check before the swap so the
+        # pointer never regresses past a commit we didn't build on
+        cur2 = self.current()
+        if (cur2["version"] if cur2 else -1) != cur_version:
+            self._retract(lpath)
+            raise CommitConflict(
+                f"{self.root} advanced during publish of v{n}"
+            )
         tmp = self.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(record, fh)
         os.replace(tmp, self.pointer_path)  # atomic on posix
         return record
+
+    def _retract(self, lpath: str) -> None:
+        try:
+            os.remove(lpath)
+        except OSError:
+            pass
+
+    def _gc_entry(self, e: dict, on_orphan) -> None:
+        self._retract(self._entry_path(e["version"]))
+        if on_orphan is not None:
+            on_orphan(e)
 
 
 class TagSet:
@@ -325,20 +456,32 @@ class BranchOps:
 
     def _publish_to_branch(self, record: dict, name: str) -> dict:
         """Advance ``name`` to ``record``: append the (ref-marked) log
-        entry, then move the branch pointer — two atomic renames, main's
-        CURRENT untouched. A crash between them leaves an above-pointer
-        entry outside the branch window ((base, head] doesn't cover it),
-        so the next publish GCs it like any crash orphan — the branch is
-        consistent at its old head either way."""
+        entry — an EXCLUSIVE create, so a version collision with a
+        concurrent main or foreign-branch commit re-allocates instead of
+        overwriting (r11) — then move the branch pointer; two atomic
+        steps, main's CURRENT untouched. A crash between them leaves an
+        above-pointer entry outside the branch window ((base, head]
+        doesn't cover it), so the next publish GCs it like any crash
+        orphan — the branch is consistent at its old head either way."""
         self._branchset.get(name)  # raises on unknown branch
         record = dict(record)
         record["ref"] = name
         os.makedirs(self._log.log_dir, exist_ok=True)
-        lpath = os.path.join(self._log.log_dir, f"v-{record['version']:08d}.json")
-        tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(record, fh)
-        os.replace(tmp, lpath)
+        for delay in (*_RETRY_BACKOFF, None):
+            lpath = self._log._entry_path(record["version"])
+            try:
+                with open(lpath, "x") as fh:
+                    json.dump(record, fh)
+                break
+            except FileExistsError:
+                if delay is None:
+                    raise CommitConflict(
+                        f"branch {name!r} of {self.root}: version "
+                        f"{record['version']} kept colliding with "
+                        "concurrent commits"
+                    ) from None
+                time.sleep(delay)
+                record["version"] = self._log.next_version()
         self._branchset.set_head(name, record["version"])
         return record
 
@@ -376,6 +519,22 @@ class BranchOps:
         and are garbage-collected by the next main publish."""
         self._branchset.delete(name)
 
+    def _ff_marker_path(self, name: str) -> str:
+        return os.path.join(self.root, "_ff", f"{name}.json")
+
+    def _read_ff_marker(self, name: str) -> dict | None:
+        try:
+            with open(self._ff_marker_path(name)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _clear_ff_marker(self, name: str) -> None:
+        try:
+            os.remove(self._ff_marker_path(name))
+        except OSError:
+            pass
+
     def fast_forward(self, name: str) -> dict:
         """Publish a branch's staged commits to main — the Iceberg
         ``fast_forward`` procedure, and the natural finish of a
@@ -384,17 +543,26 @@ class BranchOps:
         fork point (true fast-forward: main must not have advanced —
         divergence is a caller-visible error, never a silent merge) and
         the (base, head] version window to contain only this branch's
-        commits (no interleaved foreign branch). Protocol: strip the
+        commits (no interleaved foreign branch). Protocol: record an
+        in-progress marker (``root/_ff/<name>.json``, atomic), strip the
         ``ref`` marker from each staged entry (ascending, atomic
-        renames), then swap main's CURRENT to the head — a crash
-        mid-way leaves every entry protected by the branch window and a
-        re-run converges (already-stripped entries are accepted). The
-        branch pointer itself is left at the head (now == main), for
-        the caller to keep using or delete."""
+        renames), swap main's CURRENT to the head, clear the marker — a
+        crash mid-way leaves every entry protected by the branch window
+        and a re-run converges: already-stripped entries are accepted
+        ONLY because the marker proves a fast-forward of exactly this
+        (base, head] was in flight. Without the marker a ref-less entry
+        in the window is a FOREIGN unpublished commit (ADVICE r10: a
+        crashed main commit's orphan that a later branch commit's higher
+        version pulled into the window) — publishing it would leak a
+        never-audited commit to main, so it is garbage-collected if
+        aged past the conflict grace, and a conflict error if fresh.
+        The branch pointer itself is left at the head (now == main),
+        for the caller to keep using or delete."""
         b = self._branchset.get(name)
         cur = self.current()
         cur_v = cur["version"] if cur else -1
         if cur_v == b["head"]:
+            self._clear_ff_marker(name)
             return dict(cur)  # already published: idempotent no-op
         if cur_v != b["base"]:
             raise ValueError(
@@ -403,38 +571,85 @@ class BranchOps:
             )
         if b["head"] == b["base"]:
             return dict(cur)  # nothing staged: no-op
+        marker = self._read_ff_marker(name)
+        recovering = (
+            marker is not None
+            and marker.get("base") == b["base"]
+            and marker.get("head") == b["head"]
+        )
         entries = {e["version"]: e for e in self._log.entries()}
         chain = []
         for v in range(b["base"] + 1, b["head"] + 1):
             e = entries.get(v)
             if e is None:
+                if recovering:
+                    continue  # hole from a prior recovery's orphan GC
                 raise ValueError(
                     f"cannot fast-forward {name!r}: staged version {v} is "
                     f"missing from the log of {self.root}"
                 )
-            if e.get("ref", name) != name:
+            ref = e.get("ref")
+            if ref == name:
+                chain.append(e)
+                continue
+            if ref is not None:
                 raise ValueError(
                     f"cannot fast-forward {name!r}: version {v} belongs to "
                     f"branch {e['ref']!r} — interleaved branches cannot "
                     "fast-forward"
                 )
-            chain.append(e)
+            # ref-less entry inside the window
+            if recovering:
+                chain.append(e)  # stripped by the crashed prior run
+                continue
+            if self._log._entry_age(e) >= self._log.conflict_grace_s:
+                # aged foreign crash orphan swallowed by the window: GC
+                # the entry (its data is reclaimed by the layout's
+                # normal expiry) and fast-forward around the hole
+                self._log._retract(self._log._entry_path(v))
+                continue
+            raise CommitConflict(
+                f"cannot fast-forward {name!r}: version {v} was never "
+                f"staged on this branch — an unpublished concurrent or "
+                "crashed commit sits inside the branch window; retry "
+                "after it completes or ages out"
+            )
+        if not chain:
+            return dict(cur)  # everything staged was a GC'd orphan
+        # marker BEFORE the first strip: the only witness that ref-less
+        # window entries on a re-run are ours
+        os.makedirs(os.path.join(self.root, "_ff"), exist_ok=True)
+        mpath = self._ff_marker_path(name)
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"name": name, "base": b["base"], "head": b["head"],
+                 "ts": time.time()},
+                fh,
+            )
+        os.replace(tmp, mpath)
         head_rec = None
         for e in chain:
             rec = {k: v for k, v in e.items() if k != "ref"}
             if "ref" in e:
-                lpath = os.path.join(
-                    self._log.log_dir, f"v-{rec['version']:08d}.json"
-                )
+                lpath = self._log._entry_path(rec["version"])
                 tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
                 with open(tmp, "w") as fh:
                     json.dump(rec, fh)
                 os.replace(tmp, lpath)
             head_rec = rec
+        # main must not have advanced while we stripped (CAS re-check)
+        cur2 = self.current()
+        if (cur2["version"] if cur2 else -1) != cur_v:
+            raise CommitConflict(
+                f"cannot fast-forward {name!r}: main advanced during the "
+                "publish — histories diverged"
+            )
         tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(head_rec, fh)
         os.replace(tmp, self._log.pointer_path)
+        self._clear_ff_marker(name)
         self._after_fast_forward(head_rec)
         return head_rec
 
@@ -576,7 +791,9 @@ class ParquetStateTable(BranchOps):
         os.replace(tmp, dst._pointer)
         return dst
 
-    def _publish(self, record: dict, keep: str) -> dict:
+    def _publish(
+        self, record: dict, keep: str, expected_head: int | None = None
+    ) -> dict:
         # Orphan GC must not touch dirs referenced by COMMITTED history
         # (ADVICE r8): a rollback's log entry shares its dir with the older
         # committed snapshot it re-points at, so a crash between its log
@@ -597,10 +814,41 @@ class ParquetStateTable(BranchOps):
         # staged branch commits also live above the main pointer — they
         # are deliberate, not crash orphans; spare them from the GC
         self._log.publish(
-            record, on_orphan=gc_orphan, protected=self._branch_covers
+            record,
+            on_orphan=gc_orphan,
+            protected=self._branch_covers,
+            expected_head=expected_head,
         )
         self._expire(keep=keep)
         return record
+
+    def _publish_retry(self, record: dict) -> dict:
+        """Publish a BLIND (full-state) commit with conflict retry: on a
+        lost race, re-allocate the next version — renaming the data dir
+        to match, so pre-log name-ordered retention stays version-ordered
+        — and try again against the new head (a full-state replace does
+        not depend on what it replaces, so rebasing is just renumbering).
+        The backoff outlasts ``conflict_grace_s``, so a commit blocked by
+        a crash orphan self-heals once the orphan ages out."""
+        rename_dir = "rollback_of" not in record  # rollback shares an
+        # older committed snapshot's dir — never rename that
+        for delay in _RETRY_BACKOFF:
+            try:
+                return self._publish(record, keep=record["dir"])
+            except CommitConflict:
+                time.sleep(delay)
+                new_version = self._next_version()
+                if new_version != record["version"]:
+                    if rename_dir:
+                        new_dir = os.path.join(
+                            self.root,
+                            f"v-{new_version:08d}-{uuid.uuid4().hex[:8]}",
+                        )
+                        os.replace(record["dir"], new_dir)
+                        record["dir"] = new_dir
+                    record["version"] = new_version
+                record["ts"] = time.time()
+        return self._publish(record, keep=record["dir"])  # last try raises
 
     def exists(self) -> bool:
         return self.current() is not None
@@ -618,6 +866,7 @@ class ParquetStateTable(BranchOps):
         df: DataFrame,
         meta: dict | None = None,
         branch: str | None = None,
+        expected_version: int | None = None,
     ) -> dict:
         """Commit a new version; ``meta`` rides the pointer JSON — the hook
         transactional sinks use to make replayed batches detectable (e.g.
@@ -629,7 +878,15 @@ class ParquetStateTable(BranchOps):
         log (so numbers stay globally unique) but only the BRANCH
         pointer advances; main readers never see it until
         ``fast_forward``. The log entry carries ``ref: <branch>`` as
-        provenance until fast-forward strips it."""
+        provenance until fast-forward strips it.
+
+        ``expected_version``: the head this commit's ``df`` was computed
+        FROM (a based commit, e.g. a merge) — the publish then raises
+        :class:`CommitConflict` if the table advanced past it, instead of
+        silently clobbering the concurrent commit (r11 optimistic
+        concurrency). Without it the commit is blind full-state replace
+        and retries internally on conflicts."""
+        _check_meta(meta)
         version = self._next_version()
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
@@ -638,7 +895,15 @@ class ParquetStateTable(BranchOps):
             record.update(meta)
         if branch is not None:
             return self._publish_to_branch(record, branch)
-        return self._publish(record, keep=vdir)
+        if expected_version is not None:
+            try:
+                return self._publish(
+                    record, keep=vdir, expected_head=expected_version
+                )
+            except CommitConflict:
+                shutil.rmtree(vdir, ignore_errors=True)  # stale basis:
+                raise  # the caller must re-read and re-derive df
+        return self._publish_retry(record)
 
     def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
         """Read the branch head (its latest staged commit, or the fork
@@ -705,7 +970,7 @@ class ParquetStateTable(BranchOps):
             "ts": time.time(),
             "rollback_of": to_version,
         }
-        return self._publish(record, keep=target["dir"])
+        return self._publish_retry(record)
 
     def purge_keys(
         self,
@@ -790,6 +1055,17 @@ class ParquetStateTable(BranchOps):
                 json.dump(rec, fh)
             os.replace(tmp, lpath)
             versions_rewritten += 1
+        # CAS guard (r11): a commit that landed during the purge carries
+        # forward dirs we are about to delete and would be clobbered by
+        # the pointer rewrite — stop before touching the pointer or any
+        # old bytes; everything rewritten so far is consistent and a
+        # re-run covers the new head too
+        live = self.current()
+        if (live["version"] if live else -1) != cur["version"]:
+            raise CommitConflict(
+                f"{self.root} advanced during purge_keys — re-run the "
+                "purge to cover the new head"
+            )
         if cur["dir"] in dir_map:
             rec = dict(cur)
             rec["dir"] = dir_map[cur["dir"]]
@@ -901,12 +1177,13 @@ class ParquetStateTable(BranchOps):
                 "anomaly-rule baseline; commit one first or gate with "
                 "constraint Rules only"
             )
+        _check_meta(meta)
         wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(wdir)
         staged = spark.read.parquet(wdir)
-        report = []
+        static_report = []
         if row_rules:
-            report.extend(
+            static_report.extend(
                 {
                     "rule": r["rule"],
                     "n_violations": r["n_violations"],
@@ -914,48 +1191,78 @@ class ParquetStateTable(BranchOps):
                 }
                 for r in check_constraints(staged, row_rules).collect()
             )
-        if anomaly_rules:
-            # baseline = the previous state of wherever this publishes:
-            # the branch head for a branch-staged WAP (multi-batch WAP
-            # audits each batch against the batch before it), else the
-            # main CURRENT snapshot
-            baseline = (
-                self.read_branch(spark, branch)
-                if branch is not None
-                else self.read(spark)
-            )
-            report.extend(
-                {
-                    "rule": r["rule"],
-                    "baseline": r["baseline"],
-                    "observed": r["observed"],
-                    "passed": r["passed"],
-                }
-                for r in check_anomalies(
-                    baseline, staged, anomaly_rules
-                ).collect()
-            )
-        if not all(r["passed"] for r in report):
-            shutil.rmtree(wdir, ignore_errors=True)
-            return {"published": False, "version": None, "report": report}
-        version = self._next_version()
-        vdir = os.path.join(
-            self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
-        )
-        os.replace(wdir, vdir)
-        record = {
-            "version": version,
-            "dir": vdir,
-            "ts": time.time(),
-            "audited": True,
-        }
-        if meta:
-            record.update(meta)
-        if branch is not None:
-            rec = self._publish_to_branch(record, branch)
-            return {"published": True, **rec, "report": report}
-        self._publish(record, keep=vdir)
-        return {"published": True, **record, "report": report}
+        # conflict loop (r11, VERDICT task 8): a concurrent commit landing
+        # between this WAP's baseline read and its publish surfaces as a
+        # CommitConflict — the ANOMALY audit then re-runs with the new
+        # head as its baseline (the two-writer WAP contract: audits are
+        # always relative to the state they actually publish onto);
+        # row-rule verdicts are head-independent and computed once.
+        sdir = wdir  # current home of the staged bytes (wap-* then v-*)
+        attempt = 0
+        while True:
+            basis = None if branch is not None else self.current()
+            basis_v = basis["version"] if basis else -1
+            report = list(static_report)
+            if anomaly_rules:
+                # baseline = the previous state of wherever this
+                # publishes: the branch head for a branch-staged WAP
+                # (multi-batch WAP audits each batch against the batch
+                # before it), else the main CURRENT snapshot
+                baseline = (
+                    self.read_branch(spark, branch)
+                    if branch is not None
+                    else self.read(spark)
+                )
+                report.extend(
+                    {
+                        "rule": r["rule"],
+                        "baseline": r["baseline"],
+                        "observed": r["observed"],
+                        "passed": r["passed"],
+                    }
+                    for r in check_anomalies(
+                        baseline, staged, anomaly_rules
+                    ).collect()
+                )
+            if not all(r["passed"] for r in report):
+                shutil.rmtree(sdir, ignore_errors=True)
+                return {"published": False, "version": None, "report": report}
+            version = self._next_version()
+            if sdir == wdir:
+                vdir = os.path.join(
+                    self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+                )
+                os.replace(wdir, vdir)
+                sdir = vdir
+                staged = spark.read.parquet(vdir)  # rebind for re-audits
+            record = {
+                "version": version,
+                "dir": sdir,
+                "ts": time.time(),
+                "audited": True,
+            }
+            if meta:
+                record.update(meta)
+            if branch is not None:
+                rec = self._publish_to_branch(record, branch)
+                return {"published": True, **rec, "report": report}
+            try:
+                self._publish(
+                    record,
+                    keep=sdir,
+                    expected_head=basis_v if anomaly_rules else None,
+                )
+                return {"published": True, **record, "report": report}
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                if not os.path.isdir(sdir):
+                    raise CommitConflict(
+                        f"WAP staging of {self.root} was reclaimed by a "
+                        "concurrent retention pass; re-run the WAP"
+                    ) from None
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
 
     def expire_snapshots(
         self,
@@ -1031,19 +1338,42 @@ class ParquetStateTable(BranchOps):
         all_dirs = sorted(d for d in os.listdir(self.root) if d.startswith("v-"))
         kept = {os.path.basename(keep)}
         kept.update(all_dirs[-max(self.keep_versions, 1):])
-        for e in self._log_entries()[-max(self.keep_versions, 1):]:
+        entries = self._log_entries()
+        for e in entries[-max(self.keep_versions, 1):]:
             kept.add(os.path.basename(e["dir"]))
         tagged = self._tagged_versions()
         windows = self._branchset.windows()  # [base, head] incl. fork point
-        if tagged or windows:
-            for e in self._log_entries():
-                if e["version"] in tagged or any(
-                    lo <= e["version"] <= hi for lo, hi in windows
-                ):
-                    kept.add(os.path.basename(e["dir"]))
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        logged = set()
+        for e in entries:
+            logged.add(os.path.basename(e["dir"]))
+            # an above-pointer entry is an in-flight or crashed commit:
+            # its data is reclaimed via the orphan-GC path when the
+            # ENTRY dies, never by retention racing an in-flight publish
+            if (
+                e["version"] > cur_version
+                or e["version"] in tagged
+                or any(lo <= e["version"] <= hi for lo, hi in windows)
+            ):
+                kept.add(os.path.basename(e["dir"]))
+        now = time.time()
         for d in all_dirs:
-            if d not in kept:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+            if d in kept:
+                continue
+            full = os.path.join(self.root, d)
+            if d not in logged:
+                # referenced by no log entry: crash staging if aged, a
+                # concurrent writer's installed-but-unpublished commit
+                # (e.g. a WAP between conflict and re-audit) if fresh —
+                # only reclaim past the conflict grace (r11)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < self._log.conflict_grace_s:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def table_changes(
@@ -1097,6 +1427,120 @@ def table_changes(
         if f.name not in new.columns:
             new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
     return table_diff(old, new, key_cols)
+
+
+class ChangeFeedStream:
+    """Streaming consumer of a versioned table's change feed (r11,
+    VERDICT task 3 — the Delta-CDF ``readStream`` analog on the engine's
+    snapshot-logged tables): ``table_changes`` made incremental and
+    exactly-once. State is ONE checkpoint file (atomic rename) holding
+    the last ACKED version; each poll after that yields the next
+    committed version's I/U/D diff, in commit order, each commit's CDF
+    delivered exactly once across restarts:
+
+    - crash BEFORE ack → the same (from, to] window redelivers, and the
+      delivered ``to_version`` doubles as the idempotence fence for
+      transactional consumers (``MaintainedAggView``/``MaintainedJoinView``
+      take it as ``batch_id`` and skip replays);
+    - crash AFTER ack → the window is never redelivered.
+
+    A fresh consumer starts at the table's EARLIEST committed version
+    (so the fold law holds: applying every delivered diff onto the
+    first snapshot reproduces the head — diff.py's round-trip law,
+    composed); pass ``from_version`` to start elsewhere (e.g. the
+    current head for a "new changes only" tail). Retention must cover
+    consumer lag: a diff whose from-snapshot has expired raises from
+    ``read_version``, the same contract as Delta CDF.
+
+    Scale: each delivery is ONE keyed full-outer join between two
+    adjacent snapshots (cost ∝ the snapshots, not history), and the
+    consolidated catch-up (``consolidate=True``) collapses N missed
+    commits into one diff — the consumer never replays N changelogs.
+    """
+
+    def __init__(
+        self,
+        table,
+        key_cols: str | Sequence[str],
+        checkpoint_path: str,
+        drop_cols: Sequence[str] = (),
+        from_version: int | None = None,
+    ) -> None:
+        self.table = table
+        self.key_cols = key_cols
+        self.checkpoint_path = checkpoint_path
+        self.drop_cols = tuple(drop_cols)
+        self._start = from_version
+
+    def position(self) -> int | None:
+        """Last acked (delivered-and-confirmed) version, or the start
+        position; None means "before the first committed version"."""
+        try:
+            with open(self.checkpoint_path) as fh:
+                return json.load(fh)["position"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
+        if self._start is not None:
+            return self._start
+        committed = [e["version"] for e in self.table._log.committed()]
+        return committed[0] if committed else None
+
+    def ack(self, version: int) -> None:
+        """Confirm delivery through ``version`` — one atomic rename, the
+        only state this consumer keeps."""
+        os.makedirs(
+            os.path.dirname(self.checkpoint_path) or ".", exist_ok=True
+        )
+        tmp = self.checkpoint_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"position": version, "ts": time.time()}, fh)
+        os.replace(tmp, self.checkpoint_path)
+
+    def pending(
+        self, spark: SparkSession, consolidate: bool = False
+    ) -> tuple[DataFrame, int, int] | None:
+        """The next undelivered window as ``(diff, from_version,
+        to_version)`` — the NEXT commit's CDF, or with ``consolidate``
+        one diff spanning everything up to the head. None when caught
+        up. The caller applies the diff then ``ack(to_version)``."""
+        pos = self.position()
+        if pos is None:
+            return None
+        newer = [
+            e["version"]
+            for e in self.table._log.committed()
+            if e["version"] > pos
+        ]
+        if not newer:
+            return None
+        to_v = newer[-1] if consolidate else newer[0]
+        diff = table_changes(
+            spark,
+            self.table,
+            pos,
+            to_v,
+            key_cols=self.key_cols,
+            drop_cols=self.drop_cols,
+        )
+        return diff, pos, to_v
+
+    def process_available(
+        self, spark: SparkSession, fn, consolidate: bool = False
+    ) -> list[tuple[int, int]]:
+        """Drain the feed: ``fn(diff, from_version, to_version)`` per
+        window, acked after ``fn`` returns (at-least-once delivery into
+        ``fn``; pair with a ``to_version``-keyed fence for exactly-once
+        effects). Returns the processed windows — the availableNow
+        trigger of this source."""
+        done: list[tuple[int, int]] = []
+        while True:
+            nxt = self.pending(spark, consolidate=consolidate)
+            if nxt is None:
+                return done
+            diff, from_v, to_v = nxt
+            fn(diff, from_v, to_v)
+            self.ack(to_v)
+            done.append((from_v, to_v))
 
 
 class MaintainedAggView:
@@ -1382,6 +1826,7 @@ def cdc_merge_batch(
     partition overwrite); locally the state table swaps whole snapshots.
     """
     ts_col = target.ts_column
+    basis = mirror.current()
     current = mirror.read(spark)
     new_state = apply_changelog(
         batch_df,
@@ -1393,7 +1838,12 @@ def cdc_merge_batch(
         tiebreak_cols=tiebreak_cols,
         drop_envelope=(),
     )
-    return mirror.commit(new_state)
+    # based commit (r11): the new state was derived FROM ``basis`` — a
+    # concurrent commit in between must surface as CommitConflict, and
+    # the streaming caller's checkpoint replay re-derives idempotently
+    return mirror.commit(
+        new_state, expected_version=basis["version"] if basis else -1
+    )
 
 
 def _widen_struct(
@@ -1480,12 +1930,23 @@ class VersionedBucketMirror(BranchOps):
         keep_versions: int = 2,
         stats_cols: Sequence[str] = (),
         sort_cols: Sequence[str] = (),
+        merge_on_read: bool = False,
     ) -> None:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.n_buckets = n_buckets
         self.key_col = key_col
         self.keep_versions = keep_versions
+        #: merge-on-read (r11, VERDICT task 2 — the Iceberg v2 /
+        #: Delta-DV cost model): a CDC merge appends one DELTA dir per
+        #: touched bucket (the batch's latest-per-key slice, deletes
+        #: retained as tombstones) instead of rewriting the bucket —
+        #: write amplification ∝ |batch|, not ∝ |touched buckets|.
+        #: Reads fold base + deltas per bucket (iterated latest-per-key,
+        #: exactly the sequential copy-on-write semantics);
+        #: ``rewrite_data_files`` folds deltas back into bases (the
+        #: compaction fold point), bounding the read tax.
+        self.merge_on_read = bool(merge_on_read)
         #: columns whose per-bucket min/max ride each manifest (Iceberg
         #: column-statistics data skipping, r10): every commit through
         #: ``_commit_staged`` records them for the staged buckets (one
@@ -1504,9 +1965,24 @@ class VersionedBucketMirror(BranchOps):
         self.sort_cols = list(sort_cols)
         self._log = SnapshotLog(root)
         os.makedirs(self.data_dir, exist_ok=True)
+        # an existing table's CURRENT manifest owns the bucket spec (r11
+        # partition-spec evolution); the ctor arg is the creation
+        # default and the pre-spec-manifest fallback
+        self._sync_spec()
 
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def _sync_spec(self) -> None:
+        """Bind this handle to the CURRENT manifest's bucket spec (r11,
+        partition-spec evolution): every commit records ``n_buckets``,
+        so a handle created before (or concurrent with) a ``rebucket``
+        never hashes keys under a stale spec. Manifests written before
+        r11 carry no spec — the constructor value stands, which is the
+        pre-rebucket world exactly."""
+        cur = self.current()
+        if cur and cur.get("n_buckets") and cur["n_buckets"] != self.n_buckets:
+            self.n_buckets = int(cur["n_buckets"])
 
     def _owns(self, d: str) -> bool:
         """Same ownership guard as ``ParquetStateTable._owns`` (ADVICE
@@ -1528,9 +2004,7 @@ class VersionedBucketMirror(BranchOps):
         out = []
         for e in self._log.committed():
             e = dict(e)
-            e["readable"] = all(
-                os.path.isdir(d) for d in e["buckets"].values()
-            )
+            e["readable"] = self._entry_readable(e)
             e["is_current"] = e["version"] == cur_version
             out.append(e)
         return out
@@ -1574,11 +2048,65 @@ class VersionedBucketMirror(BranchOps):
         # the manifest's dirs — the manifest IS the pruning.
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    @staticmethod
+    def _entry_dirs(e: dict) -> list[str]:
+        """Every data dir a manifest references: bucket bases + merge-on-
+        read delta dirs — THE definition of 'referenced' for retention,
+        expiry, clone, purge and readability."""
+        out = list(e["buckets"].values())
+        for specs in (e.get("deltas") or {}).values():
+            out.extend(s["dir"] for s in specs)
+        return out
+
+    def _read_entry(
+        self, spark: SparkSession, e: dict, buckets: Sequence[int] | None = None
+    ) -> DataFrame | None:
+        """Read a manifest's state (optionally restricted to ``buckets``),
+        folding merge-on-read deltas: state = base, then per delta commit
+        in version order ``apply_changelog(delta, mirror=state)`` — the
+        batch-iterated fold, bit-identical to the copy-on-write result
+        because each delta IS that batch's latest-per-key slice with
+        tombstones retained (fold params ride each delta spec, so mixed
+        configs stay self-describing). Plan depth ∝ live delta commits,
+        which ``rewrite_data_files`` bounds."""
+        mapping = e["buckets"]
+        deltas = e.get("deltas") or {}
+        if buckets is None:
+            keys = sorted(set(mapping) | set(deltas), key=int)
+        else:
+            keys = [str(int(b)) for b in buckets]
+        base_dirs = [mapping[b] for b in keys if b in mapping]
+        specs = []
+        for b in keys:
+            specs.extend(deltas.get(b, []))
+        base = self._read_dirs(spark, base_dirs, e.get("schema"))
+        if not specs:
+            return base
+        specs.sort(key=lambda s: s["version"])
+        state = base
+        from itertools import groupby
+
+        for _v, grp in groupby(specs, key=lambda s: s["version"]):
+            grp = list(grp)
+            ddf = self._read_dirs(
+                spark, [g["dir"] for g in grp], e.get("schema")
+            )
+            p = grp[0]
+            state = apply_changelog(
+                ddf,
+                key_cols=p["key"],
+                ts_cols=p["ts"],
+                op_col=p["op"],
+                delete_op=p["delete_op"],
+                mirror=state,
+                tiebreak_cols=tuple(p.get("tiebreak") or ()),
+                drop_envelope=(),
+            )
+        return state
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         e = self._resolve(version)
-        return self._read_dirs(
-            spark, list(e["buckets"].values()), e.get("schema")
-        )
+        return self._read_entry(spark, e)
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame | None:
         """VERSION AS OF over the whole mirror."""
@@ -1597,9 +2125,11 @@ class VersionedBucketMirror(BranchOps):
         self, spark: SparkSession, buckets: Sequence[int]
     ) -> DataFrame | None:
         e = self._resolve(None)
-        mapping = e["buckets"]
-        dirs = [mapping[str(int(b))] for b in buckets if str(int(b)) in mapping]
-        return self._read_dirs(spark, dirs, e.get("schema"))
+        present = set(e["buckets"]) | set(e.get("deltas") or {})
+        wanted = [b for b in buckets if str(int(b)) in present]
+        if not wanted:
+            return None
+        return self._read_entry(spark, e, buckets=wanted)
 
     def _pruned_buckets(
         self, col: str, lower=None, upper=None, version: int | None = None
@@ -1612,7 +2142,7 @@ class VersionedBucketMirror(BranchOps):
         e = self._resolve(version)
         stats = e.get("stats") or {}
         kept = []
-        for b in e["buckets"]:
+        for b in sorted(set(e["buckets"]) | set(e.get("deltas") or {}), key=int):
             st = (stats.get(b) or {}).get(col)
             if st is None or st[0] is None or st[1] is None:
                 kept.append(b)
@@ -1645,8 +2175,7 @@ class VersionedBucketMirror(BranchOps):
         exact regardless of stats coverage."""
         e = self._resolve(version)
         kept, _total = self._pruned_buckets(col, lower, upper, version)
-        dirs = [e["buckets"][b] for b in kept]
-        df = self._read_dirs(spark, dirs, e.get("schema"))
+        df = self._read_entry(spark, e, buckets=[int(b) for b in kept])
         if df is None:
             return None
         if lower is not None:
@@ -1680,7 +2209,7 @@ class VersionedBucketMirror(BranchOps):
         return TagSet(self.root).versions()
 
     def _entry_readable(self, e: dict) -> bool:
-        return all(os.path.isdir(d) for d in e["buckets"].values())
+        return all(os.path.isdir(d) for d in self._entry_dirs(e))
 
     def _after_fast_forward(self, head_rec: dict) -> None:
         self._expire(head_rec)
@@ -1703,9 +2232,7 @@ class VersionedBucketMirror(BranchOps):
         """Read the branch head (latest staged manifest, or the fork
         point when nothing is staged yet)."""
         e = self._branch_head_entry(name)
-        return self._read_dirs(
-            spark, list(e["buckets"].values()), e.get("schema")
-        )
+        return self._read_entry(spark, e)
 
     def clone_to(
         self,
@@ -1740,6 +2267,7 @@ class VersionedBucketMirror(BranchOps):
             n_buckets=self.n_buckets,
             key_col=self.key_col,
             keep_versions=self.keep_versions,
+            merge_on_read=self.merge_on_read,
         )
         os.makedirs(dst._log.log_dir, exist_ok=True)
         dir_copy: dict[str, str] = {}
@@ -1747,8 +2275,8 @@ class VersionedBucketMirror(BranchOps):
         for e in entries:
             rec = dict(e)
             if mode == "deep":
-                newb = {}
-                for b, d in e["buckets"].items():
+
+                def _copy(b: str, d: str) -> str:
                     if d not in dir_copy:
                         nd = os.path.join(
                             dst.data_dir,
@@ -1757,8 +2285,16 @@ class VersionedBucketMirror(BranchOps):
                         )
                         shutil.copytree(d, nd)
                         dir_copy[d] = nd
-                    newb[b] = dir_copy[d]
-                rec["buckets"] = newb
+                    return dir_copy[d]
+
+                rec["buckets"] = {
+                    b: _copy(b, d) for b, d in e["buckets"].items()
+                }
+                if e.get("deltas"):  # merge-on-read delta dirs ride along
+                    rec["deltas"] = {
+                        b: [{**s, "dir": _copy(b, s["dir"])} for s in specs]
+                        for b, specs in e["deltas"].items()
+                    }
             rec["cloned_from"] = self.root
             lpath = os.path.join(
                 dst._log.log_dir, f"v-{rec['version']:08d}.json"
@@ -1789,7 +2325,20 @@ class VersionedBucketMirror(BranchOps):
             record["schema"] = target["schema"]
         if "stats" in target:
             record["stats"] = target["stats"]
-        self._log.publish(record, protected=self._branch_covers)
+        if "deltas" in target:  # merge-on-read chains restore too
+            record["deltas"] = target["deltas"]
+        if "n_buckets" in target:  # the restored snapshot's bucket spec
+            record["n_buckets"] = target["n_buckets"]
+        for delay in (*_RETRY_BACKOFF, None):
+            try:
+                self._log.publish(record, protected=self._branch_covers)
+                break
+            except CommitConflict:
+                if delay is None:
+                    raise
+                time.sleep(delay)
+                record["version"] = self._log.next_version()
+                record["ts"] = time.time()
         self._expire(record)
         return record
 
@@ -1851,7 +2400,9 @@ class VersionedBucketMirror(BranchOps):
                 "anomaly-rule baseline; initialize first or gate with "
                 "constraint Rules only"
             )
+        _check_meta(meta)
         key = key_col or self.key_col
+        self._sync_spec()
         wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
         (
             df.withColumn("bucket", self._bucket(F.col(key)))
@@ -1863,9 +2414,10 @@ class VersionedBucketMirror(BranchOps):
         staged = spark.read.option("basePath", wdir).parquet(wdir).drop(
             "bucket"
         )
-        report = []
+        schema_json = _widen_struct(None, staged.schema).jsonValue()
+        static_report = []
         if row_rules:
-            report.extend(
+            static_report.extend(
                 {
                     "rule": r["rule"],
                     "n_violations": r["n_violations"],
@@ -1873,56 +2425,93 @@ class VersionedBucketMirror(BranchOps):
                 }
                 for r in check_constraints(staged, row_rules).collect()
             )
-        if anomaly_rules:
-            report.extend(
-                {
-                    "rule": r["rule"],
-                    "baseline": r["baseline"],
-                    "observed": r["observed"],
-                    "passed": r["passed"],
-                }
-                for r in check_anomalies(
-                    self.read_branch(spark, branch)
-                    if branch is not None
-                    else self.read(spark),
-                    staged,
-                    anomaly_rules,
-                ).collect()
-            )
-        if not all(r["passed"] for r in report):
-            shutil.rmtree(wdir, ignore_errors=True)
-            return {"published": False, "version": None, "report": report}
-        version = self._log.next_version()
-        mapping: dict[str, str] = {}
-        try:
-            for d in os.listdir(wdir):
-                if not d.startswith("bucket="):
-                    continue
-                b = int(d.split("=", 1)[1])
-                bdir = os.path.join(self.data_dir, f"bucket={b}")
-                os.makedirs(bdir, exist_ok=True)
-                dst = os.path.join(
-                    bdir, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+        # conflict loop (r11, VERDICT task 8) — same contract as the
+        # snapshot-table WAP: a concurrent commit between baseline read
+        # and publish re-runs the ANOMALY audit against the new head;
+        # row-rule verdicts are head-independent and computed once.
+        mapping: dict[str, str] | None = None
+        attempt = 0
+        while True:
+            basis = None if branch is not None else self.current()
+            basis_v = basis["version"] if basis else -1
+            report = list(static_report)
+            if anomaly_rules:
+                report.extend(
+                    {
+                        "rule": r["rule"],
+                        "baseline": r["baseline"],
+                        "observed": r["observed"],
+                        "passed": r["passed"],
+                    }
+                    for r in check_anomalies(
+                        self.read_branch(spark, branch)
+                        if branch is not None
+                        else self.read(spark),
+                        staged,
+                        anomaly_rules,
+                    ).collect()
                 )
-                os.replace(os.path.join(wdir, d), dst)
-                mapping[str(b)] = dst
-        finally:
-            shutil.rmtree(wdir, ignore_errors=True)
-        record = {
-            "version": version,
-            "ts": time.time(),
-            "buckets": mapping,
-            "audited": True,
-            "schema": _widen_struct(None, staged.schema).jsonValue(),
-        }
-        if meta:
-            record.update(meta)
-        if branch is not None:
-            rec = self._publish_to_branch(record, branch)
-            return {"published": True, **rec, "report": report}
-        self._log.publish(record, protected=self._branch_covers)
-        self._expire(record)
-        return {"published": True, **record, "report": report}
+            if not all(r["passed"] for r in report):
+                if mapping is None:
+                    shutil.rmtree(wdir, ignore_errors=True)
+                else:  # re-audit failed: drop the already-installed dirs
+                    for d in mapping.values():
+                        shutil.rmtree(d, ignore_errors=True)
+                return {"published": False, "version": None, "report": report}
+            version = self._log.next_version()
+            if mapping is None:
+                mapping = {}
+                try:
+                    for d in os.listdir(wdir):
+                        if not d.startswith("bucket="):
+                            continue
+                        b = int(d.split("=", 1)[1])
+                        bdir = os.path.join(self.data_dir, f"bucket={b}")
+                        os.makedirs(bdir, exist_ok=True)
+                        dst = os.path.join(
+                            bdir, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+                        )
+                        os.replace(os.path.join(wdir, d), dst)
+                        mapping[str(b)] = dst
+                finally:
+                    shutil.rmtree(wdir, ignore_errors=True)
+                # rebind to the installed bytes so re-audits keep reading
+                staged = (
+                    spark.read.parquet(*mapping.values())
+                    if mapping
+                    else spark.createDataFrame([], staged.schema)
+                )
+            record = {
+                "version": version,
+                "ts": time.time(),
+                "buckets": mapping,
+                "n_buckets": self.n_buckets,
+                "audited": True,
+                "schema": schema_json,
+            }
+            if meta:
+                record.update(meta)
+            if branch is not None:
+                rec = self._publish_to_branch(record, branch)
+                return {"published": True, **rec, "report": report}
+            try:
+                self._log.publish(
+                    record,
+                    protected=self._branch_covers,
+                    expected_head=basis_v if anomaly_rules else None,
+                )
+                self._expire(record)
+                return {"published": True, **record, "report": report}
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                if any(not os.path.isdir(d) for d in mapping.values()):
+                    raise CommitConflict(
+                        f"WAP staging of {self.root} was reclaimed by a "
+                        "concurrent retention pass; re-run the WAP"
+                    ) from None
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
 
     def initialize(
         self,
@@ -1981,11 +2570,15 @@ class VersionedBucketMirror(BranchOps):
                 "files_before": 0,
                 "files_after": 0,
             }
+        deltas = cur.get("deltas") or {}
+        # fragmented bases AND every delta'd bucket (r11: compaction is
+        # the merge-on-read FOLD point — base+deltas rewrite into one
+        # fresh base and the chain resets)
         todo = {
-            b: d
+            b
             for b, d in cur["buckets"].items()
             if _nfiles(d) >= max(min_files, 2)
-        }
+        } | set(deltas)
         if not todo:
             return {
                 "version": None,
@@ -1993,12 +2586,17 @@ class VersionedBucketMirror(BranchOps):
                 "files_before": 0,
                 "files_after": 0,
             }
-        files_before = sum(_nfiles(d) for d in todo.values())
-        frag = self._read_dirs(spark, list(todo.values()), cur.get("schema"))
+        files_before = sum(
+            _nfiles(cur["buckets"][b]) for b in todo if b in cur["buckets"]
+        ) + sum(
+            _nfiles(s["dir"]) for b in todo for s in deltas.get(b, [])
+        )
+        frag = self._read_entry(spark, cur, buckets=[int(b) for b in todo])
         rec = self._commit_staged(
             frag,
             touched=[int(b) for b in todo],
             meta={"operation": "rewrite_data_files"},
+            basis=cur,
         )
         files_after = sum(
             _nfiles(rec["buckets"][b]) for b in todo if b in rec["buckets"]
@@ -2009,6 +2607,39 @@ class VersionedBucketMirror(BranchOps):
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def rebucket(self, spark: SparkSession, new_n: int) -> dict:
+        """Bucket-count (partition-spec) evolution (r11, VERDICT task 4
+        — the Iceberg spec-evolution analog, eager form): rewrite the
+        CURRENT state under a ``new_n``-bucket hash spec as ONE manifest
+        commit. History stays intact — old manifests keep their dirs and
+        their own recorded spec, time travel and tags read through —
+        and every subsequent merge/lookup prunes under the new spec
+        (the spec rides the manifest; ``_sync_spec`` rebinds handles).
+        Cost ∝ live data (one bucket-partitioned rewrite), independent
+        of history length — the probe scripts measure exactly that.
+        Merges prepared under the old spec conflict cleanly (their
+        basis buckets were all rewritten)."""
+        new_n = int(new_n)
+        if new_n < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n}")
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        if new_n == self.n_buckets:
+            return dict(cur)  # already on this spec: no-op
+        full = self._read_entry(spark, cur)
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        try:
+            rec = self._commit_staged(
+                full, touched=None, meta={"operation": "rebucket"}
+            )
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return rec
 
     def merge_batch(
         self,
@@ -2024,6 +2655,7 @@ class VersionedBucketMirror(BranchOps):
         with the same touched-bucket cost."""
         spark = batch_df.sparkSession
         key = target.key_column
+        self._sync_spec()  # bind to the current manifest's bucket spec
         touched = sorted(
             r["b"]
             for r in batch_df.select(self._bucket(F.col(key)).alias("b"))
@@ -2032,19 +2664,50 @@ class VersionedBucketMirror(BranchOps):
         )
         if not touched:
             return {"touched_buckets": []}
-        if branch is not None:
-            base = self._branch_head_entry(branch)
-            mapping = base["buckets"]
-            dirs = [
-                mapping[str(int(b))]
-                for b in touched
-                if str(int(b)) in mapping
-            ]
-            current = self._read_dirs(spark, dirs, base.get("schema"))
-        else:
-            current = (
-                self.read_buckets(spark, touched) if self.exists() else None
+        # resolve the basis manifest ONCE: both the merge's input reads
+        # and the commit's CAS check bind to it (r11 — a commit landing
+        # between read and publish surfaces as CommitConflict / a
+        # validated disjoint-bucket rebase, never a silent lost update)
+        base = (
+            self._branch_head_entry(branch)
+            if branch is not None
+            else self.current()
+        )
+        ts_cols = (
+            [target.ts_column]
+            if isinstance(target.ts_column, str)
+            else list(target.ts_column)
+        )
+        if self.merge_on_read:
+            # MoR write path: no base read at all — the commit appends
+            # the batch's latest-per-key slice (tombstones retained) as
+            # one delta dir per touched bucket; cost ∝ |batch|
+            delta = latest_by_key(
+                batch_df,
+                key_cols=key,
+                ts_cols=ts_cols,
+                tiebreak_cols=tiebreak_cols,
             )
+            rec = self._commit_delta(
+                delta,
+                touched=touched,
+                fold={
+                    "key": key,
+                    "ts": ts_cols,
+                    "op": target.op_column,
+                    "delete_op": target.delete_op,
+                    "tiebreak": list(tiebreak_cols),
+                },
+                basis=base,
+                branch=branch,
+            )
+            rec["touched_buckets"] = touched
+            return rec
+        current = (
+            self._read_entry(spark, base, buckets=touched)
+            if base is not None
+            else None
+        )
         new_state = apply_changelog(
             batch_df,
             key_cols=key,
@@ -2056,7 +2719,8 @@ class VersionedBucketMirror(BranchOps):
             drop_envelope=(),
         )
         rec = self._commit_staged(
-            new_state, touched=touched, key_col=key, branch=branch
+            new_state, touched=touched, key_col=key, branch=branch,
+            basis=base,
         )
         rec["touched_buckets"] = touched
         return rec
@@ -2068,6 +2732,7 @@ class VersionedBucketMirror(BranchOps):
         key_col: str | None = None,
         meta: dict | None = None,
         branch: str | None = None,
+        expected_version: int | None = None,
     ) -> dict:
         """Commit an externally-merged state slice for ``touched`` buckets
         as one manifest (the hook ``operators/merge.py merge_into_table``
@@ -2075,10 +2740,28 @@ class VersionedBucketMirror(BranchOps):
         touched buckets). ``meta`` rides the manifest record — same
         provenance contract as ``ParquetStateTable.commit`` (ADVICE r9:
         a merge commit must be distinguishable from a CDC commit in
-        ``history()`` on every layout that has one)."""
+        ``history()`` on every layout that has one).
+
+        ``expected_version``: the manifest version ``df`` was derived
+        from (r11 optimistic concurrency) — the commit then validates
+        against it: if the table advanced but the concurrent commits
+        left this merge's buckets untouched, the commit rebases and
+        lands; if they touched the same buckets, CommitConflict."""
+        basis = _UNSET
+        if expected_version is not None:
+            basis = None
+            if expected_version >= 0:
+                for e in self._log.entries():
+                    if e["version"] == expected_version:
+                        basis = e
+                        break
+                if basis is None:
+                    raise ValueError(
+                        f"no snapshot {expected_version} in {self.root}"
+                    )
         rec = self._commit_staged(
             df, touched=list(touched), key_col=key_col, meta=meta,
-            branch=branch,
+            branch=branch, basis=basis,
         )
         rec["touched_buckets"] = sorted(int(b) for b in touched)
         return rec
@@ -2092,6 +2775,7 @@ class VersionedBucketMirror(BranchOps):
         files_per_bucket: int = 1,
         max_records_per_file: int | None = None,
         branch: str | None = None,
+        basis=_UNSET,
     ) -> dict:
         """Stage ``df`` partitioned by bucket, install the staged buckets
         under immutable new version names, publish the manifest.
@@ -2109,6 +2793,7 @@ class VersionedBucketMirror(BranchOps):
         file`` is the deterministic file-size bound (Spark's own
         ``maxRecordsPerFile``), the knob that actually guarantees a
         fragmented layout for ``rewrite_data_files`` to recover."""
+        _check_meta(meta)
         key = key_col or self.key_col
         version = self._log.next_version()
         staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex[:8]}")
@@ -2154,15 +2839,22 @@ class VersionedBucketMirror(BranchOps):
                         c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
                     }
         # untouched buckets carry forward from wherever this commit lands:
-        # the branch head for a branch-staged commit, main's CURRENT else
+        # the caller-resolved basis manifest when given (the manifest its
+        # df was DERIVED from — the CAS basis), else the branch head for
+        # a branch-staged commit, else main's CURRENT
         cur = (
-            self._branch_head_entry(branch)
-            if branch is not None
-            else self.current()
+            (
+                self._branch_head_entry(branch)
+                if branch is not None
+                else self.current()
+            )
+            if basis is _UNSET
+            else basis
         )
-        mapping: dict[str, str] = (
-            dict(cur["buckets"]) if (cur and touched is not None) else {}
-        )
+        # install staged dirs, recording per-bucket ACTIONS (install dst /
+        # delete) rather than a mapping, so a conflict retry can re-apply
+        # them against a newer head
+        actions: dict[str, str | None] = {}
         try:
             staged = [
                 d for d in os.listdir(staging) if d.startswith("bucket=")
@@ -2181,45 +2873,315 @@ class VersionedBucketMirror(BranchOps):
                         bdir, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
                     )
                     os.replace(src, dst)  # install under a NEW name only
-                    mapping[str(int(b))] = dst
+                    actions[str(int(b))] = dst
                 else:
-                    mapping.pop(str(int(b)), None)  # bucket fully deleted
+                    actions[str(int(b))] = None  # bucket fully deleted
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        record = {"version": version, "ts": time.time(), "buckets": mapping}
-        # carried-forward buckets keep their previous stats; staged ones
-        # take the fresh bounds. Stats are pruning BOUNDS only — a
-        # purge/delete may leave them wider than the data
-        # (stale-but-safe), never narrower.
-        if self.stats_cols:
-            stats: dict[str, dict] = dict(
-                (cur.get("stats") or {}) if (cur and touched is not None) else {}
-            )
-            stats.update(staged_stats)
-            # a fully-deleted bucket drops its stats with its mapping
-            stats = {b: v for b, v in stats.items() if b in mapping}
-        # manifest-recorded table schema (r10): reads bind to it instead
-        # of footer-merging; union-widened so untouched buckets' narrower
-        # columns read through the parquet widening promotions. Legacy
-        # manifests without a schema stay schema-free (mergeSchema path)
-        # — recording one would misdescribe their unknown carried dirs.
         new_schema = T.StructType(
             [f for f in staged_df.schema.fields if f.name != "bucket"]
         )
-        if touched is None or cur is None:
-            record["schema"] = _widen_struct(None, new_schema).jsonValue()
-        elif "schema" in cur:
-            prev_schema = T.StructType.fromJson(cur["schema"])
-            record["schema"] = _widen_struct(prev_schema, new_schema).jsonValue()
-        if self.stats_cols:
-            record["stats"] = stats
-        if meta:
-            record.update(meta)
+
+        def _build(base_entry: dict | None) -> dict:
+            mapping: dict[str, str] = (
+                dict(base_entry["buckets"])
+                if (base_entry and touched is not None)
+                else {}
+            )
+            for b, dst in actions.items():
+                if dst is None:
+                    mapping.pop(b, None)
+                else:
+                    mapping[b] = dst
+            # a staged FULL-state bucket supersedes its delta chain
+            # (merge-on-read): touched buckets drop their deltas, the
+            # rest carry forward; touched=None clears everything
+            deltas = {
+                b: list(v)
+                for b, v in ((base_entry or {}).get("deltas") or {}).items()
+                if touched is not None and b not in actions
+            }
+            record = {
+                "version": self._log.next_version(),
+                "ts": time.time(),
+                "buckets": mapping,
+                "n_buckets": self.n_buckets,
+            }
+            if deltas:
+                record["deltas"] = deltas
+            # carried-forward buckets keep their previous stats; staged
+            # ones take the fresh bounds. Stats are pruning BOUNDS only —
+            # a purge/delete may leave them wider than the data
+            # (stale-but-safe), never narrower.
+            if self.stats_cols:
+                stats: dict[str, dict] = dict(
+                    (base_entry.get("stats") or {})
+                    if (base_entry and touched is not None)
+                    else {}
+                )
+                stats.update(staged_stats)
+                # a fully-deleted bucket drops its stats with its mapping
+                record["stats"] = {
+                    b: v for b, v in stats.items() if b in mapping
+                }
+            # manifest-recorded table schema (r10): reads bind to it
+            # instead of footer-merging; union-widened so untouched
+            # buckets' narrower columns read through the parquet widening
+            # promotions. Legacy manifests without a schema stay
+            # schema-free (mergeSchema path) — recording one would
+            # misdescribe their unknown carried dirs — UNLESS this commit
+            # replaced every carried dir (e.g. the full-rewrite widening
+            # path): then no unknown dirs remain and recording the staged
+            # schema upgrades the table to the schema'd read path.
+            installed_dirs = {d for d in actions.values() if d is not None}
+            if touched is None or base_entry is None:
+                record["schema"] = _widen_struct(None, new_schema).jsonValue()
+            elif "schema" in base_entry:
+                prev_schema = T.StructType.fromJson(base_entry["schema"])
+                record["schema"] = _widen_struct(
+                    prev_schema, new_schema
+                ).jsonValue()
+            elif not deltas and all(
+                d in installed_dirs for d in mapping.values()
+            ):
+                record["schema"] = _widen_struct(None, new_schema).jsonValue()
+            if meta:
+                record.update(meta)
+            return record
+
         if branch is not None:
             # branch staging: only the branch pointer advances; staged
             # dirs are protected by the branch window, no retention pass
-            return self._publish_to_branch(record, branch)
-        self._log.publish(record, protected=self._branch_covers)
+            return self._publish_to_branch(_build(cur), branch)
+        # optimistic-concurrency publish (r11, VERDICT task 1): CAS on the
+        # basis head; on conflict re-read, verify the concurrent commits
+        # did not touch OUR buckets (then re-applying the actions against
+        # the new head is sound — disjoint writers both land), else raise.
+        basis = cur
+        attempt = 0
+        while True:
+            record = _build(basis)
+            try:
+                self._log.publish(
+                    record,
+                    protected=self._branch_covers,
+                    expected_head=(basis["version"] if basis else -1),
+                )
+                break
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                new_cur = self.current()
+                if touched is not None and (
+                    (new_cur["version"] if new_cur else -1)
+                    != (basis["version"] if basis else -1)
+                ):
+                    for b in actions:
+                        if self._bucket_state(basis, b) != self._bucket_state(
+                            new_cur, b
+                        ):
+                            raise CommitConflict(
+                                f"bucket {b} of {self.root} was modified "
+                                "by a concurrent commit — this merge's "
+                                "inputs are stale; re-run it against the "
+                                "new head"
+                            ) from None
+                basis = new_cur
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
+        self._expire(record)
+        return record
+
+    @staticmethod
+    def _bucket_state(entry: dict | None, b: str):
+        """The full content identity of bucket ``b`` in a manifest (base
+        dir + delta dir chain) — what the optimistic-concurrency retry
+        compares to prove two commits disjoint."""
+        if not entry:
+            return None
+        return (
+            entry["buckets"].get(b),
+            tuple(
+                s["dir"]
+                for s in (entry.get("deltas") or {}).get(b, ())
+            ),
+        )
+
+    def _commit_delta(
+        self,
+        delta_df: DataFrame,
+        touched: Sequence[int],
+        fold: dict,
+        basis=_UNSET,
+        branch: str | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Merge-on-read commit (r11, VERDICT task 2): stage ``delta_df``
+        bucket-partitioned, install one immutable DELTA dir per touched
+        bucket (``bucket=K/v-<n>-delta-<uuid>``), and publish a manifest
+        that carries every base dir forward unchanged and APPENDS the
+        delta spec (dir + the fold params reads need) to the touched
+        buckets' chains. Write amplification is the delta itself — the
+        Iceberg v2 delete-file / Delta deletion-vector cost model; the
+        read-side fold is ``_read_entry`` and ``rewrite_data_files`` is
+        the fold point that bounds chain length. Same CAS publish
+        contract as ``_commit_staged``: disjoint concurrent commits
+        rebase, overlapping ones raise ``CommitConflict``."""
+        _check_meta(meta)
+        key = fold["key"]
+        version = self._log.next_version()
+        staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex[:8]}")
+        staged_df = delta_df.withColumn("bucket", self._bucket(F.col(key)))
+        staged_df = staged_df.repartition("bucket")
+        if self.sort_cols:
+            staged_df = staged_df.sortWithinPartitions(
+                "bucket", *self.sort_cols
+            )
+        staged_df.write.mode("errorifexists").partitionBy("bucket").parquet(
+            staging
+        )
+        staged_stats: dict[str, dict] = {}
+        if self.stats_cols:
+            sdf = delta_df.sparkSession.read.parquet(staging)
+            present = [c for c in self.stats_cols if c in sdf.columns]
+            if present:
+                aggs = []
+                for c in present:
+                    aggs.append(F.min(c).alias(f"__mn_{c}"))
+                    aggs.append(F.max(c).alias(f"__mx_{c}"))
+                for r in sdf.groupBy("bucket").agg(*aggs).collect():
+                    staged_stats[str(int(r["bucket"]))] = {
+                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                    }
+        cur = (
+            (
+                self._branch_head_entry(branch)
+                if branch is not None
+                else self.current()
+            )
+            if basis is _UNSET
+            else basis
+        )
+        actions: dict[str, str | None] = {}
+        try:
+            for b in touched:
+                src = os.path.join(staging, f"bucket={int(b)}")
+                if os.path.isdir(src):
+                    bdir = os.path.join(self.data_dir, f"bucket={int(b)}")
+                    os.makedirs(bdir, exist_ok=True)
+                    dst = os.path.join(
+                        bdir,
+                        f"v-{version:08d}-delta-{uuid.uuid4().hex[:8]}",
+                    )
+                    os.replace(src, dst)
+                    actions[str(int(b))] = dst
+                else:
+                    actions[str(int(b))] = None  # nothing staged here
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        new_schema = T.StructType(
+            [f for f in staged_df.schema.fields if f.name != "bucket"]
+        )
+
+        def _merge_bounds(old, new):
+            if old is None:
+                return new
+            if old[0] is None or new[0] is None:
+                mn = None
+            else:
+                mn = min(old[0], new[0])
+            if old[1] is None or new[1] is None:
+                mx = None
+            else:
+                mx = max(old[1], new[1])
+            return [mn, mx]
+
+        def _build(base_entry: dict | None) -> dict:
+            mapping = dict(base_entry["buckets"]) if base_entry else {}
+            deltas = {
+                b: list(v)
+                for b, v in ((base_entry or {}).get("deltas") or {}).items()
+            }
+            record = {
+                "version": self._log.next_version(),
+                "ts": time.time(),
+                "buckets": mapping,
+                "n_buckets": self.n_buckets,
+            }
+            for b, dst in actions.items():
+                if dst is None:
+                    continue
+                deltas.setdefault(b, []).append(
+                    {"version": record["version"], "dir": dst, **fold}
+                )
+            record["deltas"] = deltas
+            if self.stats_cols:
+                stats = dict(
+                    (base_entry.get("stats") or {}) if base_entry else {}
+                )
+                for b, st in staged_stats.items():
+                    merged = dict(stats.get(b) or {})
+                    for c, bounds in st.items():
+                        merged[c] = _merge_bounds(merged.get(c), bounds)
+                    stats[b] = merged
+                record["stats"] = stats
+            # schema rules mirror _commit_staged: a delta may add/widen
+            # columns (evolution through the fold); legacy schema-free
+            # manifests stay on the mergeSchema path
+            if base_entry is None:
+                record["schema"] = _widen_struct(None, new_schema).jsonValue()
+            elif "schema" in base_entry:
+                record["schema"] = _widen_struct(
+                    T.StructType.fromJson(base_entry["schema"]), new_schema
+                ).jsonValue()
+            if meta:
+                record.update(meta)
+            return record
+
+        if branch is not None:
+            return self._publish_to_branch(_build(cur), branch)
+        basis_entry = cur
+        attempt = 0
+        while True:
+            record = _build(basis_entry)
+            try:
+                self._log.publish(
+                    record,
+                    protected=self._branch_covers,
+                    expected_head=(
+                        basis_entry["version"] if basis_entry else -1
+                    ),
+                )
+                break
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                new_cur = self.current()
+                if (new_cur["version"] if new_cur else -1) != (
+                    basis_entry["version"] if basis_entry else -1
+                ):
+                    # delta appends COMMUTE with concurrent delta appends
+                    # (the fold is ts-ordered, not arrival-ordered), so
+                    # the rebase rule is weaker than _commit_staged's:
+                    # each touched bucket's BASE must be unchanged and
+                    # its delta chain only EXTENDED — a base rewrite
+                    # (compaction/full merge) invalidates our basis
+                    for b in actions:
+                        old = self._bucket_state(basis_entry, b)
+                        new = self._bucket_state(new_cur, b)
+                        old_base, old_chain = old or (None, ())
+                        new_base, new_chain = new or (None, ())
+                        if old_base != new_base or (
+                            new_chain[: len(old_chain)] != old_chain
+                        ):
+                            raise CommitConflict(
+                                f"bucket {b} of {self.root} was rewritten "
+                                "by a concurrent commit — this delta's "
+                                "basis is stale; re-run the merge"
+                            ) from None
+                    basis_entry = new_cur
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
         self._expire(record)
         return record
 
@@ -2247,6 +3209,7 @@ class VersionedBucketMirror(BranchOps):
         re-run converges.
         """
         key = key_col or self.key_col
+        self._sync_spec()
         cur = self.current()
         if cur is None:
             return {"manifests_rewritten": 0, "bucket_dirs_rewritten": 0}
@@ -2268,43 +3231,72 @@ class VersionedBucketMirror(BranchOps):
             and any(lo < e["version"] <= hi for lo, hi in windows)
         ]
         dir_map: dict[str, str | None] = {}
+
+        def _purge_dir(b: str, d: str, version: int, kind: str) -> None:
+            if d in dir_map or not os.path.isdir(d):
+                return
+            df = spark.read.parquet(d)
+            clean = df.join(
+                F.broadcast(probe),
+                df[key].eqNullSafe(probe["__p_0"]),
+                "left_anti",
+            )
+            if clean.isEmpty():  # dir emptied by the purge
+                dir_map[d] = None
+                return
+            dst = os.path.join(
+                self.data_dir,
+                f"bucket={int(b)}",
+                f"v-{version:08d}-{kind}purge-{uuid.uuid4().hex[:8]}",
+            )
+            clean.coalesce(1).write.mode("errorifexists").parquet(dst)
+            dir_map[d] = dst
+
         for e in entries:
             for b, d in e["buckets"].items():
-                if b not in touched or d in dir_map or not os.path.isdir(d):
+                if b in touched:
+                    _purge_dir(b, d, e["version"], "")
+            # merge-on-read delta dirs hold the same PII (upserts AND
+            # key-bearing tombstones) — purge them identically
+            for b, specs in (e.get("deltas") or {}).items():
+                if b not in touched:
                     continue
-                df = spark.read.parquet(d)
-                clean = df.join(
-                    F.broadcast(probe),
-                    df[key].eqNullSafe(probe["__p_0"]),
-                    "left_anti",
-                )
-                if clean.isEmpty():  # bucket emptied by the purge
-                    dir_map[d] = None
-                    continue
-                dst = os.path.join(
-                    self.data_dir,
-                    f"bucket={int(b)}",
-                    f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
-                )
-                clean.coalesce(1).write.mode("errorifexists").parquet(dst)
-                dir_map[d] = dst
+                for s in specs:
+                    _purge_dir(b, s["dir"], e["version"], "delta-")
         now = time.time()
 
-        def _rewrite(buckets: dict[str, str]) -> dict[str, str] | None:
-            out = {
+        def _rewrite(e: dict):
+            buckets = e["buckets"]
+            out_b = {
                 b: (dir_map[d] if d in dir_map else d)
                 for b, d in buckets.items()
             }
-            out = {b: d for b, d in out.items() if d is not None}
-            return out if out != buckets else None
+            out_b = {b: d for b, d in out_b.items() if d is not None}
+            old_d = e.get("deltas") or {}
+            out_d: dict[str, list] = {}
+            for b, specs in old_d.items():
+                ns = []
+                for s in specs:
+                    nd = dir_map.get(s["dir"], s["dir"])
+                    if nd is None:
+                        continue  # delta emptied by the purge
+                    ns.append({**s, "dir": nd} if nd != s["dir"] else s)
+                if ns:
+                    out_d[b] = ns
+            if out_b == buckets and out_d == old_d:
+                return None
+            return out_b, out_d
 
         manifests_rewritten = 0
         for e in entries:
-            newb = _rewrite(e["buckets"])
-            if newb is None:
+            new_bd = _rewrite(e)
+            if new_bd is None:
                 continue
             rec = dict(e)
-            rec["buckets"] = newb
+            rec["buckets"], deltas = new_bd
+            rec.pop("deltas", None)
+            if deltas:
+                rec["deltas"] = deltas
             rec["purged_ts"] = now
             lpath = os.path.join(
                 self._log.log_dir, f"v-{e['version']:08d}.json"
@@ -2315,10 +3307,21 @@ class VersionedBucketMirror(BranchOps):
                     json.dump(rec, fh)
                 os.replace(tmp, lpath)
             manifests_rewritten += 1
-        newb = _rewrite(cur["buckets"])
-        if newb is not None:
+        # CAS guard (r11): same rule as the snapshot-table purge — a
+        # commit landing mid-purge carries forward dirs we would delete
+        live = self.current()
+        if (live["version"] if live else -1) != cur["version"]:
+            raise CommitConflict(
+                f"{self.root} advanced during purge_keys — re-run the "
+                "purge to cover the new head"
+            )
+        new_bd = _rewrite(cur)
+        if new_bd is not None:
             rec = dict(cur)
-            rec["buckets"] = newb
+            rec["buckets"], deltas = new_bd
+            rec.pop("deltas", None)
+            if deltas:
+                rec["deltas"] = deltas
             rec["purged_ts"] = now
             tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
@@ -2371,15 +3374,15 @@ class VersionedBucketMirror(BranchOps):
         kept_dirs: set[str] = set()
         for e in committed:
             if e["version"] not in expired_versions:
-                kept_dirs.update(e["buckets"].values())
+                kept_dirs.update(self._entry_dirs(e))
         for e in self._log.entries():
             if any(lo <= e["version"] <= hi for lo, hi in windows):
-                kept_dirs.update(e["buckets"].values())
+                kept_dirs.update(self._entry_dirs(e))
         doomed: set[str] = set()
         for e in expired:
             doomed.update(
                 d
-                for d in e["buckets"].values()
+                for d in self._entry_dirs(e)
                 if d not in kept_dirs and self._owns(d)
             )
         removed = 0
@@ -2400,25 +3403,45 @@ class VersionedBucketMirror(BranchOps):
         plus the record just published. Staged dirs of crashed commits are
         referenced by nothing and die here."""
         keep = max(self.keep_versions, 1)
-        referenced = set(just_published["buckets"].values())
+        referenced = set(self._entry_dirs(just_published))
         for e in self._log.committed()[-keep:]:
-            referenced.update(e["buckets"].values())
+            referenced.update(self._entry_dirs(e))
         tagged = self._tagged_versions()
         windows = self._branchset.windows()  # [base, head] incl. fork point
-        if tagged or windows:  # ref-keeps-snapshot: tags AND live branches
-            for e in self._log.entries():
-                if e["version"] in tagged or any(
-                    lo <= e["version"] <= hi for lo, hi in windows
-                ):
-                    referenced.update(e["buckets"].values())
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        logged: set[str] = set()
+        for e in self._log.entries():
+            logged.update(self._entry_dirs(e))
+            # above-pointer manifests are in-flight or crashed commits:
+            # their dirs are reclaimed only after the ENTRY dies (orphan
+            # GC), never by retention racing an in-flight publish (r11)
+            if (
+                e["version"] > cur_version
+                or e["version"] in tagged
+                or any(lo <= e["version"] <= hi for lo, hi in windows)
+            ):
+                referenced.update(self._entry_dirs(e))
+        now = time.time()
         for bdir in os.listdir(self.data_dir):
             if not bdir.startswith("bucket="):
                 continue
             bpath = os.path.join(self.data_dir, bdir)
             for vdir in os.listdir(bpath):
                 full = os.path.join(bpath, vdir)
-                if vdir.startswith("v-") and full not in referenced:
-                    shutil.rmtree(full, ignore_errors=True)
+                if not vdir.startswith("v-") or full in referenced:
+                    continue
+                if full not in logged:
+                    # referenced by NO manifest: aged = crash staging
+                    # (reclaim), fresh = a concurrent writer's installed
+                    # dirs between install and publish (spare — r11)
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue
+                    if age < self._log.conflict_grace_s:
+                        continue
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def start_changelog_ingest(
@@ -2504,6 +3527,16 @@ def run_cdc_pipeline_available_now(
             n_buckets=n_buckets,
             key_col=target.key_column,
         )
+    elif mirror_layout == "bucketed_versioned_mor":
+        # merge-on-read (r11): merges append delta files, reads fold,
+        # rewrite_data_files folds back — the write-amplification-
+        # minimal CDC shape at 100 TB
+        mirror = VersionedBucketMirror(
+            os.path.join(work_dir, "mirror"),
+            n_buckets=n_buckets,
+            key_col=target.key_column,
+            merge_on_read=True,
+        )
     elif mirror_layout == "snapshot":
         mirror = ParquetStateTable(os.path.join(work_dir, "mirror"))
     else:
@@ -2517,13 +3550,13 @@ def run_cdc_pipeline_available_now(
             .filter(exclude_glob_filter(target.initial_load_exclude_glob))
             .withColumn("_src_file", F.input_file_name())
         )
-        if mirror_layout in ("bucketed", "bucketed_versioned"):
+        if mirror_layout in ("bucketed", "bucketed_versioned", "bucketed_versioned_mor"):
             mirror.initialize(initial)
         else:
             mirror.commit(initial)
 
     def _merge(batch_df: DataFrame, _epoch: int) -> None:
-        if mirror_layout in ("bucketed", "bucketed_versioned"):
+        if mirror_layout in ("bucketed", "bucketed_versioned", "bucketed_versioned_mor"):
             mirror.merge_batch(batch_df, target, tiebreak_cols=("_src_file",))
         else:
             cdc_merge_batch(

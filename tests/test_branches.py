@@ -147,6 +147,11 @@ def test_deleted_branch_releases_staged_commits(spark, tmp_path):
     t.delete_branch("b")
     with pytest.raises(ValueError, match="no branch"):
         t.read_branch(spark, "b")
+    # age the released entry past the in-flight grace (r11: a fresh
+    # above-pointer ref'd entry could be a concurrent branch commit)
+    os.utime(
+        os.path.join(t._log_dir, f"v-{staged['version']:08d}.json"), (0, 0)
+    )
     t.commit(_df(spark, "v2"))  # next main publish GCs the orphaned stage
     assert not os.path.isdir(staged["dir"])
     assert not os.path.exists(
@@ -171,6 +176,7 @@ def test_crashed_branch_commit_is_garbage_collected(spark, tmp_path):
         json.dump(
             {"version": 2, "dir": orphan_dir, "ts": 0.0, "ref": "b"}, fh
         )
+    os.utime(os.path.join(t._log_dir, "v-00000002.json"), (0, 0))  # aged
     t.commit(_df(spark, "v3"))
     assert not os.path.isdir(orphan_dir)
     assert _tags(spark, t.read_branch(spark, "b")) == _tags(
@@ -187,7 +193,12 @@ def test_mid_fast_forward_crash_converges_on_rerun(spark, tmp_path):
     t.branch("b")
     t.commit(_df(spark, "b1"), branch="b")
     t.commit(_df(spark, "b2"), branch="b")
-    # simulate the partial strip (v1 stripped, pointer not swapped)
+    # simulate the partial strip (v1 stripped, pointer not swapped) —
+    # including the in-progress marker the crashed run wrote (r11: a
+    # ref-less window entry is accepted ONLY under a matching marker)
+    os.makedirs(os.path.join(t.root, "_ff"), exist_ok=True)
+    with open(os.path.join(t.root, "_ff", "b.json"), "w") as fh:
+        json.dump({"name": "b", "base": 0, "head": 2, "ts": 0.0}, fh)
     lpath = os.path.join(t._log_dir, "v-00000001.json")
     with open(lpath) as fh:
         e = json.load(fh)

@@ -65,7 +65,10 @@ def test_batch_recompute_window_strategy_agrees(spark, scenario):
     assert _mirror_dict(mirror) == expected
 
 
-@pytest.mark.parametrize("layout", ["snapshot", "bucketed", "bucketed_versioned"])
+@pytest.mark.parametrize(
+    "layout",
+    ["snapshot", "bucketed", "bucketed_versioned", "bucketed_versioned_mor"],
+)
 def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path, layout):
     src, expected = scenario
     target = CdcTarget(source_uri=f"file://{src}", key_column="id", ts_column="ts")
@@ -82,7 +85,10 @@ def test_streaming_pipeline_matches_golden(spark, scenario, tmp_path, layout):
     assert _mirror_dict(res2["mirror"].read(spark)) == expected
 
 
-@pytest.mark.parametrize("layout", ["snapshot", "bucketed", "bucketed_versioned"])
+@pytest.mark.parametrize(
+    "layout",
+    ["snapshot", "bucketed", "bucketed_versioned", "bucketed_versioned_mor"],
+)
 def test_streaming_schema_evolution_mid_stream(spark, tmp_path, layout):
     """VERDICT r7 #5 — a NEW column arriving in later changelog files
     mid-stream. The evolution contract (FIXTURES.md A4): Structured

@@ -1,0 +1,347 @@
+"""Optimistic concurrency on snapshot commits (r11, VERDICT task 1).
+
+The reference's tables are Iceberg, whose commit protocol is an
+optimistic compare-and-swap with conflict retry (reference
+batch-bootstrapper/tabular.py:69-70 ``transaction()``); before r11 both
+snapshot-log layouts published by pointer rename with no conflict
+check, so CDC merge + compaction + purge racing on one table silently
+last-write-won. Laws pinned here:
+
+- the log entry create is EXCLUSIVE: two writers allocating the same
+  version cannot both win (the Delta/Iceberg put-if-absent commit);
+- a based commit (expected_version / merge) raises CommitConflict when
+  the table advanced past its basis — unless the concurrent commits
+  provably touched DISJOINT buckets, in which case the bucketed layout
+  rebases and both land (one linear history, no lost update);
+- blind full-state commits retry internally and serialize;
+- a fresh above-pointer entry is an in-flight commit (conflict), an
+  aged one is a crash orphan (GC'd) — the grace window that separates
+  the two;
+- WAP re-audits against the NEW head when a commit lands between its
+  baseline read and its publish (VERDICT r11 task 8);
+- purge_keys refuses to delete bytes a mid-purge commit carried
+  forward;
+- fast_forward never publishes a foreign unpublished commit that a
+  branch window swallowed (ADVICE r10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    CommitConflict,
+    ParquetStateTable,
+    VersionedBucketMirror,
+)
+
+
+def _df(spark, tag, n=6):
+    return spark.createDataFrame(
+        [(i, tag) for i in range(n)], "k long, v string"
+    )
+
+
+def _rows(spark, t):
+    out = t.read(spark)
+    return sorted((r.k, r.v) for r in out.collect()) if out is not None else []
+
+
+# ---------------------------------------------------------------- log level
+
+
+def test_log_entry_create_is_exclusive(spark, tmp_path):
+    """Two publishes of the same version: the second raises instead of
+    overwriting the first's log entry (ADVICE r10: os.replace silently
+    erased the loser's commit from history)."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    rec = dict(t.current())
+    rec["version"] = t._next_version()
+    rec["ts"] = 0.0
+    t._log.publish(rec, protected=t._branch_covers)
+    dup = dict(rec)
+    with pytest.raises(CommitConflict, match="already has a log entry"):
+        t._log.publish(dup, protected=t._branch_covers)
+    # the winner's entry survives intact
+    with open(t._log._entry_path(rec["version"])) as fh:
+        assert json.load(fh)["ts"] == 0.0
+
+
+def test_fresh_orphan_blocks_then_ages_out(spark, tmp_path):
+    """A fresh ref-less above-pointer entry is treated as an in-flight
+    concurrent commit (CommitConflict); once older than the grace it is
+    a crash orphan — GC'd and the publish proceeds."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    lpath = t._log._entry_path(1)
+    with open(lpath, "w") as fh:
+        json.dump({"version": 1, "dir": "/nonexistent", "ts": 0.0}, fh)
+    rec = {"version": 2, "dir": t.current()["dir"], "ts": 0.0}
+    with pytest.raises(CommitConflict, match="in-flight"):
+        t._log.publish(rec, protected=t._branch_covers)
+    os.utime(lpath, (0, 0))  # age past the grace: now a crash orphan
+    t._log.publish(rec, protected=t._branch_covers)
+    assert not os.path.exists(lpath)  # orphan GC'd
+    assert t.current()["version"] == 2
+
+
+# ------------------------------------------------------- snapshot table
+
+
+def test_based_snapshot_commit_conflicts_on_stale_basis(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    basis = t.current()["version"]
+    t.commit(_df(spark, "concurrent"))  # another writer lands
+    n_dirs = len([d for d in os.listdir(t.root) if d.startswith("v-")])
+    with pytest.raises(CommitConflict, match="advanced"):
+        t.commit(_df(spark, "stale"), expected_version=basis)
+    # the conflicted commit's staged dir was cleaned up
+    assert (
+        len([d for d in os.listdir(t.root) if d.startswith("v-")]) == n_dirs
+    )
+    assert _rows(spark, t) == sorted((i, "concurrent") for i in range(6))
+
+
+def test_blind_commits_from_threads_serialize(spark, tmp_path):
+    """N racing blind commits all land: linear history, distinct
+    versions, no lost entry, pointer at the max version."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=20)
+    t.commit(_df(spark, "v0"))
+    errs = []
+
+    def w(tag):
+        try:
+            ParquetStateTable(t.root, keep_versions=20).commit(
+                _df(spark, tag)
+            )
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=w, args=(f"w{i}",)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    versions = [e["version"] for e in t.history()]
+    assert len(versions) == 5 and versions == sorted(set(versions))
+    assert t.current()["version"] == max(versions)
+    # every committed snapshot's data dir exists
+    assert all(e["readable"] for e in t.history())
+
+
+# ------------------------------------------------------- bucketed mirror
+
+
+def _mirror(spark, tmp_path, n=64):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=16, key_col="k", keep_versions=10
+    )
+    m.initialize(
+        spark.createDataFrame([(i, 0) for i in range(n)], "k long, v long")
+    )
+    return m
+
+
+def _split_disjoint_buckets(spark, m, keys):
+    """Partition ``keys`` into two groups with provably disjoint bucket
+    sets under the mirror's hash spec."""
+    rows = (
+        spark.createDataFrame([(k,) for k in keys], "k long")
+        .select("k", m._bucket(F.col("k")).alias("b"))
+        .collect()
+    )
+    buckets = sorted({r.b for r in rows})
+    half = set(buckets[: len(buckets) // 2])
+    a = [r.k for r in rows if r.b in half]
+    bks_a = {r.b for r in rows if r.b in half}
+    b = [r.k for r in rows if r.b not in half]
+    bks_b = {r.b for r in rows if r.b not in half}
+    assert a and b and not (bks_a & bks_b)
+    return (a, sorted(bks_a)), (b, sorted(bks_b))
+
+
+def test_disjoint_bucket_merges_both_land(spark, tmp_path):
+    """Writer A commits; writer B, prepared on the PRE-A head, touches
+    only disjoint buckets — B's commit validates, rebases onto A's
+    manifest, and both updates land in one linear history."""
+    m = _mirror(spark, tmp_path)
+    v0 = m.current()["version"]
+    (keys_a, bks_a), (keys_b, bks_b) = _split_disjoint_buckets(
+        spark, m, list(range(64))
+    )
+    # writer A (normal commit)
+    m.commit_merged(
+        spark.createDataFrame([(k, 1) for k in keys_a], "k long, v long"),
+        touched=bks_a,
+        expected_version=v0,
+    )
+    # writer B: basis is STILL v0 (it read before A landed)
+    rec = m.commit_merged(
+        spark.createDataFrame([(k, 2) for k in keys_b], "k long, v long"),
+        touched=bks_b,
+        expected_version=v0,
+    )
+    assert rec["version"] == v0 + 2
+    state = {(r.k, r.v) for r in m.read(spark).collect()}
+    assert state == {(k, 1) for k in keys_a} | {(k, 2) for k in keys_b}
+    assert [e["version"] for e in m.history()] == [v0, v0 + 1, v0 + 2]
+    # B's manifest carries A's bucket dirs forward (rebased, not lost)
+    head = m.current()["buckets"]
+    a_head = m.history()[-2]["buckets"]
+    assert all(head[str(b)] == a_head[str(b)] for b in bks_a)
+
+
+def test_overlapping_bucket_merges_conflict(spark, tmp_path):
+    """Writer B prepared on a stale basis whose buckets writer A also
+    modified: rebasing would lose A's rows, so it must raise."""
+    m = _mirror(spark, tmp_path)
+    v0 = m.current()["version"]
+    src = spark.createDataFrame([(0, 1)], "k long, v long")
+    touched = [
+        r.b for r in src.select(m._bucket(F.col("k")).alias("b")).collect()
+    ]
+    m.commit_merged(src, touched=touched, expected_version=v0)
+    with pytest.raises(CommitConflict, match="modified by a concurrent"):
+        m.commit_merged(
+            spark.createDataFrame([(0, 2)], "k long, v long"),
+            touched=touched,
+            expected_version=v0,
+        )
+    # A's update intact
+    assert {(r.k, r.v) for r in m.read(spark).collect() if r.k == 0} == {
+        (0, 1)
+    }
+
+
+def test_purge_refuses_to_clobber_mid_purge_commit(spark, tmp_path):
+    """A commit landing between purge start and pointer rewrite carries
+    forward dirs the purge is about to delete — the purge must stop
+    (CommitConflict) without touching the pointer or the old bytes."""
+    m = _mirror(spark, tmp_path, n=16)
+    real_current = m.current
+    stale = real_current()
+    # another writer advances the table AFTER the purge captured its view
+    m2 = VersionedBucketMirror(
+        m.root, n_buckets=16, key_col="k", keep_versions=10
+    )
+    m2.commit_merged(
+        spark.createDataFrame([(99, 9)], "k long, v long"),
+        touched=[
+            r.b
+            for r in spark.createDataFrame([(99,)], "k long")
+            .select(m2._bucket(F.col("k")).alias("b"))
+            .collect()
+        ],
+    )
+    calls = {"n": 0}
+
+    def stale_then_real():
+        # purge reads current() twice up front (_sync_spec + its basis
+        # capture) — keep both on the stale view, so the simulated
+        # concurrent commit lands "between" basis capture and the
+        # pointer-rewrite guard
+        calls["n"] += 1
+        return stale if calls["n"] <= 2 else real_current()
+
+    m.current = stale_then_real
+    keys = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(CommitConflict, match="advanced during purge"):
+        m.purge_keys(spark, keys, key_col="k")
+    # the mid-purge commit's state is fully readable
+    m.current = real_current
+    assert (99, 9) in {(r.k, r.v) for r in m.read(spark).collect()}
+
+
+# ------------------------------------------------------------------ WAP
+
+
+@pytest.mark.parametrize("layout", ["snapshot", "bucketed_versioned"])
+def test_wap_reaudits_against_concurrent_commit(spark, tmp_path, layout):
+    """VERDICT r11 task 8: writer A commits while writer B's WAP is
+    between baseline read and publish. B's publish conflicts, the
+    anomaly audit re-runs with A's commit as its baseline, and B lands
+    on top — deterministic, no lost update, audit relative to the state
+    actually published onto."""
+    from tabular_cdc_bootstrapper_spark.functions.constraints import (
+        row_count_within,
+    )
+
+    if layout == "snapshot":
+        t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+        t.commit(_df(spark, "base", n=4))
+        t2 = ParquetStateTable(t.root, keep_versions=10)
+    else:
+        t = VersionedBucketMirror(
+            str(tmp_path / "t"), n_buckets=8, key_col="k", keep_versions=10
+        )
+        t.initialize(_df(spark, "base", n=4))
+        t2 = VersionedBucketMirror(
+            t.root, n_buckets=8, key_col="k", keep_versions=10
+        )
+
+    orig_publish = t._log.publish
+    state = {"fired": False}
+
+    def publish_with_ambush(record, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            if layout == "snapshot":
+                t2.commit(_df(spark, "A", n=8))  # writer A lands first
+            else:
+                t2.initialize(_df(spark, "A", n=8))
+        return orig_publish(record, **kw)
+
+    t._log.publish = publish_with_ambush
+    res = t.write_audit_publish(
+        spark,
+        _df(spark, "B", n=7),
+        rules=[row_count_within(2, 1)],  # within 200% of baseline
+    )
+    assert res["published"] is True
+    # the audit that gated the publish used A's 8-row commit as its
+    # baseline (re-audit), not the original 4-row snapshot
+    anomaly = [r for r in res["report"] if "row_count" in r["rule"]][-1]
+    assert anomaly["baseline"] == 8
+    assert _rows(spark, t) == sorted((i, "B") for i in range(7))
+    versions = [e["version"] for e in t.history()]
+    assert versions == sorted(set(versions)) and len(versions) == 3
+
+
+# --------------------------------------------------------- fast-forward
+
+
+def test_fast_forward_rejects_foreign_unpublished_commit(spark, tmp_path):
+    """ADVICE r10: a crashed main commit's ref-less entry pulled into a
+    branch window must never be published by fast_forward — fresh it is
+    a conflict; aged it is GC'd and the branch publishes around it."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    # crashed main commit: entry v1 written, pointer never swapped
+    orphan_dir = os.path.join(t.root, "v-00000001-deadbeef")
+    os.makedirs(orphan_dir)
+    lpath = t._log._entry_path(1)
+    with open(lpath, "w") as fh:
+        json.dump({"version": 1, "dir": orphan_dir, "ts": 0.0}, fh)
+    t.branch("b")
+    staged = t.commit(_df(spark, "b1"), branch="b")  # allocates v2
+    assert staged["version"] == 2  # the orphan sits inside (0, 2]
+    with pytest.raises(CommitConflict, match="never staged"):
+        t.fast_forward("b")
+    # main untouched, the unaudited commit never leaked
+    assert [e["version"] for e in t.history()] == [0]
+    os.utime(lpath, (0, 0))  # age the orphan out
+    head = t.fast_forward("b")
+    assert head["version"] == 2
+    assert [e["version"] for e in t.history()] == [0, 2]  # v1 never joins
+    assert not os.path.exists(lpath)
+    assert _rows(spark, t) == sorted((i, "b1") for i in range(6))

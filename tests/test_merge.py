@@ -458,3 +458,101 @@ def test_merge_widening_rejects_lossy_and_leaves_unrelated(spark, tmp_path):
     out = t.read(spark)
     assert dict(out.dtypes)["v"] == "bigint"  # narrowing never applied
     assert {(r.k, r.v) for r in out.collect()} == {(1, 11), (2, 22)}
+
+
+def test_merge_evolve_plus_widen_on_plain_bucketed_mirror(spark, tmp_path):
+    """evolve_schema=True + widen_types=True on the plain (logless)
+    BucketPartitionedMirror (ADVICE r10): the widening full-rewrite path
+    replaces the evolved target with a fresh full-state read — the
+    evolved column and its source values must still land."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        BucketPartitionedMirror,
+    )
+
+    t = BucketPartitionedMirror(str(tmp_path / "t"), n_buckets=8, key_col="k")
+    t.initialize(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").select(
+            "k", F.col("v").cast("int").alias("v")
+        )
+    )
+    big = 2**35
+    source = spark.createDataFrame(
+        [(2, big, "fresh"), (9, big + 1, "new")], "k long, v long, note string"
+    )
+    merge_into_table(
+        spark,
+        t,
+        source,
+        on=["k"],
+        update_set={"v": src("v")},
+        evolve_schema=True,
+        widen_types=True,
+    )
+    out = t.read(spark)
+    types = dict(out.dtypes)
+    assert types["v"] == "bigint" and types["note"] == "string"
+    assert {(r.k, r.v, r.note) for r in out.collect()} == {
+        (1, 10, None),
+        (2, big, "fresh"),
+        (9, big + 1, "new"),
+    }
+
+
+def test_merge_widen_on_legacy_schemaless_versioned_mirror(spark, tmp_path):
+    """widen_types on a VersionedBucketMirror whose current manifest has
+    no recorded schema (pre-r10 table) must full-rewrite instead of
+    widening only touched buckets (ADVICE r10: a touched-only widen
+    leaves mixed int/bigint dirs the mergeSchema fallback read cannot
+    reconcile) — and the rewrite upgrades the table to a schema'd
+    manifest."""
+    import json
+    import os
+
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    t = VersionedBucketMirror(
+        str(tmp_path / "t"), n_buckets=8, key_col="k", keep_versions=10
+    )
+    t.initialize(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(12)], "k long, v long"
+        ).select("k", F.col("v").cast("int").alias("v"))
+    )
+    # simulate a pre-r10 table: strip the recorded schema from the
+    # manifest log entry and the CURRENT pointer
+    for p in (
+        os.path.join(t.root, "_log", "v-00000000.json"),
+        t._log.pointer_path,
+    ):
+        with open(p) as fh:
+            rec = json.load(fh)
+        rec.pop("schema", None)
+        with open(p, "w") as fh:
+            json.dump(rec, fh)
+    assert "schema" not in t.current()
+    big = 2**35
+    source = spark.createDataFrame([(1, big)], "k long, v long")
+    merge_into_table(
+        spark, t, source, on=["k"], update_set={"v": src("v")},
+        widen_types=True,
+    )
+    # the new snapshot must be readable (the bug left mixed-type dirs
+    # that failed to read) with the widened type everywhere
+    out = t.read(spark)
+    types = dict(out.dtypes)
+    assert types["v"] == "bigint"
+    rows = {(r.k, r.v) for r in out.collect()}
+    assert (1, big) in rows and len(rows) == 12
+    # and the commit recorded a schema: the table is upgraded off the
+    # legacy mergeSchema path
+    assert "schema" in t.current()

@@ -1,0 +1,192 @@
+"""Merge-on-read laws for VersionedBucketMirror (r11, VERDICT task 2 —
+the Iceberg v2 delete-file / Delta deletion-vector cost model):
+
+- a CDC merge APPENDS one delta dir per touched bucket (the batch's
+  latest-per-key slice, tombstones retained) — base dirs never move;
+- reads fold base + delta chain per bucket, bit-identical to the
+  copy-on-write result (including late out-of-order events: the fold is
+  ts-ordered, exactly ``apply_changelog`` iterated per commit);
+- ``rewrite_data_files`` is the fold point: deltas collapse into a new
+  base, the PRE-fold snapshot still folds its chain (history intact);
+- GDPR purge reaches delta upserts AND key-bearing tombstones;
+- rollback restores a delta'd manifest chain.
+
+The golden end-to-end CDC tests (test_cdc_pipeline.py) run the full
+streaming pipeline over the ``bucketed_versioned_mor`` layout too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    VersionedBucketMirror,
+)
+
+TARGET = CdcTarget(source_uri="file:///tmp/x", key_column="id", ts_column="ts")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, ts long, op string")
+
+
+def _state(spark, m, version=None):
+    df = m.read(spark, version=version)
+    if df is None:
+        return {}
+    return {r["id"]: r["name"] for r in df.select("id", "name").collect()}
+
+
+@pytest.fixture
+def mor(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"),
+        n_buckets=8,
+        key_col="id",
+        keep_versions=10,
+        merge_on_read=True,
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(16)]))
+    return m
+
+
+def test_mor_merge_appends_delta_base_untouched(spark, mor):
+    base_dirs = dict(mor.current()["buckets"])
+    batch = _batch(spark, [(0, "x", 1, "U"), (3, "y", 1, "U")])
+    touched = {
+        str(r["b"])
+        for r in batch.select(mor._bucket(F.col("id")).alias("b"))
+        .distinct()
+        .collect()
+    }
+    rec = mor.merge_batch(batch, TARGET)
+    # every base dir carried forward byte-identically
+    assert rec["buckets"] == base_dirs
+    # exactly the touched buckets grew a one-entry delta chain
+    assert set(rec["deltas"]) == touched
+    for b, specs in rec["deltas"].items():
+        assert len(specs) == 1 and "-delta-" in specs[0]["dir"]
+        assert specs[0]["key"] == "id" and specs[0]["delete_op"] == "D"
+    # the fold reads the merged state
+    st = _state(spark, mor)
+    assert st[0] == "x" and st[3] == "y" and st[5] == "v0-5"
+    assert len(st) == 16
+
+
+def test_mor_delete_masks_base_and_time_travel(spark, mor):
+    mor.merge_batch(_batch(spark, [(2, None, 1, "D")]), TARGET)
+    mor.merge_batch(_batch(spark, [(2, "back", 2, "I")]), TARGET)
+    assert 2 not in _state(spark, mor, version=1)  # tombstone masks base
+    assert _state(spark, mor, version=2)[2] == "back"  # later delta wins
+    assert _state(spark, mor, version=0)[2] == "v0-2"  # pre-delta snapshot
+    assert len(_state(spark, mor)) == 16
+
+
+def test_mor_fold_matches_cow_exactly(spark, tmp_path):
+    """Same batches through a CoW mirror and a MoR mirror give identical
+    state — including a late event OLDER than an applied delete (the
+    CoW iterated semantics: resolution is ts-based per batch, so the
+    resurrected row stands; a naive one-shot global fold would differ)."""
+    batches = [
+        [(1, "b1", 5, "U"), (2, "n2", 5, "U")],
+        [(1, None, 9, "D")],
+        [(1, "late", 7, "U")],  # older ts than the delete, later batch
+    ]
+    states = []
+    for mode in (False, True):
+        m = VersionedBucketMirror(
+            str(tmp_path / f"m-{mode}"),
+            n_buckets=8,
+            key_col="id",
+            keep_versions=10,
+            merge_on_read=mode,
+        )
+        m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(4)]))
+        for rows in batches:
+            m.merge_batch(_batch(spark, rows), TARGET)
+        states.append(_state(spark, m))
+    assert states[0] == states[1]
+    assert states[0][1] == "late"  # pins the iterated (per-batch) law
+
+
+def test_mor_compaction_folds_chain_history_intact(spark, mor):
+    mor.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    mor.merge_batch(
+        _batch(spark, [(0, "x2", 2, "U"), (7, None, 2, "D")]), TARGET
+    )
+    pre = _state(spark, mor)
+    pre_version = mor.current()["version"]
+    out = mor.rewrite_data_files(spark)
+    assert out["buckets_compacted"] >= 1
+    head = mor.current()
+    assert head.get("operation") == "rewrite_data_files"
+    assert not head.get("deltas")  # chain folded away
+    assert _state(spark, mor) == pre  # state identical post-fold
+    # the PRE-fold snapshot still reads through its delta chain
+    assert _state(spark, mor, version=pre_version) == pre
+    # and a fold with nothing to fold is a no-op
+    out2 = mor.rewrite_data_files(spark)
+    assert out2["buckets_compacted"] == 0
+
+
+def test_mor_write_amplification_is_delta_sized(spark, mor):
+    """The commit writes the batch slice, never the bucket: the new
+    delta dir holds exactly the batch's latest-per-key rows."""
+    batch = _batch(
+        spark, [(0, "a", 1, "U"), (0, "b", 2, "U"), (8, "c", 1, "U")]
+    )
+    rec = mor.merge_batch(batch, TARGET)
+    delta_rows = 0
+    for specs in rec["deltas"].values():
+        for s in specs:
+            delta_rows += spark.read.parquet(s["dir"]).count()
+    assert delta_rows == 2  # latest-per-key of 3 events over 2 keys
+    st = _state(spark, mor)
+    assert st[0] == "b" and st[8] == "c"
+
+
+def test_mor_purge_reaches_delta_upserts_and_tombstones(spark, mor):
+    mor.merge_batch(_batch(spark, [(4, "pii", 1, "U")]), TARGET)
+    mor.merge_batch(_batch(spark, [(4, None, 2, "D")]), TARGET)
+    mor.merge_batch(_batch(spark, [(4, "pii2", 3, "I")]), TARGET)
+    res = mor.purge_keys(spark, spark.createDataFrame([(4,)], "id long"))
+    assert res["bucket_dirs_rewritten"] >= 1
+    # no retained snapshot — current or historical — resurrects the key,
+    # and no surviving delta dir carries it (tombstones included)
+    for e in mor.history():
+        if not e["readable"]:
+            continue
+        st = _state(spark, mor, version=e["version"])
+        assert 4 not in st
+        for specs in (e.get("deltas") or {}).values():
+            for s in specs:
+                got = spark.read.parquet(s["dir"])
+                assert got.filter(F.col("id") == 4).count() == 0
+    assert len(_state(spark, mor)) == 15
+
+
+def test_mor_rollback_restores_chain(spark, mor):
+    mor.merge_batch(_batch(spark, [(1, "x", 1, "U")]), TARGET)
+    v1 = mor.current()["version"]
+    mor.merge_batch(_batch(spark, [(1, "y", 2, "U")]), TARGET)
+    rec = mor.rollback(v1)
+    assert rec.get("deltas")  # the delta chain rides the rollback
+    assert _state(spark, mor)[1] == "x"
+
+
+def test_mor_schema_evolution_through_delta(spark, mor):
+    """A delta batch carrying a NEW column evolves the manifest schema;
+    base rows read NULL for it through the fold."""
+    evolved = spark.createDataFrame(
+        [(0, "x", 1, "U", "gold")],
+        "id long, name string, ts long, op string, tier string",
+    )
+    mor.merge_batch(evolved, TARGET)
+    out = mor.read(spark)
+    assert "tier" in out.columns
+    got = {r["id"]: r["tier"] for r in out.select("id", "tier").collect()}
+    assert got[0] == "gold" and got[1] is None

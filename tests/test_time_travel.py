@@ -124,6 +124,9 @@ def test_crash_orphan_log_entry_is_superseded(spark, tmp_path):
     orphan_dir = os.path.join(t.root, "v-00000001-deadbeef")
     with open(os.path.join(t._log_dir, "v-00000001.json"), "w") as fh:
         json.dump({"version": 1, "dir": orphan_dir, "ts": 0.0}, fh)
+    # age the orphan past the in-flight conflict grace (r11: a FRESH
+    # ref-less above-pointer entry is presumed a concurrent commit)
+    os.utime(os.path.join(t._log_dir, "v-00000001.json"), (0, 0))
     # history hides the unpublished snapshot
     assert [e["version"] for e in t.history()] == [0]
     # the next commit supersedes the orphan version, never reuses it
@@ -149,6 +152,7 @@ def test_crashed_rollback_orphan_gc_spares_committed_dir(spark, tmp_path):
         json.dump(
             {"version": 2, "dir": v0_dir, "ts": 0.0, "rollback_of": 0}, fh
         )
+    os.utime(os.path.join(t._log_dir, "v-00000002.json"), (0, 0))  # aged
     rec = t.commit(_df(spark, "v3"))  # triggers orphan GC of entry v2
     assert rec["version"] == 3
     # the committed v0 snapshot survives the orphan GC and stays readable

@@ -135,6 +135,10 @@ def test_crash_staged_orphan_dirs_are_collected(spark, mirror):
     os.makedirs(borphan)
     with open(os.path.join(borphan, "junk.parquet"), "w") as fh:
         fh.write("not really parquet")
+    # age it past the in-flight grace (r11: a FRESH unreferenced dir is
+    # presumed a concurrent writer's not-yet-published staging) — after
+    # the file write, which refreshes the dir mtime
+    os.utime(borphan, (0, 0))
     mirror.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
     assert not os.path.isdir(borphan)  # GC'd by the next publish
     assert _state(spark, mirror)[0] == "x"  # state unaffected
@@ -474,7 +478,11 @@ def test_mirror_branch_staging_survives_main_merge_gc(spark, mirror):
     with _pytest.raises(ValueError, match="diverged"):
         mirror.fast_forward("b")
     # deleting the branch releases its staging to the next publish's GC
+    # (once aged past the r11 in-flight grace — backdate to simulate)
     mirror.delete_branch("b")
+    for d in staged_dirs:
+        os.utime(d, (0, 0))
+    os.utime(mirror._log._entry_path(staged["version"]), (0, 0))
     mirror.merge_batch(_batch(spark, [(2, "m2", 2, "U")]), TARGET)
     for d in staged_dirs:
         assert not os.path.isdir(d)
