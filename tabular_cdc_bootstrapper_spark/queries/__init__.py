@@ -42,18 +42,18 @@ del _m, _k
 # query <= 3 rounds stale; VERDICT r10 #7: after r11 no row may be older
 # than r9):
 #
-# - IN (new r11, 4): concurrent_merge_serialization (optimistic CAS
+# - IN (new r11, 5): concurrent_merge_serialization (optimistic CAS
 #   commits: disjoint-bucket rebase + overlap conflict),
 #   mor_merge_fold_roundtrip (merge-on-read delta commits +
 #   rewrite_data_files fold), change_feed_stream_fold (checkpointed
 #   per-commit CDF consumer, fold law), mirror_rebucket_roundtrip
-#   (bucket-spec evolution, history intact, new-spec lookup).
-# - IN (changed code this round): wap_anomaly_gate — the WAP publish
-#   path was restructured into the conflict/re-audit loop and is the
-#   one r11-changed path the new entries don't already exercise
-#   (_commit_staged/commit_merged/rewrite_data_files are covered by
-#   the four new entries). cdc_latest is the flagship, in-window every
-#   round.
+#   (bucket-spec evolution, history intact, new-spec lookup),
+#   mirror_alter_schema_ddl (metadata-only rename/drop + materializing
+#   compaction). cdc_latest is the flagship, in-window every round.
+#   The window is exactly full at 1+5+44; the r11-restructured WAP loop
+#   is pinned by tests/test_concurrency.py (two-writer re-audit, both
+#   layouts) and wap_anomaly_gate stays tail-listed (r10-fresh, still
+#   locally parity-checked every round).
 # - IN (the full r8 cohort, 44): every row whose latest driver check is
 #   r8 — at the 3-round staleness ceiling after r11 (computed from
 #   CORRECTNESS_r08/09/10: r8-green minus the r9/r10 windows).
@@ -75,7 +75,7 @@ _DRIVER_CHECK_PRIORITY = [
     "mor_merge_fold_roundtrip",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",
-    "wap_anomaly_gate",
+    "mirror_alter_schema_ddl",
     "ann_ivf_kmeans_topk",
     "ann_lsh_topk",
     "anti_join_no_open_orders",
@@ -122,6 +122,7 @@ _DRIVER_CHECK_PRIORITY = [
     "zorder_layout_stats",
     # --- tail (51+): green driver rows on current code, family
     # representative in window, still oracle-checked locally every round ---
+    "wap_anomaly_gate",
     "snapshot_refs_report",
     "snapshot_branch_publish",
     "bucket_compaction_roundtrip",

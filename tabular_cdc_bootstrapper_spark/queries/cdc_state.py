@@ -1725,3 +1725,139 @@ def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.item", "p.value")
     return flags.unionByName(aggs)
+
+
+@query(
+    "mirror_alter_schema_ddl",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x
+        FROM final
+    )
+    SELECT 'head_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'head_keysum', s FROM a
+    UNION ALL SELECT 'head_x', x FROM a
+    UNION ALL SELECT 'post_rows', n FROM a
+    UNION ALL SELECT 'post_keysum', s FROM a
+    UNION ALL SELECT 'post_x', x FROM a
+    UNION ALL SELECT 'old_snapshot_has_old_name', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'drop_metadata_only', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'materialized_physically', CAST(1 AS BIGINT) FROM a
+    """,
+)
+def mirror_alter_schema_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE on the 100 TB layout (r11,
+    ``VersionedBucketMirror.alter_schema`` — the Iceberg rename/drop
+    semantics): initialize from orders, RENAME ``o_orderstatus →
+    status`` and DROP ``o_custkey`` as one zero-data-movement manifest
+    commit, merge the derived update batch UNDER THE NEW NAME (old and
+    new physical dirs read uniformly through the manifest's rename
+    fold), then ``rewrite_data_files(materialize=True)`` lands the
+    logical names physically and reclaims the dropped column's bytes.
+    One hash pins: head aggregates before and after materialization
+    (both equal the oracle), the pre-alter snapshot still reading its
+    own old schema, drop being metadata-only at first (bytes present in
+    old files), and the physical materialization (old names and dropped
+    column gone from the new files)."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_ddl_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("int")})
+    )
+    pre_version = mirror.current()["version"]
+    mirror.alter_schema(drop=["o_custkey"], rename={"o_orderstatus": "status"})
+
+    def raw_cols() -> set:
+        cols: set = set()
+        for d in mirror.current()["buckets"].values():
+            cols.update(spark.read.parquet(d).columns)
+        return cols
+
+    drop_metadata_only = int(
+        "o_custkey" in raw_cols() and "o_orderstatus" in raw_cols()
+    )
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", F.lit("X").alias("status"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")}),
+        target,
+    )
+    old_snapshot_has_old_name = int(
+        "o_orderstatus" in mirror.read(spark, version=pre_version).columns
+    )
+
+    def agg_items(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count("*").cast("long").alias("__n"),
+                F.sum("o_orderkey").cast("long").alias("__s"),
+                F.count(F.when(F.col("status") == "X", 1))
+                .cast("long")
+                .alias("__x"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(f"{prefix}_rows").alias("item"),
+                            F.col("__n").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_keysum").alias("item"),
+                            F.col("__s").alias("value"),
+                        ),
+                        F.struct(
+                            F.lit(f"{prefix}_x").alias("item"),
+                            F.col("__x").alias("value"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.item", "p.value")
+        )
+
+    head = agg_items(mirror.read(spark), "head")
+    mirror.rewrite_data_files(spark, materialize=True)
+    post_cols = raw_cols()
+    materialized = int(
+        "status" in post_cols
+        and "o_orderstatus" not in post_cols
+        and "o_custkey" not in post_cols
+        and "renames" not in mirror.current()
+    )
+    post = agg_items(mirror.read(spark), "post")
+    flags = spark.createDataFrame(
+        [
+            ("old_snapshot_has_old_name", old_snapshot_has_old_name),
+            ("drop_metadata_only", drop_metadata_only),
+            ("materialized_physically", materialized),
+        ],
+        "item string, value long",
+    )
+    return flags.unionByName(head).unionByName(post)

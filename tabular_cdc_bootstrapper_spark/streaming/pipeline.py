@@ -60,8 +60,8 @@ class CommitConflict(RuntimeError):
 _RESERVED_META_KEYS = frozenset(
     {
         "version", "dir", "buckets", "ts", "ref", "schema", "stats",
-        "deltas", "n_buckets", "audited", "rollback_of", "purged_ts",
-        "cloned_from", "readable", "is_current",
+        "deltas", "n_buckets", "renames", "audited", "rollback_of",
+        "purged_ts", "cloned_from", "readable", "is_current",
     }
 )
 
@@ -2030,6 +2030,7 @@ class VersionedBucketMirror(BranchOps):
         spark: SparkSession,
         dirs: Sequence[str],
         schema_json: dict | None = None,
+        renames: dict | None = None,
     ) -> DataFrame | None:
         if not dirs:
             return None  # initialized-but-empty (every key deleted)
@@ -2039,9 +2040,31 @@ class VersionedBucketMirror(BranchOps):
             # and bucket dirs written before a type widening read
             # through the parquet reader's widening promotions
             # (int32->int64, float->double — Spark 4 vectorized reader)
-            return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(
-                *dirs
-            )
+            logical = T.StructType.fromJson(schema_json)
+            if not renames:
+                return spark.read.schema(logical).parquet(*dirs)
+            # metadata-only RENAME support (r11 alter_schema): dirs
+            # written before the rename carry the OLD physical name —
+            # read a widened physical schema holding every historical
+            # name (absent columns surface NULL per file), then fold
+            # each renamed column with coalesce(new, old...) and project
+            # back to the logical schema. Pure plan work, no data moved.
+            types = {f.name: f.dataType for f in logical.fields}
+            phys = list(logical.fields)
+            for new_name, olds in renames.items():
+                for o in olds:
+                    phys.append(
+                        T.StructField(o, types[new_name], True)
+                    )
+            df = spark.read.schema(T.StructType(phys)).parquet(*dirs)
+            for new_name, olds in renames.items():
+                df = df.withColumn(
+                    new_name,
+                    F.coalesce(
+                        F.col(new_name), *[F.col(o) for o in olds]
+                    ),
+                )
+            return df.select(*[F.col(f.name) for f in logical.fields])
         # pre-r10 manifests (no schema recorded): mergeSchema fallback —
         # a column-adding batch rewrites only touched buckets, so bucket
         # versions can disagree on schema. Listing is scoped to exactly
@@ -2079,7 +2102,9 @@ class VersionedBucketMirror(BranchOps):
         specs = []
         for b in keys:
             specs.extend(deltas.get(b, []))
-        base = self._read_dirs(spark, base_dirs, e.get("schema"))
+        base = self._read_dirs(
+            spark, base_dirs, e.get("schema"), e.get("renames")
+        )
         if not specs:
             return base
         specs.sort(key=lambda s: s["version"])
@@ -2089,7 +2114,8 @@ class VersionedBucketMirror(BranchOps):
         for _v, grp in groupby(specs, key=lambda s: s["version"]):
             grp = list(grp)
             ddf = self._read_dirs(
-                spark, [g["dir"] for g in grp], e.get("schema")
+                spark, [g["dir"] for g in grp], e.get("schema"),
+                e.get("renames"),
             )
             p = grp[0]
             state = apply_changelog(
@@ -2329,6 +2355,8 @@ class VersionedBucketMirror(BranchOps):
             record["deltas"] = target["deltas"]
         if "n_buckets" in target:  # the restored snapshot's bucket spec
             record["n_buckets"] = target["n_buckets"]
+        if "renames" in target:  # and its rename mapping
+            record["renames"] = target["renames"]
         for delay in (*_RETRY_BACKOFF, None):
             try:
                 self._log.publish(record, protected=self._branch_covers)
@@ -2534,7 +2562,10 @@ class VersionedBucketMirror(BranchOps):
         )
 
     def rewrite_data_files(
-        self, spark: SparkSession, min_files: int = 2
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        materialize: bool = False,
     ) -> dict:
         """Small-file compaction across the CURRENT manifest (VERDICT r10
         task 4 — the Iceberg ``rewrite_data_files`` maintenance action,
@@ -2573,12 +2604,18 @@ class VersionedBucketMirror(BranchOps):
         deltas = cur.get("deltas") or {}
         # fragmented bases AND every delta'd bucket (r11: compaction is
         # the merge-on-read FOLD point — base+deltas rewrite into one
-        # fresh base and the chain resets)
+        # fresh base and the chain resets). A live RENAME mapping (or
+        # explicit ``materialize=True``, e.g. after a metadata-only
+        # column drop) pulls in EVERY bucket: the rewrite lands the
+        # logical column names physically, retiring the read-side
+        # coalesce fold and reclaiming dropped columns' bytes.
         todo = {
             b
             for b, d in cur["buckets"].items()
             if _nfiles(d) >= max(min_files, 2)
         } | set(deltas)
+        if materialize or cur.get("renames"):
+            todo |= set(cur["buckets"])
         if not todo:
             return {
                 "version": None,
@@ -2640,6 +2677,125 @@ class VersionedBucketMirror(BranchOps):
             self.n_buckets = old_n
             raise
         return rec
+
+    def alter_schema(
+        self,
+        drop: Sequence[str] = (),
+        rename: dict[str, str] | None = None,
+    ) -> dict:
+        """Metadata-only ALTER TABLE (r11 — the Iceberg
+        rename/drop-column semantics without field IDs): ONE manifest
+        commit, zero data movement. ``rename={old: new}`` records the
+        historical physical name in the manifest's ``renames`` mapping;
+        reads fold ``coalesce(new, old…)`` over the widened physical
+        schema, so dirs written before and after the rename read
+        uniformly. ``drop`` removes columns from the logical schema —
+        the bytes remain in old files (unreadable through the table,
+        exactly Iceberg's drop) and are physically reclaimed by the
+        next ``rewrite_data_files``/full rewrite, which materializes
+        the logical schema and retires the rename mapping.
+
+        Constraints: requires a schema'd manifest (legacy tables must
+        full-rewrite first); the bucket key can be neither dropped nor
+        renamed (the hash spec binds to it); columns referenced by live
+        merge-on-read delta specs (ts/op/tiebreak fold params) must be
+        folded (``rewrite_data_files``) before altering; a new name may
+        not collide with any live logical or historical physical name.
+        Publishes with the CAS basis check — a concurrent commit raises
+        ``CommitConflict`` (re-run: the alter is cheap by design)."""
+        rename = dict(rename or {})
+        drop = list(drop)
+        if not rename and not drop:
+            raise ValueError("alter_schema: nothing to do")
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        if "schema" not in cur:
+            raise ValueError(
+                f"{self.root} has a pre-schema manifest; run a full "
+                "rewrite (e.g. a widening merge or re-initialize) before "
+                "metadata-only schema changes"
+            )
+        schema = T.StructType.fromJson(cur["schema"])
+        live = {f.name for f in schema.fields}
+        renames_hist: dict[str, list] = {
+            k: list(v) for k, v in (cur.get("renames") or {}).items()
+        }
+        historical = {o for olds in renames_hist.values() for o in olds}
+        fold_cols: set[str] = set()
+        for specs in (cur.get("deltas") or {}).values():
+            for sp in specs:
+                fold_cols.add(sp["key"])
+                fold_cols.add(sp["op"])
+                fold_cols.update(sp["ts"])
+                fold_cols.update(sp.get("tiebreak") or ())
+        for old in list(rename) + drop:
+            if old not in live:
+                raise ValueError(f"no column {old!r} in {self.root}")
+            if old == self.key_col:
+                raise ValueError(
+                    f"cannot alter the bucket key {old!r} (the hash "
+                    "spec binds to it); rebucket to a new layout instead"
+                )
+            if old in fold_cols:
+                raise ValueError(
+                    f"column {old!r} is referenced by live merge-on-read "
+                    "delta specs; run rewrite_data_files first"
+                )
+        for old, new in rename.items():
+            if new in (live - {old}) or new in historical:
+                raise ValueError(
+                    f"rename target {new!r} collides with a live or "
+                    f"historical column name of {self.root}"
+                )
+        if set(drop) & set(rename):
+            raise ValueError("a column cannot be both dropped and renamed")
+        new_fields = []
+        for f in schema.fields:
+            if f.name in drop:
+                continue
+            if f.name in rename:
+                new = rename[f.name]
+                hist = renames_hist.pop(f.name, [])
+                renames_hist[new] = [f.name] + hist
+                new_fields.append(T.StructField(new, f.dataType, True))
+            else:
+                new_fields.append(f)
+        # per-bucket stats follow their columns
+        stats = None
+        if "stats" in cur:
+            stats = {}
+            for b, cols in cur["stats"].items():
+                out = {}
+                for c, bounds in cols.items():
+                    if c in drop:
+                        continue
+                    out[rename.get(c, c)] = bounds
+                stats[b] = out
+        record = {
+            "version": self._log.next_version(),
+            "ts": time.time(),
+            "buckets": dict(cur["buckets"]),
+            "schema": T.StructType(new_fields).jsonValue(),
+            "operation": "alter_schema",
+            "altered": {"drop": drop, "rename": rename},
+        }
+        if renames_hist:
+            record["renames"] = renames_hist
+        if "deltas" in cur:
+            record["deltas"] = cur["deltas"]
+        if "n_buckets" in cur:
+            record["n_buckets"] = cur["n_buckets"]
+        if stats is not None:
+            record["stats"] = stats
+        self._log.publish(
+            record,
+            protected=self._branch_covers,
+            expected_head=cur["version"],
+        )
+        self._expire(record)
+        return record
 
     def merge_batch(
         self,
@@ -2909,6 +3065,16 @@ class VersionedBucketMirror(BranchOps):
             }
             if deltas:
                 record["deltas"] = deltas
+            # rename mappings stay needed for as long as any carried dir
+            # or delta chain may hold the old physical column names; a
+            # commit that replaced EVERY dir materialized the logical
+            # names and the mapping retires
+            installed_dirs = {d for d in actions.values() if d is not None}
+            if base_entry and base_entry.get("renames") and (
+                deltas
+                or any(d not in installed_dirs for d in mapping.values())
+            ):
+                record["renames"] = base_entry["renames"]
             # carried-forward buckets keep their previous stats; staged
             # ones take the fresh bounds. Stats are pruning BOUNDS only —
             # a purge/delete may leave them wider than the data
@@ -2933,7 +3099,6 @@ class VersionedBucketMirror(BranchOps):
             # replaced every carried dir (e.g. the full-rewrite widening
             # path): then no unknown dirs remain and recording the staged
             # schema upgrades the table to the schema'd read path.
-            installed_dirs = {d for d in actions.values() if d is not None}
             if touched is None or base_entry is None:
                 record["schema"] = _widen_struct(None, new_schema).jsonValue()
             elif "schema" in base_entry:
@@ -3115,6 +3280,8 @@ class VersionedBucketMirror(BranchOps):
                     {"version": record["version"], "dir": dst, **fold}
                 )
             record["deltas"] = deltas
+            if base_entry and base_entry.get("renames"):
+                record["renames"] = base_entry["renames"]
             if self.stats_cols:
                 stats = dict(
                     (base_entry.get("stats") or {}) if base_entry else {}

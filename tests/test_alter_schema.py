@@ -1,0 +1,133 @@
+"""Metadata-only ALTER TABLE on the versioned bucket mirror (r11):
+rename records a physical-name mapping in the manifest (reads fold
+coalesce(new, old…) — zero data movement), drop removes the column from
+the logical schema (bytes stay until the next compaction materializes
+the logical names and retires the mapping), history reads under each
+snapshot's own schema, and the guard rails (bucket key, live delta fold
+params, name collisions, legacy manifests) raise instead of corrupting."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    VersionedBucketMirror,
+)
+
+TARGET = CdcTarget(source_uri="file:///tmp/x", key_column="id", ts_column="ts")
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, ts long, op string")
+
+
+@pytest.fixture
+def mirror(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(8)]))
+    return m
+
+
+def _raw_cols(spark, dirs):
+    cols = set()
+    for d in dirs:
+        cols.update(spark.read.parquet(d).columns)
+    return cols
+
+
+def test_rename_reads_old_and_new_dirs_uniformly(spark, mirror):
+    pre_version = mirror.current()["version"]
+    rec = mirror.alter_schema(rename={"name": "label"})
+    assert rec["operation"] == "alter_schema"
+    assert rec["renames"] == {"label": ["name"]}
+    out = mirror.read(spark)
+    assert "label" in out.columns and "name" not in out.columns
+    assert {r.id: r.label for r in out.collect()}[3] == "v0-3"
+    # a merge under the NEW name mixes new-physical and old-physical dirs
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(0, "renamed", 1, "U")],
+            "id long, label string, ts long, op string",
+        ),
+        TARGET,
+    )
+    got = {r.id: r.label for r in mirror.read(spark).collect()}
+    assert got[0] == "renamed" and got[5] == "v0-5" and len(got) == 8
+    # time travel: the pre-alter snapshot reads under ITS schema
+    old = mirror.read(spark, version=pre_version)
+    assert "name" in old.columns and "label" not in old.columns
+
+
+def test_drop_is_metadata_only_until_compaction(spark, mirror):
+    mirror.alter_schema(drop=["op"])
+    out = mirror.read(spark)
+    assert "op" not in out.columns
+    # the bytes are still in the old physical files (Iceberg drop)
+    assert "op" in _raw_cols(spark, mirror.current()["buckets"].values())
+    # compaction materializes the logical schema and reclaims them
+    res = mirror.rewrite_data_files(spark, materialize=True)
+    assert res["buckets_compacted"] > 0
+    head = mirror.current()
+    assert "op" not in _raw_cols(spark, head["buckets"].values())
+    assert len(mirror.read(spark).collect()) == 8
+
+
+def test_chained_rename_folds_all_historical_names(spark, mirror):
+    mirror.alter_schema(rename={"name": "label"})
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(9, "mid", 1, "I")], "id long, label string, ts long, op string"
+        ),
+        TARGET,
+    )
+    mirror.alter_schema(rename={"label": "tag"})
+    assert mirror.current()["renames"] == {"tag": ["label", "name"]}
+    got = {r.id: r.tag for r in mirror.read(spark).collect()}
+    # v0 dirs (physical 'name'), merged dir (physical 'label'), all fold
+    assert got[2] == "v0-2" and got[9] == "mid" and len(got) == 9
+    # a full compaction retires the whole mapping
+    mirror.rewrite_data_files(spark)
+    assert "renames" not in mirror.current()
+    assert "tag" in _raw_cols(spark, mirror.current()["buckets"].values())
+
+
+def test_alter_guard_rails(spark, mirror):
+    with pytest.raises(ValueError, match="bucket key"):
+        mirror.alter_schema(rename={"id": "key"})
+    with pytest.raises(ValueError, match="bucket key"):
+        mirror.alter_schema(drop=["id"])
+    with pytest.raises(ValueError, match="no column"):
+        mirror.alter_schema(drop=["ghost"])
+    mirror.alter_schema(rename={"name": "label"})
+    with pytest.raises(ValueError, match="collides"):
+        mirror.alter_schema(rename={"ts": "name"})  # historical name
+    with pytest.raises(ValueError, match="collides"):
+        mirror.alter_schema(rename={"ts": "label"})  # live name
+    with pytest.raises(ValueError, match="nothing to do"):
+        mirror.alter_schema()
+
+
+def test_alter_on_mor_respects_fold_params(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10,
+        merge_on_read=True,
+    )
+    m.initialize(_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(8)]))
+    m.merge_batch(_batch(spark, [(0, "x", 1, "U")]), TARGET)
+    # ts/op are live fold params of the delta chain — refuse
+    with pytest.raises(ValueError, match="delta specs"):
+        m.alter_schema(rename={"ts": "event_ts"})
+    # a non-fold column renames fine; the fold reads through the mapping
+    m.alter_schema(rename={"name": "label"})
+    got = {r.id: r.label for r in m.read(spark).collect()}
+    assert got[0] == "x" and got[4] == "v0-4"
+    # after folding, the fold params are free to alter
+    m.rewrite_data_files(spark)
+    m.alter_schema(rename={"ts": "event_ts"})
+    assert "event_ts" in m.read(spark).columns
