@@ -137,24 +137,128 @@ class SnapshotLog:
         except FileNotFoundError:
             return None
 
+    #: Delta-style log compaction (r11): once this many per-commit JSON
+    #: files accumulate, publish folds the committed ref-less history
+    #: into ONE ``ckpt-<v>.checkpoint`` file and deletes the files it
+    #: covers — so every log read costs O(commits since checkpoint) file
+    #: opens instead of O(all history). 0/None disables.
+    checkpoint_interval: int = 100
+
+    def _checkpoint_names(self, names=None) -> list[str]:
+        if names is None:
+            try:
+                names = os.listdir(self.log_dir)
+            except FileNotFoundError:
+                return []
+        return sorted(
+            n
+            for n in names
+            if n.startswith("ckpt-") and n.endswith(".checkpoint")
+        )
+
     def entries(self) -> list[dict]:
-        """All log records, version order. An unreadable file is skipped
-        rather than poisoning reads (entries are rename-published, so a
-        torn write can only be a foreign artifact)."""
+        """All log records, version order: the latest CHECKPOINT's
+        compacted history overlaid by every per-commit file (a file
+        always wins on version collision — it is newer metadata). An
+        unreadable file is skipped rather than poisoning reads (entries
+        are rename-published, so a torn write can only be a foreign
+        artifact)."""
         try:
-            names = sorted(
-                n for n in os.listdir(self.log_dir) if n.endswith(".json")
-            )
+            names = os.listdir(self.log_dir)
         except FileNotFoundError:
             return []
-        out: list[dict] = []
-        for n in names:
+        out: dict[int, dict] = {}
+        ckpts = self._checkpoint_names(names)
+        if ckpts:
+            try:
+                with open(os.path.join(self.log_dir, ckpts[-1])) as fh:
+                    for e in json.load(fh)["entries"]:
+                        out[e["version"]] = e
+            except (OSError, json.JSONDecodeError, KeyError):
+                pass
+        for n in sorted(x for x in names if x.endswith(".json")):
             try:
                 with open(os.path.join(self.log_dir, n)) as fh:
-                    out.append(json.load(fh))
+                    e = json.load(fh)
             except (OSError, json.JSONDecodeError):
                 continue
-        return out
+            out[e["version"]] = e
+        return [out[v] for v in sorted(out)]
+
+    def _maybe_checkpoint(self) -> None:
+        """Fold the committed ref-less history into one checkpoint file
+        and drop the per-commit files it covers. Crash-safe: the
+        checkpoint is rename-published first, and an interrupted
+        file-deletion pass only leaves duplicates the overlay resolves.
+        Branch staging (ref-marked) and above-pointer entries are never
+        checkpointed — orphan GC and fast-forward always see files."""
+        if not self.checkpoint_interval:
+            return
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return
+        vfiles = [
+            n for n in names if n.startswith("v-") and n.endswith(".json")
+        ]
+        if len(vfiles) < self.checkpoint_interval:
+            return
+        cur = self.current()
+        if cur is None:
+            return
+        committed = self.committed()
+        if not committed:
+            return
+        cpath = os.path.join(
+            self.log_dir, f"ckpt-{cur['version']:08d}.checkpoint"
+        )
+        tmp = cpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": cur["version"], "entries": committed}, fh)
+        os.replace(tmp, cpath)
+        covered = {e["version"] for e in committed}
+        for n in vfiles:
+            try:
+                v = int(n[2:10])
+            except ValueError:
+                continue
+            if v in covered:
+                self._retract(os.path.join(self.log_dir, n))
+        for n in self._checkpoint_names():  # superseded checkpoints
+            if os.path.join(self.log_dir, n) != cpath:
+                self._retract(os.path.join(self.log_dir, n))
+
+    def rewrite_checkpoint(self, transform) -> int:
+        """Apply ``transform(entry) -> entry | None`` (None = unchanged)
+        to the latest checkpoint's compacted entries, rewriting it
+        atomically — the hook GDPR purge uses so compacted metadata
+        cannot resurrect purged data paths."""
+        ckpts = self._checkpoint_names()
+        if not ckpts:
+            return 0
+        cpath = os.path.join(self.log_dir, ckpts[-1])
+        try:
+            with open(cpath) as fh:
+                payload = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return 0
+        changed = 0
+        out = []
+        for e in payload.get("entries", []):
+            t = transform(e)
+            if t is not None:
+                changed += 1
+                out.append(t)
+            else:
+                out.append(e)
+        if not changed:
+            return 0
+        payload["entries"] = out
+        tmp = cpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, cpath)
+        return changed
 
     def committed(self) -> list[dict]:
         """Entries at or below the CURRENT pointer — the published
@@ -275,6 +379,7 @@ class SnapshotLog:
         with open(tmp, "w") as fh:
             json.dump(record, fh)
         os.replace(tmp, self.pointer_path)  # atomic on posix
+        self._maybe_checkpoint()
         return record
 
     def _retract(self, lpath: str) -> None:
@@ -1055,6 +1160,19 @@ class ParquetStateTable(BranchOps):
                 json.dump(rec, fh)
             os.replace(tmp, lpath)
             versions_rewritten += 1
+
+        # checkpointed (log-compacted) entries have no per-version file —
+        # rewrite them inside the checkpoint so compacted metadata cannot
+        # resurrect purged data paths (r11)
+        def _ckpt_purge(e: dict) -> dict | None:
+            if e.get("dir") not in dir_map:
+                return None
+            rec = dict(e)
+            rec["dir"] = dir_map[e["dir"]]
+            rec["purged_ts"] = now
+            return rec
+
+        self._log.rewrite_checkpoint(_ckpt_purge)
         # CAS guard (r11): a commit that landed during the purge carries
         # forward dirs we are about to delete and would be clobbered by
         # the pointer rewrite — stop before touching the pointer or any
@@ -3474,6 +3592,21 @@ class VersionedBucketMirror(BranchOps):
                     json.dump(rec, fh)
                 os.replace(tmp, lpath)
             manifests_rewritten += 1
+
+        def _ckpt_purge(e: dict) -> dict | None:
+            # checkpointed manifests rewrite inside the checkpoint (r11)
+            new_bd2 = _rewrite(e)
+            if new_bd2 is None:
+                return None
+            rec2 = dict(e)
+            rec2["buckets"], d2 = new_bd2
+            rec2.pop("deltas", None)
+            if d2:
+                rec2["deltas"] = d2
+            rec2["purged_ts"] = now
+            return rec2
+
+        self._log.rewrite_checkpoint(_ckpt_purge)
         # CAS guard (r11): same rule as the snapshot-table purge — a
         # commit landing mid-purge carries forward dirs we would delete
         live = self.current()
