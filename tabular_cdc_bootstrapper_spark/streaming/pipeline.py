@@ -1520,9 +1520,42 @@ def table_changes(
     which is provenance of the LAST event, not table state; diffing it
     would re-emit rows whose payload never changed (and the op column
     would collide with the feed's own classification column).
+
+    On a MANIFEST-backed table (``VersionedBucketMirror``) the diff is
+    bucket-pruned (r11): the two manifests name exactly which buckets'
+    state (base dir or delta chain) changed, so only THOSE buckets are
+    read and joined — cost ∝ changed buckets, not the mirror, which is
+    what a per-commit change feed must cost at 100 TB. Corner cases
+    fall out correctly: a rebucket/full-rewrite marks every bucket
+    changed (full diff), a purge rewrites both sides' shared dirs to
+    the same new path (untouched buckets stay pruned), and a
+    metadata-only ``alter_schema`` changes NO bucket — the feed is
+    empty, the correct CDF for a commit that moved no data (consumers
+    pick up the new schema from the table, not the feed).
     """
-    old = table.read_version(spark, from_version)
-    new = table.read_version(spark, to_version)
+    if hasattr(table, "_read_entry"):  # manifest-backed: prune the diff
+        e_old = table._resolve(from_version)
+        e_new = table._resolve(to_version)
+        buckets = set(e_old["buckets"]) | set(e_old.get("deltas") or {})
+        buckets |= set(e_new["buckets"]) | set(e_new.get("deltas") or {})
+        changed = [
+            int(b)
+            for b in buckets
+            if table._bucket_state(e_old, b) != table._bucket_state(e_new, b)
+        ]
+        if changed:
+            old = table._read_entry(spark, e_old, buckets=changed)
+            new = table._read_entry(spark, e_new, buckets=changed)
+        elif "schema" in e_new:  # nothing changed: an empty, typed feed
+            old = new = spark.createDataFrame(
+                [], T.StructType.fromJson(e_new["schema"])
+            )
+        else:
+            full = table.read_version(spark, to_version)
+            old = new = full.limit(0) if full is not None else None
+    else:
+        old = table.read_version(spark, from_version)
+        new = table.read_version(spark, to_version)
     for c in drop_cols:
         old = old.drop(c) if old is not None else None
         new = new.drop(c) if new is not None else None

@@ -610,3 +610,63 @@ def test_clone_validation(spark, tmp_path):
     old = src.clone_to(str(tmp_path / "old"), version=0)
     assert {r[1] for r in _tags(spark, old)} == {"v0"}
     assert len(old.history()) == 1
+
+
+def test_table_changes_is_bucket_pruned_on_manifests(spark, tmp_path):
+    """r11: on the versioned mirror the CDF reads ONLY the buckets whose
+    manifest state changed between the two snapshots — equal output to
+    the naive full diff, at changed-bucket cost; a metadata-only
+    alter_schema yields an empty (no data moved) feed."""
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+        table_changes,
+    )
+
+    target = CdcTarget(source_uri="file:///x", key_column="id", ts_column="ts")
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "id long, name string, ts long, op string"
+        )
+
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=16, key_col="id", keep_versions=10
+    )
+    m.initialize(b([(i, f"v0-{i}", 0, "I") for i in range(64)]))
+    m.merge_batch(
+        b([(0, "X", 1, "U"), (1, None, 1, "D"), (99, "new", 1, "I")]), target
+    )
+    # record which buckets the pruned path actually reads
+    asked = []
+    orig = m._read_entry
+
+    def spy(spark_, e, buckets=None):
+        asked.append(sorted(buckets) if buckets is not None else None)
+        return orig(spark_, e, buckets=buckets)
+
+    m._read_entry = spy
+    drop = ("op", "ts")
+    feed = {
+        (r.id, r.op): r.name
+        for r in table_changes(
+            spark, m, 0, 1, key_cols="id", drop_cols=drop
+        ).collect()
+    }
+    assert feed == {(0, "U"): "X", (1, "D"): None, (99, "I"): "new"}
+    # both reads were pruned to the (at most 3) touched buckets
+    assert all(a is not None and len(a) <= 3 for a in asked)
+    m._read_entry = orig
+    # equivalence with the naive full diff
+    naive = table_diff(
+        m.read(spark, version=0).drop(*drop),
+        m.read(spark, version=1).drop(*drop),
+        "id",
+    )
+    assert {(r.id, r.op): r.name for r in naive.collect()} == feed
+    # a metadata-only alter yields an EMPTY typed feed
+    m.alter_schema(rename={"name": "label"})
+    v = m.current()["version"]
+    empty = table_changes(spark, m, v - 1, v, key_cols="id", drop_cols=drop)
+    assert empty.count() == 0 and "label" in empty.columns
