@@ -131,3 +131,28 @@ def test_alter_on_mor_respects_fold_params(spark, tmp_path):
     m.rewrite_data_files(spark)
     m.alter_schema(rename={"ts": "event_ts"})
     assert "event_ts" in m.read(spark).columns
+
+
+def test_rename_fold_preserves_column_pruning(spark, mirror):
+    """The rename fold is pure plan work: selecting columns away from
+    the renamed one keeps the scan's ReadSchema pruned to what the
+    query needs — the coalesce projection must not force reading every
+    historical column at 100 TB."""
+    mirror.alter_schema(rename={"name": "label"})
+
+    def read_schema(df) -> str:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        frags = [
+            l.split("ReadSchema:")[1]
+            for l in plan.splitlines()
+            if "ReadSchema:" in l
+        ]
+        assert frags
+        return frags[0]
+
+    rs = read_schema(mirror.read(spark).select("id", "ts"))
+    assert "label" not in rs and "name" not in rs
+    # and when the renamed column IS selected, only it + its historical
+    # alias reach the scan
+    rs2 = read_schema(mirror.read(spark).select("label"))
+    assert "label" in rs2 and "ts" not in rs2

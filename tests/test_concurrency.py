@@ -393,3 +393,93 @@ def test_overlapping_writer_retry_converges(spark, tmp_path):
     assert state[0] == 200  # B's retried update landed on top of A's
     versions = [e["version"] for e in m.history()]
     assert versions == sorted(set(versions)) and len(versions) == 3
+
+
+def test_threaded_merge_compaction_purge_race(spark, tmp_path):
+    """The motivating 100 TB scenario end-to-end (VERDICT r10: 'CDC
+    merge + compaction + purge are separate pipelines racing on one
+    table'): three threads hammer ONE mirror through separate handles —
+    a CDC merger (6 batches), a compactor (rewrite_data_files ×3), and
+    a GDPR purger — every writer retrying on CommitConflict. Invariants:
+    no thread errors out, the final state is exactly 'all merges applied
+    minus the purged keys' regardless of interleaving, history is
+    linear with unique versions, and the head snapshot is readable."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+    target = CdcTarget(source_uri="file:///x", key_column="k", ts_column="ts")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k long, v long, ts long, op string"
+        )
+
+    root = str(tmp_path / "m")
+    m = VersionedBucketMirror(root, n_buckets=8, key_col="k", keep_versions=30)
+    m.initialize(batch([(i, 0, 0, "I") for i in range(32)]))
+    purge_keys = [30, 31]  # disjoint from every merge's keys
+    errs = []
+
+    def with_retry(fn, attempts=10):
+        for i in range(attempts):
+            try:
+                return fn()
+            except CommitConflict:
+                _time.sleep(0.1 * (i + 1))
+        raise RuntimeError("retries exhausted")
+
+    def merger():
+        h = VersionedBucketMirror(root, n_buckets=8, key_col="k", keep_versions=30)
+        try:
+            for i in range(6):
+                # merge_batch re-reads the head internally, so the retry
+                # is simply calling it again
+                with_retry(
+                    lambda i=i: h.merge_batch(
+                        batch([(i, 100 + i, i + 1, "U")]), target
+                    )
+                )
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(("merger", exc))
+
+    def compactor():
+        h = VersionedBucketMirror(root, n_buckets=8, key_col="k", keep_versions=30)
+        try:
+            for _ in range(3):
+                with_retry(lambda: h.rewrite_data_files(spark, min_files=2))
+                _time.sleep(0.2)
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(("compactor", exc))
+
+    def purger():
+        h = VersionedBucketMirror(root, n_buckets=8, key_col="k", keep_versions=30)
+        try:
+            _time.sleep(0.3)
+            with_retry(
+                lambda: h.purge_keys(
+                    spark,
+                    spark.createDataFrame([(k,) for k in purge_keys], "k long"),
+                )
+            )
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(("purger", exc))
+
+    threads = [
+        threading.Thread(target=f) for f in (merger, compactor, purger)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    state = {r.k: r.v for r in m.read(spark).collect()}
+    # all merges applied, purged keys gone, everything else untouched
+    assert all(state[i] == 100 + i for i in range(6))
+    assert all(k not in state for k in purge_keys)
+    assert all(state[i] == 0 for i in range(6, 30))
+    versions = [e["version"] for e in m.history()]
+    assert versions == sorted(set(versions))
+    assert m.history()[-1]["readable"]
