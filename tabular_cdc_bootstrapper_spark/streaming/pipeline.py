@@ -60,7 +60,8 @@ class CommitConflict(RuntimeError):
 _RESERVED_META_KEYS = frozenset(
     {
         "version", "dir", "buckets", "ts", "ref", "schema", "stats",
-        "deltas", "n_buckets", "renames", "audited", "rollback_of",
+        "deltas", "n_buckets", "renames", "dropped", "altered",
+        "audited", "rollback_of",
         "purged_ts", "cloned_from", "readable", "is_current",
     }
 )
@@ -2508,6 +2509,8 @@ class VersionedBucketMirror(BranchOps):
             record["n_buckets"] = target["n_buckets"]
         if "renames" in target:  # and its rename mapping
             record["renames"] = target["renames"]
+        if "dropped" in target:
+            record["dropped"] = target["dropped"]
         for delay in (*_RETRY_BACKOFF, None):
             try:
                 self._log.publish(record, protected=self._branch_covers)
@@ -2765,7 +2768,7 @@ class VersionedBucketMirror(BranchOps):
             for b, d in cur["buckets"].items()
             if _nfiles(d) >= max(min_files, 2)
         } | set(deltas)
-        if materialize or cur.get("renames"):
+        if materialize or cur.get("renames") or cur.get("dropped"):
             todo |= set(cur["buckets"])
         if not todo:
             return {
@@ -2833,6 +2836,7 @@ class VersionedBucketMirror(BranchOps):
         self,
         drop: Sequence[str] = (),
         rename: dict[str, str] | None = None,
+        add: dict[str, str] | None = None,
     ) -> dict:
         """Metadata-only ALTER TABLE (r11 — the Iceberg
         rename/drop-column semantics without field IDs): ONE manifest
@@ -2853,10 +2857,20 @@ class VersionedBucketMirror(BranchOps):
         folded (``rewrite_data_files``) before altering; a new name may
         not collide with any live logical or historical physical name.
         Publishes with the CAS basis check — a concurrent commit raises
-        ``CommitConflict`` (re-run: the alter is cheap by design)."""
+        ``CommitConflict`` (re-run: the alter is cheap by design).
+
+        ``add={name: spark_type_string}`` appends NULLABLE columns (the
+        Iceberg v1 add-column): old files read NULL through the explicit
+        manifest schema, no data moves. Without field IDs, re-adding a
+        DROPPED name would resurrect the old bytes still sitting in
+        un-rewritten files — the manifest therefore carries the dropped
+        names as tombstones (``dropped``) until a materializing rewrite
+        physically removes them, and ``add`` refuses those names until
+        then."""
         rename = dict(rename or {})
         drop = list(drop)
-        if not rename and not drop:
+        add = dict(add or {})
+        if not rename and not drop and not add:
             raise ValueError("alter_schema: nothing to do")
         self._sync_spec()
         cur = self.current()
@@ -2902,6 +2916,20 @@ class VersionedBucketMirror(BranchOps):
                 )
         if set(drop) & set(rename):
             raise ValueError("a column cannot be both dropped and renamed")
+        tombstones = list(cur.get("dropped") or [])
+        for name, type_str in add.items():
+            taken = (live - set(drop)) | set(rename.values()) | historical
+            if name in taken or name in tombstones or name in drop:
+                raise ValueError(
+                    f"add target {name!r} collides with a live, dropped-"
+                    f"but-unreclaimed, or historical column of {self.root}"
+                    " — run rewrite_data_files(materialize=True) first"
+                    if name in tombstones
+                    else f"add target {name!r} collides with a live or "
+                    f"historical column name of {self.root}"
+                )
+            # parse via a one-field DDL struct — validates the type string
+            T.StructType.fromDDL(f"{name} {type_str}")
         new_fields = []
         for f in schema.fields:
             if f.name in drop:
@@ -2913,6 +2941,11 @@ class VersionedBucketMirror(BranchOps):
                 new_fields.append(T.StructField(new, f.dataType, True))
             else:
                 new_fields.append(f)
+        for name, type_str in add.items():
+            new_fields.append(
+                T.StructType.fromDDL(f"{name} {type_str}").fields[0]
+            )
+        tombstones = sorted(set(tombstones) | set(drop))
         # per-bucket stats follow their columns
         stats = None
         if "stats" in cur:
@@ -2930,8 +2963,10 @@ class VersionedBucketMirror(BranchOps):
             "buckets": dict(cur["buckets"]),
             "schema": T.StructType(new_fields).jsonValue(),
             "operation": "alter_schema",
-            "altered": {"drop": drop, "rename": rename},
+            "altered": {"drop": drop, "rename": rename, "add": list(add)},
         }
+        if tombstones:
+            record["dropped"] = tombstones
         if renames_hist:
             record["renames"] = renames_hist
         if "deltas" in cur:
@@ -3221,11 +3256,15 @@ class VersionedBucketMirror(BranchOps):
             # commit that replaced EVERY dir materialized the logical
             # names and the mapping retires
             installed_dirs = {d for d in actions.values() if d is not None}
-            if base_entry and base_entry.get("renames") and (
-                deltas
-                or any(d not in installed_dirs for d in mapping.values())
-            ):
+            carried_old_dirs = deltas or any(
+                d not in installed_dirs for d in mapping.values()
+            )
+            if base_entry and base_entry.get("renames") and carried_old_dirs:
                 record["renames"] = base_entry["renames"]
+            if base_entry and base_entry.get("dropped") and carried_old_dirs:
+                # dropped-column tombstones survive while any old file
+                # may still hold the bytes (see alter_schema)
+                record["dropped"] = base_entry["dropped"]
             # carried-forward buckets keep their previous stats; staged
             # ones take the fresh bounds. Stats are pruning BOUNDS only —
             # a purge/delete may leave them wider than the data
@@ -3433,6 +3472,8 @@ class VersionedBucketMirror(BranchOps):
             record["deltas"] = deltas
             if base_entry and base_entry.get("renames"):
                 record["renames"] = base_entry["renames"]
+            if base_entry and base_entry.get("dropped"):
+                record["dropped"] = base_entry["dropped"]
             if self.stats_cols:
                 stats = dict(
                     (base_entry.get("stats") or {}) if base_entry else {}

@@ -156,3 +156,39 @@ def test_rename_fold_preserves_column_pruning(spark, mirror):
     # alias reach the scan
     rs2 = read_schema(mirror.read(spark).select("label"))
     assert "label" in rs2 and "ts" not in rs2
+
+
+def test_add_column_nullable_and_tombstone_guard(spark, mirror):
+    """ADD COLUMN is metadata-only: old files read NULL through the
+    manifest schema; a DROPPED name cannot be re-added while old files
+    still hold its bytes (no field IDs — resurrecting them would be
+    silent corruption), and materializing compaction clears the
+    tombstone."""
+    rec = mirror.alter_schema(add={"tier": "string"})
+    assert rec["altered"]["add"] == ["tier"]
+    out = mirror.read(spark)
+    assert dict(out.dtypes)["tier"] == "string"
+    assert all(r.tier is None for r in out.collect())
+    # merge a batch carrying the new column
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(0, "x", 1, "U", "gold")],
+            "id long, name string, ts long, op string, tier string",
+        ),
+        TARGET,
+    )
+    got = {r.id: r.tier for r in mirror.read(spark).collect()}
+    assert got[0] == "gold" and got[3] is None
+    # drop it; the name is tombstoned until the bytes are reclaimed
+    mirror.alter_schema(drop=["tier"])
+    assert "tier" in mirror.current()["dropped"]
+    with pytest.raises(ValueError, match="dropped-but-unreclaimed"):
+        mirror.alter_schema(add={"tier": "string"})
+    mirror.rewrite_data_files(spark, materialize=True)
+    assert "dropped" not in mirror.current()
+    # now the name is free again — and reads all-NULL (old bytes gone)
+    mirror.alter_schema(add={"tier": "string"})
+    assert all(r.tier is None for r in mirror.read(spark).collect())
+    # invalid type strings fail loudly
+    with pytest.raises(Exception):
+        mirror.alter_schema(add={"zz": "not_a_type"})
