@@ -2841,6 +2841,7 @@ class VersionedBucketMirror(BranchOps):
         drop: Sequence[str] = (),
         rename: dict[str, str] | None = None,
         add: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
     ) -> dict:
         """Metadata-only ALTER TABLE (r11 — the Iceberg
         rename/drop-column semantics without field IDs): ONE manifest
@@ -2870,11 +2871,20 @@ class VersionedBucketMirror(BranchOps):
         un-rewritten files — the manifest therefore carries the dropped
         names as tombstones (``dropped``) until a materializing rewrite
         physically removes them, and ``add`` refuses those names until
-        then."""
+        then.
+
+        ``widen={name: wider_type}`` is metadata-only ALTER COLUMN TYPE
+        (the Delta type-widening table feature): the manifest schema
+        records the wider type and old files read through the parquet
+        reader's widening promotions (int32→int64, float→double — the
+        r10 machinery) — no rewrite at all. Only lossless widenings
+        apply; the bucket key cannot widen (its HASH is type-sensitive
+        — ``rebucket`` to a new layout instead)."""
         rename = dict(rename or {})
         drop = list(drop)
         add = dict(add or {})
-        if not rename and not drop and not add:
+        widen = dict(widen or {})
+        if not rename and not drop and not add and not widen:
             raise ValueError("alter_schema: nothing to do")
         self._sync_spec()
         cur = self.current()
@@ -2949,6 +2959,31 @@ class VersionedBucketMirror(BranchOps):
             new_fields.append(
                 T.StructType.fromDDL(f"{name} {type_str}").fields[0]
             )
+        if widen:
+            from tabular_cdc_bootstrapper_spark.operators.merge import (
+                _is_safe_widening,
+            )
+
+            types = {f.name: f for f in new_fields}
+            for name, type_str in widen.items():
+                if name == self.key_col:
+                    raise ValueError(
+                        f"cannot widen the bucket key {name!r}: its hash "
+                        "is type-sensitive; rebucket to a new layout"
+                    )
+                f = types.get(name)
+                if f is None:
+                    raise ValueError(f"no column {name!r} in {self.root}")
+                wide = T.StructType.fromDDL(f"{name} {type_str}").fields[0]
+                if wide.dataType != f.dataType and not _is_safe_widening(
+                    wide.dataType.simpleString(),
+                    f.dataType.simpleString(),
+                ):
+                    raise ValueError(
+                        f"widening {name!r} {f.dataType.simpleString()} → "
+                        f"{type_str} is not lossless"
+                    )
+                new_fields[new_fields.index(f)] = wide
         tombstones = sorted(set(tombstones) | set(drop))
         # per-bucket stats follow their columns
         stats = None
@@ -2967,7 +3002,12 @@ class VersionedBucketMirror(BranchOps):
             "buckets": dict(cur["buckets"]),
             "schema": T.StructType(new_fields).jsonValue(),
             "operation": "alter_schema",
-            "altered": {"drop": drop, "rename": rename, "add": list(add)},
+            "altered": {
+                "drop": drop,
+                "rename": rename,
+                "add": list(add),
+                "widen": widen,
+            },
         }
         if tombstones:
             record["dropped"] = tombstones

@@ -192,3 +192,38 @@ def test_add_column_nullable_and_tombstone_guard(spark, mirror):
     # invalid type strings fail loudly
     with pytest.raises(Exception):
         mirror.alter_schema(add={"zz": "not_a_type"})
+
+
+def test_widen_type_is_metadata_only(spark, tmp_path):
+    """ALTER COLUMN TYPE (widen) is one manifest commit: old int32 files
+    read as bigint through the parquet widening promotions; merges then
+    land values beyond 2^31; lossless-only and the bucket key refuses."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10
+    )
+    m.initialize(
+        spark.createDataFrame(
+            [(i, i * 10, 0, "I") for i in range(8)],
+            "id long, v long, ts long, op string",
+        ).withColumn("v", F.col("v").cast("int"))
+    )
+    base_dirs = dict(m.current()["buckets"])
+    rec = m.alter_schema(widen={"v": "bigint"})
+    assert rec["buckets"] == base_dirs  # zero data movement
+    assert rec["altered"]["widen"] == {"v": "bigint"}
+    out = m.read(spark)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r.id: r.v for r in out.collect()}[3] == 30
+    big = 2**35
+    m.merge_batch(
+        spark.createDataFrame(
+            [(0, big, 1, "U")], "id long, v long, ts long, op string"
+        ),
+        TARGET,
+    )
+    got = {r.id: r.v for r in m.read(spark).collect()}
+    assert got[0] == big and got[5] == 50
+    with pytest.raises(ValueError, match="not lossless"):
+        m.alter_schema(widen={"v": "int"})
+    with pytest.raises(ValueError, match="bucket key"):
+        m.alter_schema(widen={"id": "bigint"})
