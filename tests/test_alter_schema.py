@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tabular_cdc_bootstrapper_spark.config import CdcTarget
 from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    ParquetStateTable,
     VersionedBucketMirror,
 )
 
@@ -97,6 +98,46 @@ def test_chained_rename_folds_all_historical_names(spark, mirror):
     assert "tag" in _raw_cols(spark, mirror.current()["buckets"].values())
 
 
+def test_rename_then_drop_retires_mapping_and_tombstones_history(
+    spark, mirror
+):
+    """Dropping a previously-renamed column must pop its rename mapping
+    (ADVICE r12: a 'renames' entry for a name absent from the logical
+    schema KeyError'd every subsequent read — a bricked table head) and
+    tombstone its historical physical names; re-adding either name is a
+    NEW field (r12 field IDs) whose previous generation's bytes stay
+    masked."""
+    mirror.alter_schema(rename={"name": "label"})
+    # a merge under the new name leaves MIXED physical dirs behind
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(0, "renamed", 1, "U")],
+            "id long, label string, ts long, op string",
+        ),
+        TARGET,
+    )
+    rec = mirror.alter_schema(drop=["label"])
+    # the mapping is gone with its column; both generations tombstoned
+    assert "renames" not in rec
+    assert set(rec["dropped"]) == {"label", "name"}
+    # the head READS (pre-fix: KeyError on types['label'])
+    out = mirror.read(spark)
+    assert set(out.columns) == {"id", "ts", "op"}
+    assert out.count() == 8
+    # re-adding the dropped name works IMMEDIATELY (field IDs): the new
+    # field reads NULL everywhere — both generations' bytes (physical
+    # 'name' in the init dirs, physical 'label' in the merged dir) stay
+    # invisible even though the files were never rewritten
+    rec2 = mirror.alter_schema(add={"label": "string"})
+    assert rec2["shadowed"] == {"label": rec2["version"]}
+    assert all(r.label is None for r in mirror.read(spark).collect())
+    # materializing compaction reclaims the bytes and clears the masks
+    mirror.rewrite_data_files(spark, materialize=True)
+    head = mirror.current()
+    assert "dropped" not in head and "shadowed" not in head
+    assert all(r.label is None for r in mirror.read(spark).collect())
+
+
 def test_alter_guard_rails(spark, mirror):
     with pytest.raises(ValueError, match="bucket key"):
         mirror.alter_schema(rename={"id": "key"})
@@ -158,18 +199,19 @@ def test_rename_fold_preserves_column_pruning(spark, mirror):
     assert "label" in rs2 and "ts" not in rs2
 
 
-def test_add_column_nullable_and_tombstone_guard(spark, mirror):
+def test_add_column_nullable_and_regeneration(spark, mirror):
     """ADD COLUMN is metadata-only: old files read NULL through the
-    manifest schema; a DROPPED name cannot be re-added while old files
-    still hold its bytes (no field IDs — resurrecting them would be
-    silent corruption), and materializing compaction clears the
-    tombstone."""
+    manifest schema. Re-adding a DROPPED name works immediately (r12
+    field IDs): the new field is generation-masked, so the previous
+    generation's bytes — still physically present in un-rewritten files
+    — can never resurrect; a later merge writes real gen-2 values and
+    they coexist with masked gen-1 dirs."""
     rec = mirror.alter_schema(add={"tier": "string"})
     assert rec["altered"]["add"] == ["tier"]
     out = mirror.read(spark)
     assert dict(out.dtypes)["tier"] == "string"
     assert all(r.tier is None for r in out.collect())
-    # merge a batch carrying the new column
+    # merge a batch carrying the new column — gen-1 values
     mirror.merge_batch(
         spark.createDataFrame(
             [(0, "x", 1, "U", "gold")],
@@ -179,19 +221,90 @@ def test_add_column_nullable_and_tombstone_guard(spark, mirror):
     )
     got = {r.id: r.tier for r in mirror.read(spark).collect()}
     assert got[0] == "gold" and got[3] is None
-    # drop it; the name is tombstoned until the bytes are reclaimed
+    # drop it: the name frees immediately; bytes linger tombstoned
     mirror.alter_schema(drop=["tier"])
     assert "tier" in mirror.current()["dropped"]
-    with pytest.raises(ValueError, match="dropped-but-unreclaimed"):
-        mirror.alter_schema(add={"tier": "string"})
-    mirror.rewrite_data_files(spark, materialize=True)
-    assert "dropped" not in mirror.current()
-    # now the name is free again — and reads all-NULL (old bytes gone)
-    mirror.alter_schema(add={"tier": "string"})
+    # re-add WITHOUT compaction: a NEW field — gen-1 'gold' stays masked
+    rec2 = mirror.alter_schema(add={"tier": "string"})
+    assert mirror.current()["shadowed"] == {"tier": rec2["version"]}
     assert all(r.tier is None for r in mirror.read(spark).collect())
+    # gen-2 values land and read beside masked gen-1 dirs
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(1, "y", 2, "U", "silver")],
+            "id long, name string, ts long, op string, tier string",
+        ),
+        TARGET,
+    )
+    got = {r.id: r.tier for r in mirror.read(spark).collect()}
+    assert got[1] == "silver" and got[0] is None and got[3] is None
+    # materializing compaction reclaims gen-1 bytes, clears the masks,
+    # and PRESERVES gen-2 values
+    mirror.rewrite_data_files(spark, materialize=True)
+    head = mirror.current()
+    assert "dropped" not in head and "shadowed" not in head
+    got = {r.id: r.tier for r in mirror.read(spark).collect()}
+    assert got[1] == "silver" and got[0] is None
+    # raw files no longer hold gen-1 'gold' anywhere
+    assert "gold" not in {
+        r.tier
+        for d in head["buckets"].values()
+        for r in spark.read.parquet(d).collect()
+    }
     # invalid type strings fail loudly
     with pytest.raises(Exception):
         mirror.alter_schema(add={"zz": "not_a_type"})
+
+
+def test_shadowed_column_rename_refused_until_materialize(spark, mirror):
+    """Renaming a re-added (generation-masked) column would let the
+    rename fold resurrect the old label's previous-generation bytes —
+    refuse until a materializing rewrite reclaims them."""
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(0, "x", 1, "U")], "id long, name string, ts long, op string"
+        ),
+        TARGET,
+    )
+    mirror.alter_schema(drop=["name"])
+    mirror.alter_schema(add={"name": "string"})
+    with pytest.raises(ValueError, match="re-added after a drop"):
+        mirror.alter_schema(rename={"name": "label"})
+    mirror.rewrite_data_files(spark, materialize=True)
+    mirror.alter_schema(rename={"name": "label"})
+    assert "label" in mirror.read(spark).columns
+
+
+def test_field_ids_allocated_and_stable(spark, mirror):
+    """Field IDs (r12): allocated lazily at first DDL, preserved across
+    rename (label change, same fid) and merges (via _widen_struct), and
+    a re-added name gets a FRESH fid — the Iceberg column-identity
+    rule."""
+    from pyspark.sql import types as T
+
+    mirror.alter_schema(rename={"name": "label"})
+    sch = T.StructType.fromJson(mirror.current()["schema"])
+    fids = {f.name: f.metadata.get("fid") for f in sch.fields}
+    assert sorted(fids.values()) == [1, 2, 3, 4]
+    label_fid = fids["label"]
+    # a merge must not disturb identity metadata
+    mirror.merge_batch(
+        spark.createDataFrame(
+            [(0, "x", 1, "U")], "id long, label string, ts long, op string"
+        ),
+        TARGET,
+    )
+    sch = T.StructType.fromJson(mirror.current()["schema"])
+    assert {
+        f.name: f.metadata.get("fid") for f in sch.fields
+    }["label"] == label_fid
+    # drop frees the name; re-add allocates a NEW fid
+    mirror.alter_schema(drop=["label"])
+    rec = mirror.alter_schema(add={"label": "string"})
+    sch = T.StructType.fromJson(rec["schema"])
+    new = {f.name: dict(f.metadata) for f in sch.fields}["label"]
+    assert new["fid"] != label_fid and new["fid"] == rec["next_fid"] - 1
+    assert new["added_v"] == rec["version"]
 
 
 def test_widen_type_is_metadata_only(spark, tmp_path):
@@ -227,3 +340,57 @@ def test_widen_type_is_metadata_only(spark, tmp_path):
         m.alter_schema(widen={"v": "int"})
     with pytest.raises(ValueError, match="bucket key"):
         m.alter_schema(widen={"id": "bigint"})
+
+
+@pytest.mark.parametrize("layout", ["snapshot", "bucketed"])
+def test_ddl_surface_symmetric_across_layouts(spark, tmp_path, layout):
+    """Both snapshot layouts expose the same metadata-only DDL surface
+    (r12, VERDICT task 2): rename folds values, widen is lossless-only
+    metadata, drop frees the name, re-add-after-drop masks the previous
+    generation, and time travel reads every version under its own
+    schema."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(6)],
+        "id long, name string, v long",
+    ).withColumn("v", F.col("v").cast("int"))
+    if layout == "snapshot":
+        t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+        t.commit(df)
+
+        def alter(**kw):
+            return t.alter_schema(spark=spark, **kw)
+
+    else:
+        t = VersionedBucketMirror(
+            str(tmp_path / "t"), n_buckets=4, key_col="id", keep_versions=10
+        )
+        t.initialize(df)
+        alter = t.alter_schema
+    v0 = t.current()["version"]
+    # rename: pure metadata, values fold through the historical name
+    alter(rename={"name": "label"})
+    out = t.read(spark)
+    assert "label" in out.columns and "name" not in out.columns
+    assert {r.id: r.label for r in out.collect()}[3] == "v3"
+    # widen: metadata-only type change, values intact
+    alter(widen={"v": "bigint"})
+    out = t.read(spark)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r.id: r.v for r in out.collect()}[4] == 40
+    with pytest.raises(ValueError, match="not lossless"):
+        alter(widen={"v": "int"})
+    # drop frees the name immediately; re-add is a new masked field
+    alter(drop=["label"])
+    assert set(t.read(spark).columns) == {"id", "v"}
+    rec = alter(add={"label": "string"})
+    assert rec["shadowed"] == {"label": rec["version"]}
+    out = t.read(spark)
+    assert all(r.label is None for r in out.collect())
+    assert out.count() == 6
+    # time travel: every version reads under its own schema
+    assert "name" in t.read_version(spark, v0).columns
+    # guard rails shared across layouts
+    with pytest.raises(ValueError, match="no column"):
+        alter(drop=["ghost"])
+    with pytest.raises(ValueError, match="nothing to do"):
+        alter()

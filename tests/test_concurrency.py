@@ -223,6 +223,84 @@ def test_overlapping_bucket_merges_conflict(spark, tmp_path):
     }
 
 
+def test_rebucket_conflicts_on_concurrent_commit(spark, tmp_path):
+    """A commit landing between rebucket's state read and its publish
+    must raise CommitConflict, not be silently overwritten with
+    pre-read state (ADVICE r12: touched=None used to rebase the
+    full-state replace onto the new head — a lost update)."""
+    m = _mirror(spark, tmp_path, n=32)
+    other = VersionedBucketMirror(
+        m.root, n_buckets=16, key_col="k", keep_versions=10
+    )
+    real_read = VersionedBucketMirror._read_entry
+    fired = []
+
+    def sneaky(self, spk, e, buckets=None):
+        df = real_read(self, spk, e, buckets)
+        if self is m and not fired:
+            fired.append(True)
+            # concurrent writer lands AFTER rebucket read its basis
+            other.commit_merged(
+                spark.createDataFrame([(0, 99)], "k long, v long"),
+                touched=[
+                    r.b
+                    for r in spark.createDataFrame([(0,)], "k long")
+                    .select(other._bucket(F.col("k")).alias("b"))
+                    .collect()
+                ],
+            )
+        return df
+
+    VersionedBucketMirror._read_entry = sneaky
+    try:
+        with pytest.raises(CommitConflict):
+            m.rebucket(spark, 32)
+    finally:
+        VersionedBucketMirror._read_entry = real_read
+    # spec rolled back, the concurrent update survived (not lost)
+    assert m.n_buckets == 16
+    assert {(r.k, r.v) for r in m.read(spark).collect() if r.k == 0} == {
+        (0, 99)
+    }
+    # re-run against the new head: succeeds and carries the update
+    rec = m.rebucket(spark, 32)
+    assert rec["n_buckets"] == 32 and m.n_buckets == 32
+    assert {(r.k, r.v) for r in m.read(spark).collect() if r.k == 0} == {
+        (0, 99)
+    }
+
+
+def test_stalled_writer_cannot_regress_pointer(spark, tmp_path):
+    """A writer stalled past the conflict grace has its entry GC'd and a
+    concurrent winner advances the pointer; on resume the stalled
+    writer's pointer swap must CommitConflict — the pointer may never
+    regress to a version whose staged data was reclaimed (ADVICE r12)."""
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(_df(spark, "v0"))
+    t.commit(_df(spark, "v1"))
+    t.commit(_df(spark, "v2"))  # pointer at v2
+    head = dict(t.current())
+    assert head["version"] == 2
+    # simulate the stalled writer's world: it allocated v1 long ago, its
+    # entry was GC'd as a crash orphan (file absent), and it resumes the
+    # publish — the exclusive create succeeds, the pointer check must not
+    stale = {"version": 1, "dir": head["dir"], "ts": 0.0}
+    os.remove(t._log._entry_path(1))
+    with pytest.raises(CommitConflict, match="stalled writer"):
+        t._log.publish(stale, protected=t._branch_covers)
+    # pointer untouched, the retried entry retracted
+    assert t.current()["version"] == 2
+    assert not os.path.exists(t._log._entry_path(1))
+    # same for a re-publish AT the pointer version
+    os.remove(t._log._entry_path(2))
+    with pytest.raises(CommitConflict, match="stalled writer"):
+        t._log.publish(
+            {"version": 2, "dir": head["dir"], "ts": 0.0},
+            protected=t._branch_covers,
+        )
+    assert t.current()["version"] == 2
+
+
 def test_purge_refuses_to_clobber_mid_purge_commit(spark, tmp_path):
     """A commit landing between purge start and pointer rewrite carries
     forward dirs the purge is about to delete — the purge must stop

@@ -190,3 +190,105 @@ def test_mor_schema_evolution_through_delta(spark, mor):
     assert "tier" in out.columns
     got = {r["id"]: r["tier"] for r in out.select("id", "tier").collect()}
     assert got[0] == "gold" and got[1] is None
+
+
+def test_mor_delete_tier_is_keys_only(spark, mor):
+    """r12 (VERDICT task 6, the Iceberg v2 equality-delete split): a
+    batch's delete rows land in a separate keys-only dir (fold envelope
+    only — no payload columns), a PURE-delete batch writes ONLY that
+    tier, and the fold stays bit-identical to copy-on-write."""
+    # mixed batch: upsert + delete split into two dirs at one version
+    rec = mor.merge_batch(
+        _batch(spark, [(0, "x", 1, "U"), (1, None, 1, "D")]), TARGET
+    )
+    specs = [
+        s
+        for ss in mor.current()["deltas"].values()
+        for s in ss
+        if s["version"] == rec["version"]
+    ]
+    kinds = {os.path.basename(s["dir"]).split("-")[2] for s in specs}
+    assert kinds == {"delta", "del"}
+    for s in specs:
+        cols = set(spark.read.parquet(s["dir"]).columns)
+        if "-del-" in os.path.basename(s["dir"]):
+            assert cols == {"id", "ts", "op"}  # envelope, no payload
+        else:
+            assert "name" in cols
+    # pure-delete batch (the GDPR stream shape): keys-only tier only
+    rec2 = mor.merge_batch(
+        _batch(spark, [(2, None, 2, "D"), (3, None, 2, "D")]), TARGET
+    )
+    specs2 = [
+        s
+        for ss in mor.current()["deltas"].values()
+        for s in ss
+        if s["version"] == rec2["version"]
+    ]
+    assert specs2, "pure-delete batch must append delete specs"
+    for s in specs2:
+        assert "-del-" in os.path.basename(s["dir"])
+        assert set(spark.read.parquet(s["dir"]).columns) == {
+            "id", "ts", "op",
+        }
+    # fold parity: deletes applied, upsert applied, rest intact
+    got = _state(spark, mor)
+    assert got[0] == "x" and 1 not in got and 2 not in got and 3 not in got
+    assert got[5] == "v0-5" and len(got) == 13
+    # the fold point collapses both tiers
+    mor.rewrite_data_files(spark)
+    assert "deltas" not in mor.current()
+    assert _state(spark, mor) == got
+
+
+def test_mor_delete_tier_write_amplification(spark, tmp_path):
+    """The point of the split: a delete batch's bytes scale with KEYS,
+    not full-width rows — measured against the same batch's pre-split
+    cost (its full-width latest-per-key slice)."""
+    wide = ", ".join(f"c{i} string" for i in range(12))
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=10,
+        merge_on_read=True,
+    )
+    pad = "x" * 64
+    m.initialize(
+        spark.createDataFrame(
+            [tuple([i] + [f"{pad}{i}-{j}" for j in range(12)] + [0, "I"])
+             for i in range(400)],
+            f"id long, {wide}, ts long, op string",
+        )
+    )
+    rec = m.merge_batch(
+        spark.createDataFrame(
+            [tuple([i] + [None] * 12 + [1, "D"]) for i in range(200)],
+            f"id long, {wide}, ts long, op string",
+        ),
+        TARGET,
+    )
+
+    def _bytes(dirs):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    del_dirs = [
+        s["dir"]
+        for ss in m.current()["deltas"].values()
+        for s in ss
+        if s["version"] == rec["version"]
+    ]
+    base_bytes = _bytes(m.current()["buckets"].values())
+    del_bytes = _bytes(del_dirs)
+    # 200 tombstones must cost far less than the 400-row wide base —
+    # and raw columns prove no payload was written at all
+    assert del_bytes * 5 < base_bytes
+    assert all(
+        set(spark.read.parquet(d).columns) == {"id", "ts", "op"}
+        for d in del_dirs
+    )
+    assert sorted(r.id for r in m.read(spark).collect()) == list(
+        range(200, 400)
+    )
