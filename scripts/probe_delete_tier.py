@@ -54,6 +54,9 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
+        # the copy-on-write parity leg rewrites the full 96-col wide
+        # table in one commit — the default 1g local heap OOMs on it
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -38,41 +38,90 @@ del _m, _k
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-11 rotation (policy: keep every
-# query <= 3 rounds stale; VERDICT r10 #7: after r11 no row may be older
-# than r9):
+# fresh driver-side correctness row. Round-12 rotation (policy: keep every
+# query <= 3 rounds stale; VERDICT r11 #5: after r12 no row may be older
+# than r10):
 #
-# - IN (new r11, 5): concurrent_merge_serialization (optimistic CAS
-#   commits: disjoint-bucket rebase + overlap conflict),
-#   mor_merge_fold_roundtrip (merge-on-read delta commits +
-#   rewrite_data_files fold), change_feed_stream_fold (checkpointed
-#   per-commit CDF consumer, fold law), mirror_rebucket_roundtrip
-#   (bucket-spec evolution, history intact, new-spec lookup),
-#   mirror_alter_schema_ddl (metadata-only rename/drop + materializing
-#   compaction). cdc_latest is the flagship, in-window every round.
-#   The window is exactly full at 1+5+44; the r11-restructured WAP loop
-#   is pinned by tests/test_concurrency.py (two-writer re-audit, both
-#   layouts) and wap_anomaly_gate stays tail-listed (r10-fresh, still
-#   locally parity-checked every round).
-# - IN (the full r8 cohort, 44): every row whose latest driver check is
-#   r8 — at the 3-round staleness ceiling after r11 (computed from
-#   CORRECTNESS_r08/09/10: r8-green minus the r9/r10 windows).
-# - OUT (tail): the r9 rows (2 rounds stale, scheduled to rotate in
-#   r12) and the r10 rows (1 round stale) — including the other
-#   r10-maintenance entries whose code moved this round
-#   (snapshot_branch_publish, bucket_compaction_roundtrip,
-#   snapshot_refs_report, merge_table_time_travel, cdc_purge_history):
-#   window arithmetic is exact at 50 and the staleness ceiling binds
-#   first; every one of them is still re-executed against DuckDB
-#   locally this round by tests/test_oracle_parity.py plus the
-#   session's full verify drive, so regressions cannot hide between
-#   driver rotations.
+# - IN (new r12, 3): column_generation_masking (field-ID column identity
+#   — three generations of one column's life, each version read under
+#   its own schema, masking metadata-only), snapshot_table_ddl
+#   (ParquetStateTable.alter_schema — DDL symmetry with the bucketed
+#   mirror: shared-dir commit, rename fold, typed-NULL add, pre-DDL time
+#   travel), join_feed_availablenow (MaintainedJoinFeedDriver: two
+#   checkpointed change feeds drained into a MaintainedJoinView with
+#   per-trigger rate limiting). cdc_latest is the flagship, in-window
+#   every round.
+# - IN (r12-changed, 1): mor_merge_fold_roundtrip — its live path now
+#   splits delete rows into the keys-only tier (VERDICT r11 #6), so it
+#   re-certifies under the changed code.
+# - IN (the full r9 cohort, 45): every row whose latest driver check is
+#   r9 — at the 3-round staleness ceiling after r12 (computed from
+#   CORRECTNESS_r09/10/11: r9-green minus the r10/r11 windows).
+# - OUT (tail): the r10 rows (2 rounds stale, scheduled to rotate in
+#   r13) and the r11 rows (1 round stale) — including the other entries
+#   whose read path moved this round (mirror_alter_schema_ddl,
+#   change_feed_stream_fold, concurrent_merge_serialization,
+#   mirror_rebucket_roundtrip — all r11-fresh): window arithmetic is
+#   exact at 50 (1+3+1+45) and the staleness ceiling binds first; every
+#   one of them is still re-executed against DuckDB locally this round
+#   by tests/test_oracle_parity.py plus the session's full verify
+#   drive, so regressions cannot hide between driver rotations.
 # ---------------------------------------------------------------------------
 
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
-    "concurrent_merge_serialization",
+    "column_generation_masking",
+    "snapshot_table_ddl",
+    "join_feed_availablenow",
     "mor_merge_fold_roundtrip",
+    "ann_batch_shuffle_topk",
+    "ann_index_maintained_topk",
+    "ann_index_purged_topk",
+    "ann_prebuilt_ivfpq_topk",
+    "array_hof_embedding_stats",
+    "benchmark_contamination",
+    "cdc_purge_history",
+    "cluster_balanced_sample",
+    "duplicated_span_hashes",
+    "event_mix_drift",
+    "events_sliding_10min",
+    "grouping_sets_revenue",
+    "hybrid_retrieval_topk",
+    "incremental_join_maintenance",
+    "lang_id_confusion",
+    "minhash_near_duplicates",
+    "orders_above_global_avg",
+    "orders_by_month",
+    "orders_constraint_report",
+    "price_quartile_bins",
+    "purchase_graph_pagerank",
+    "q10_returned_revenue",
+    "q11_value_share_shape",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q1_pricing_summary",
+    "q20_excess_share_shape",
+    "q21_sole_late_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "rolling_30d_revenue",
+    "salted_nation_revenue",
+    "semantic_dedup_summary",
+    "session_stats",
+    "set_ops_multiset",
+    "skewed_priority_agg",
+    "source_token_drift",
+    "span_dedup_retention",
+    "temperature_mixture_quota",
+    "tfidf_top_terms",
+    "top_terms",
+    "unigram_surprisal_quality",
+    "winsorized_length_stats",
+    # --- tail (51+): green driver rows on current code, still
+    # oracle-checked locally every round ---
+    "concurrent_merge_serialization",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",
     "mirror_alter_schema_ddl",
@@ -120,8 +169,6 @@ _DRIVER_CHECK_PRIORITY = [
     "video_frame_samples",
     "weighted_mixture_sample",
     "zorder_layout_stats",
-    # --- tail (51+): green driver rows on current code, family
-    # representative in window, still oracle-checked locally every round ---
     "wap_anomaly_gate",
     "snapshot_refs_report",
     "snapshot_branch_publish",
@@ -171,51 +218,6 @@ _DRIVER_CHECK_PRIORITY = [
     "uniform_per_group_sample",
     "user_sessions",
     "window_navigation",
-    "incremental_join_maintenance",
-    "cdc_purge_history",
-    "price_quartile_bins",
-    "orders_constraint_report",
-    "ann_prebuilt_ivfpq_topk",
-    "ann_index_maintained_topk",
-    "ann_batch_shuffle_topk",
-    "ann_index_purged_topk",
-    "purchase_graph_pagerank",
-    "semantic_dedup_summary",
-    "array_hof_embedding_stats",
-    "benchmark_contamination",
-    "cluster_balanced_sample",
-    "duplicated_span_hashes",
-    "event_mix_drift",
-    "events_sliding_10min",
-    "grouping_sets_revenue",
-    "hybrid_retrieval_topk",
-    "orders_above_global_avg",
-    "orders_by_month",
-    "q10_returned_revenue",
-    "q11_value_share_shape",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q18_large_volume_orders",
-    "q20_excess_share_shape",
-    "q21_sole_late_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "rolling_30d_revenue",
-    "salted_nation_revenue",
-    "session_stats",
-    "set_ops_multiset",
-    "skewed_priority_agg",
-    "source_token_drift",
-    "span_dedup_retention",
-    "temperature_mixture_quota",
-    "tfidf_top_terms",
-    "top_terms",
-    "unigram_surprisal_quality",
-    "winsorized_length_stats",
-    "q1_pricing_summary",
-    "minhash_near_duplicates",
-    "lang_id_confusion",
 ]
 
 def _reorder_registry() -> None:

@@ -1861,3 +1861,383 @@ def mirror_alter_schema_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item string, value long",
     )
     return flags.unionByName(head).unionByName(post)
+
+
+@query(
+    "column_generation_masking",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                    AS BIGINT) f,
+               CAST(COUNT(CASE WHEN o_orderkey % 5 = 0 THEN 1 END)
+                    AS BIGINT) g2,
+               CAST(COUNT(CASE WHEN o_orderkey % 11 = 0 THEN 1 END)
+                    AS BIGINT) g3
+        FROM orders
+    )
+    SELECT 'gen1_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'gen1_f', f FROM a
+    UNION ALL SELECT 'gen2_g2', g2 FROM a
+    UNION ALL SELECT 'gen2_null', n - g2 FROM a
+    UNION ALL SELECT 'head_rows', n FROM a
+    UNION ALL SELECT 'head_g3', g3 FROM a
+    UNION ALL SELECT 'head_null', n - g3 FROM a
+    UNION ALL SELECT 'mask_metadata_only', CAST(1 AS BIGINT) FROM a
+    """,
+)
+def column_generation_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-ID column identity across THREE generations of one column's
+    life (r12, VERDICT task 3 — the Iceberg rule: a re-added column is a
+    NEW field). The mirror's ``flag`` column is born holding order
+    statuses (gen 1), dropped and re-added with no compaction in
+    between (gen 2 — every pre-existing byte generation-masked to NULL),
+    merged with 'G2' values, then dropped and re-added AGAIN (gen 3) and
+    merged with 'G3' values. One hash pins all three generations read
+    back, each version under its own schema record: gen 1 still reads
+    the original statuses via time travel, the gen-2 snapshot reads 'G2'
+    exactly where merged and NULL elsewhere (gen-1 bytes masked), and
+    the head reads 'G3'/NULL (both earlier generations masked) — while
+    the masking stays METADATA-ONLY (the initial data dirs physically
+    hold the gen-1 bytes throughout; no file was rewritten by any DDL
+    commit)."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("flag")
+    )
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_gen_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("int")})
+    )  # v0: gen 1 (flag = o_orderstatus)
+    gen1_dirs = list(mirror.current()["buckets"].values())
+    mirror.alter_schema(drop=["flag"])  # v1
+    mirror.alter_schema(add={"flag": "string"})  # v2: gen 2 (masked)
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", F.lit("G2").alias("flag"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")}),
+        target,
+    )  # v3
+    gen2_version = mirror.current()["version"]
+    mirror.alter_schema(drop=["flag"])  # v4
+    mirror.alter_schema(add={"flag": "string"})  # v5: gen 3 (masked)
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", F.lit("G3").alias("flag"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(2).cast("int")}),
+        target,
+    )  # v6: head
+    # the DDL commits never rewrote the initial dirs: gen-1 bytes are
+    # physically intact there even though two generations masked them
+    raw_gen1 = spark.read.parquet(*gen1_dirs)
+    mask_metadata_only = int(
+        raw_gen1.filter(F.col("flag").isNotNull()).limit(1).count() == 1
+    )
+
+    def counts(df: DataFrame, prefix: str, val: str, items) -> DataFrame:
+        n_item, hit_item, null_item = items
+        aggs = [F.count("*").cast("long").alias("__n")] if n_item else []
+        aggs += [
+            F.count(F.when(F.col("flag") == val, 1))
+            .cast("long")
+            .alias("__h"),
+            F.count(F.when(F.col("flag").isNull(), 1))
+            .cast("long")
+            .alias("__z"),
+        ]
+        row = df.agg(*aggs)
+        structs = []
+        if n_item:
+            structs.append(
+                F.struct(
+                    F.lit(n_item).alias("item"), F.col("__n").alias("value")
+                )
+            )
+        structs.append(
+            F.struct(
+                F.lit(hit_item).alias("item"), F.col("__h").alias("value")
+            )
+        )
+        if null_item:
+            structs.append(
+                F.struct(
+                    F.lit(null_item).alias("item"),
+                    F.col("__z").alias("value"),
+                )
+            )
+        return row.select(F.explode(F.array(*structs)).alias("p")).select(
+            "p.item", "p.value"
+        )
+
+    gen1 = counts(
+        mirror.read(spark, version=0), "gen1", "F", ("gen1_rows", "gen1_f", None)
+    )
+    gen2 = counts(
+        mirror.read(spark, version=gen2_version),
+        "gen2",
+        "G2",
+        (None, "gen2_g2", "gen2_null"),
+    )
+    head = counts(
+        mirror.read(spark), "head", "G3", ("head_rows", "head_g3", "head_null")
+    )
+    flags = spark.createDataFrame(
+        [("mask_metadata_only", mask_metadata_only)],
+        "item string, value long",
+    )
+    return flags.unionByName(gen1).unionByName(gen2).unionByName(head)
+
+
+@query(
+    "snapshot_table_ddl",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_orderstatus = 'F') AS f
+        FROM final
+    )
+    SELECT 'v1_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'v1_f', f FROM a
+    UNION ALL SELECT 'head_rows', n FROM a
+    UNION ALL SELECT 'head_keysum', s FROM a
+    UNION ALL SELECT 'head_x', x FROM a
+    UNION ALL SELECT 'tier_nulls', n FROM a
+    UNION ALL SELECT 'alter_metadata_only', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'old_snapshot_has_old_name', CAST(1 AS BIGINT) FROM a
+    """,
+)
+def snapshot_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ALTER TABLE on the PLAIN snapshot layout (r12,
+    VERDICT task 2 — DDL symmetry: ``ParquetStateTable.alter_schema``
+    shares ``_alter_schema_meta`` with the bucketed mirror): commit
+    orders, then RENAME ``o_orderstatus → status`` + DROP ``o_custkey``
+    as ONE log commit that SHARES the previous version's data dir (zero
+    data movement, pinned), read the head through the rename fold (the
+    dir physically holds the OLD name — 'v1_f' counts statuses through
+    the coalesce fold), commit the derived update as a full-state
+    replace (which naturally materializes the logical schema), ADD a
+    nullable column reading typed NULL from the un-rewritten files, and
+    time-travel to v0 under its own pre-DDL schema."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ParquetStateTable,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    t = ParquetStateTable(
+        tempfile.mkdtemp(prefix="spark_graft_sddl_") + "/t",
+        keep_versions=10,
+    )
+    t.commit(o)  # v0
+    rec = t.alter_schema(
+        drop=["o_custkey"],
+        rename={"o_orderstatus": "status"},
+        spark=spark,
+    )  # v1: one commit, dir shared with v0
+    alter_metadata_only = int(
+        rec["dir"] == t._log.committed()[0]["dir"]
+    )
+    v1 = t.read(spark)
+    v1_agg = v1.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.count(F.when(F.col("status") == "F", 1))
+        .cast("long")
+        .alias("__f"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("v1_rows").alias("item"), F.col("__n").alias("value")),
+                F.struct(F.lit("v1_f").alias("item"), F.col("__f").alias("value")),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    t.commit(
+        v1.withColumn(
+            "status",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+                F.col("status")
+            ),
+        )
+    )  # v2: full-state replace materializes the logical schema
+    # v3: metadata-only ADD (spark= again: the v2 full-state commit
+    # materialized the logical schema and retired the DDL metadata, so
+    # this alter re-binds from the fresh dir's parquet schema)
+    t.alter_schema(add={"tier": "string"}, spark=spark)
+    head = t.read(spark)
+    head_agg = head.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("o_orderkey").cast("long").alias("__s"),
+        F.count(F.when(F.col("status") == "X", 1)).cast("long").alias("__x"),
+        F.count(F.when(F.col("tier").isNull(), 1)).cast("long").alias("__t"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("head_rows").alias("item"), F.col("__n").alias("value")),
+                F.struct(F.lit("head_keysum").alias("item"), F.col("__s").alias("value")),
+                F.struct(F.lit("head_x").alias("item"), F.col("__x").alias("value")),
+                F.struct(F.lit("tier_nulls").alias("item"), F.col("__t").alias("value")),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    old_snapshot_has_old_name = int(
+        "o_orderstatus" in t.read_version(spark, 0).columns
+    )
+    flags = spark.createDataFrame(
+        [
+            ("alter_metadata_only", alter_metadata_only),
+            ("old_snapshot_has_old_name", old_snapshot_has_old_name),
+        ],
+        "item string, value long",
+    )
+    return flags.unionByName(v1_agg).unionByName(head_agg)
+
+
+@query(
+    "join_feed_availablenow",
+    oracle="""
+    WITH fact_after AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    dim_after AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    j AS (
+        SELECT f.o_orderkey, f.p, d.seg
+        FROM fact_after f JOIN dim_after d ON f.o_custkey = d.c_custkey
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS BIGINT) cents,
+               CAST(COUNT(CASE WHEN seg = 'MOVED' THEN 1 END) AS BIGINT) mv
+        FROM j
+    )
+    SELECT 'n_triggers' AS item, CAST(2 AS BIGINT) AS value FROM a
+    UNION ALL SELECT 'view_rows', n FROM a
+    UNION ALL SELECT 'view_keysum', s FROM a
+    UNION ALL SELECT 'view_cents', cents FROM a
+    UNION ALL SELECT 'view_moved', mv FROM a
+    """,
+)
+def join_feed_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-driven maintained-view pipeline (r12, VERDICT task 1 —
+    ``MaintainedJoinFeedDriver``): two snapshot tables (orders fact:
+    load → double prices where key%7=0 → delete key%13=0; customer dim:
+    load → re-segment custkey%10=0) each expose a checkpointed change
+    feed, and the AvailableNow driver loop drains BOTH feeds into a
+    ``MaintainedJoinView`` with ``max_commits_per_trigger=1`` (Spark's
+    per-trigger rate-limit shape — the fact side needs two triggers,
+    the dim side one). One hash pins the trigger count and the final
+    view equalling the from-scratch join of both heads, integer-cent
+    exact. Scale: each trigger is one keyed CDF per advanced side plus
+    maintain_join's broadcast touched-key update — no corpus shuffle,
+    no hand-rolled poll loop in consumer code."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ChangeFeedStream,
+        MaintainedJoinFeedDriver,
+        MaintainedJoinView,
+        ParquetStateTable,
+    )
+
+    work = tempfile.mkdtemp(prefix="spark_graft_jfeed_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = ParquetStateTable(f"{work}/fact", keep_versions=10)
+    dim = ParquetStateTable(f"{work}/dim", keep_versions=10)
+    fact.commit(o)  # v0
+    v1 = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    fact.commit(v1)  # v1
+    fact.commit(v1.filter(F.col("o_orderkey") % 13 != 0))  # v2
+    dim.commit(c)  # v0
+    dim.commit(
+        c.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )  # v1
+    view = MaintainedJoinView(
+        f"{work}/view",
+        fact_keys="o_orderkey",
+        dim_keys="c_custkey",
+        fk_cols="o_custkey",
+        ts_col="ts",
+    )
+    driver = MaintainedJoinFeedDriver(
+        view,
+        fact,
+        dim,
+        ChangeFeedStream(
+            fact, key_cols="o_orderkey", checkpoint_path=f"{work}/cf.json"
+        ),
+        ChangeFeedStream(
+            dim, key_cols="c_custkey", checkpoint_path=f"{work}/cd.json"
+        ),
+    )
+    done = driver.run_available(spark, max_commits_per_trigger=1)
+    agg = view.read(spark).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("o_orderkey").cast("long").alias("__s"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("__c"),
+        F.count(F.when(F.col("c_mktsegment") == "MOVED", 1))
+        .cast("long")
+        .alias("__m"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view_rows").alias("item"), F.col("__n").alias("value")),
+                F.struct(F.lit("view_keysum").alias("item"), F.col("__s").alias("value")),
+                F.struct(F.lit("view_cents").alias("item"), F.col("__c").alias("value")),
+                F.struct(F.lit("view_moved").alias("item"), F.col("__m").alias("value")),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    flags = spark.createDataFrame(
+        [("n_triggers", len(done))], "item string, value long"
+    )
+    return flags.unionByName(agg)
