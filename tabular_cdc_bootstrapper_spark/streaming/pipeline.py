@@ -29,6 +29,7 @@ import shutil
 import time
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,6 +77,84 @@ _RETRY_BACKOFF = (0.05, 0.1, 0.3, 0.8, 2.0, 4.0, 8.0)
 #: sentinel distinguishing "no basis given: resolve the current head"
 #: from an explicit ``basis=None`` (empty table)
 _UNSET = object()
+
+#: a purge lock older than this is a crashed holder's orphan and may be
+#: taken over (purges are minutes-long at most; a live holder finishes
+#: or crashes well inside this window)
+_PURGE_LOCK_STALE_S = 900.0
+
+#: purge-vs-writer convergence bound: each catch-up round scans only
+#: the dirs commits added during the previous round, so the work per
+#: round shrinks geometrically; a head that outruns ALL rounds means
+#: pathological traffic and the purge gives up caller-visibly
+_PURGE_CATCHUP_ROUNDS = 10
+
+
+@contextmanager
+def _purge_lock(root: str):
+    """Root-level advisory lock serializing ``purge_keys`` runs (r12,
+    found by ``scripts/probe_concurrent_stress.py``): a purge rewrites
+    retained manifests IN PLACE at unchanged version numbers, so two
+    concurrent purges last-write-win each other's manifest edits — the
+    loser's keys silently SURVIVE in retained history, a GDPR violation
+    the version-based CAS cannot see (neither purge bumps the version).
+    An exclusive lock file turns the race into a caller-visible
+    ``CommitConflict`` (retry after the holder finishes); a crashed
+    holder's lock goes stale after ``_PURGE_LOCK_STALE_S`` and is taken
+    over."""
+    path = os.path.join(root, "_purge.lock")
+    os.makedirs(root, exist_ok=True)
+
+    def _acquire() -> int:
+        return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+
+    try:
+        fd = _acquire()
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            age = 0.0  # holder just released/created: treat as live
+        if age < _PURGE_LOCK_STALE_S:
+            raise CommitConflict(
+                f"another purge_keys holds the purge lock on {root} "
+                f"(age {age:.0f}s); retry after it finishes"
+            ) from None
+        try:  # stale: crashed holder — take over
+            os.remove(path)
+        except OSError:
+            pass
+        try:
+            fd = _acquire()
+        except FileExistsError:
+            raise CommitConflict(
+                f"lost the purge-lock takeover race on {root}; retry"
+            ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def _vanished_path(exc: BaseException) -> bool:
+    """True when a Spark read/plan failed because an input path was
+    deleted out from under it — the reader-vs-purge race (r12, found by
+    probe_concurrent_stress.py): a purge rewrites manifests then deletes
+    the old PII dirs, so a reader holding a PRE-purge manifest dangles.
+    The manifest on disk is already re-pointed; converting the failure
+    into CommitConflict sends callers through their normal re-resolve-
+    and-retry path."""
+    s = str(exc)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "FileNotFoundException" in s
+        or "No such file or directory" in s
+    )
 
 
 def _check_meta(meta: dict | None) -> None:
@@ -302,13 +381,18 @@ class SnapshotLog:
         record: dict,
         on_orphan=None,
         protected=None,
-        expected_head: int | None = None,
+        expected_head: "int | tuple | None" = None,
     ) -> dict:
         """``protected``: optional predicate sparing above-pointer entries
         from orphan GC — the hook writable BRANCHES use (their staged
         commits live above the main pointer by design and are not
         crash orphans). ``expected_head``: CAS basis check, see class
-        docstring. Raises :class:`CommitConflict` on any lost race."""
+        docstring — an int compares the version alone (legacy); a
+        ``(version, purged_ts)`` TOKEN also catches an in-place purge
+        rewrite of the head (r12: purge_keys edits the pointer record
+        WITHOUT bumping the version, so a version-only CAS would let a
+        commit based on the pre-purge head resurrect the purged dirs).
+        Raises :class:`CommitConflict` on any lost race."""
         os.makedirs(self.log_dir, exist_ok=True)
         n = record["version"]
         lpath = self._entry_path(n)
@@ -325,12 +409,22 @@ class SnapshotLog:
             ) from None
         cur = self.current()
         cur_version = cur["version"] if cur else -1
-        if expected_head is not None and cur_version != expected_head:
-            self._retract(lpath)
-            raise CommitConflict(
-                f"{self.root} advanced to v{cur_version} past this "
-                f"commit's basis v{expected_head}"
+        cur_purged = (cur or {}).get("purged_ts") or 0
+        if expected_head is not None:
+            exp_v, exp_p = (
+                expected_head
+                if isinstance(expected_head, tuple)
+                else (expected_head, None)
             )
+            if cur_version != exp_v or (
+                exp_p is not None and cur_purged != exp_p
+            ):
+                self._retract(lpath)
+                raise CommitConflict(
+                    f"{self.root} advanced to v{cur_version} "
+                    f"(purged_ts {cur_purged}) past this commit's basis "
+                    f"v{exp_v}"
+                )
         # allocation guarantees n > pointer at allocation time, so a
         # pointer >= n proves a concurrent winner advanced while this
         # writer stalled (ADVICE r12: a writer stalled past the conflict
@@ -383,10 +477,17 @@ class SnapshotLog:
             )
         # pointer may have moved since the entry create (a writer whose
         # window was already clear) — re-check before the swap so the
-        # pointer never regresses past a commit we didn't build on
+        # pointer never regresses past a commit we didn't build on; the
+        # purged_ts half of the token catches an in-place purge rewrite
+        # landing inside the publish window (r12)
         cur2 = self.current()
         cur2_version = cur2["version"] if cur2 else -1
-        if cur2_version != cur_version or cur2_version >= n:
+        cur2_purged = (cur2 or {}).get("purged_ts") or 0
+        if (
+            cur2_version != cur_version
+            or cur2_purged != cur_purged
+            or cur2_version >= n
+        ):
             self._retract(lpath)
             raise CommitConflict(
                 f"{self.root} advanced during publish of v{n}"
@@ -1056,7 +1157,11 @@ class ParquetStateTable(BranchOps):
         if meta["shadowed"]:
             record["shadowed"] = meta["shadowed"]
         return self._publish(
-            record, keep=record["dir"], expected_head=cur["version"]
+            record,
+            keep=record["dir"],
+            # token CAS (r12): the record SHARES cur's data dir — an
+            # in-place purge landing in between would delete it
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
         )
 
     def commit(
@@ -1182,6 +1287,18 @@ class ParquetStateTable(BranchOps):
         keys_df: DataFrame,
         key_cols: str | Sequence[str],
     ) -> dict:
+        """See ``_purge_keys_locked``; the purge lock serializes runs —
+        two unsynchronized purges rewrite manifests in place and
+        last-write-win each other's deletions (r12)."""
+        with _purge_lock(self.root):
+            return self._purge_keys_locked(spark, keys_df, key_cols)
+
+    def _purge_keys_locked(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_cols: str | Sequence[str],
+    ) -> dict:
         """GDPR-style hard delete: physically remove every row matching
         ``keys_df`` from the CURRENT snapshot AND every retained historical
         snapshot — the right-to-be-forgotten operation (Delta's
@@ -1192,13 +1309,19 @@ class ParquetStateTable(BranchOps):
         TIMESTAMP AS OF / rollback / change-feed read can resurrect them.
 
         Protocol (crash-safe, idempotent): (1) for each distinct retained
-        data dir, write a purged copy (keys broadcast into one anti-join —
-        the table side never shuffles, and dirs shared by several log
-        entries, e.g. rollback targets, are rewritten once); (2) rewrite
-        each log entry then the CURRENT pointer (each an atomic rename,
-        pointer last); (3) delete the old dirs. A crash mid-way leaves
-        every snapshot readable (old or new dir) and a re-run converges —
-        the anti-join of an already-purged dir is a no-op rewrite.
+        data dir HOLDING ANY PURGE KEY (a broadcast semi-join probe skips
+        clean dirs, so re-runs are true no-ops), write a purged copy
+        (keys broadcast into one anti-join — the table side never
+        shuffles, and dirs shared by several log entries, e.g. rollback
+        targets, are rewritten once); (2) rewrite each log entry and
+        the CURRENT pointer in place (atomic renames, versions/ts/meta
+        preserved, ``purged_ts`` stamped — the stamp rides in every CAS
+        publish's head token, r12, so concurrent commits basing on the
+        pre-purge head conflict and re-read instead of resurrecting the
+        PII dir); (3) delete the old dirs after the pointer rewrite. A head that
+        moves mid-purge is CHASED with delta-sized catch-up rounds
+        (bounded; gives up caller-visibly). A crash mid-way leaves every
+        snapshot readable (old or new dir) and a re-run converges.
 
         Scale: cost = one pruned scan + write per RETAINED snapshot
         (retention bounds the work, the reason purge pairs with
@@ -1213,52 +1336,58 @@ class ParquetStateTable(BranchOps):
         cur = self.current()
         if cur is None:
             return {"versions_rewritten": 0, "dirs_rewritten": 0}
-        entries = self._log.committed() or [cur]
-        # staged branch commits hold the same PII above the main pointer
-        # — a right-to-be-forgotten purge must reach them too
-        windows = self._branchset.windows()
-        seen = {e["version"] for e in entries}
-        entries = entries + [
-            e
-            for e in self._log.entries()
-            if e["version"] not in seen
-            and any(lo < e["version"] <= hi for lo, hi in windows)
-        ]
+        def _entries() -> list[dict]:
+            es = self._log.committed() or [self.current()]
+            # staged branch commits hold the same PII above the main
+            # pointer — a right-to-be-forgotten purge must reach them too
+            windows = self._branchset.windows()
+            seen = {e["version"] for e in es}
+            return es + [
+                e
+                for e in self._log.entries()
+                if e["version"] not in seen
+                and any(lo < e["version"] <= hi for lo, hi in windows)
+            ]
+
         dir_map: dict[str, str] = {}
-        for e in entries:
+        clean_dirs: set[str] = set()
+        now = time.time()
+
+        def _purge_dir(e: dict) -> None:
             d = e["dir"]
-            if d in dir_map or not os.path.isdir(d):
-                continue
-            df = spark.read.parquet(d)
-            cond = _reduce(
-                lambda a, b: a & b,
-                [df[k].eqNullSafe(probe[f"__p_{i}"]) for i, k in enumerate(keys)],
-            )
-            clean = df.join(F.broadcast(probe), cond, "left_anti")
+            if d in dir_map or d in clean_dirs or not os.path.isdir(d):
+                return
             nd = os.path.join(
                 self.root,
                 f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
             )
-            clean.write.mode("errorifexists").parquet(nd)
+            try:
+                df = spark.read.parquet(d)
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [
+                        df[k].eqNullSafe(probe[f"__p_{i}"])
+                        for i, k in enumerate(keys)
+                    ],
+                )
+                # a dir holding NO purge keys stays untouched (r12): a
+                # re-run is a true no-op and this purge's own outputs
+                # are never re-purged into dst chains
+                if df.join(F.broadcast(probe), cond, "left_semi").isEmpty():
+                    clean_dirs.add(d)
+                    return
+                clean = df.join(F.broadcast(probe), cond, "left_anti")
+                clean.write.mode("errorifexists").parquet(nd)
+            except Exception:
+                # TOCTOU on the isdir check: a concurrent commit's
+                # retention pass may delete ``d`` mid-scan once no
+                # retained manifest references it (r12) — nothing left
+                # to purge there; any other failure propagates
+                if os.path.isdir(d):
+                    raise
+                shutil.rmtree(nd, ignore_errors=True)
+                return
             dir_map[d] = nd
-        now = time.time()
-        versions_rewritten = 0
-        for e in entries:
-            if e["dir"] not in dir_map:
-                continue
-            rec = dict(e)
-            rec["dir"] = dir_map[e["dir"]]
-            rec["purged_ts"] = now
-            lpath = os.path.join(self._log_dir, f"v-{e['version']:08d}.json")
-            if not os.path.exists(lpath):
-                # pre-snapshot-log table: only the pointer exists
-                versions_rewritten += 1
-                continue
-            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(rec, fh)
-            os.replace(tmp, lpath)
-            versions_rewritten += 1
 
         # checkpointed (log-compacted) entries have no per-version file —
         # rewrite them inside the checkpoint so compacted metadata cannot
@@ -1271,29 +1400,65 @@ class ParquetStateTable(BranchOps):
             rec["purged_ts"] = now
             return rec
 
-        self._log.rewrite_checkpoint(_ckpt_purge)
-        # CAS guard (r11): a commit that landed during the purge carries
-        # forward dirs we are about to delete and would be clobbered by
-        # the pointer rewrite — stop before touching the pointer or any
-        # old bytes; everything rewritten so far is consistent and a
-        # re-run covers the new head too
-        live = self.current()
-        if (live["version"] if live else -1) != cur["version"]:
+        # convergent catch-up (r12, found by probe_concurrent_stress.py —
+        # same loop as the mirror purge): chase a head that moves during
+        # the scan instead of starving; each round's work is only the
+        # dirs new commits added (dir_map dedupes the rest)
+        versions_rewritten = 0
+        for _round in range(_PURGE_CATCHUP_ROUNDS):
+            entries = _entries()
+            for e in entries:
+                _purge_dir(e)
+            for e in entries:
+                if e["dir"] not in dir_map:
+                    continue
+                rec = dict(e)
+                rec["dir"] = dir_map[e["dir"]]
+                rec["purged_ts"] = now
+                lpath = os.path.join(
+                    self._log_dir, f"v-{e['version']:08d}.json"
+                )
+                if not os.path.exists(lpath):
+                    # pre-snapshot-log table: only the pointer exists
+                    versions_rewritten += 1
+                    continue
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+                versions_rewritten += 1
+            self._log.rewrite_checkpoint(_ckpt_purge)
+            # head update: the pointer record is rewritten IN PLACE at
+            # the same version (versions/branches/tags/FF all survive a
+            # purge) with ``purged_ts`` stamped, which every CAS publish
+            # carries in its head token (r12): an alter_schema or merge
+            # basing on the pre-purge head conflicts on the token and
+            # re-reads instead of referencing the PII dir this purge
+            # deletes.
+            live = self.current()
+            if (live["version"] if live else -1) != cur["version"]:
+                cur = live  # the head moved: chase it
+                continue
+            if cur["dir"] in dir_map:
+                rec = dict(cur)
+                rec["dir"] = dir_map[cur["dir"]]
+                rec["purged_ts"] = now
+                tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, self._pointer)
+            break
+        else:
             raise CommitConflict(
-                f"{self.root} advanced during purge_keys — re-run the "
-                "purge to cover the new head"
+                f"{self.root} kept advancing through "
+                f"{_PURGE_CATCHUP_ROUNDS} purge catch-up rounds — "
+                "re-run the purge"
             )
-        if cur["dir"] in dir_map:
-            rec = dict(cur)
-            rec["dir"] = dir_map[cur["dir"]]
-            rec["purged_ts"] = now
-            tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(rec, fh)
-            os.replace(tmp, self._pointer)
-        # ownership guard: a shallow clone drops only its REFERENCE to a
-        # source-owned dir; deleting the source's bytes is the source
-        # table's own purge_keys to perform
+        # old dirs hold the PII: delete AFTER the pointer rewrite — any
+        # commit still based on the pre-purge head conflicts on the
+        # purged_ts token and re-reads. Ownership guard: a shallow clone
+        # drops only its REFERENCE to a source-owned dir; deleting the
+        # source's bytes is the source table's own purge_keys to perform
         for old in dir_map:
             if self._owns(old):
                 shutil.rmtree(old, ignore_errors=True)
@@ -1583,12 +1748,20 @@ class ParquetStateTable(BranchOps):
                 # referenced by no log entry: crash staging if aged, a
                 # concurrent writer's installed-but-unpublished commit
                 # (e.g. a WAP between conflict and re-audit) if fresh —
-                # only reclaim past the conflict grace (r11)
+                # only reclaim past the conflict grace (r11). In-flight
+                # purge rewrites stay unreferenced for the whole purge
+                # scan (r12): purge-named dirs get the purge lock's
+                # staleness as their grace instead.
                 try:
                     age = now - os.path.getmtime(full)
                 except OSError:
                     continue
-                if age < self._log.conflict_grace_s:
+                grace = (
+                    _PURGE_LOCK_STALE_S
+                    if "-purge-" in d
+                    else self._log.conflict_grace_s
+                )
+                if age < grace:
                     continue
             shutil.rmtree(full, ignore_errors=True)
 
@@ -3210,6 +3383,7 @@ class VersionedBucketMirror(BranchOps):
         min_files: int = 2,
         materialize: bool = False,
         zorder_cols: Sequence[str] = (),
+        partial_progress: bool = False,
     ) -> dict:
         """Small-file compaction across the CURRENT manifest (VERDICT r10
         task 4 — the Iceberg ``rewrite_data_files`` maintenance action,
@@ -3227,7 +3401,22 @@ class VersionedBucketMirror(BranchOps):
         partitioned commit path as a merge (1 task → 1 file per bucket),
         so data never moves twice and the bucket hash assignment is
         reproduced bit-for-bit. Returns a receipt with before/after file
-        counts — the read-amplification recovery the probe measures."""
+        counts — the read-amplification recovery the probe measures.
+
+        ``partial_progress`` (r12, the Iceberg ``partial-progress``
+        compaction mode, found by ``scripts/probe_concurrent_stress.py``):
+        under sustained writer traffic a full-restage-on-conflict
+        compaction STARVES — every landing merge invalidates the whole
+        staged rewrite. With partial progress, buckets a concurrent
+        commit modified are dropped from the commit (their staged
+        rewrite is a stale copy of superseded bytes — losing it loses
+        nothing; they stay fragmented for the next pass) and the
+        untouched majority lands. Safe for pure rewrites only, which a
+        compaction is by construction; the receipt reports
+        ``buckets_dropped``. Schema-metadata retirement (renames/
+        dropped/shadowed/materialize) only completes when NO bucket is
+        dropped — a partial pass carries the metadata forward exactly
+        like any commit that leaves old dirs live."""
         cur = self.current()
 
         def _nfiles(d: str) -> int:
@@ -3278,20 +3467,38 @@ class VersionedBucketMirror(BranchOps):
         ) + sum(
             _nfiles(s["dir"]) for b in todo for s in deltas.get(b, [])
         )
-        frag = self._read_entry(spark, cur, buckets=[int(b) for b in todo])
-        rec = self._commit_staged(
-            frag,
-            touched=[int(b) for b in todo],
-            meta={"operation": "rewrite_data_files"},
-            basis=cur,
-            zorder_cols=zorder_cols,
-        )
+        try:
+            frag = self._read_entry(
+                spark, cur, buckets=[int(b) for b in todo]
+            )
+            rec = self._commit_staged(
+                frag,
+                touched=[int(b) for b in todo],
+                meta={"operation": "rewrite_data_files"},
+                basis=cur,
+                zorder_cols=zorder_cols,
+                drop_conflicted=partial_progress,
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this compaction's basis dirs were "
+                    "purged concurrently — re-run against the new head"
+                ) from None
+            raise
+        # with partial progress, a conflicted bucket's dir is the
+        # concurrent winner's, not our coalesced rewrite — count only
+        # buckets this commit actually installed
+        compacted = rec.get("_installed", sorted(str(b) for b in todo))
         files_after = sum(
             _nfiles(rec["buckets"][b]) for b in todo if b in rec["buckets"]
         )
         return {
             "version": rec["version"],
-            "buckets_compacted": len(todo),
+            "buckets_compacted": len(compacted),
+            "buckets_dropped": len(todo) - len(compacted),
             "files_before": files_before,
             "files_after": files_after,
         }
@@ -3317,7 +3524,15 @@ class VersionedBucketMirror(BranchOps):
             raise ValueError(f"mirror {self.root} has no snapshot yet")
         if new_n == self.n_buckets:
             return dict(cur)  # already on this spec: no-op
-        full = self._read_entry(spark, cur)
+        try:
+            full = self._read_entry(spark, cur)
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this rebucket's basis dirs were "
+                    "purged concurrently — re-run against the new head"
+                ) from None
+            raise
         old_n = self.n_buckets
         self.n_buckets = new_n
         try:
@@ -3455,7 +3670,9 @@ class VersionedBucketMirror(BranchOps):
         self._log.publish(
             record,
             protected=self._branch_covers,
-            expected_head=cur["version"],
+            # token CAS (r12): the record SHARES cur's bucket dirs — an
+            # in-place purge landing in between would delete them
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
         )
         self._expire(record)
         return record
@@ -3537,25 +3754,35 @@ class VersionedBucketMirror(BranchOps):
             )
             rec["touched_buckets"] = touched
             return rec
-        current = (
-            self._read_entry(spark, base, buckets=touched)
-            if base is not None
-            else None
-        )
-        new_state = apply_changelog(
-            batch_df,
-            key_cols=key,
-            ts_cols=target.ts_column,
-            op_col=target.op_column,
-            delete_op=target.delete_op,
-            mirror=current,
-            tiebreak_cols=tiebreak_cols,
-            drop_envelope=(),
-        )
-        rec = self._commit_staged(
-            new_state, touched=touched, key_col=key, branch=branch,
-            basis=base,
-        )
+        try:
+            current = (
+                self._read_entry(spark, base, buckets=touched)
+                if base is not None
+                else None
+            )
+            new_state = apply_changelog(
+                batch_df,
+                key_cols=key,
+                ts_cols=target.ts_column,
+                op_col=target.op_column,
+                delete_op=target.delete_op,
+                mirror=current,
+                tiebreak_cols=tiebreak_cols,
+                drop_envelope=(),
+            )
+            rec = self._commit_staged(
+                new_state, touched=touched, key_col=key, branch=branch,
+                basis=base,
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this merge's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
         rec["touched_buckets"] = touched
         return rec
 
@@ -3611,6 +3838,7 @@ class VersionedBucketMirror(BranchOps):
         branch: str | None = None,
         basis=_UNSET,
         zorder_cols: Sequence[str] = (),
+        drop_conflicted: bool = False,
     ) -> dict:
         """Stage ``df`` partitioned by bucket, install the staged buckets
         under immutable new version names, publish the manifest.
@@ -3618,6 +3846,14 @@ class VersionedBucketMirror(BranchOps):
         maps exactly the staged buckets. Otherwise untouched buckets carry
         their current dirs forward and a touched bucket with no staged dir
         (every key deleted) drops out of the mapping.
+
+        ``drop_conflicted`` (r12): on a CAS conflict, instead of raising
+        when a concurrent commit modified one of our buckets, DROP that
+        bucket's staged dir and commit the survivors — sound ONLY when
+        the staged content is a pure rewrite of the basis content (the
+        compaction case: the winner's bytes supersede a stale rewrite of
+        what they replaced), NEVER for a merge (whose staged buckets
+        carry new data that must not be silently discarded).
 
         Write shaping for big buckets: ``files_per_bucket`` splits each
         bucket's write across that many tasks via an independent key
@@ -3831,6 +4067,15 @@ class VersionedBucketMirror(BranchOps):
         # basis head; on conflict re-read, verify the concurrent commits
         # did not touch OUR buckets (then re-applying the actions against
         # the new head is sound — disjoint writers both land), else raise.
+        def _token(e: dict | None) -> tuple:
+            # (version, purged_ts): an in-place purge rewrite changes
+            # the head WITHOUT bumping the version (r12) — the token
+            # makes the CAS see it
+            return (
+                e["version"] if e else -1,
+                (e or {}).get("purged_ts") or 0,
+            )
+
         basis = cur
         attempt = 0
         while True:
@@ -3839,7 +4084,7 @@ class VersionedBucketMirror(BranchOps):
                 self._log.publish(
                     record,
                     protected=self._branch_covers,
-                    expected_head=(basis["version"] if basis else -1),
+                    expected_head=_token(basis),
                 )
                 break
             except CommitConflict:
@@ -3847,9 +4092,7 @@ class VersionedBucketMirror(BranchOps):
                 if attempt > len(_RETRY_BACKOFF):
                     raise
                 new_cur = self.current()
-                head_moved = (new_cur["version"] if new_cur else -1) != (
-                    basis["version"] if basis else -1
-                )
+                head_moved = _token(new_cur) != _token(basis)
                 if touched is None and head_moved:
                     # a FULL-state replace (initialize / rebucket) whose
                     # basis moved is stale by definition — every bucket
@@ -3860,19 +4103,47 @@ class VersionedBucketMirror(BranchOps):
                         "rewrite's basis — re-run it against the new head"
                     ) from None
                 if touched is not None and head_moved:
-                    for b in actions:
-                        if self._bucket_state(basis, b) != self._bucket_state(
-                            new_cur, b
-                        ):
-                            raise CommitConflict(
-                                f"bucket {b} of {self.root} was modified "
-                                "by a concurrent commit — this merge's "
-                                "inputs are stale; re-run it against the "
-                                "new head"
-                            ) from None
+                    changed = [
+                        b
+                        for b in actions
+                        if self._bucket_state(basis, b)
+                        != self._bucket_state(new_cur, b)
+                    ]
+                    if changed and not drop_conflicted:
+                        raise CommitConflict(
+                            f"bucket {changed[0]} of {self.root} was "
+                            "modified by a concurrent commit — this "
+                            "merge's inputs are stale; re-run it against "
+                            "the new head"
+                        ) from None
+                    for b in changed:
+                        # partial progress (r12, the Iceberg
+                        # partial-progress compaction rule): this
+                        # bucket's staged rewrite was derived from a
+                        # state a concurrent commit replaced — the
+                        # winner's bytes are newer, ours are a stale
+                        # REWRITE of superseded content, so dropping it
+                        # loses nothing. The installed dir is
+                        # unreferenced by any manifest; remove it now
+                        # (next publish's _expire would GC it anyway).
+                        dst = actions.pop(b)
+                        staged_stats.pop(b, None)
+                        if dst is not None:
+                            shutil.rmtree(dst, ignore_errors=True)
+                    if not actions:
+                        # every staged bucket conflicted: clean no-op —
+                        # the table head already supersedes this rewrite
+                        noop = dict(new_cur)
+                        noop["_installed"] = []
+                        return noop
                 basis = new_cur
                 time.sleep(_RETRY_BACKOFF[attempt - 1])
         self._expire(record)
+        # ephemeral receipt detail (in-memory only — the manifest JSON
+        # was already written): which buckets this commit installed,
+        # net of any partial-progress drops
+        record = dict(record)
+        record["_installed"] = sorted(actions)
         return record
 
     @staticmethod
@@ -4136,6 +4407,18 @@ class VersionedBucketMirror(BranchOps):
         keys_df: DataFrame,
         key_col: str | None = None,
     ) -> dict:
+        """See ``_purge_keys_locked``; the purge lock serializes runs —
+        two unsynchronized purges rewrite manifests in place and
+        last-write-win each other's deletions (r12)."""
+        with _purge_lock(self.root):
+            return self._purge_keys_locked(spark, keys_df, key_col)
+
+    def _purge_keys_locked(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str | None = None,
+    ) -> dict:
         """GDPR-style hard delete across the mirror's retained history —
         the bucketed composition of ``ParquetStateTable.purge_keys``, and
         the 100 TB shape: the purge keys hash to a bucket set, so only
@@ -4145,13 +4428,19 @@ class VersionedBucketMirror(BranchOps):
         mirror is never scanned.
 
         Protocol mirrors the state-table purge: per distinct touched dir
-        one broadcast anti-join rewrite installed under a new immutable
-        version name (a bucket emptied by the purge drops out of its
-        manifests, matching the merge path's fully-deleted-bucket rule);
-        manifests then the CURRENT pointer re-pointed by atomic renames
-        (versions/ts/meta preserved, ``purged_ts`` stamped); old dirs
-        deleted last. Crash mid-way leaves every snapshot readable and a
-        re-run converges.
+        holding any purge key, one broadcast anti-join rewrite installed
+        under a new immutable version name (a bucket emptied by the
+        purge drops out of its manifests, matching the merge path's
+        fully-deleted-bucket rule); HISTORY manifests AND the
+        CURRENT pointer re-pointed in place (versions/ts/meta preserved,
+        ``purged_ts`` stamped — the stamp rides in every CAS publish's
+        head token, r12, so concurrent merges basing on the pre-purge
+        head conflict-and-rebase instead of resurrecting the PII dirs);
+        old dirs deleted last, after the pointer rewrite. A head that
+        moves mid-purge is CHASED with delta-sized catch-up rounds
+        (bounded; gives up caller-visibly). Crash mid-way leaves every
+        snapshot readable and a re-run converges (dirs already purged
+        are skipped by the semi-join probe).
         """
         key = key_col or self.key_col
         self._sync_spec()
@@ -4165,49 +4454,61 @@ class VersionedBucketMirror(BranchOps):
             .distinct()
             .collect()
         }
-        entries = self._log.committed()
-        # staged branch manifests hold the same PII above the main pointer
-        windows = self._branchset.windows()
-        seen_v = {e["version"] for e in entries}
-        entries = entries + [
-            e
-            for e in self._log.entries()
-            if e["version"] not in seen_v
-            and any(lo < e["version"] <= hi for lo, hi in windows)
-        ]
+        def _entries() -> list[dict]:
+            es = self._log.committed()
+            # staged branch manifests hold the same PII above the main
+            # pointer
+            windows = self._branchset.windows()
+            seen_v = {e["version"] for e in es}
+            return es + [
+                e
+                for e in self._log.entries()
+                if e["version"] not in seen_v
+                and any(lo < e["version"] <= hi for lo, hi in windows)
+            ]
+
         dir_map: dict[str, str | None] = {}
 
+        clean_dirs: set[str] = set()
+
         def _purge_dir(b: str, d: str, version: int, kind: str) -> None:
-            if d in dir_map or not os.path.isdir(d):
-                return
-            df = spark.read.parquet(d)
-            clean = df.join(
-                F.broadcast(probe),
-                df[key].eqNullSafe(probe["__p_0"]),
-                "left_anti",
-            )
-            if clean.isEmpty():  # dir emptied by the purge
-                dir_map[d] = None
+            if d in dir_map or d in clean_dirs or not os.path.isdir(d):
                 return
             dst = os.path.join(
                 self.data_dir,
                 f"bucket={int(b)}",
                 f"v-{version:08d}-{kind}purge-{uuid.uuid4().hex[:8]}",
             )
-            clean.coalesce(1).write.mode("errorifexists").parquet(dst)
+            try:
+                df = spark.read.parquet(d)
+                match = df[key].eqNullSafe(probe["__p_0"])
+                # a dir holding NO purge keys stays untouched (r12): a
+                # re-run is a true no-op, and this purge's own outputs
+                # are never re-purged into dst chains whose tails the
+                # final cleanup would have to chase
+                if df.join(
+                    F.broadcast(probe), match, "left_semi"
+                ).isEmpty():
+                    clean_dirs.add(d)
+                    return
+                clean = df.join(F.broadcast(probe), match, "left_anti")
+                if clean.isEmpty():  # dir emptied by the purge
+                    dir_map[d] = None
+                    return
+                clean.coalesce(1).write.mode("errorifexists").parquet(dst)
+            except Exception:
+                # the isdir check above is TOCTOU: a concurrent commit's
+                # retention pass may delete ``d`` mid-scan once no
+                # retained manifest references it (r12, found by
+                # probe_concurrent_stress.py) — then there is nothing
+                # left to purge in it and skipping is correct. Any other
+                # failure propagates.
+                if os.path.isdir(d):
+                    raise
+                shutil.rmtree(dst, ignore_errors=True)
+                return
             dir_map[d] = dst
 
-        for e in entries:
-            for b, d in e["buckets"].items():
-                if b in touched:
-                    _purge_dir(b, d, e["version"], "")
-            # merge-on-read delta dirs hold the same PII (upserts AND
-            # key-bearing tombstones) — purge them identically
-            for b, specs in (e.get("deltas") or {}).items():
-                if b not in touched:
-                    continue
-                for s in specs:
-                    _purge_dir(b, s["dir"], e["version"], "delta-")
         now = time.time()
 
         def _rewrite(e: dict):
@@ -4232,27 +4533,6 @@ class VersionedBucketMirror(BranchOps):
                 return None
             return out_b, out_d
 
-        manifests_rewritten = 0
-        for e in entries:
-            new_bd = _rewrite(e)
-            if new_bd is None:
-                continue
-            rec = dict(e)
-            rec["buckets"], deltas = new_bd
-            rec.pop("deltas", None)
-            if deltas:
-                rec["deltas"] = deltas
-            rec["purged_ts"] = now
-            lpath = os.path.join(
-                self._log.log_dir, f"v-{e['version']:08d}.json"
-            )
-            if os.path.exists(lpath):
-                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as fh:
-                    json.dump(rec, fh)
-                os.replace(tmp, lpath)
-            manifests_rewritten += 1
-
         def _ckpt_purge(e: dict) -> dict | None:
             # checkpointed manifests rewrite inside the checkpoint (r11)
             new_bd2 = _rewrite(e)
@@ -4266,33 +4546,94 @@ class VersionedBucketMirror(BranchOps):
             rec2["purged_ts"] = now
             return rec2
 
-        self._log.rewrite_checkpoint(_ckpt_purge)
-        # CAS guard (r11): same rule as the snapshot-table purge — a
-        # commit landing mid-purge carries forward dirs we would delete
-        live = self.current()
-        if (live["version"] if live else -1) != cur["version"]:
+        # convergent catch-up (r12, found by probe_concurrent_stress.py):
+        # under sustained writer traffic a purge whose scan takes longer
+        # than the inter-commit gap ALWAYS sees the head move, so the
+        # r11 raise-on-any-movement CAS starved it. Instead, CHASE the
+        # head: each round scans only the dirs new commits added (the
+        # dir_map dedupes everything already purged — delta-sized work),
+        # rewrites the manifests that still reference un-purged dirs,
+        # and re-checks the pointer; the work per round shrinks toward
+        # the pointer swap. Gives up (CommitConflict) only if the head
+        # outruns it for every round — the caller re-runs.
+        manifests_rewritten = 0
+        catchup_rounds = 0
+        for _round in range(_PURGE_CATCHUP_ROUNDS):
+            catchup_rounds += 1
+            entries = _entries()
+            for e in entries:
+                for b, d in e["buckets"].items():
+                    if b in touched:
+                        _purge_dir(b, d, e["version"], "")
+                # merge-on-read delta dirs hold the same PII (upserts
+                # AND key-bearing tombstones) — purge them identically
+                for b, specs in (e.get("deltas") or {}).items():
+                    if b not in touched:
+                        continue
+                    for s in specs:
+                        _purge_dir(b, s["dir"], e["version"], "delta-")
+            for e in entries:
+                new_bd = _rewrite(e)
+                if new_bd is None:
+                    continue
+                rec = dict(e)
+                rec["buckets"], deltas = new_bd
+                rec.pop("deltas", None)
+                if deltas:
+                    rec["deltas"] = deltas
+                rec["purged_ts"] = now
+                lpath = os.path.join(
+                    self._log.log_dir, f"v-{e['version']:08d}.json"
+                )
+                if os.path.exists(lpath):
+                    tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as fh:
+                        json.dump(rec, fh)
+                    os.replace(tmp, lpath)
+                manifests_rewritten += 1
+            self._log.rewrite_checkpoint(_ckpt_purge)
+            # head update: the pointer record is rewritten IN PLACE at
+            # the same version — versions/branches/tags/FF all survive a
+            # purge — but with ``purged_ts`` stamped, which every CAS
+            # publish now carries in its head token (r12, found by the
+            # threaded race test): a concurrent merge basing on the
+            # pre-purge head conflicts on the token and rebases onto the
+            # purged manifest instead of carrying (resurrecting) the PII
+            # dirs this purge is about to delete.
+            live = self.current()
+            if (live["version"] if live else -1) != cur["version"]:
+                cur = live  # the head moved: chase it
+                continue
+            new_bd = _rewrite(cur)
+            if new_bd is not None:
+                rec = dict(cur)
+                rec["buckets"], deltas = new_bd
+                rec.pop("deltas", None)
+                if deltas:
+                    rec["deltas"] = deltas
+                rec["purged_ts"] = now
+                tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, self._log.pointer_path)
+            break
+        else:
             raise CommitConflict(
-                f"{self.root} advanced during purge_keys — re-run the "
-                "purge to cover the new head"
+                f"{self.root} kept advancing through "
+                f"{_PURGE_CATCHUP_ROUNDS} purge catch-up rounds — "
+                "re-run the purge"
             )
-        new_bd = _rewrite(cur)
-        if new_bd is not None:
-            rec = dict(cur)
-            rec["buckets"], deltas = new_bd
-            rec.pop("deltas", None)
-            if deltas:
-                rec["deltas"] = deltas
-            rec["purged_ts"] = now
-            tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(rec, fh)
-            os.replace(tmp, self._log.pointer_path)
+        # old dirs hold the PII: delete AFTER the pointer rewrite — any
+        # commit still based on the pre-purge head now conflicts on the
+        # purged_ts token and rebases onto the purged manifest, so
+        # nothing can re-reference them
         for old in dir_map:
             if self._owns(old):
                 shutil.rmtree(old, ignore_errors=True)
         return {
             "manifests_rewritten": manifests_rewritten,
             "bucket_dirs_rewritten": len(dir_map),
+            "catchup_rounds": catchup_rounds,
             "touched_buckets": sorted(int(b) for b in touched),
         }
 
@@ -4394,12 +4735,22 @@ class VersionedBucketMirror(BranchOps):
                 if full not in logged:
                     # referenced by NO manifest: aged = crash staging
                     # (reclaim), fresh = a concurrent writer's installed
-                    # dirs between install and publish (spare — r11)
+                    # dirs between install and publish (spare — r11).
+                    # An in-flight PURGE's rewritten dirs stay
+                    # unreferenced for its whole scan phase (r12, found
+                    # by the threaded race test): they get the purge
+                    # lock's staleness as their grace — a crashed
+                    # purge's leftovers still GC, just on that clock.
                     try:
                         age = now - os.path.getmtime(full)
                     except OSError:
                         continue
-                    if age < self._log.conflict_grace_s:
+                    grace = (
+                        _PURGE_LOCK_STALE_S
+                        if "-purge-" in vdir
+                        else self._log.conflict_grace_s
+                    )
+                    if age < grace:
                         continue
                 shutil.rmtree(full, ignore_errors=True)
 

@@ -301,23 +301,33 @@ def test_stalled_writer_cannot_regress_pointer(spark, tmp_path):
     assert t.current()["version"] == 2
 
 
-def test_purge_refuses_to_clobber_mid_purge_commit(spark, tmp_path):
-    """A commit landing between purge start and pointer rewrite carries
-    forward dirs the purge is about to delete — the purge must stop
-    (CommitConflict) without touching the pointer or the old bytes."""
+def test_purge_converges_past_mid_purge_commit(spark, tmp_path):
+    """A commit landing between purge start and pointer rewrite used to
+    abort the purge (r11: CommitConflict on any head movement) — under
+    sustained traffic that STARVED purges entirely (r12,
+    probe_concurrent_stress.py). The purge now CHASES the head: a
+    catch-up round re-scans only what the concurrent commit added, the
+    commit's rows survive (never clobbered), rows it carried for purged
+    keys are purged too, and a head that outruns every round is still a
+    caller-visible CommitConflict (bounded give-up)."""
+    from tabular_cdc_bootstrapper_spark.streaming import pipeline as P
+
     m = _mirror(spark, tmp_path, n=16)
     real_current = m.current
     stale = real_current()
-    # another writer advances the table AFTER the purge captured its view
+    # another writer advances the table AFTER the purge captured its
+    # view — and its batch carries a row for a PURGED key (the hard
+    # case: the catch-up round must reach it)
     m2 = VersionedBucketMirror(
         m.root, n_buckets=16, key_col="k", keep_versions=10
     )
     m2.commit_merged(
-        spark.createDataFrame([(99, 9)], "k long, v long"),
+        spark.createDataFrame([(99, 9), (1, 111)], "k long, v long"),
         touched=[
             r.b
-            for r in spark.createDataFrame([(99,)], "k long")
+            for r in spark.createDataFrame([(99,), (1,)], "k long")
             .select(m2._bucket(F.col("k")).alias("b"))
+            .distinct()
             .collect()
         ],
     )
@@ -327,18 +337,45 @@ def test_purge_refuses_to_clobber_mid_purge_commit(spark, tmp_path):
         # purge reads current() twice up front (_sync_spec + its basis
         # capture) — keep both on the stale view, so the simulated
         # concurrent commit lands "between" basis capture and the
-        # pointer-rewrite guard
+        # first round's pointer check
         calls["n"] += 1
         return stale if calls["n"] <= 2 else real_current()
 
     m.current = stale_then_real
     keys = spark.createDataFrame([(1,)], "k long")
-    with pytest.raises(CommitConflict, match="advanced during purge"):
-        m.purge_keys(spark, keys, key_col="k")
-    # the mid-purge commit's state is fully readable
+    rec = m.purge_keys(spark, keys, key_col="k")
     m.current = real_current
-    assert (99, 9) in {(r.k, r.v) for r in m.read(spark).collect()}
+    assert rec["catchup_rounds"] >= 2  # it chased the moved head
+    state = {(r.k, r.v) for r in m.read(spark).collect()}
+    # the mid-purge commit's row is fully readable (never clobbered)...
+    assert (99, 9) in state
+    # ...and the purged key is gone EVERYWHERE, including the row the
+    # concurrent commit carried and every retained historical snapshot
+    assert not {kv for kv in state if kv[0] == 1}
+    for e in m.history():
+        if e["readable"]:
+            assert 1 not in {
+                r.k for r in m.read_version(spark, e["version"]).collect()
+            }
+    # bounded give-up: a head that outruns EVERY catch-up round is a
+    # caller-visible conflict, not an infinite chase
+    m3 = _mirror(spark, tmp_path / "m3", n=16)
+    real3 = m3.current
+    calls3 = {"n": 0}
 
+    def always_moving():
+        calls3["n"] += 1
+        if calls3["n"] <= 2:
+            return real3()
+        e = dict(real3())
+        e["version"] = e["version"] + calls3["n"]  # head keeps advancing
+        return e
+
+    m3.current = always_moving
+    with pytest.raises(CommitConflict, match="kept advancing"):
+        m3.purge_keys(
+            spark, spark.createDataFrame([(1,)], "k long"), key_col="k"
+        )
 
 # ------------------------------------------------------------------ WAP
 
@@ -561,3 +598,203 @@ def test_threaded_merge_compaction_purge_race(spark, tmp_path):
     versions = [e["version"] for e in m.history()]
     assert versions == sorted(set(versions))
     assert m.history()[-1]["readable"]
+
+
+def test_partial_progress_compaction_under_writer_traffic(spark, tmp_path):
+    """Partial-progress compaction (r12 — the Iceberg partial-progress
+    mode, the starvation fix motivated by probe_concurrent_stress.py): a
+    merge landing while a compaction is staging invalidates ONLY the
+    buckets it touched; with partial_progress=True the compaction drops
+    those from its commit (their staged fold is stale — the winner's
+    delta arrived after it was derived) and lands the rest, instead of
+    conflicting and restaging the world. No lost update: the concurrent
+    merge's rows survive, and the dropped bucket folds on the next
+    quiet-time pass."""
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+    target = CdcTarget(
+        source_uri="file:///x", key_column="k", ts_column="ts"
+    )
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=16, key_col="k", keep_versions=10,
+        merge_on_read=True,
+    )
+    m.initialize(
+        spark.createDataFrame(
+            [(i, 0, 0, "I") for i in range(64)],
+            "k long, v long, ts long, op string",
+        )
+    )
+    # delta chains on every bucket: compaction (the fold point) wants all
+    for tag in (1, 2):
+        m.merge_batch(
+            spark.createDataFrame(
+                [(i, tag, tag, "U") for i in range(64)],
+                "k long, v long, ts long, op string",
+            ),
+            target,
+        )
+    n_delta = len(m.current()["deltas"])  # 64 keys may leave a bucket empty
+    assert n_delta >= 15
+    other = VersionedBucketMirror(
+        m.root, n_buckets=16, key_col="k", keep_versions=10,
+        merge_on_read=True,
+    )
+    real_read = VersionedBucketMirror._read_entry
+    fired = []
+
+    def sneaky(self, spk, e, buckets=None):
+        df = real_read(self, spk, e, buckets)
+        if self is m and not fired:
+            fired.append(True)
+            # concurrent merge lands AFTER compaction read its basis
+            other.merge_batch(
+                spark.createDataFrame(
+                    [(0, 99, 9, "U")], "k long, v long, ts long, op string"
+                ),
+                target,
+            )
+        return df
+
+    VersionedBucketMirror._read_entry = sneaky
+    try:
+        rec = m.rewrite_data_files(spark, partial_progress=True)
+    finally:
+        VersionedBucketMirror._read_entry = real_read
+    hot = str(
+        [
+            r.b
+            for r in spark.createDataFrame([(0,)], "k long")
+            .select(other._bucket(F.col("k")).alias("b"))
+            .collect()
+        ][0]
+    )
+    # the merged bucket was dropped, every other bucket folded
+    assert rec["buckets_dropped"] == 1
+    assert rec["buckets_compacted"] == n_delta - 1
+    cur = m.current()
+    assert set(cur.get("deltas") or {}) == {hot}
+    # no lost update: the concurrent merge's row survives the compaction
+    got = {r.k: (r.v, r.ts) for r in m.read(spark).collect()}
+    assert got[0] == (99, 9)
+    assert got[1] == (2, 2) and len(got) == 64
+    # the next quiet-time pass folds the dropped bucket
+    rec2 = m.rewrite_data_files(spark, partial_progress=True)
+    assert rec2["buckets_dropped"] == 0 and rec2["buckets_compacted"] == 1
+    assert "deltas" not in m.current()
+    got2 = {r.k: (r.v, r.ts) for r in m.read(spark).collect()}
+    assert got2 == got
+    # without partial progress the same race is a caller-visible conflict
+    m.merge_batch(
+        spark.createDataFrame(
+            [(i, 5, 11, "U") for i in range(64)],
+            "k long, v long, ts long, op string",
+        ),
+        target,
+    )
+    fired.clear()
+    VersionedBucketMirror._read_entry = sneaky
+    try:
+        with pytest.raises(CommitConflict):
+            m.rewrite_data_files(spark)
+    finally:
+        VersionedBucketMirror._read_entry = real_read
+
+
+def test_purge_lock_serializes_concurrent_purges(spark, tmp_path):
+    """Purge-vs-purge (r12, found by probe_concurrent_stress.py): purges
+    rewrite retained manifests IN PLACE at unchanged versions, so the
+    version-based CAS cannot see two purges racing — without the purge
+    lock, last-write-wins manifest edits silently resurrect the losing
+    purge's keys in history. The lock turns the race into a
+    caller-visible CommitConflict; a stale (crashed-holder) lock is
+    taken over."""
+    import time as _time
+
+    from tabular_cdc_bootstrapper_spark.streaming import pipeline as P
+
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k long, v string"
+        )
+    )
+    keys = spark.createDataFrame([(1,)], "k long")
+    # a live lock (another purge in flight) → CommitConflict, not a wait
+    with P._purge_lock(t.root):
+        with pytest.raises(CommitConflict, match="purge lock"):
+            t.purge_keys(spark, keys, "k")
+    # lock released → the purge lands
+    t.purge_keys(spark, keys, "k")
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        0, 2, 3, 4, 5, 6, 7,
+    ]
+    # a stale lock (crashed holder) is taken over
+    lock = os.path.join(t.root, "_purge.lock")
+    with open(lock, "w") as fh:
+        fh.write("{}")
+    os.utime(lock, (1, 1))  # ancient mtime: well past the grace
+    t.purge_keys(spark, spark.createDataFrame([(2,)], "k long"), "k")
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        0, 3, 4, 5, 6, 7,
+    ]
+    assert not os.path.exists(lock)
+    _ = _time  # (kept for symmetry with other timing-sensitive tests)
+
+
+def test_purge_skips_dir_expired_mid_scan(spark, tmp_path):
+    """Reader-vs-retention TOCTOU (r12, found by
+    probe_concurrent_stress.py): a concurrent commit's retention pass
+    may delete a historical dir between purge's isdir check and its
+    scan. The purge must skip it (nothing left to purge there), not
+    crash mid-run with a FileNotFound from the scan."""
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+    target = CdcTarget(
+        source_uri="file:///x", key_column="k", ts_column="ts"
+    )
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="k", keep_versions=10
+    )
+    m.initialize(
+        spark.createDataFrame(
+            [(i, 0, 0, "I") for i in range(16)],
+            "k long, v long, ts long, op string",
+        )
+    )
+    m.merge_batch(
+        spark.createDataFrame(
+            [(1, 7, 1, "U")], "k long, v long, ts long, op string"
+        ),
+        target,
+    )
+    # simulate retention racing the purge: the v0 dir of key 1's bucket
+    # vanishes after the purge listed its entries but before the scan
+    hot = str(
+        [
+            r.b
+            for r in spark.createDataFrame([(1,)], "k long")
+            .select(m._bucket(F.col("k")).alias("b"))
+            .collect()
+        ][0]
+    )
+    v0_dir = m._log.committed()[0]["buckets"][hot]
+    real_read = type(spark.read).parquet
+    state = {"armed": True}
+
+    def racy(self, *paths):
+        if state["armed"] and v0_dir in paths:
+            state["armed"] = False
+            import shutil as _sh
+
+            _sh.rmtree(v0_dir, ignore_errors=True)
+        return real_read(self, *paths)
+
+    type(spark.read).parquet = racy
+    try:
+        rec = m.purge_keys(spark, spark.createDataFrame([(1,)], "k long"))
+    finally:
+        type(spark.read).parquet = real_read
+    # the purge completed and the HEAD no longer holds key 1
+    assert 1 not in {r.k for r in m.read(spark).collect()}
+    assert rec["touched_buckets"] == [int(hot)]

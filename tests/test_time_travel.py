@@ -282,7 +282,7 @@ def test_purge_keys_removes_from_all_retained_versions(spark, tmp_path):
         t.commit(_df(spark, f"v{i}", n=6), meta={"batch": i})
     keys = spark.createDataFrame([(1,), (4,)], "id long")
     out = t.purge_keys(spark, keys, "id")
-    assert out == {"versions_rewritten": 3, "dirs_rewritten": 3}
+    assert out["versions_rewritten"] == 3 and out["dirs_rewritten"] == 3
     h = t.history()
     assert [e["version"] for e in h] == [0, 1, 2]
     assert all(e["readable"] for e in h)
@@ -321,7 +321,9 @@ def test_purge_keys_is_idempotent_and_feed_safe(spark, tmp_path):
     keys = spark.createDataFrame([(2,), (3,)], "id long")
     t.purge_keys(spark, keys, "id")
     again = t.purge_keys(spark, keys, "id")
-    assert again["versions_rewritten"] == 2  # converged, still clean
+    # a re-run is a TRUE no-op (r12): the semi-join probe finds no dir
+    # holding the keys, so nothing is rewritten
+    assert again["versions_rewritten"] == 0 and again["dirs_rewritten"] == 0
     feed = table_changes(spark, t, 0, 1, key_cols="id")
     assert {r.id for r in feed.collect()} & {2, 3} == set()
     assert {i for i, _ in _tags(spark, t)} == {0, 1, 4}
