@@ -120,7 +120,11 @@ _DRIVER_CHECK_PRIORITY = [
     "unigram_surprisal_quality",
     "winsorized_length_stats",
     # --- tail (51+): green driver rows on current code, still
-    # oracle-checked locally every round ---
+    # oracle-checked locally every round. change_feed_datasource_stream
+    # is r12-NEW but the window is exactly full (1+3+1+45, the staleness
+    # ceiling binds first) — it heads the tail and rotates into the r13
+    # window ---
+    "change_feed_datasource_stream",
     "concurrent_merge_serialization",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",

@@ -2241,3 +2241,115 @@ def join_feed_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("n_triggers", len(done))], "item string, value long"
     )
     return flags.unionByName(agg)
+
+
+@query(
+    "change_feed_datasource_stream",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_orderstatus, 'I' AS op, 0 AS ts FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', 'U', 1 FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    s0 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog WHERE ts <= 0 GROUP BY o_orderkey
+    ),
+    s2 AS (
+        SELECT o_orderkey, arg_max(o_orderstatus, ts) AS o_orderstatus,
+               arg_max(op, ts) AS last_op
+        FROM changelog GROUP BY o_orderkey
+    ),
+    oldt AS (SELECT o_orderkey, o_orderstatus FROM s0 WHERE last_op <> 'D'),
+    newt AS (SELECT o_orderkey, o_orderstatus FROM s2 WHERE last_op <> 'D')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.o_orderstatus AS o_orderstatus
+    FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+)
+def change_feed_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The change feed as a REAL Spark stream (r12 —
+    ``streaming/datasource.py ChangeFeedDataSource``, the full
+    ``spark.readStream.format("table_changes")`` integration of the
+    Delta-CDF readStream surface): two CDC merges land on a bucketed
+    versioned mirror, then Spark's own microbatch machinery drives the
+    feed — offsets are snapshot versions, the planner emits one input
+    partition per manifest-changed bucket, and each partition's keyed
+    I/U/D diff executes ON EXECUTORS via pyarrow/pandas (no nested
+    Spark, no corpus shuffle). The collected stream output must equal
+    the from-scratch SQL diff of the two snapshot states — the same
+    oracle as the in-engine ``cdc_change_feed``, proving the
+    executor-side pandas fold+diff is semantics-identical to the
+    DataFrame path."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        ChangeFeedDataSource,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    try:  # idempotent under repeat registration in one session
+        spark.dataSource.register(ChangeFeedDataSource)
+    except Exception:
+        pass
+    work = tempfile.mkdtemp(prefix="spark_graft_dsrc_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror = VersionedBucketMirror(
+        f"{work}/m", n_buckets=8, key_col="o_orderkey", keep_versions=10
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("long")})
+    )  # v0
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("long")}),
+        target,
+    )  # v1
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumns({"op": F.lit("D"), "ts": F.lit(2).cast("long")}),
+        target,
+    )  # v2
+    batches: list = []
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", mirror.root)
+        .option("keyCols", "o_orderkey")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["o_orderkey"], r["op"], r["o_orderstatus"])
+        for b in batches
+        for r in b
+    ]
+    return spark.createDataFrame(
+        rows, "o_orderkey long, op string, o_orderstatus string"
+    )
