@@ -192,3 +192,58 @@ def test_ddl_window_is_refused(spark, tmp_path):
     )
     rows = {(r.id, r.name, r.tier, r.op) for _, b in got for r in b}
     assert rows == {(6, "after-ddl", "gold", "U")}
+
+
+def test_readstream_drives_maintained_agg_view(spark, tmp_path):
+    """The full composition: the streaming source feeds a
+    MaintainedAggView through foreachBatch — Spark's checkpoint carries
+    the offsets, the view's batch-id fence carries the effects, and
+    after draining the view equals the direct aggregate of the head."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        MaintainedAggView,
+    )
+
+    m = _mirror(spark, tmp_path / "m")
+    view = MaintainedAggView(
+        str(tmp_path / "view"),
+        group_cols="name",
+        key_col="id",
+        ts_col="seq",
+        sum_cols={},
+        count_col="n",
+    )
+
+    def apply(df, batch_id):
+        if df.isEmpty():
+            return
+        view.apply_batch(
+            spark,
+            df.selectExpr("id", "name", "op", "1 AS seq"),
+            batch_id=batch_id,
+            # v0 state: the source's startingVersion=0 window diffs
+            # against the initial snapshot
+            mirror_before=m.read(spark, version=0).select("id", "name"),
+        )
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", m.root)
+        .option("keyCols", "id")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expected = {
+        (r.name, r.n)
+        for r in m.read(spark)
+        .groupBy("name")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {(r.name, r.n) for r in view.read(spark).collect()}
+    assert got == expected
