@@ -1164,12 +1164,90 @@ class ParquetStateTable(BranchOps):
             expected_head=(cur["version"], cur.get("purged_ts") or 0),
         )
 
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level ``DELETE WHERE`` on the plain snapshot layout —
+        the one-dir twin of ``VersionedBucketMirror.delete_where``
+        (DML symmetry across both layouts, like ``alter_schema``).
+        The layout has no bucket granularity, so a match anywhere
+        rewrites the whole state dir (exactly what every ``commit``
+        does); the value over hand-rolled read-filter-commit is the
+        counted receipt, SQL NULL semantics (NULL condition keeps the
+        row), the no-op short-circuit (zero matches publishes
+        nothing), and the purge-aware CAS token."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        df = self.read(spark)
+        n_hit = df.filter(hit).count()
+        if n_hit == 0:
+            rec = dict(cur)
+            rec["rows_deleted"] = 0
+            return rec
+        rec = self.commit(
+            df.filter(~hit),
+            meta={"operation": "delete_where"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_deleted"] = n_hit
+        return rec
+
+    def update_where(
+        self, spark: SparkSession, condition, assignments: dict
+    ) -> dict:
+        """Row-level ``UPDATE SET ... WHERE`` on the plain snapshot
+        layout — semantics identical to
+        ``VersionedBucketMirror.update_where``: simultaneous
+        assignment (every right-hand side reads pre-update values),
+        values cast to the column's existing type, NULL condition
+        leaves the row unchanged, zero matches publishes nothing."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        df = self.read(spark)
+        missing = [c for c in assignments if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"update_where assigns unknown column(s) {missing} "
+                f"(table columns: {df.columns})"
+            )
+        n_hit = df.filter(hit).count()
+        if n_hit == 0:
+            rec = dict(cur)
+            rec["rows_updated"] = 0
+            return rec
+        types = {f.name: f.dataType for f in df.schema.fields}
+        projected = []
+        for c in df.columns:
+            if c in assignments:
+                v = assignments[c]
+                rhs = F.expr(v) if isinstance(v, str) else v
+                projected.append(
+                    F.when(hit, rhs.cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                projected.append(F.col(c))
+        rec = self.commit(
+            df.select(*projected),
+            meta={"operation": "update_where"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_updated"] = n_hit
+        return rec
+
     def commit(
         self,
         df: DataFrame,
         meta: dict | None = None,
         branch: str | None = None,
-        expected_version: int | None = None,
+        expected_version: "int | tuple | None" = None,
     ) -> dict:
         """Commit a new version; ``meta`` rides the pointer JSON — the hook
         transactional sinks use to make replayed batches detectable (e.g.
@@ -3677,6 +3755,180 @@ class VersionedBucketMirror(BranchOps):
         self._expire(record)
         return record
 
+    def _dml_matched_buckets(
+        self,
+        spark: SparkSession,
+        cur: dict,
+        hit,
+        prune: tuple | None,
+    ) -> tuple[list[int], int]:
+        """Shared DML planning scan: candidate buckets (manifest-stats
+        pruned when a ``(col, lower, upper)`` hint is given), then ONE
+        bounded aggregate (≤ n_buckets rows) over the candidates —
+        column-pruned by Catalyst to the key + predicate columns — that
+        finds the buckets actually holding matches and the total match
+        count. At 100 TB this scan is the cheap phase (narrow read,
+        pushed filter); the rewrite phase that follows touches ONLY the
+        matched buckets."""
+        if prune is not None:
+            col, lo, hi = prune
+            cand = [int(b) for b in self._pruned_buckets(col, lo, hi)[0]]
+        else:
+            cand = sorted(
+                int(b)
+                for b in set(cur["buckets"]) | set(cur.get("deltas") or {})
+            )
+        if not cand:
+            return [], 0
+        df = self._read_entry(spark, cur, buckets=cand)
+        if df is None:
+            return [], 0
+        rows = (
+            df.filter(hit)
+            .groupBy(self._bucket(F.col(self.key_col)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        matched = sorted(int(r["b"]) for r in rows)
+        return matched, int(sum(r["n"] for r in rows))
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        prune: tuple | None = None,
+    ) -> dict:
+        """Row-level ``DELETE FROM t WHERE condition`` (the Iceberg
+        copy-on-write DELETE; the reference's tables take DML through
+        the same Iceberg surface, `/root/reference/batch-bootstrapper/tabular.py:8`'s
+        format). ``condition`` is a SQL expression string or a Column;
+        rows where it is NULL are KEPT (SQL DELETE semantics: only
+        TRUE deletes). Two phases: a narrow planning scan finds the
+        buckets that actually hold matches (optionally manifest-stats
+        pruned via ``prune=(col, lower, upper)``), then ONLY those
+        buckets are rewritten copy-on-write — every other bucket's dirs
+        carry forward untouched in the new manifest, and the CAS basis
+        makes a concurrent overlapping commit surface as
+        :class:`CommitConflict`, never a lost update.
+
+        Merge-on-read tables take the same copy-on-write path
+        deliberately: the delta fold orders by the CDC ts columns, and
+        a predicate delete has no ts that deterministically beats the
+        live row's — key-granular MoR deletes are ``merge_batch``
+        tombstones (the keys-only delete tier) or ``purge_keys``.
+        A rewrite folds the matched buckets' delta chains as a side
+        effect (staged full state supersedes them)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        matched, n_hit = self._dml_matched_buckets(spark, cur, hit, prune)
+        if not matched:
+            rec = dict(cur)
+            rec["matched_buckets"] = []
+            rec["rows_deleted"] = 0
+            return rec
+        try:
+            live = self._read_entry(spark, cur, buckets=matched).filter(~hit)
+            rec = self._commit_staged(
+                live,
+                touched=matched,
+                basis=cur,
+                meta={"operation": "delete_where"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this delete's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["matched_buckets"] = matched
+        rec["rows_deleted"] = n_hit
+        return rec
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        prune: tuple | None = None,
+    ) -> dict:
+        """Row-level ``UPDATE t SET col = expr, ... WHERE condition``
+        (the Iceberg copy-on-write UPDATE). ``assignments`` maps column
+        name → SQL expression string or Column; every right-hand side
+        reads PRE-update values (simultaneous-assignment SQL semantics
+        — the rewrite is one ``select`` over the original frame, so
+        ``SET a = b, b = a`` swaps). Each assigned value is cast to the
+        column's existing manifest type (Iceberg's assignable-type
+        rule); the key column cannot be assigned (the bucket hash binds
+        to it — model a key change as DELETE + INSERT). Rows where the
+        condition is NULL are left unchanged. Same two-phase plan and
+        CAS contract as :meth:`delete_where`: only buckets holding
+        matches are rewritten, everything else carries forward."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        if self.key_col in assignments:
+            raise ValueError(
+                f"cannot assign key column {self.key_col!r} — the bucket "
+                "hash binds to it; model a key change as DELETE + INSERT"
+            )
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        matched, n_hit = self._dml_matched_buckets(spark, cur, hit, prune)
+        if not matched:
+            rec = dict(cur)
+            rec["matched_buckets"] = []
+            rec["rows_updated"] = 0
+            return rec
+        try:
+            df = self._read_entry(spark, cur, buckets=matched)
+            missing = [c for c in assignments if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {missing} "
+                    f"(table columns: {df.columns})"
+                )
+            types = {f.name: f.dataType for f in df.schema.fields}
+            projected = []
+            for c in df.columns:
+                if c in assignments:
+                    v = assignments[c]
+                    rhs = F.expr(v) if isinstance(v, str) else v
+                    projected.append(
+                        F.when(hit, rhs.cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    projected.append(F.col(c))
+            rec = self._commit_staged(
+                df.select(*projected),
+                touched=matched,
+                basis=cur,
+                meta={"operation": "update_where"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this update's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["matched_buckets"] = matched
+        rec["rows_updated"] = n_hit
+        return rec
+
     def merge_batch(
         self,
         batch_df: DataFrame,
@@ -4272,15 +4524,6 @@ class VersionedBucketMirror(BranchOps):
                         actions[str(int(b))].append(dst)
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
-        cur = (
-            (
-                self._branch_head_entry(branch)
-                if branch is not None
-                else self.current()
-            )
-            if basis is _UNSET
-            else basis
-        )
         if up_schema is None:  # pure-delete batch: envelope-only schema
             up_schema = (
                 slices[-1][0]
@@ -4289,6 +4532,95 @@ class VersionedBucketMirror(BranchOps):
             )
         new_schema = T.StructType(
             [f for f in up_schema.fields if f.name != "bucket"]
+        )
+        return self._publish_delta_actions(
+            actions,
+            fold,
+            new_schema,
+            staged_stats,
+            basis=basis,
+            branch=branch,
+            meta=meta,
+        )
+
+    def commit_prestaged_delta(
+        self,
+        staged_files: dict,
+        fold: dict,
+        schema: "T.StructType",
+        staged_stats: dict | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Merge-on-read commit of delta data that was ALREADY written as
+        parquet files by an external writer — the streaming-sink entry
+        point (``spark.writeStream.format("state_table")``): executor
+        Python workers write each bucket's slice with pyarrow (bucket
+        assignment via ``functions/xxhash.py``, bit-identical to the
+        JVM hash), and this method — pure metadata, NO SparkSession —
+        installs one immutable delta dir per bucket and publishes the
+        manifest through the same CAS loop as ``_commit_delta``
+        (disjoint concurrent commits rebase; a base rewrite of one of
+        our buckets raises :class:`CommitConflict`).
+
+        ``staged_files``: ``{bucket_id: [parquet file paths]}``. Files
+        are MOVED into the table (``os.replace`` — same filesystem).
+        ``schema``: the batch's Spark schema (drives the manifest
+        schema union-widening). ``staged_stats``: optional per-bucket
+        ``{col: [min, max]}`` bounds, merged widen-only like every
+        delta commit's."""
+        _check_meta(meta)
+        for k in ("key", "ts", "op", "delete_op"):
+            if k not in fold:
+                raise ValueError(f"fold spec missing {k!r}")
+        self._sync_spec()
+        version = self._log.next_version()
+        actions: dict[str, list[str]] = {}
+        for b, files in staged_files.items():
+            if not files:
+                continue
+            bdir = os.path.join(self.data_dir, f"bucket={int(b)}")
+            os.makedirs(bdir, exist_ok=True)
+            dst = os.path.join(
+                bdir, f"v-{version:08d}-delta-{uuid.uuid4().hex[:8]}"
+            )
+            os.makedirs(dst)
+            for i, f_ in enumerate(files):
+                os.replace(
+                    f_, os.path.join(dst, f"part-{i:05d}.parquet")
+                )
+            actions[str(int(b))] = [dst]
+        if not actions:
+            cur = self.current()
+            return dict(cur) if cur else {"version": -1, "buckets": {}}
+        return self._publish_delta_actions(
+            actions,
+            fold,
+            schema,
+            dict(staged_stats or {}),
+            meta=meta,
+        )
+
+    def _publish_delta_actions(
+        self,
+        actions: dict,
+        fold: dict,
+        new_schema: "T.StructType",
+        staged_stats: dict,
+        basis=_UNSET,
+        branch: str | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Publish installed delta dirs (``actions``: bucket → dirs) as
+        one manifest commit — the shared metadata tail of
+        ``_commit_delta`` and ``commit_prestaged_delta``."""
+        cur = (
+            (
+                self._branch_head_entry(branch)
+                if branch is not None
+                else self.current()
+            )
+            if basis is _UNSET
+            else basis
         )
 
         def _merge_bounds(old, new):
