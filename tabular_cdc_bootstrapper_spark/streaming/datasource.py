@@ -70,11 +70,51 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _DEFAULT_DROP = ("op", "ts", "_src_file")
+
+#: the directory that makes `tabular_cdc_bootstrapper_spark` importable —
+#: captured at DRIVER import time and carried (by value, see
+#: ``register_stream_sources``) into Spark's Python workers, whose
+#: sys.path knows nothing about where this repo lives when the driver
+#: process runs from another cwd (the harness drives the contract from
+#: /tmp). Every worker-side lazy package import bootstraps through this.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _ensure_importable() -> None:
+    import sys
+
+    if _PKG_PARENT not in sys.path:
+        sys.path.insert(0, _PKG_PARENT)
+
+
+def register_stream_sources(spark) -> None:
+    """Register the ``table_changes`` source and ``state_table`` sink.
+
+    Registration pickles the DataSource class; by default cloudpickle
+    serializes it BY REFERENCE, so Spark's planner/executor Python
+    workers would need to import this package — which fails whenever
+    the driver runs from outside the repo (sys.path manipulation does
+    not propagate to workers, and ``addPyFile`` does not reach the
+    streaming planner worker). Registering this module for BY-VALUE
+    pickling ships the classes and their module-level helpers inside
+    the pickle itself; the worker-side lazy imports of sibling modules
+    bootstrap ``sys.path`` through the captured ``_PKG_PARENT``."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ChangeFeedDataSource)
+    spark.dataSource.register(StateTableSinkDataSource)
 
 
 def _opt(options: dict, name: str, default=None):
@@ -87,6 +127,7 @@ def _opt(options: dict, name: str, default=None):
 
 
 def _load_log(root: str):
+    _ensure_importable()
     from tabular_cdc_bootstrapper_spark.streaming.pipeline import SnapshotLog
 
     return SnapshotLog(root)
@@ -423,3 +464,266 @@ class ChangeFeedDataSource(DataSource):
                 "and .option('keyCols', 'k1[,k2...]')"
             )
         return ChangeFeedStreamReader(schema, dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# The WRITE side: spark.writeStream.format("state_table") — streaming sink
+# symmetry for the readStream source above (r12). A CDC changelog stream
+# commits into a VersionedBucketMirror as merge-on-read delta appends:
+# executors write each bucket's slice with pyarrow (bucket assignment via
+# functions/xxhash.py — bit-identical to the JVM hash the table partitions
+# by), the driver-side commit() is PURE METADATA (commit_prestaged_delta:
+# install dirs + CAS manifest publish, no SparkSession — the Python data
+# source API gives commit() no session, and none is needed).
+#
+# Exactly-once: effects are idempotent at the state level — a replayed
+# batch re-appends the same rows at a new version and the ts-ordered
+# latest-per-key fold collapses them — and a per-sink fence file
+# ({root}/_sink/<sinkId>.json, atomic rename, updated AFTER the manifest
+# publish) short-circuits replayed batch ids entirely, so replays cost
+# nothing and the delta chain doesn't grow. This is the same
+# fence-after-commit contract as MaintainedAggView.apply_batch.
+# ---------------------------------------------------------------------------
+
+
+class _SinkBatchMessage(WriterCommitMessage):
+    def __init__(self, files: dict, rows: int, stats: dict) -> None:
+        self.files = files  # {bucket_id: [staged parquet paths]}
+        self.rows = rows
+        self.stats = stats  # {bucket_id: {col: [min, max]}}
+
+
+class StateTableStreamWriter(DataSourceStreamArrowWriter):
+    """Executor/driver halves of the ``state_table`` streaming sink."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._root = _opt(options, "path")
+        self._key = _opt(options, "keyCol") or _opt(options, "keyCols")
+        if self._key is None or "," in self._key:
+            raise ValueError(
+                "state_table sink needs .option('keyCol', <single key "
+                "column>) — the mirror buckets by ONE key"
+            )
+        self._ts = [
+            c.strip()
+            for c in (_opt(options, "tsCols") or _opt(options, "tsCol", "ts")).split(",")
+            if c.strip()
+        ]
+        self._op = _opt(options, "opCol", "op")
+        self._delete_op = _opt(options, "deleteOp", "D")
+        self._tiebreak = [
+            c.strip()
+            for c in _opt(options, "tiebreakCols", "").split(",")
+            if c.strip()
+        ]
+        self._stats_cols = [
+            c.strip()
+            for c in _opt(options, "statsCols", "").split(",")
+            if c.strip()
+        ]
+        self._sink_id = _opt(options, "sinkId", "default")
+        for c in (self._key, *self._ts, self._op):
+            if c not in schema.fieldNames():
+                raise ValueError(
+                    f"state_table sink: column {c!r} missing from the "
+                    f"stream schema {schema.fieldNames()}"
+                )
+        self._schema = schema
+        # bind to the table's CURRENT bucket spec on the DRIVER (this
+        # object is pickled to executors): a sink may only feed an
+        # initialized table — the spec and base schema must exist
+        cur = _load_log(self._root).current()
+        if cur is None or "buckets" not in cur:
+            raise ValueError(
+                f"state_table sink: {self._root} is not an initialized "
+                "VersionedBucketMirror — call initialize() first"
+            )
+        self._n_buckets = int(cur.get("n_buckets") or 0)
+        if not self._n_buckets:
+            raise ValueError(
+                f"state_table sink: {self._root}'s manifest records no "
+                "bucket spec (pre-r11 table) — rewrite_data_files first"
+            )
+        _refuse_ddl_metadata(cur, self._root)
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator) -> _SinkBatchMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _ensure_importable()
+        from tabular_cdc_bootstrapper_spark.functions.xxhash import (
+            spark_buckets,
+        )
+
+        batches = list(iterator)
+        if not batches:
+            return _SinkBatchMessage({}, 0, {})
+        table = pa.Table.from_batches(batches)
+        if table.num_rows == 0:
+            return _SinkBatchMessage({}, 0, {})
+        keys = table.column(self._key).to_pandas()
+        if keys.isna().any():
+            raise ValueError(
+                f"state_table sink: NULL in key column {self._key!r}"
+            )
+        buckets = spark_buckets(keys, self._n_buckets)
+        staging = os.path.join(self._root, "_sink", "staging")
+        os.makedirs(staging, exist_ok=True)
+        import numpy as np
+        import uuid as _uuid
+
+        files: dict[int, list[str]] = {}
+        stats: dict[int, dict] = {}
+        for b in np.unique(buckets):
+            idx = np.nonzero(buckets == b)[0]
+            sub = table.take(pa.array(idx))
+            path = os.path.join(
+                staging, f"b{int(b)}-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(sub, path)
+            files[int(b)] = [path]
+            if self._stats_cols:
+                import pyarrow.compute as pc
+
+                st = {}
+                for c in self._stats_cols:
+                    if c in sub.column_names:
+                        mm = pc.min_max(sub.column(c)).as_py()
+                        st[c] = [mm["min"], mm["max"]]
+                stats[int(b)] = st
+        return _SinkBatchMessage(files, table.num_rows, stats)
+
+    # -- driver side (no SparkSession — pure metadata) ----------------------
+    def _fence_path(self) -> str:
+        return os.path.join(self._root, "_sink", f"{self._sink_id}.json")
+
+    def _fenced_batch(self) -> int:
+        try:
+            with open(self._fence_path()) as fh:
+                return int(json.load(fh)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _cleanup(self, messages) -> None:
+        for msg in messages:
+            for paths in (getattr(msg, "files", None) or {}).values():
+                for p in paths:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+    def commit(self, messages, batchId: int) -> None:
+        _ensure_importable()
+        from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+            VersionedBucketMirror,
+        )
+
+        if batchId <= self._fenced_batch():
+            # replayed micro-batch (restart between source-offset commit
+            # and this fence): effects already published — drop restage
+            self._cleanup(messages)
+            return
+        staged: dict[int, list[str]] = {}
+        stats: dict[str, dict] = {}
+        rows = 0
+        for msg in messages:
+            if msg is None:
+                continue
+            rows += msg.rows
+            for b, paths in msg.files.items():
+                staged.setdefault(int(b), []).extend(paths)
+            for b, st in (msg.stats or {}).items():
+                merged = stats.setdefault(str(int(b)), {})
+                for c, (mn, mx) in st.items():
+                    if c in merged:
+                        omn, omx = merged[c]
+                        merged[c] = [
+                            mn if omn is None or (mn is not None and mn < omn) else omn,
+                            mx if omx is None or (mx is not None and mx > omx) else omx,
+                        ]
+                    else:
+                        merged[c] = [mn, mx]
+        m = VersionedBucketMirror(
+            self._root, key_col=self._key, merge_on_read=True
+        )
+        if staged:
+            m.commit_prestaged_delta(
+                staged,
+                fold={
+                    "key": self._key,
+                    "ts": list(self._ts),
+                    "op": self._op,
+                    "delete_op": self._delete_op,
+                    "tiebreak": list(self._tiebreak),
+                },
+                schema=self._schema,
+                staged_stats=stats,
+                meta={
+                    "operation": "sink_commit",
+                    "sink_batch_id": int(batchId),
+                    "sink_rows": int(rows),
+                },
+            )
+        # fence AFTER the publish (atomic rename): a crash in between
+        # replays the batch, whose re-applied rows the ts-ordered fold
+        # collapses — state-level idempotence, fence is the fast path
+        fp = self._fence_path()
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        tmp = f"{fp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": int(batchId)}, fh)
+        os.replace(tmp, fp)
+        # age out staging files from crashed tasks (no message ever
+        # referenced them; 1 h is far past any task retry window)
+        staging = os.path.join(self._root, "_sink", "staging")
+        if os.path.isdir(staging):
+            import time as _time
+
+            cutoff = _time.time() - 3600
+            for f_ in os.listdir(staging):
+                p = os.path.join(staging, f_)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
+class StateTableSinkDataSource(DataSource):
+    """``spark.dataSource.register(StateTableSinkDataSource)`` then
+
+    .. code-block:: python
+
+        (changelog_stream.writeStream.format("state_table")
+            .option("path", mirror.root).option("keyCol", "id")
+            .option("tsCols", "transact_seq")
+            .option("checkpointLocation", ckpt).start())
+
+    — the write-side twin of ``ChangeFeedDataSource``: together they
+    compose ``readStream.format("table_changes")`` →  transformations →
+    ``writeStream.format("state_table")``, a table-to-table streaming
+    pipeline entirely under Spark's trigger/checkpoint machinery."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "state_table"
+
+    def schema(self) -> T.StructType:  # pragma: no cover - sink only
+        raise ValueError("state_table is a write-only streaming format")
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "state_table sink is append-mode only (CDC merge "
+                "semantics — deletes travel as delete-op rows)"
+            )
+        if _opt(self.options, "path") is None:
+            raise ValueError(
+                "state_table sink needs .option('path', <table root>)"
+            )
+        return StateTableStreamWriter(schema, dict(self.options))

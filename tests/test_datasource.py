@@ -35,7 +35,11 @@ TARGET = CdcTarget(source_uri="file:///x", key_column="id", ts_column="ts")
 
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
-    spark.dataSource.register(ChangeFeedDataSource)
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        register_stream_sources,
+    )
+
+    register_stream_sources(spark)
 
 
 def _mirror(spark, root, mor=False):
