@@ -45,9 +45,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # UDF-worker spin-up + codegen (~4× per BASELINE.md round-5 adjudication),
 # so bench discards one untimed warm run before the timed medians.
 UDF_HEAVY = {
-    # the streaming data source pays the same python-worker spin-up as
-    # a pandas UDF on its first execution (r12: ~3x) — same discard rule
+    # the streaming data sources pay the same python-worker spin-up as
+    # a pandas UDF on their first execution (r12: ~3x) — same discard rule
     "change_feed_datasource_stream",
+    "sink_datasource_stream",
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",

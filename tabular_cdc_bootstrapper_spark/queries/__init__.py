@@ -121,10 +121,12 @@ _DRIVER_CHECK_PRIORITY = [
     "winsorized_length_stats",
     # --- tail (51+): green driver rows on current code, still
     # oracle-checked locally every round. change_feed_datasource_stream
-    # is r12-NEW but the window is exactly full (1+3+1+45, the staleness
-    # ceiling binds first) — it heads the tail and rotates into the r13
-    # window ---
+    # and mirror_dml_delete_update are r12-NEW but the window is exactly
+    # full (1+3+1+45, the staleness ceiling binds first) — they head the
+    # tail and rotate into the r13 window ---
     "change_feed_datasource_stream",
+    "mirror_dml_delete_update",
+    "sink_datasource_stream",
     "concurrent_merge_serialization",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",

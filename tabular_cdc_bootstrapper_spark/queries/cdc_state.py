@@ -2296,14 +2296,14 @@ def change_feed_datasource_stream(
 
     from tabular_cdc_bootstrapper_spark.config import CdcTarget
     from tabular_cdc_bootstrapper_spark.streaming.datasource import (
-        ChangeFeedDataSource,
+        register_stream_sources,
     )
     from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
         VersionedBucketMirror,
     )
 
     try:  # idempotent under repeat registration in one session
-        spark.dataSource.register(ChangeFeedDataSource)
+        register_stream_sources(spark)
     except Exception:
         pass
     work = tempfile.mkdtemp(prefix="spark_graft_dsrc_")
@@ -2353,3 +2353,175 @@ def change_feed_datasource_stream(
     return spark.createDataFrame(
         rows, "o_orderkey long, op string, o_orderstatus string"
     )
+
+
+@query(
+    "mirror_dml_delete_update",
+    oracle="""
+    WITH after_del AS (
+        SELECT * FROM orders
+        WHERE NOT COALESCE(
+            o_orderstatus = 'F' AND o_totalprice < 100000, FALSE)
+    ),
+    after_upd AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 1.1 + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM after_del
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS BIGINT) AS n_urgent
+    FROM after_upd
+    GROUP BY o_orderstatus
+    """,
+)
+def mirror_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML (r12): ``DELETE FROM t WHERE ...`` then
+    ``UPDATE t SET ... WHERE ...`` on a ``VersionedBucketMirror`` built
+    from `orders` — the Iceberg copy-on-write DELETE/UPDATE the
+    reference's tables take through the Iceberg surface (tabular.py:8).
+    The delete's predicate mixes a string equality with a numeric range;
+    the update assigns TWO columns simultaneously (a literal status and
+    a derived reprice, each cast to the column's existing type). Only
+    match-holding buckets are rewritten (pinned in tests/test_dml.py);
+    the oracle recomputes both statements as relational algebra and the
+    per-status aggregate proves the head state row-for-row."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    m = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_dml_") + "/t",
+        n_buckets=16,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    m.initialize(o)
+    m.delete_where(
+        spark, "o_orderstatus = 'F' AND o_totalprice < 100000"
+    )
+    m.update_where(
+        spark,
+        "o_orderpriority = '1-URGENT'",
+        {"o_orderstatus": "'R'", "o_totalprice": "o_totalprice * 1.1 + 1"},
+    )
+    return (
+        m.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            )
+            .cast("long")
+            .alias("n_urgent"),
+        )
+    )
+
+
+@query(
+    "sink_datasource_stream",
+    oracle="""
+    WITH changelog AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'I' AS op, 0 AS ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+               o_orderdate, o_orderpriority, 'U', 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D', 2
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY ts DESC) AS rn
+        FROM changelog
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def sink_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.writeStream.format("state_table")`` (r12): the WRITE-side
+    streaming data source — the sink twin of
+    ``change_feed_datasource_stream``. A mirror is initialized from
+    `orders` (the ts=0 state) and the deterministic update+delete
+    changelog (FIXTURES.md §C: status → 'X' where key%7=0 at ts=1,
+    delete where key%13=0 at ts=2) streams into it as a file-source →
+    ``state_table`` pipeline under Spark's own checkpoint machinery:
+    executors bucket rows with the Python xxhash64 (bit-identical to
+    the JVM hash, pinned in tests/test_sink_datasource.py), the
+    driver-side commit installs merge-on-read delta dirs as ONE pure-
+    metadata CAS publish, and a per-sink fence makes replayed batch ids
+    free. The oracle is the same latest-per-key recompute as
+    ``cdc_latest`` — the sink path must land the identical state."""
+    import os
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        register_stream_sources,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    try:  # idempotent under repeat registration in one session
+        register_stream_sources(spark)
+    except Exception:
+        pass
+    work = tempfile.mkdtemp(prefix="spark_graft_sinkds_")
+    o = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    m = VersionedBucketMirror(
+        f"{work}/t",
+        n_buckets=16,
+        key_col="o_orderkey",
+        keep_versions=10,
+        merge_on_read=True,
+    )
+    m.initialize(o)
+    src = f"{work}/src"
+    os.makedirs(src)
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("long")})
+    )
+    deletes = o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+        {"op": F.lit("D"), "ts": F.lit(2).cast("long")}
+    )
+    updates.unionByName(deletes).write.parquet(f"{src}/batch.parquet")
+    schema_ddl = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string, op string, ts long"
+    )
+    q = (
+        spark.readStream.schema(schema_ddl)
+        .parquet(f"{src}/*.parquet")
+        .writeStream.format("state_table")
+        .option("path", m.root)
+        .option("keyCol", "o_orderkey")
+        .option("tsCols", "ts")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return m.read(spark).select(*_ORDER_COLS)
