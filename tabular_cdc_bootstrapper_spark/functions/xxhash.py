@@ -58,6 +58,26 @@ def xxhash64_longs(values, seed: int = 42) -> np.ndarray:
         return h.view(np.int64)
 
 
+def xxhash64_ints(values, seed: int = 42) -> np.ndarray:
+    """Vectorized ``F.xxhash64(int_col)`` for 32-bit ints (seed 42):
+    Spark hashes IntegerType through the 4-BYTE tail path, which is NOT
+    the long path — an int32 key must use this, never a promotion to
+    int64."""
+    with np.errstate(over="ignore"):
+        v = np.asarray(values, dtype=np.int32).view(np.uint32).astype(np.uint64)
+        h = np.full(
+            v.shape, np.uint64(seed) + _NP_P5 + np.uint64(4), dtype=np.uint64
+        )
+        h ^= v * _NP_P1
+        h = _rotl_np(h, 23) * _NP_P2 + _NP_P3
+        h ^= h >> np.uint64(33)
+        h *= _NP_P2
+        h ^= h >> np.uint64(29)
+        h *= _NP_P3
+        h ^= h >> np.uint64(32)
+        return h.view(np.int64)
+
+
 def _rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (64 - r))) & _M
 
@@ -105,20 +125,42 @@ def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
     return h if h < (1 << 63) else h - (1 << 64)
 
 
-def spark_buckets(series, n_buckets: int) -> np.ndarray:
-    """``pmod(xxhash64(key), n_buckets)`` for a pandas Series of int64 or
-    string keys — bit-identical to ``VersionedBucketMirror._bucket``."""
+def spark_buckets(series, n_buckets: int, key_type: str = None) -> np.ndarray:
+    """``pmod(xxhash64(key), n_buckets)`` for a pandas Series — bit-
+    identical to ``VersionedBucketMirror._bucket``. ``key_type`` is the
+    SPARK-side type name (``"long"``, ``"integer"``, ``"string"``) and
+    decides the hash path: Spark hashes IntegerType through the 4-byte
+    spec tail, LongType through the 8-byte one — promoting an int32 to
+    the long path would silently disagree with the JVM partitioning.
+    Any other key type is refused rather than approximated (a float or
+    date key would need Spark's exact binary encoding; CDC keys are
+    ints or strings)."""
     import pandas as pd
 
-    if pd.api.types.is_integer_dtype(series):
+    if key_type is None:  # infer from the pandas dtype (legacy callers)
+        key_type = (
+            "long" if pd.api.types.is_integer_dtype(series) else "string"
+        )
+    if key_type in ("long", "bigint"):
         h = xxhash64_longs(series.to_numpy(dtype=np.int64))
-    else:
+    elif key_type in ("integer", "int"):
+        h = xxhash64_ints(series.to_numpy(dtype=np.int32))
+    elif key_type == "string":
+        if pd.api.types.is_numeric_dtype(series):
+            raise ValueError(
+                "spark_buckets: key_type='string' but the series is "
+                f"numeric ({series.dtype}) — str(v) would not match the "
+                "JVM's UTF-8 hash of the actual string key"
+            )
         h = np.fromiter(
-            (
-                xxhash64_bytes(str(v).encode("utf-8"))
-                for v in series
-            ),
+            (xxhash64_bytes(str(v).encode("utf-8")) for v in series),
             dtype=np.int64,
             count=len(series),
+        )
+    else:
+        raise ValueError(
+            f"spark_buckets: unsupported key type {key_type!r} — only "
+            "long/integer/string keys hash identically to F.xxhash64 "
+            "here"
         )
     return ((h % n_buckets) + n_buckets) % n_buckets

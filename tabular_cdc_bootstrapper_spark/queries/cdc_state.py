@@ -2302,10 +2302,7 @@ def change_feed_datasource_stream(
         VersionedBucketMirror,
     )
 
-    try:  # idempotent under repeat registration in one session
-        register_stream_sources(spark)
-    except Exception:
-        pass
+    register_stream_sources(spark)  # idempotent (re-register replaces)
     work = tempfile.mkdtemp(prefix="spark_graft_dsrc_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     target = CdcTarget(
@@ -2482,10 +2479,7 @@ def sink_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         VersionedBucketMirror,
     )
 
-    try:  # idempotent under repeat registration in one session
-        register_stream_sources(spark)
-    except Exception:
-        pass
+    register_stream_sources(spark)  # idempotent (re-register replaces)
     work = tempfile.mkdtemp(prefix="spark_graft_sinkds_")
     o = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
     m = VersionedBucketMirror(

@@ -528,7 +528,25 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
                     f"state_table sink: column {c!r} missing from the "
                     f"stream schema {schema.fieldNames()}"
                 )
+        key_type = schema[self._key].dataType.typeName()
+        if key_type not in ("long", "integer", "string"):
+            raise ValueError(
+                f"state_table sink: key column {self._key!r} has type "
+                f"{key_type!r} — only long/integer/string keys hash "
+                "identically to the table's F.xxhash64 partitioning"
+            )
+        self._key_type = key_type
         self._schema = schema
+        # fence identity for THIS query run: a replay is "same run (or a
+        # checkpoint-restart successor) re-delivering an id we already
+        # published". Keying the fence by a run nonce keeps a RESET
+        # checkpoint (batch ids restart at 0, but the rows are NEW data)
+        # from being swallowed as a replay; the one batch a same-
+        # checkpoint restart re-delivers under a fresh nonce re-applies
+        # and the ts-ordered fold collapses it (state-level idempotence).
+        import uuid as _uuid
+
+        self._nonce = _uuid.uuid4().hex
         # bind to the table's CURRENT bucket spec on the DRIVER (this
         # object is pickled to executors): a sink may only feed an
         # initialized table — the spec and base schema must exist
@@ -567,7 +585,7 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 f"state_table sink: NULL in key column {self._key!r}"
             )
-        buckets = spark_buckets(keys, self._n_buckets)
+        buckets = spark_buckets(keys, self._n_buckets, self._key_type)
         staging = os.path.join(self._root, "_sink", "staging")
         os.makedirs(staging, exist_ok=True)
         import numpy as np
@@ -599,9 +617,17 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
         return os.path.join(self._root, "_sink", f"{self._sink_id}.json")
 
     def _fenced_batch(self) -> int:
+        """The highest batch id THIS RUN already published, or -1.
+        A fence written by another run (nonce mismatch) never fences:
+        its batch numbering is unrelated — treating a numerically
+        smaller id as a replay would silently drop new data after a
+        checkpoint reset."""
         try:
             with open(self._fence_path()) as fh:
-                return int(json.load(fh)["batch_id"])
+                rec = json.load(fh)
+            if rec.get("nonce") != self._nonce:
+                return -1
+            return int(rec["batch_id"])
         except (OSError, ValueError, KeyError):
             return -1
 
@@ -621,10 +647,29 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
         )
 
         if batchId <= self._fenced_batch():
-            # replayed micro-batch (restart between source-offset commit
-            # and this fence): effects already published — drop restage
+            # replayed micro-batch (retry between source-offset commit
+            # and this fence, SAME run): effects already published —
+            # drop the restage. A restart replays under a fresh nonce
+            # and re-applies instead (the fold collapses it).
             self._cleanup(messages)
             return
+        cur = _load_log(self._root).current()
+        if cur is None or "buckets" not in cur:
+            raise ValueError(
+                f"state_table sink: {self._root} lost its manifest "
+                "mid-stream"
+            )
+        if int(cur.get("n_buckets") or 0) != self._n_buckets:
+            raise ValueError(
+                f"state_table sink: {self._root} was rebucketed "
+                f"mid-stream ({self._n_buckets} → {cur.get('n_buckets')} "
+                "buckets) — this writer's partitioning is stale; restart "
+                "the streaming query to rebind"
+            )
+        # a mid-stream alter_schema would let this batch's OLD column
+        # names union-widen back into the manifest beside their renamed
+        # selves — refuse, exactly like the source side does per window
+        _refuse_ddl_metadata(cur, self._root)
         staged: dict[int, list[str]] = {}
         stats: dict[str, dict] = {}
         rows = 0
@@ -673,7 +718,9 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         tmp = f"{fp}.tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": int(batchId)}, fh)
+            json.dump(
+                {"nonce": self._nonce, "batch_id": int(batchId)}, fh
+            )
         os.replace(tmp, fp)
         # age out staging files from crashed tasks (no message ever
         # referenced them; 1 h is far past any task retry window)

@@ -2900,6 +2900,20 @@ class VersionedBucketMirror(BranchOps):
         cur = self.current()
         if cur and cur.get("n_buckets") and cur["n_buckets"] != self.n_buckets:
             self.n_buckets = int(cur["n_buckets"])
+        # stats_cols ride the manifest too (r12, review finding): a
+        # handle constructed WITHOUT them on a stats-carrying table
+        # would otherwise publish commits that drop the table's pruning
+        # stats — worse, a rewrite (update_where/compaction) would
+        # carry bounds its own changes may have widened past (stale-
+        # NARROW bounds prune wrongly). Adopting the recorded columns
+        # makes every commit path recompute fresh bounds. Pre-r12
+        # manifests lack the key: derive from the recorded stats.
+        if cur and not self.stats_cols:
+            recorded = cur.get("stats_cols") or sorted(
+                {c for st in (cur.get("stats") or {}).values() for c in st}
+            )
+            if recorded:
+                self.stats_cols = list(recorded)
 
     def _owns(self, d: str) -> bool:
         """Same ownership guard as ``ParquetStateTable._owns`` (ADVICE
@@ -3745,6 +3759,12 @@ class VersionedBucketMirror(BranchOps):
             record["n_buckets"] = cur["n_buckets"]
         if stats is not None:
             record["stats"] = stats
+        # stats_cols follow their columns like the bounds do (r12)
+        recorded_cols = cur.get("stats_cols") or self.stats_cols
+        if recorded_cols:
+            record["stats_cols"] = [
+                rename.get(c, c) for c in recorded_cols if c not in drop
+            ]
         self._log.publish(
             record,
             protected=self._branch_covers,
@@ -3883,6 +3903,17 @@ class VersionedBucketMirror(BranchOps):
         cur = self.current()
         if cur is None:
             raise ValueError(f"mirror {self.root} has no snapshot yet")
+        if "schema" in cur:
+            # validate assignment targets BEFORE any scan (review r12):
+            # a typo'd column with a zero-match predicate must raise,
+            # not silently report rows_updated=0
+            known = {f["name"] for f in cur["schema"]["fields"]}
+            missing = [c for c in assignments if c not in known]
+            if missing:
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {missing} "
+                    f"(table columns: {sorted(known)})"
+                )
         matched, n_hit = self._dml_matched_buckets(spark, cur, hit, prune)
         if not matched:
             rec = dict(cur)
@@ -3892,7 +3923,7 @@ class VersionedBucketMirror(BranchOps):
         try:
             df = self._read_entry(spark, cur, buckets=matched)
             missing = [c for c in assignments if c not in df.columns]
-            if missing:
+            if missing:  # legacy schema-free manifests validate here
                 raise ValueError(
                     f"update_where assigns unknown column(s) {missing} "
                     f"(table columns: {df.columns})"
@@ -4277,6 +4308,9 @@ class VersionedBucketMirror(BranchOps):
             # a purge/delete may leave them wider than the data
             # (stale-but-safe), never narrower.
             if self.stats_cols:
+                record["stats_cols"] = list(self.stats_cols)  # r12:
+                # future handles adopt via _sync_spec — no commit path
+                # can silently drop (or go stale on) the table's stats
                 stats: dict[str, dict] = dict(
                     (base_entry.get("stats") or {})
                     if (base_entry and touched is not None)
@@ -4573,9 +4607,27 @@ class VersionedBucketMirror(BranchOps):
             if k not in fold:
                 raise ValueError(f"fold spec missing {k!r}")
         self._sync_spec()
+        cur = self.current()
+        if cur and (cur.get("renames") or cur.get("shadowed")):
+            # externally staged bytes carry whatever column names the
+            # writer saw — union-widening them into a rename-folded
+            # manifest would resurrect an old physical name beside its
+            # renamed self (review r12)
+            raise ValueError(
+                f"{self.root}: the manifest carries rename-fold or "
+                "generation-mask metadata — run "
+                "rewrite_data_files(materialize=True) before committing "
+                "externally staged deltas"
+            )
         version = self._log.next_version()
         actions: dict[str, list[str]] = {}
         for b, files in staged_files.items():
+            if int(b) < 0 or int(b) >= self.n_buckets:
+                raise ValueError(
+                    f"staged bucket {b} is outside the table's current "
+                    f"{self.n_buckets}-bucket spec — the writer's "
+                    "partitioning is stale (rebucketed mid-write?)"
+                )
             if not files:
                 continue
             bdir = os.path.join(self.data_dir, f"bucket={int(b)}")
@@ -4663,7 +4715,9 @@ class VersionedBucketMirror(BranchOps):
                 record["shadowed"] = base_entry["shadowed"]
             if base_entry and "next_fid" in base_entry:
                 record["next_fid"] = base_entry["next_fid"]
-            if self.stats_cols:
+            if self.stats_cols or staged_stats:
+                if self.stats_cols:
+                    record["stats_cols"] = list(self.stats_cols)
                 stats = dict(
                     (base_entry.get("stats") or {}) if base_entry else {}
                 )

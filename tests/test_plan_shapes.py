@@ -685,3 +685,34 @@ def test_document_chunks_shuffle_free_and_pruned(spark, sf_dir):
     assert exchange_count(df) == 0
     (cols,) = scan_read_columns(df)
     assert cols == {"doc_id", "text"}
+
+
+def test_dml_planning_scan_is_column_pruned(spark, tmp_path):
+    """delete_where/update_where phase 1 (the planning scan) must read
+    ONLY the key + predicate columns — at 100 TB the match-finding pass
+    over a wide table must not pay for the payload it won't rewrite."""
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    df = spark.range(0, 200).select(
+        "id",
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id") * 1.0).alias("w1"),
+        (F.col("id") * 2.0).alias("w2"),
+        (F.col("id") * 3.0).alias("w3"),
+    )
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=4, key_col="id", keep_versions=5
+    )
+    m.initialize(df)
+    cur = m.current()
+    hit = F.coalesce(F.expr("grp = 2").cast("boolean"), F.lit(False))
+    scan = (
+        m._read_entry(spark, cur)
+        .filter(hit)
+        .groupBy(m._bucket(F.col("id")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (cols,) = scan_read_columns(scan)
+    assert cols == {"id", "grp"}, cols

@@ -145,32 +145,10 @@ def test_sink_availablenow_and_incremental_restart(spark, tmp_path):
     assert m.current()["sink_batch_id"] == 1
 
 
-def test_sink_fence_skips_replayed_batch(spark, tmp_path):
-    # crash between the source-offset commit and the fence write replays
-    # the batch id: commit() must no-op and clean the restaged files
-    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
-        StateTableStreamWriter,
-        _SinkBatchMessage,
-    )
-
-    work = str(tmp_path)
-    m = _init_mirror(spark, f"{work}/m")
-    srcdir = f"{work}/src"
-    os.makedirs(srcdir)
-    spark.range(0, 20).select(
-        F.col("id"),
-        F.lit(-1.0).alias("v"),
-        F.lit("U").alias("op"),
-        F.lit(1).cast("long").alias("ts"),
-    ).write.parquet(f"{srcdir}/f1.parquet")
-    _run_sink(spark, srcdir, m, f"{work}/ckpt")
-    v_after = m.current()["version"]
-    # replay batch 0 by hand with a fresh staged file
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+def _writer_schema():
     from pyspark.sql import types as T
 
-    schema = T.StructType.fromJson(
+    return T.StructType.fromJson(
         {
             "type": "struct",
             "fields": [
@@ -181,19 +159,57 @@ def test_sink_fence_skips_replayed_batch(spark, tmp_path):
             ],
         }
     )
-    w = StateTableStreamWriter(
-        schema,
-        {"path": m.root, "keyCol": "id", "tsCols": "ts"},
-    )
-    staged = os.path.join(m.root, "_sink", "staging", "replay.parquet")
-    pq.write_table(
-        pa.table({"id": [3], "v": [-777.0], "op": ["U"], "ts": [9]}), staged
-    )
-    w.commit([_SinkBatchMessage({3: [staged]}, 1, {})], batchId=0)
-    assert m.current()["version"] == v_after  # nothing published
-    assert not os.path.exists(staged)  # restage cleaned
-    assert m.read(spark).filter("v = -777.0").count() == 0
 
+
+def test_sink_fence_same_run_and_checkpoint_reset(spark, tmp_path):
+    # same-run retry (commit called again with an already-published id)
+    # must no-op and clean the restage; a NEW run replaying the id (fresh
+    # nonce — restart or checkpoint reset) re-applies instead, because a
+    # reset checkpoint restarts batch ids at 0 with NEW data and a
+    # number-only fence would silently swallow it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        StateTableStreamWriter,
+        _SinkBatchMessage,
+    )
+
+    work = str(tmp_path)
+    m = _init_mirror(spark, f"{work}/m")
+    w = StateTableStreamWriter(
+        _writer_schema(), {"path": m.root, "keyCol": "id", "tsCols": "ts"}
+    )
+
+    def stage(val):
+        p = os.path.join(m.root, "_sink", "staging", f"s{val}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"id": [3], "v": [float(val)], "op": ["U"], "ts": [9]}
+            ),
+            p,
+        )
+        return p
+
+    p1 = stage(-777)
+    w.commit([_SinkBatchMessage({3: [p1]}, 1, {})], batchId=0)
+    v1 = m.current()["version"]
+    assert m.read(spark).filter("v = -777.0").count() == 1
+    # same-run retry of batch 0: fenced, restage cleaned, no publish
+    p2 = stage(-888)
+    w.commit([_SinkBatchMessage({3: [p2]}, 1, {})], batchId=0)
+    assert m.current()["version"] == v1
+    assert not os.path.exists(p2)
+    assert m.read(spark).filter("v = -888.0").count() == 0
+    # NEW run (fresh nonce) with restarted batch ids: NEW data lands
+    w2 = StateTableStreamWriter(
+        _writer_schema(), {"path": m.root, "keyCol": "id", "tsCols": "ts"}
+    )
+    p3 = stage(-999)
+    w2.commit([_SinkBatchMessage({3: [p3]}, 1, {})], batchId=0)
+    assert m.current()["version"] > v1
+    assert m.read(spark).filter("v = -999.0").count() == 1
 
 def test_sink_onto_copy_on_write_table(spark, tmp_path):
     # delta specs fold on read regardless of the table's own merge mode;
@@ -336,3 +352,169 @@ def test_table_to_table_streaming_composition(spark, tmp_path):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_xxhash64_int32_parity_with_spark(spark):
+    from tabular_cdc_bootstrapper_spark.functions.xxhash import (
+        xxhash64_ints,
+    )
+
+    ids = [0, 1, -1, 42, -42, 2**31 - 1, -(2**31), 123456789, -987654321]
+    expected = [
+        r[0]
+        for r in spark.createDataFrame([(i,) for i in ids], "id int")
+        .select(F.xxhash64("id"))
+        .collect()
+    ]
+    assert list(xxhash64_ints(ids)) == expected
+
+
+def test_spark_buckets_type_guards():
+    import pandas as pd
+
+    with pytest.raises(ValueError, match="unsupported key type"):
+        spark_buckets(pd.Series([1.5, 2.5]), 8, "double")
+    with pytest.raises(ValueError, match="numeric"):
+        spark_buckets(pd.Series([1, 2], dtype="int64"), 8, "string")
+
+
+def test_sink_refuses_non_hashable_key_type(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        StateTableStreamWriter,
+    )
+
+    m = _init_mirror(spark, str(tmp_path / "m"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="only long/integer/string"):
+        StateTableStreamWriter(
+            schema, {"path": m.root, "keyCol": "id", "tsCols": "ts"}
+        )
+
+
+def test_sink_commit_refuses_mid_stream_rebucket_and_ddl(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        StateTableStreamWriter,
+        _SinkBatchMessage,
+    )
+
+    work = str(tmp_path)
+    m = _init_mirror(spark, f"{work}/m")
+    w = StateTableStreamWriter(
+        _writer_schema(), {"path": m.root, "keyCol": "id", "tsCols": "ts"}
+    )
+
+    def stage(name):
+        p = os.path.join(m.root, "_sink", "staging", f"{name}.parquet")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({"id": [3], "v": [-1.0], "op": ["U"], "ts": [9]}), p
+        )
+        return p
+
+    # rebucket lands between micro-batches: the writer's partitioning
+    # (bound at query start) is stale — committing would mis-bucket
+    m.rebucket(spark, 16)
+    with pytest.raises(ValueError, match="rebucketed mid-stream"):
+        w.commit([_SinkBatchMessage({3: [stage("a")]}, 1, {})], batchId=0)
+    # fresh writer binds the new spec; a mid-stream ALTER TABLE then
+    # trips the DDL-metadata refusal (old names must not union-widen
+    # back into a rename-folded manifest)
+    w2 = StateTableStreamWriter(
+        _writer_schema(), {"path": m.root, "keyCol": "id", "tsCols": "ts"}
+    )
+    m.alter_schema(rename={"v": "w"})
+    with pytest.raises(ValueError, match="rename-fold"):
+        w2.commit([_SinkBatchMessage({3: [stage("b")]}, 1, {})], batchId=0)
+
+
+def test_sink_preserves_and_merges_manifest_stats(spark, tmp_path):
+    # a stats-carrying table keeps its stats through sink commits, and
+    # .option('statsCols') bounds are widen-merged into the manifest
+    work = str(tmp_path)
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 50).alias("v").cast("double")
+    )
+    m = VersionedBucketMirror(
+        f"{work}/m", n_buckets=8, key_col="id", keep_versions=10,
+        merge_on_read=True, stats_cols=["v"],
+    )
+    m.initialize(base)
+    assert m.current().get("stats")
+    assert m.current().get("stats_cols") == ["v"]
+    srcdir = f"{work}/src"
+    os.makedirs(srcdir)
+    spark.range(0, 10).select(
+        F.col("id"),
+        F.lit(500.0).alias("v"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("ts"),
+    ).write.parquet(f"{srcdir}/f1.parquet")
+    register_stream_sources(spark)
+    q = (
+        spark.readStream.schema("id long, v double, op string, ts long")
+        .parquet(f"{srcdir}/*.parquet")
+        .writeStream.format("state_table")
+        .option("path", m.root)
+        .option("keyCol", "id")
+        .option("tsCols", "ts")
+        .option("statsCols", "v")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    cur = m.current()
+    assert cur["operation"] == "sink_commit"
+    stats = cur.get("stats") or {}
+    assert stats, "sink commit dropped the table's manifest stats"
+    # the touched buckets' v bounds must have widened to include 500
+    assert any(
+        st.get("v") and st["v"][1] is not None and st["v"][1] >= 500.0
+        for st in stats.values()
+    )
+
+
+def test_stats_survive_commits_from_stats_less_handles(spark, tmp_path):
+    # review r12: a handle constructed WITHOUT stats_cols on a stats-
+    # carrying table adopts them from the manifest (_sync_spec), so its
+    # commits recompute fresh bounds instead of dropping or staling them
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 50).cast("double").alias("v")
+    )
+    root = str(tmp_path / "m")
+    m = VersionedBucketMirror(
+        root, n_buckets=8, key_col="id", keep_versions=10,
+        stats_cols=["v"],
+    )
+    m.initialize(base)
+    fresh = VersionedBucketMirror(root, n_buckets=8, key_col="id")
+    assert fresh.stats_cols == ["v"]  # adopted from the manifest
+    # an update through the stats-less handle moves values OUTSIDE the
+    # old bounds; the recomputed stats must cover them (stale-narrow
+    # bounds would prune wrongly)
+    rec = fresh.update_where(spark, "id < 10", {"v": "9999.0"})
+    stats = fresh.current()["stats"]
+    assert fresh.current().get("stats_cols") == ["v"]
+    for b in rec["matched_buckets"]:
+        assert stats[str(b)]["v"][1] >= 9999.0
+    hot = fresh.read_pruned(spark, "v", lower=9000.0)
+    assert hot.count() == 10
+
+
+def test_update_where_unknown_column_raises_even_with_zero_matches(
+    spark, tmp_path
+):
+    m = _init_mirror(spark, str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="unknown column"):
+        m.update_where(spark, "id = -12345", {"nope": "1"})
