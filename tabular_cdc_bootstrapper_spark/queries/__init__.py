@@ -127,6 +127,7 @@ _DRIVER_CHECK_PRIORITY = [
     "change_feed_datasource_stream",
     "mirror_dml_delete_update",
     "sink_datasource_stream",
+    "table_sql_lifecycle",
     "concurrent_merge_serialization",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",

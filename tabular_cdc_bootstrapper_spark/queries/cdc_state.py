@@ -2519,3 +2519,99 @@ def sink_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return m.read(spark).select(*_ORDER_COLS)
+
+
+@query(
+    "table_sql_lifecycle",
+    oracle="""
+    WITH after_del AS (
+        SELECT * FROM orders
+        WHERE NOT COALESCE(
+            o_orderstatus = 'F' AND o_orderkey % 5 = 0, FALSE)
+    ),
+    after_upd AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM after_del
+    ),
+    after_merge AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM after_upd
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM after_merge
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_v0_rows', CAST(COUNT(*) AS BIGINT),
+           CAST(0.0 AS DOUBLE)
+    FROM orders
+    """,
+)
+def table_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end (r12, ``sql.py TableSql``): the maintenance
+    dialect a reference user speaks to their Iceberg tables
+    (tabular.py:8 — DELETE/UPDATE/MERGE/time travel arrive as SQL),
+    dispatched onto the engine's table handles. One lifecycle, every
+    statement a SQL string: ``DELETE FROM``, ``UPDATE ... SET``
+    (expression assignment), ``MERGE INTO ... USING (<subquery over a
+    time-traveled SELECT>)`` with a src.-referenced update, then the
+    reporting ``SELECT ... GROUP BY`` and a ``VERSION AS OF 0``
+    time-travel count — all parsed heads here, all expressions by
+    Spark's own parser. The oracle recomputes the full statement chain
+    as relational algebra."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.sql import TableSql
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    m = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_tsql_") + "/t",
+        n_buckets=16,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    m.initialize(o)
+    t = TableSql(spark, {"orders_t": m})
+    t.sql(
+        "DELETE FROM orders_t "
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
+    )
+    t.sql(
+        "UPDATE orders_t SET o_totalprice = o_totalprice + 10 "
+        "WHERE o_orderpriority = '2-HIGH'"
+    )
+    t.sql(
+        """
+        MERGE INTO orders_t USING (
+            SELECT o_orderkey, 'Z' AS o_orderstatus
+            FROM orders_t VERSION AS OF 0
+            WHERE o_orderkey % 11 = 0
+        ) ON o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = src.o_orderstatus
+        """
+    )
+    return t.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_t
+        GROUP BY o_orderstatus
+        UNION ALL
+        SELECT '_v0_rows', CAST(COUNT(*) AS BIGINT),
+               CAST(0.0 AS DOUBLE)
+        FROM orders_t VERSION AS OF 0
+        """
+    )

@@ -1,0 +1,194 @@
+"""TableSql — the SQL maintenance dialect over the versioned tables.
+
+A dispatcher, not a SQL engine: statement HEADS (verb + table clause)
+are parsed here; every expression inside (conditions, assignments,
+sub-selects) goes through Spark's own parser. Pinned: each verb reaches
+the right engine method with the right semantics, time-travel SELECTs
+resolve snapshots, and malformed statements fail loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.sql import TableSql, _split_top_level
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    ParquetStateTable,
+    VersionedBucketMirror,
+)
+
+
+def _frame(spark, n=400):
+    return spark.range(0, n).select(
+        "id", (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+
+
+@pytest.fixture()
+def tsql(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10
+    )
+    m.initialize(_frame(spark))
+    p = ParquetStateTable(str(tmp_path / "p"), keep_versions=10)
+    p.commit(_frame(spark))
+    return TableSql(spark, {"m": m, "p": p}), m, p
+
+
+def test_split_top_level_respects_parens_and_strings():
+    assert _split_top_level("a = f(x, y), b = 'p,q', c = (1,2)") == [
+        "a = f(x, y)",
+        "b = 'p,q'",
+        "c = (1,2)",
+    ]
+
+
+def test_delete_update_select_roundtrip(tsql, spark):
+    t, m, _ = tsql
+    r = t.sql("DELETE FROM m WHERE grp = 5 AND val > 300")
+    assert r["rows_deleted"] == _frame(spark).filter(
+        "grp = 5 AND val > 300"
+    ).count()
+    r = t.sql("UPDATE m SET val = val * 2, grp = grp + 100 WHERE grp = 1;")
+    assert r["rows_updated"] == _frame(spark).filter("grp = 1").count()
+    rows = t.sql(
+        "SELECT grp, COUNT(*) AS n FROM m WHERE grp >= 100 GROUP BY grp"
+    ).collect()
+    assert rows == [
+        (101, _frame(spark).filter("grp = 1").count())
+    ] or rows[0]["grp"] == 101
+
+
+def test_select_time_travel_and_multi_table_join(tsql, spark):
+    t, m, p = tsql
+    t.sql("DELETE FROM m WHERE grp = 3")
+    # VERSION AS OF resolves the pre-delete snapshot
+    n0 = t.sql("SELECT COUNT(*) AS n FROM m VERSION AS OF 0").collect()[0][
+        "n"
+    ]
+    assert n0 == 400
+    # two registered tables in one statement (one time-traveled)
+    j = t.sql(
+        "SELECT COUNT(*) AS n FROM m a JOIN p b ON a.id = b.id"
+    ).collect()[0]["n"]
+    assert j == 400 - _frame(spark).filter("grp = 3").count()
+    j0 = t.sql(
+        "SELECT COUNT(*) AS n FROM m VERSION AS OF 0 a "
+        "JOIN p b ON a.id = b.id"
+    ).collect()[0]["n"]
+    assert j0 == 400
+
+
+def test_ddl_optimize_restore_vacuum(tsql, spark):
+    t, m, _ = tsql
+    r = t.sql("ALTER TABLE m RENAME COLUMN val TO price")
+    assert r["operation"] == "alter_schema"
+    s = t.sql("SELECT ROUND(SUM(price), 2) AS s FROM m").collect()[0]["s"]
+    assert s == round(sum(i * 1.5 for i in range(400)), 2)
+    t.sql("ALTER TABLE m ADD COLUMN note string")
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m WHERE note IS NULL").collect()[0][
+            "n"
+        ]
+        == 400
+    )
+    t.sql("OPTIMIZE m")  # materializes the rename fold
+    assert not (m.current().get("renames") or {})
+    r = t.sql("RESTORE TABLE m TO VERSION AS OF 0")
+    assert r["rollback_of"] == 0
+    assert t.sql("SELECT COUNT(*) AS n FROM m").collect()[0]["n"] == 400
+    r = t.sql("VACUUM m RETAIN 3 VERSIONS")
+    assert r["expired_versions"]
+    # the restore head still reads (its dirs are shared/retained)
+    assert t.sql("SELECT COUNT(*) AS n FROM m").collect()[0]["n"] == 400
+
+
+def test_merge_into_with_subquery_source(tsql, spark):
+    t, m, _ = tsql
+    t.sql(
+        """
+        MERGE INTO m USING (
+            SELECT id, grp, val * 0 - 5 AS val
+            FROM m WHERE id < 30
+        ) ON id
+        WHEN MATCHED AND id % 2 = 0 THEN UPDATE SET val = src.val
+        WHEN MATCHED AND id % 2 = 1 THEN DELETE
+        """
+    )
+    got = t.sql(
+        "SELECT COUNT(*) AS n FROM m WHERE val = -5"
+    ).collect()[0]["n"]
+    assert got == 15  # even ids 0..28
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m").collect()[0]["n"]
+        == 400 - 15  # odd ids 1..29 deleted
+    )
+
+
+def test_merge_insert_star_and_insert_suppression(tsql, spark):
+    t, m, _ = tsql
+    # NOT MATCHED THEN INSERT *: new keys land with source columns
+    t.sql(
+        """
+        MERGE INTO m USING (
+            SELECT id + 10000 AS id, grp, val FROM m WHERE id < 5
+        ) ON id
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m WHERE id >= 10000").collect()[0][
+            "n"
+        ]
+        == 5
+    )
+    # without a NOT MATCHED clause, inserts are suppressed
+    t.sql(
+        """
+        MERGE INTO m USING (
+            SELECT id + 20000 AS id, grp, val FROM m WHERE id < 5
+        ) ON id
+        WHEN MATCHED THEN UPDATE SET val = src.val
+        """
+    )
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m WHERE id >= 20000").collect()[0][
+            "n"
+        ]
+        == 0
+    )
+
+
+def test_plain_layout_takes_the_same_dialect(tsql, spark):
+    t, _, p = tsql
+    r = t.sql("DELETE FROM p WHERE grp = 2")
+    assert r["rows_deleted"] == _frame(spark).filter("grp = 2").count()
+    r = t.sql("UPDATE p SET val = -1.0 WHERE grp = 4")
+    assert r["rows_updated"] == _frame(spark).filter("grp = 4").count()
+    t.sql("ALTER TABLE p RENAME COLUMN val TO price")
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM p WHERE price = -1.0").collect()[0][
+            "n"
+        ]
+        == _frame(spark).filter("grp = 4").count()
+    )
+    r = t.sql("RESTORE TABLE p TO VERSION AS OF 0")
+    assert r.get("rollback_of") == 0
+
+
+def test_errors_are_loud(tsql):
+    t, _, _ = tsql
+    with pytest.raises(ValueError, match="unknown table"):
+        t.sql("DELETE FROM nope WHERE 1 = 1")
+    with pytest.raises(ValueError, match="unconditional DELETE"):
+        t.sql("DELETE FROM m")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        t.sql("TRUNCATE TABLE m")
+    with pytest.raises(ValueError, match="bad SET clause"):
+        t.sql("UPDATE m SET val WHERE grp = 1")
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        t.sql(
+            "MERGE INTO m USING (SELECT 1 AS id) ON id "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (1)"
+        )
