@@ -120,14 +120,16 @@ _DRIVER_CHECK_PRIORITY = [
     "unigram_surprisal_quality",
     "winsorized_length_stats",
     # --- tail (51+): green driver rows on current code, still
-    # oracle-checked locally every round. change_feed_datasource_stream
-    # and mirror_dml_delete_update are r12-NEW but the window is exactly
-    # full (1+3+1+45, the staleness ceiling binds first) — they head the
-    # tail and rotate into the r13 window ---
+    # oracle-checked locally every round. change_feed_datasource_stream,
+    # mirror_dml_delete_update, sink_datasource_stream,
+    # table_sql_lifecycle and table_constraints_gate are r12-NEW but the
+    # window is exactly full (1+3+1+45, the staleness ceiling binds
+    # first) — they head the tail and rotate into the r13 window ---
     "change_feed_datasource_stream",
     "mirror_dml_delete_update",
     "sink_datasource_stream",
     "table_sql_lifecycle",
+    "table_constraints_gate",
     "concurrent_merge_serialization",
     "change_feed_stream_fold",
     "mirror_rebucket_roundtrip",

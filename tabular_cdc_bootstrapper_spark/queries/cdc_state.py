@@ -2615,3 +2615,99 @@ def table_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_t VERSION AS OF 0
         """
     )
+
+
+@query(
+    "table_constraints_gate",
+    oracle="""
+    WITH upd AS (
+        SELECT CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice + 1
+                    ELSE o_totalprice END AS p
+        FROM orders
+    )
+    SELECT 'refused_add' AS item, CAST(1 AS DOUBLE) AS value
+    UNION ALL SELECT 'refused_update', 1
+    UNION ALL SELECT 'head_unmoved_by_refusals', 1
+    UNION ALL SELECT 'neg_rows', 0
+    UNION ALL SELECT 'head_rows',
+        (SELECT CAST(COUNT(*) AS DOUBLE) FROM upd)
+    UNION ALL SELECT 'head_total', (SELECT ROUND(SUM(p), 2) FROM upd)
+    """,
+)
+def table_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints (r12 — the Delta ``ADD CONSTRAINT``
+    model, SQL-driven end to end): a constraint is a table property
+    added only if existing data passes (one validating scan) and
+    enforced against every commit's OWN staged bytes before its
+    manifest publishes. Lifecycle pinned here: a passing ADD, a
+    failing ADD (existing data violates), a violating UPDATE (refused,
+    head version unmoved, no negative row ever visible), then a valid
+    UPDATE that carries the property forward. The oracle recomputes
+    the surviving state — exactly one repricing, zero refused
+    effects."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.sql import TableSql
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ConstraintViolation,
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_ck_") + "/t",
+        n_buckets=16,
+        key_col="o_orderkey",
+        keep_versions=10,
+    )
+    m.initialize(o)
+    t = TableSql(spark, {"orders_t": m})
+    t.sql(
+        "ALTER TABLE orders_t ADD CONSTRAINT price_pos "
+        "CHECK (o_totalprice >= 0)"
+    )
+    refused_add = 0
+    try:
+        t.sql(
+            "ALTER TABLE orders_t ADD CONSTRAINT price_small "
+            "CHECK (o_totalprice < 100)"
+        )
+    except ConstraintViolation:
+        refused_add = 1
+    head_before = m.current()["version"]
+    refused_update = 0
+    try:
+        t.sql(
+            "UPDATE orders_t SET o_totalprice = -1 "
+            "WHERE o_orderstatus = 'F'"
+        )
+    except ConstraintViolation:
+        refused_update = 1
+    head_unmoved = int(m.current()["version"] == head_before)
+    t.sql(
+        "UPDATE orders_t SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderstatus = 'O'"
+    )
+    agg = t.sql(
+        """
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END)
+                    AS DOUBLE) AS neg
+        FROM orders_t
+        """
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("refused_add", float(refused_add)),
+            ("refused_update", float(refused_update)),
+            ("head_unmoved_by_refusals", float(head_unmoved)),
+            ("neg_rows", float(agg["neg"])),
+            ("head_rows", float(agg["n"])),
+            ("head_total", float(agg["total"])),
+        ],
+        "item string, value double",
+    )

@@ -168,6 +168,17 @@ class TableSql:
     def _alter(self, s: str) -> dict:
         pats = [
             (
+                r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+                r"CHECK\s*\((.+)\)$",
+                lambda t, n, e: self._table(t).add_constraint(
+                    self.spark, n, e
+                ),
+            ),
+            (
+                r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$",
+                lambda t, n: self._table(t).drop_constraint(n),
+            ),
+            (
                 r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$",
                 lambda t, a, b: self._alter_call(t, rename={a: b}),
             ),
@@ -193,7 +204,8 @@ class TableSql:
         raise ValueError(
             "expected one of: ALTER TABLE t RENAME COLUMN a TO b | "
             "DROP COLUMN a[, b] | ADD COLUMN a <type> | "
-            "ALTER COLUMN a TYPE <type>"
+            "ALTER COLUMN a TYPE <type> | "
+            "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n"
         )
 
     def _alter_call(self, name: str, **kwargs) -> dict:

@@ -55,6 +55,47 @@ class CommitConflict(RuntimeError):
     writes, where the caller's inputs are stale)."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A commit's data violates a table CHECK constraint (r12 — the
+    Delta ``ALTER TABLE ADD CONSTRAINT`` enforcement model): the commit
+    is refused BEFORE the manifest publishes, so readers never see the
+    violating rows. SQL CHECK semantics — a row passes when the
+    expression is TRUE or NULL; only FALSE violates."""
+
+
+def _check_table_constraints(
+    df: "DataFrame", constraints: dict, where: str
+) -> None:
+    """ONE aggregate over ``df`` evaluating every CHECK expression;
+    raises :class:`ConstraintViolation` naming the first failed
+    constraint and its violation count. Cost ∝ the frame checked —
+    callers pass the STAGED delta/state slice, never the whole table
+    (except ``add_constraint``, which must vouch for existing data)."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    aggs = []
+    for i, n in enumerate(names):
+        violated = ~F.coalesce(
+            F.expr(constraints[n]).cast("boolean"), F.lit(True)
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(violated, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__c{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    for i, n in enumerate(names):
+        if row[f"__c{i}"]:
+            raise ConstraintViolation(
+                f"{where}: CHECK constraint {n!r} "
+                f"({constraints[n]}) violated by {row[f'__c{i}']} row(s) "
+                "— commit refused"
+            )
+
+
 #: record fields owned by the snapshot protocol — caller commit meta may
 #: not shadow them (ADVICE r10: meta containing e.g. ``ref`` would make
 #: ``committed()`` silently hide a published commit from history and
@@ -1129,6 +1170,14 @@ class ParquetStateTable(BranchOps):
         cur = self.current()
         if cur is None:
             raise ValueError(f"{self.root} has no snapshot yet")
+        for cname, cexpr in (cur.get("constraints") or {}).items():
+            for col in list(drop) + list(rename):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr):
+                    raise ValueError(
+                        f"column {col!r} is referenced by CHECK "
+                        f"constraint {cname!r} ({cexpr}) — DROP the "
+                        "constraint before altering the column"
+                    )
         if "schema" not in cur:
             if spark is None:
                 raise ValueError(
@@ -1156,11 +1205,87 @@ class ParquetStateTable(BranchOps):
             record["renames"] = meta["renames"]
         if meta["shadowed"]:
             record["shadowed"] = meta["shadowed"]
+        if cur.get("constraints"):
+            # table properties carry (constrained columns can't be
+            # dropped/renamed — guarded above)
+            record["constraints"] = cur["constraints"]
         return self._publish(
             record,
             keep=record["dir"],
             # token CAS (r12): the record SHARES cur's data dir — an
             # in-place purge landing in between would delete it
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+
+    def constraints(self) -> dict:
+        """The table's CHECK constraints (name → SQL expression)."""
+        cur = self.current()
+        return dict((cur or {}).get("constraints") or {})
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> dict:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` on the plain
+        layout — semantics identical to the bucketed mirror's: existing
+        data validates once at add time, then every ``commit`` validates
+        its written state before the pointer swap. SQL CHECK: NULL
+        passes, only FALSE violates."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]}) — "
+                "DROP it first"
+            )
+        df = self.read(spark)
+        if df is not None:
+            _check_table_constraints(df, {name: expr}, self.root)
+        cons[name] = expr
+        return self._publish_properties(cur, constraints=cons)
+
+    def drop_constraint(self, name: str) -> dict:
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {self.root} "
+                f"(have: {sorted(cons)})"
+            )
+        cons.pop(name)
+        return self._publish_properties(cur, constraints=cons)
+
+    def _publish_properties(self, cur: dict, **props) -> dict:
+        """Metadata-only properties commit sharing ``cur``'s data dir
+        (zero movement, purge-aware token CAS) — the plain-layout twin
+        of the mirror's ``_publish_properties``."""
+        record = {
+            "version": self._next_version(),
+            "dir": cur["dir"],
+            "ts": time.time(),
+            "operation": "set_properties",
+        }
+        for k in (
+            "schema",
+            "next_fid",
+            "renames",
+            "dropped",
+            "shadowed",
+            "constraints",
+        ):
+            if k in cur:
+                record[k] = cur[k]
+        for k, v in props.items():
+            if v:
+                record[k] = v
+            else:
+                record.pop(k, None)
+        return self._publish(
+            record,
+            keep=record["dir"],
             expected_head=(cur["version"], cur.get("purged_ts") or 0),
         )
 
@@ -1268,10 +1393,24 @@ class ParquetStateTable(BranchOps):
         concurrency). Without it the commit is blind full-state replace
         and retries internally on conflicts."""
         _check_meta(meta)
+        cur_head = self.current()
+        cons = (cur_head or {}).get("constraints") or {}
         version = self._next_version()
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
+        if cons:
+            # CHECK constraints (r12): validate the WRITTEN bytes before
+            # the pointer ever moves — one scan of this commit's state
+            try:
+                _check_table_constraints(
+                    df.sparkSession.read.parquet(vdir), cons, self.root
+                )
+            except ConstraintViolation:
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
         record = {"version": version, "dir": vdir, "ts": time.time()}
+        if cons:
+            record["constraints"] = cons  # table property, carries
         if meta:
             record.update(meta)
         if branch is not None:
@@ -1357,6 +1496,11 @@ class ParquetStateTable(BranchOps):
         for k in ("schema", "renames", "dropped", "shadowed", "next_fid"):
             if k in target:
                 record[k] = target[k]
+        # constraints are table properties — they survive the restore
+        # (Iceberg pointer-move semantics), riding from the current head
+        head = self.current()
+        if head and head.get("constraints"):
+            record["constraints"] = head["constraints"]
         return self._publish_retry(record)
 
     def purge_keys(
@@ -3265,6 +3409,14 @@ class VersionedBucketMirror(BranchOps):
             record["shadowed"] = target["shadowed"]
         if "next_fid" in target:
             record["next_fid"] = target["next_fid"]
+        if "stats_cols" in target:
+            record["stats_cols"] = target["stats_cols"]
+        # CHECK constraints are table PROPERTIES, not snapshot data
+        # (Iceberg rollback = pointer move, properties retained): they
+        # carry from the current head, not the restore target
+        head = self.current()
+        if head and head.get("constraints"):
+            record["constraints"] = head["constraints"]
         for delay in (*_RETRY_BACKOFF, None):
             try:
                 self._log.publish(record, protected=self._branch_covers)
@@ -3698,6 +3850,14 @@ class VersionedBucketMirror(BranchOps):
         cur = self.current()
         if cur is None:
             raise ValueError(f"mirror {self.root} has no snapshot yet")
+        for cname, cexpr in (cur.get("constraints") or {}).items():
+            for col in list(drop) + list(rename):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr):
+                    raise ValueError(
+                        f"column {col!r} is referenced by CHECK "
+                        f"constraint {cname!r} ({cexpr}) — DROP the "
+                        "constraint before altering the column"
+                    )
         if "schema" not in cur:
             raise ValueError(
                 f"{self.root} has a pre-schema manifest; run a full "
@@ -3765,6 +3925,10 @@ class VersionedBucketMirror(BranchOps):
             record["stats_cols"] = [
                 rename.get(c, c) for c in recorded_cols if c not in drop
             ]
+        if cur.get("constraints"):
+            # table properties carry (constrained columns can't be
+            # dropped/renamed — guarded above)
+            record["constraints"] = cur["constraints"]
         self._log.publish(
             record,
             protected=self._branch_covers,
@@ -3774,6 +3938,101 @@ class VersionedBucketMirror(BranchOps):
         )
         self._expire(record)
         return record
+
+    def constraints(self) -> dict:
+        """The table's CHECK constraints (name → SQL expression)."""
+        cur = self.current()
+        return dict((cur or {}).get("constraints") or {})
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> dict:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (r12 — the
+        Delta model): existing data must already satisfy the expression
+        (ONE validating scan, exactly Delta's add-time check), then the
+        constraint rides the manifest as a table property and EVERY
+        Spark-side write path validates its staged slice before the
+        publish — cost ∝ the commit's own bytes, never the table.
+        Pure-metadata publish sharing the current dirs (token CAS,
+        like ``alter_schema``). SQL CHECK semantics: NULL passes."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]}) — "
+                "DROP it first"
+            )
+        df = self._read_entry(spark, cur)
+        if df is not None:
+            _check_table_constraints(df, {name: expr}, self.root)
+        cons[name] = expr
+        return self._publish_properties(cur, constraints=cons)
+
+    def drop_constraint(self, name: str) -> dict:
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {self.root} "
+                f"(have: {sorted(cons)})"
+            )
+        cons.pop(name)
+        return self._publish_properties(cur, constraints=cons)
+
+    def _publish_properties(self, cur: dict, **props) -> dict:
+        """Metadata-only commit updating table properties: the record
+        SHARES every data dir of ``cur`` (zero movement), carries all
+        other metadata forward, and publishes under the purge-aware
+        token CAS."""
+        record = {
+            "version": self._log.next_version(),
+            "ts": time.time(),
+            "buckets": dict(cur["buckets"]),
+            "operation": "set_properties",
+        }
+        for k in (
+            "schema",
+            "next_fid",
+            "deltas",
+            "n_buckets",
+            "stats",
+            "stats_cols",
+            "renames",
+            "dropped",
+            "shadowed",
+            "constraints",
+        ):
+            if k in cur:
+                record[k] = cur[k]
+        for k, v in props.items():
+            if v:
+                record[k] = v
+            else:
+                record.pop(k, None)
+        self._log.publish(
+            record,
+            protected=self._branch_covers,
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        self._expire(record)
+        return record
+
+    def _constraints_for(self, basis=_UNSET, branch: str | None = None) -> dict:
+        e = (
+            (
+                self._branch_head_entry(branch)
+                if branch is not None
+                else self.current()
+            )
+            if basis is _UNSET
+            else basis
+        )
+        return dict((e or {}).get("constraints") or {})
 
     def _dml_matched_buckets(
         self,
@@ -4223,6 +4482,19 @@ class VersionedBucketMirror(BranchOps):
             if basis is _UNSET
             else basis
         )
+        # CHECK constraints (r12): validate the STAGED bytes before any
+        # dir installs — one scan ∝ this commit, the manifest never
+        # publishes violating rows and nothing needs cleanup on refusal
+        if cur and cur.get("constraints"):
+            try:
+                _check_table_constraints(
+                    df.sparkSession.read.parquet(staging).drop("bucket"),
+                    cur["constraints"],
+                    self.root,
+                )
+            except ConstraintViolation:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
         # install staged dirs, recording per-bucket ACTIONS (install dst /
         # delete) rather than a mapping, so a conflict retry can re-apply
         # them against a newer head
@@ -4303,6 +4575,10 @@ class VersionedBucketMirror(BranchOps):
                 record["shadowed"] = base_entry["shadowed"]
             if base_entry and "next_fid" in base_entry:
                 record["next_fid"] = base_entry["next_fid"]
+            if base_entry and base_entry.get("constraints"):
+                # CHECK constraints are table properties: they survive
+                # every commit, including full rewrites
+                record["constraints"] = base_entry["constraints"]
             # carried-forward buckets keep their previous stats; staged
             # ones take the fresh bounds. Stats are pruning BOUNDS only —
             # a purge/delete may leave them wider than the data
@@ -4523,6 +4799,33 @@ class VersionedBucketMirror(BranchOps):
             ).parquet(staging)
             if kind == "delta":
                 up_schema = staged_df.schema
+            # CHECK constraints (r12): validate the upsert slice's
+            # staged bytes (one scan ∝ batch). Tombstones are excluded
+            # — a delete event legitimately carries NULL payload and is
+            # not a row the table will serve
+            cons = (
+                self._constraints_for(basis, branch)
+                if kind == "delta"
+                else None
+            )
+            if cons:
+                live = slice_df.sparkSession.read.parquet(staging)
+                not_del = ~F.coalesce(
+                    F.col(fold["op"]) == F.lit(fold["delete_op"]),
+                    F.lit(False),
+                )
+                try:
+                    _check_table_constraints(
+                        live.filter(not_del).drop("bucket"),
+                        cons,
+                        self.root,
+                    )
+                except ConstraintViolation:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    for dsts in actions.values():
+                        for d in dsts:
+                            shutil.rmtree(d, ignore_errors=True)
+                    raise
             # per-bucket stats over the UPSERT slice only: tombstones
             # carry no queryable payload, and bounds are widen-only
             # (stale-but-safe) so the carried base stats keep any bucket
@@ -4618,6 +4921,16 @@ class VersionedBucketMirror(BranchOps):
                 "generation-mask metadata — run "
                 "rewrite_data_files(materialize=True) before committing "
                 "externally staged deltas"
+            )
+        if cur and cur.get("constraints"):
+            # this commit path has NO SparkSession (the streaming sink's
+            # pure-metadata commit) and cannot evaluate CHECK expressions
+            # with Spark semantics — refuse rather than skip enforcement
+            raise ValueError(
+                f"{self.root} carries CHECK constraints "
+                f"({sorted(cur['constraints'])}); the state_table sink "
+                "cannot enforce them executor-side — ingest through "
+                "merge_batch (foreachBatch) instead, or DROP them"
             )
         version = self._log.next_version()
         actions: dict[str, list[str]] = {}
@@ -4715,6 +5028,8 @@ class VersionedBucketMirror(BranchOps):
                 record["shadowed"] = base_entry["shadowed"]
             if base_entry and "next_fid" in base_entry:
                 record["next_fid"] = base_entry["next_fid"]
+            if base_entry and base_entry.get("constraints"):
+                record["constraints"] = base_entry["constraints"]
             if self.stats_cols or staged_stats:
                 if self.stats_cols:
                     record["stats_cols"] = list(self.stats_cols)
