@@ -212,11 +212,10 @@ class TableSql:
         t = self._table(name)
         try:
             return t.alter_schema(**kwargs)
-        except TypeError:
-            # ParquetStateTable's first alter may need spark= to bind
-            # the current parquet schema
-            return t.alter_schema(spark=self.spark, **kwargs)
         except ValueError as e:
+            # ParquetStateTable's FIRST alter needs spark= to bind the
+            # current parquet schema; it raises before publishing, so
+            # the retry cannot double-apply
             if "needs spark=" in str(e):
                 return t.alter_schema(spark=self.spark, **kwargs)
             raise
@@ -237,9 +236,28 @@ class TableSql:
             if m.group(2)
             else ()
         )
-        return t.rewrite_data_files(
-            self.spark, min_files=1, materialize=True, zorder_cols=z
-        )
+        if hasattr(t, "rewrite_data_files"):
+            return t.rewrite_data_files(
+                self.spark, min_files=1, materialize=True, zorder_cols=z
+            )
+        # plain snapshot layout: OPTIMIZE = one full-state rewrite
+        # (materializes rename folds / generation masks into a fresh
+        # dir), optionally z-ordered — the whole-state commit IS the
+        # layout's compaction unit
+        df = t.read(self.spark)
+        if df is None:
+            raise ValueError(f"{m.group(1)!r} has no snapshot yet")
+        if z:
+            from tabular_cdc_bootstrapper_spark.functions.layout import (
+                with_zorder_key,
+            )
+
+            df = (
+                with_zorder_key(df, list(z), out_col="__zval")
+                .sortWithinPartitions("__zval")
+                .drop("__zval")
+            )
+        return t.commit(df, meta={"operation": "optimize"})
 
     def _vacuum(self, s: str) -> dict:
         m = re.match(
@@ -260,7 +278,9 @@ class TableSql:
             raise ValueError(
                 "expected: RESTORE TABLE <table> TO VERSION AS OF <n>"
             )
-        return self._table(m.group(1)).rollback(int(m.group(2)))
+        return self._table(m.group(1)).rollback(
+            int(m.group(2)), spark=self.spark
+        )
 
     # -- MERGE ---------------------------------------------------------------
     def _merge(self, s: str) -> dict:
@@ -308,22 +328,50 @@ class TableSql:
         )
         on = [c.strip() for c in on_cols.split(",")]
         kwargs: dict = {}
-        for clause in re.split(r"(?i)\bWHEN\b", when_block)[1:]:
+        # split ONLY at WHEN [NOT] MATCHED boundaries — a bare \bWHEN\b
+        # split would cut CASE WHEN expressions inside conditions or
+        # SET values (review r12)
+        clauses = [
+            c
+            for c in re.split(
+                r"(?i)(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b)", when_block
+            )
+            if c.strip()
+        ]
+        # SQL MERGE is FIRST-MATCH-WINS across matched clauses: each
+        # clause's effective condition is its own AND NOT any earlier
+        # matched clause's — folding them into merge_into's independent
+        # update/delete slots without this would let a later
+        # unconditional DELETE swallow rows an earlier conditional
+        # UPDATE claimed (review r12)
+        prior_matched = None  # OR of earlier matched clauses' conditions
+        saw_insert = False
+        for clause in clauses:
             cm = re.match(
-                r"\s*(NOT\s+MATCHED|MATCHED)"
-                r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+?)\s*$",
+                r"\s*WHEN\s+(NOT\s+MATCHED|MATCHED)"
+                r"(?:\s+AND\s+(.+))?\s+THEN\s+"
+                r"(UPDATE\s+SET\s+.+|DELETE|INSERT\s+.*?)\s*$",
                 clause,
                 re.I | re.S,
             )
             if not cm:
-                raise ValueError(f"bad WHEN clause: WHEN{clause!r}")
+                raise ValueError(f"bad WHEN clause: {clause.strip()!r}")
             matched, cond, action = cm.groups()
-            is_matched = matched.upper() == "MATCHED"
+            is_matched = "NOT" not in matched.upper()
             action_head = action.split(None, 1)[0].upper()
+            own = _merge_expr(cond) if cond else F.lit(True)
+            if is_matched:
+                eff = own if prior_matched is None else (own & ~prior_matched)
+                prior_matched = (
+                    own if prior_matched is None else (prior_matched | own)
+                )
             if is_matched and action_head == "UPDATE":
+                if "update_set" in kwargs:
+                    raise ValueError(
+                        "at most one WHEN MATCHED ... UPDATE clause is "
+                        "supported"
+                    )
                 am = re.match(r"UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
-                if not am:
-                    raise ValueError(f"bad MERGE action {action!r}")
                 upd = {}
                 for part in _split_top_level(am.group(1)):
                     pm = re.match(r"(\w+)\s*=\s*(.+)$", part, re.S)
@@ -331,13 +379,21 @@ class TableSql:
                         raise ValueError(f"bad SET clause {part!r}")
                     upd[pm.group(1)] = _merge_expr(pm.group(2))
                 kwargs["update_set"] = upd
-                if cond:
-                    kwargs["update_cond"] = _merge_expr(cond)
+                kwargs["update_cond"] = eff
             elif is_matched and action_head == "DELETE":
-                kwargs["delete_cond"] = (
-                    _merge_expr(cond) if cond else F.lit(True)
-                )
+                if "delete_cond" in kwargs:
+                    raise ValueError(
+                        "at most one WHEN MATCHED ... DELETE clause is "
+                        "supported"
+                    )
+                kwargs["delete_cond"] = eff
             elif not is_matched and action_head == "INSERT":
+                if saw_insert:
+                    raise ValueError(
+                        "at most one WHEN NOT MATCHED ... INSERT clause "
+                        "is supported"
+                    )
+                saw_insert = True
                 im = re.match(r"INSERT\s+(\*.*)$", action, re.I | re.S)
                 if not im or im.group(1).strip() != "*":
                     raise ValueError(
@@ -345,13 +401,12 @@ class TableSql:
                         "by name)"
                     )
                 if cond:
-                    kwargs["insert_cond"] = _merge_expr(cond)
+                    kwargs["insert_cond"] = own
             else:
                 raise ValueError(f"bad MERGE action {action!r}")
         if "update_set" not in kwargs and "delete_cond" not in kwargs:
             kwargs["update_set"] = {}
-        when_clauses = re.findall(r"(?i)\bWHEN\s+NOT\s+MATCHED\b", when_block)
-        if not when_clauses:
+        if not saw_insert:
             # no NOT MATCHED clause: suppress inserts entirely. The
             # insert expressions still ANALYZE even though the branch is
             # dead, so map every target column to NULL — otherwise a
@@ -374,8 +429,23 @@ class TableSql:
     def _select(self, s: str) -> DataFrame:
         if not self._tables:
             return self.spark.sql(s)
+        # a CTE named like a registered table is ambiguous — the blind
+        # substitution would rewrite BOTH the definition and the
+        # references, silently reading the snapshot instead of the CTE
+        for cm in re.finditer(r"(?i)\b(\w+)\s+AS\s*\(", s):
+            if cm.group(1).lower() in self._tables:
+                raise ValueError(
+                    f"CTE name {cm.group(1)!r} collides with a registered "
+                    "table — rename the CTE"
+                )
+        # ONE combined pattern: a string literal (matched first, passed
+        # through verbatim — a quoted 'tablename' is data, review r12)
+        # or a table reference with optional time travel. The literal
+        # arm must live in the same pattern: a pre-split would hide the
+        # TIMESTAMP AS OF '<ts>' quote from the time-travel arm.
         pat = re.compile(
-            self._TT.format(
+            r"('(?:[^']|'')*')|"
+            + self._TT.format(
                 names="|".join(re.escape(n) for n in self._tables)
             ),
             re.I,
@@ -384,7 +454,9 @@ class TableSql:
         views: dict[tuple, str] = {}
 
         def _sub(m: re.Match) -> str:
-            name, ver, ts = m.group(1).lower(), m.group(2), m.group(3)
+            if m.group(1) is not None:
+                return m.group(1)  # string literal: untouched
+            name, ver, ts = m.group(2).lower(), m.group(3), m.group(4)
             key = (name, ver, ts)
             if key not in views:
                 t = self._table(name)
@@ -393,8 +465,14 @@ class TableSql:
                 elif ts is not None:
                     import datetime as _dt
 
-                    epoch = _dt.datetime.fromisoformat(ts).timestamp()
-                    df = t.read_as_of(self.spark, epoch)
+                    # a NAIVE timestamp is UTC (the session-TZ
+                    # convention this repo pins everywhere), never
+                    # host-local — a local parse would silently resolve
+                    # a snapshot hours off on non-UTC hosts
+                    dt = _dt.datetime.fromisoformat(ts)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_dt.timezone.utc)
+                    df = t.read_as_of(self.spark, dt.timestamp())
                 else:
                     df = t.read(self.spark)
                 if df is None:

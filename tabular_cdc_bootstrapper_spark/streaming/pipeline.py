@@ -103,6 +103,7 @@ def _check_table_constraints(
 _RESERVED_META_KEYS = frozenset(
     {
         "version", "dir", "buckets", "ts", "ref", "schema", "stats",
+        "stats_cols", "constraints", "shadowed", "next_fid",
         "deltas", "n_buckets", "renames", "dropped", "altered",
         "audited", "rollback_of",
         "purged_ts", "cloned_from", "readable", "is_current",
@@ -1085,19 +1086,41 @@ class ParquetStateTable(BranchOps):
         self._expire(keep=keep)
         return record
 
-    def _publish_retry(self, record: dict) -> dict:
+    def _publish_retry(self, record: dict, on_retry=None) -> dict:
         """Publish a BLIND (full-state) commit with conflict retry: on a
         lost race, re-allocate the next version — renaming the data dir
         to match, so pre-log name-ordered retention stays version-ordered
         — and try again against the new head (a full-state replace does
         not depend on what it replaces, so rebasing is just renumbering).
         The backoff outlasts ``conflict_grace_s``, so a commit blocked by
-        a crash orphan self-heals once the orphan ages out."""
+        a crash orphan self-heals once the orphan ages out.
+
+        ``on_retry(record, head)`` (r12): head-dependent reconciliation
+        hook — called before EVERY attempt with the head that attempt
+        will publish against, and the publish then CASes on that exact
+        head, so a property changing concurrently (e.g. a constraint
+        added mid-commit) can never be silently dropped: the CAS fails,
+        the next attempt reconciles against the newer head."""
         rename_dir = "rollback_of" not in record  # rollback shares an
         # older committed snapshot's dir — never rename that
+
+        def _attempt():
+            head = self.current()
+            expected = None
+            if on_retry is not None:
+                on_retry(record, head)
+                if head is not None:
+                    expected = (
+                        head["version"],
+                        head.get("purged_ts") or 0,
+                    )
+            return self._publish(
+                record, keep=record["dir"], expected_head=expected
+            )
+
         for delay in _RETRY_BACKOFF:
             try:
-                return self._publish(record, keep=record["dir"])
+                return _attempt()
             except CommitConflict:
                 time.sleep(delay)
                 new_version = self._next_version()
@@ -1111,7 +1134,7 @@ class ParquetStateTable(BranchOps):
                         record["dir"] = new_dir
                     record["version"] = new_version
                 record["ts"] = time.time()
-        return self._publish(record, keep=record["dir"])  # last try raises
+        return _attempt()  # last try raises
 
     def exists(self) -> bool:
         return self.current() is not None
@@ -1172,7 +1195,11 @@ class ParquetStateTable(BranchOps):
             raise ValueError(f"{self.root} has no snapshot yet")
         for cname, cexpr in (cur.get("constraints") or {}).items():
             for col in list(drop) + list(rename):
-                if re.search(rf"\b{re.escape(col)}\b", cexpr):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr, re.I):
+                    # case-insensitive like Spark's column resolution —
+                    # a case-mismatched guard would let the rename
+                    # publish and wedge every later commit on an
+                    # unresolved constraint column (review r12)
                     raise ValueError(
                         f"column {col!r} is referenced by CHECK "
                         f"constraint {cname!r} ({cexpr}) — DROP the "
@@ -1423,7 +1450,35 @@ class ParquetStateTable(BranchOps):
             except CommitConflict:
                 shutil.rmtree(vdir, ignore_errors=True)  # stale basis:
                 raise  # the caller must re-read and re-derive df
-        return self._publish_retry(record)
+
+        def _reconcile(rec: dict, head: dict | None) -> None:
+            # a constraint added/changed CONCURRENTLY with this blind
+            # commit (review r12): validate the already-written bytes
+            # against the newer set and carry it — the per-attempt CAS
+            # in _publish_retry makes a drop impossible
+            nonlocal cons
+            new_cons = (head or {}).get("constraints") or {}
+            if new_cons != cons:
+                extra = {
+                    k: v for k, v in new_cons.items() if cons.get(k) != v
+                }
+                if extra:
+                    _check_table_constraints(
+                        df.sparkSession.read.parquet(rec["dir"]),
+                        extra,
+                        self.root,
+                    )
+                cons = new_cons
+            if cons:
+                rec["constraints"] = cons
+            else:
+                rec.pop("constraints", None)
+
+        try:
+            return self._publish_retry(record, on_retry=_reconcile)
+        except ConstraintViolation:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise
 
     def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
         """Read the branch head (its latest staged commit, or the fork
@@ -1467,12 +1522,16 @@ class ParquetStateTable(BranchOps):
             )
         return self.read_version(spark, candidates[-1]["version"])
 
-    def rollback(self, to_version: int) -> dict:
+    def rollback(
+        self, to_version: int, spark: SparkSession | None = None
+    ) -> dict:
         """Re-point CURRENT at snapshot ``to_version`` as a NEW commit —
         history stays append-only (an Iceberg-style rollback records the
         restore; it never erases the snapshots it skips past). The data dir
         is shared, not copied; retention keeps it readable because the new
-        head log entry references it."""
+        head log entry references it. On a CONSTRAINED table ``spark=``
+        is required: the restored data validates against the carried
+        constraints (they may postdate the target snapshot)."""
         target = None
         for e in self.history():
             if e["version"] == to_version:
@@ -1497,10 +1556,24 @@ class ParquetStateTable(BranchOps):
             if k in target:
                 record[k] = target[k]
         # constraints are table properties — they survive the restore
-        # (Iceberg pointer-move semantics), riding from the current head
+        # (Iceberg pointer-move semantics), riding from the current head;
+        # the restored data must validate against them (review r12: the
+        # constraint may postdate the target snapshot)
         head = self.current()
-        if head and head.get("constraints"):
-            record["constraints"] = head["constraints"]
+        head_cons = (head or {}).get("constraints") or {}
+        if head_cons:
+            if spark is None:
+                raise ValueError(
+                    f"{self.root} carries CHECK constraints "
+                    f"({sorted(head_cons)}): pass spark= so the restored "
+                    "snapshot can be validated, or DROP them first"
+                )
+            # read through the version's own logical schema (rename
+            # folds, typed NULL for later-added columns — NULL passes)
+            _check_table_constraints(
+                self.read_version(spark, to_version), head_cons, self.root
+            )
+            record["constraints"] = head_cons
         return self._publish_retry(record)
 
     def purge_keys(
@@ -3383,10 +3456,32 @@ class VersionedBucketMirror(BranchOps):
         os.replace(tmp, dst._log.pointer_path)
         return dst
 
-    def rollback(self, to_version: int) -> dict:
+    def rollback(
+        self, to_version: int, spark: SparkSession | None = None
+    ) -> dict:
         """Restore snapshot ``to_version`` as a NEW manifest sharing its
-        bucket dirs — append-only history, zero data movement."""
+        bucket dirs — append-only history, zero data movement.
+
+        On a CONSTRAINED table the restored data must be validated
+        (``spark=`` required): the constraint may postdate the target
+        snapshot, and publishing unvalidated old rows under it would
+        break the no-violating-row-visible invariant AND wedge later
+        DML (every rewrite re-validates carried rows). This is the one
+        other whole-table scan besides ``add_constraint`` — both are
+        user-initiated restores of trust."""
         target = self._resolve(to_version)
+        head = self.current()
+        head_cons = (head or {}).get("constraints") or {}
+        if head_cons:
+            if spark is None:
+                raise ValueError(
+                    f"{self.root} carries CHECK constraints "
+                    f"({sorted(head_cons)}): pass spark= so the restored "
+                    "snapshot can be validated, or DROP them first"
+                )
+            df = self._read_entry(spark, target)
+            if df is not None:
+                _check_table_constraints(df, head_cons, self.root)
         record = {
             "version": self._log.next_version(),
             "ts": time.time(),
@@ -3413,10 +3508,9 @@ class VersionedBucketMirror(BranchOps):
             record["stats_cols"] = target["stats_cols"]
         # CHECK constraints are table PROPERTIES, not snapshot data
         # (Iceberg rollback = pointer move, properties retained): they
-        # carry from the current head, not the restore target
-        head = self.current()
-        if head and head.get("constraints"):
-            record["constraints"] = head["constraints"]
+        # carry from the current head (validated above), not the target
+        if head_cons:
+            record["constraints"] = head_cons
         for delay in (*_RETRY_BACKOFF, None):
             try:
                 self._log.publish(record, protected=self._branch_covers)
@@ -3852,7 +3946,11 @@ class VersionedBucketMirror(BranchOps):
             raise ValueError(f"mirror {self.root} has no snapshot yet")
         for cname, cexpr in (cur.get("constraints") or {}).items():
             for col in list(drop) + list(rename):
-                if re.search(rf"\b{re.escape(col)}\b", cexpr):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr, re.I):
+                    # case-insensitive like Spark's column resolution —
+                    # a case-mismatched guard would let the rename
+                    # publish and wedge every later commit on an
+                    # unresolved constraint column (review r12)
                     raise ValueError(
                         f"column {col!r} is referenced by CHECK "
                         f"constraint {cname!r} ({cexpr}) — DROP the "
@@ -4655,6 +4753,18 @@ class VersionedBucketMirror(BranchOps):
                     raise
                 new_cur = self.current()
                 head_moved = _token(new_cur) != _token(basis)
+                if head_moved and (new_cur or {}).get("constraints") != (
+                    basis or {}
+                ).get("constraints"):
+                    # the staged bytes were validated against the BASIS
+                    # head's constraints; a concurrently added/changed
+                    # constraint was never enforced on them — rebasing
+                    # would publish unvalidated rows (review r12)
+                    raise CommitConflict(
+                        f"{self.root}'s CHECK constraints changed while "
+                        "this commit was staged — re-run so the new "
+                        "constraints validate its data"
+                    ) from None
                 if touched is None and head_moved:
                     # a FULL-state replace (initialize / rebucket) whose
                     # basis moved is stale by definition — every bucket
@@ -5075,6 +5185,16 @@ class VersionedBucketMirror(BranchOps):
                 if attempt > len(_RETRY_BACKOFF):
                     raise
                 new_cur = self.current()
+                if (new_cur or {}).get("constraints") != (
+                    basis_entry or {}
+                ).get("constraints"):
+                    # same rule as _commit_staged (review r12): this
+                    # delta validated against the basis constraints only
+                    raise CommitConflict(
+                        f"{self.root}'s CHECK constraints changed while "
+                        "this delta was staged — re-run so the new "
+                        "constraints validate its data"
+                    ) from None
                 if (new_cur["version"] if new_cur else -1) != (
                     basis_entry["version"] if basis_entry else -1
                 ):

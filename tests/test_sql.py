@@ -192,3 +192,95 @@ def test_errors_are_loud(tsql):
             "MERGE INTO m USING (SELECT 1 AS id) ON id "
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (1)"
         )
+
+
+def test_merge_first_match_wins_ordering(tsql, spark):
+    # SQL MERGE is first-match-wins: rows matching the UPDATE clause's
+    # condition must NOT be swallowed by a later unconditional DELETE
+    t, m, _ = tsql
+    t.sql(
+        """
+        MERGE INTO m USING (
+            SELECT id, val FROM m WHERE id < 20
+        ) ON id
+        WHEN MATCHED AND id % 2 = 0 THEN UPDATE SET val = src.val + 10000
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    got = t.sql(
+        "SELECT COUNT(*) AS n FROM m WHERE val >= 10000"
+    ).collect()[0]["n"]
+    assert got == 10  # even ids 0..18 updated, NOT deleted
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m").collect()[0]["n"]
+        == 400 - 10  # only the odd ids 1..19 deleted
+    )
+    # duplicate same-kind clauses are refused, not silently folded
+    with pytest.raises(ValueError, match="at most one"):
+        t.sql(
+            "MERGE INTO m USING (SELECT id, val FROM m WHERE id < 2) ON id "
+            "WHEN MATCHED AND id = 0 THEN UPDATE SET val = src.val "
+            "WHEN MATCHED THEN UPDATE SET val = src.val"
+        )
+
+
+def test_merge_case_when_expressions_parse(tsql, spark):
+    # CASE WHEN inside a SET value must not be split as a WHEN clause
+    t, m, _ = tsql
+    t.sql(
+        """
+        MERGE INTO m USING (
+            SELECT id, val FROM m WHERE id < 10
+        ) ON id
+        WHEN MATCHED THEN UPDATE SET
+            val = CASE WHEN src.val > 5 THEN -100 ELSE -200 END
+        """
+    )
+    rows = t.sql(
+        "SELECT COUNT(*) AS n FROM m WHERE val IN (-100, -200)"
+    ).collect()[0]["n"]
+    assert rows == 10
+
+
+def test_select_table_name_inside_string_literal_untouched(tsql, spark):
+    t, _, _ = tsql
+    # 'm' inside a quoted literal is DATA, not a table reference
+    rows = t.sql(
+        "SELECT COUNT(*) AS n FROM m WHERE 'm' = 'm'"
+    ).collect()[0]["n"]
+    assert rows == 400
+    got = t.sql("SELECT 'm VERSION AS OF 0' AS s FROM m LIMIT 1").collect()
+    assert got[0]["s"] == "m VERSION AS OF 0"
+
+
+def test_select_cte_name_collision_is_loud(tsql):
+    t, _, _ = tsql
+    with pytest.raises(ValueError, match="CTE name"):
+        t.sql("WITH m AS (SELECT 1 AS x) SELECT * FROM m")
+
+
+def test_timestamp_as_of_is_utc(tsql, spark):
+    import datetime as dt
+
+    t, m, _ = tsql
+    ts0 = m.current()["ts"]
+    t.sql("DELETE FROM m WHERE grp = 1")
+    # a naive ISO timestamp between the two commits reads as UTC
+    stamp = (
+        dt.datetime.fromtimestamp(ts0 + 0.001, dt.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")
+    )
+    n = t.sql(
+        f"SELECT COUNT(*) AS n FROM m TIMESTAMP AS OF '{stamp}'"
+    ).collect()[0]["n"]
+    assert n == 400
+
+
+def test_optimize_plain_layout_full_rewrite(tsql, spark):
+    t, _, p = tsql
+    t.sql("ALTER TABLE p RENAME COLUMN val TO price")
+    assert p.current().get("renames")
+    rec = t.sql("OPTIMIZE p")
+    assert rec.get("operation") == "optimize"
+    assert not p.current().get("renames")  # fold materialized
+    assert t.sql("SELECT COUNT(*) AS n FROM p").collect()[0]["n"] == 400

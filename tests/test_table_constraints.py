@@ -121,10 +121,14 @@ def test_ddl_guard_and_lifecycle(spark, mirror):
     # unrelated DDL passes and the constraint carries through it
     mirror.alter_schema(add={"note": "string"})
     assert mirror.constraints() == {"val_nonneg": "val >= 0"}
-    # compaction and rollback carry it too
+    # compaction and rollback carry it too; a constrained rollback
+    # validates the restored data (spark= required — the constraint may
+    # postdate the target snapshot)
     mirror.rewrite_data_files(spark, min_files=1, materialize=True)
     assert mirror.constraints() == {"val_nonneg": "val >= 0"}
-    rec = mirror.rollback(mirror.history()[0]["version"])
+    with pytest.raises(ValueError, match="pass spark="):
+        mirror.rollback(mirror.history()[0]["version"])
+    rec = mirror.rollback(mirror.history()[0]["version"], spark=spark)
     assert rec["constraints"] == {"val_nonneg": "val >= 0"}
     mirror.drop_constraint("val_nonneg")
     assert mirror.constraints() == {}
@@ -155,8 +159,9 @@ def test_plain_layout_symmetry(spark, tmp_path):
     rec = p.delete_where(spark, "grp = 5")  # deletes can't violate
     assert rec["rows_deleted"] > 0
     assert p.current()["constraints"] == {"grp_range": "grp BETWEEN 0 AND 6"}
-    # rollback keeps the property (pointer-move semantics)
-    assert "constraints" in p.rollback(0)
+    # rollback keeps the property (pointer-move semantics) and
+    # validates the restored data
+    assert "constraints" in p.rollback(0, spark=spark)
     with pytest.raises(ValueError, match="referenced by CHECK"):
         p.alter_schema(rename={"grp": "g"}, spark=spark)
     p.drop_constraint("grp_range")
@@ -174,3 +179,74 @@ def test_sql_constraint_verbs(spark, mirror):
     r = t.sql("ALTER TABLE m DROP CONSTRAINT val_nonneg")
     assert not r.get("constraints")
     t.sql("UPDATE m SET val = -1 WHERE grp = 0")  # now passes
+
+
+def test_rollback_to_violating_snapshot_refused(spark, tmp_path):
+    # the constraint postdates v0, whose data violates it: a restore
+    # must not publish violating rows under the carried constraint
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"), n_buckets=8, key_col="id", keep_versions=10
+    )
+    dirty = spark.range(0, 50).select(
+        "id", (F.col("id") * 1.0 - 10).alias("val")
+    )
+    m.initialize(dirty)  # v0 holds val < 0 rows
+    m.delete_where(spark, "val < 0")
+    m.add_constraint(spark, "val_nonneg", "val >= 0")  # head is clean
+    with pytest.raises(ConstraintViolation, match="val_nonneg"):
+        m.rollback(m.history()[0]["version"], spark=spark)
+    # plain layout twin
+    p = ParquetStateTable(str(tmp_path / "p"), keep_versions=10)
+    p.commit(dirty)
+    p.delete_where(spark, "val < 0")
+    p.add_constraint(spark, "val_nonneg", "val >= 0")
+    with pytest.raises(ConstraintViolation, match="val_nonneg"):
+        p.rollback(0, spark=spark)
+
+
+def test_concurrent_add_constraint_vs_blind_commit(spark, tmp_path):
+    # TOCTOU (review r12): a constraint added between a blind commit's
+    # validation read and its publish must neither be dropped from the
+    # head nor let unvalidated rows through — the per-attempt CAS forces
+    # a reconcile that re-validates the written bytes
+    root = str(tmp_path / "p")
+    p = ParquetStateTable(root, keep_versions=10)
+    p.commit(_frame(spark))
+    other = ParquetStateTable(root, keep_versions=10)
+
+    orig = ParquetStateTable._publish
+    fired = []
+
+    def race(self, record, keep, expected_head=None):
+        if not fired and record.get("operation") != "set_properties":
+            fired.append(True)
+            other.add_constraint(spark, "val_nonneg", "val >= 0")
+        return orig(self, record, keep, expected_head=expected_head)
+
+    try:
+        ParquetStateTable._publish = race
+        rec = p.commit(_frame(spark))  # clean data: reconciles + carries
+    finally:
+        ParquetStateTable._publish = orig
+    assert rec["constraints"] == {"val_nonneg": "val >= 0"}
+    assert p.constraints() == {"val_nonneg": "val >= 0"}
+    # and a violating blind commit racing the same way is REFUSED
+    fired.clear()
+    other.drop_constraint("val_nonneg")
+    bad = _frame(spark).withColumn(
+        "val", F.col("val") * 0 - 5
+    )
+
+    def race2(self, record, keep, expected_head=None):
+        if not fired and record.get("operation") != "set_properties":
+            fired.append(True)
+            other.add_constraint(spark, "val_nonneg", "val >= 0")
+        return orig(self, record, keep, expected_head=expected_head)
+
+    try:
+        ParquetStateTable._publish = race2
+        with pytest.raises(ConstraintViolation):
+            p.commit(bad)
+    finally:
+        ParquetStateTable._publish = orig
+    assert p.read(spark).filter("val < 0").count() == 0
