@@ -128,9 +128,110 @@ class TableSql:
             return self._merge(s)
         if head in ("SELECT", "WITH"):
             return self._select(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "DROP":
+            return self._drop(s)
+        if head == "DESCRIBE":
+            return self._describe(s)
+        if head == "SHOW":
+            return self._show(s)
         raise ValueError(
             f"unsupported statement {head!r} — supported: DELETE, UPDATE, "
-            "ALTER TABLE, OPTIMIZE, VACUUM, RESTORE, MERGE, SELECT/WITH"
+            "ALTER TABLE, OPTIMIZE, VACUUM, RESTORE, MERGE, CREATE TABLE, "
+            "DROP TABLE, DESCRIBE HISTORY, SHOW TABLES, SELECT/WITH"
+        )
+
+    # -- DDL: tables --------------------------------------------------------
+    def _create(self, s: str) -> dict:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'"
+            r"(?:\s+PARTITIONED\s+BY\s+BUCKET\s*\(\s*(\d+)\s*,"
+            r"\s*(\w+)\s*\))?"
+            r"\s+AS\s+(SELECT\s+.+|WITH\s+.+)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "expected: CREATE TABLE t LOCATION '<path>' "
+                "[PARTITIONED BY BUCKET(n, key_col)] AS SELECT ... — "
+                "BUCKET(...) creates a VersionedBucketMirror, otherwise "
+                "a plain ParquetStateTable"
+            )
+        name, loc, n_buckets, key, query_sql = m.groups()
+        if name.lower() in self._tables:
+            raise ValueError(f"table {name!r} is already registered")
+        import os as _os
+
+        if _os.path.exists(loc) and _os.listdir(loc):
+            raise ValueError(
+                f"CREATE TABLE location {loc!r} exists and is not empty"
+            )
+        df = self._select(query_sql)
+        from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+            ParquetStateTable,
+            VersionedBucketMirror,
+        )
+
+        if n_buckets is not None:
+            if key not in df.columns:
+                raise ValueError(
+                    f"BUCKET key {key!r} is not a column of the SELECT "
+                    f"({df.columns})"
+                )
+            t = VersionedBucketMirror(
+                loc, n_buckets=int(n_buckets), key_col=key
+            )
+            t.initialize(df)
+        else:
+            t = ParquetStateTable(loc)
+            t.commit(df, meta={"operation": "create_table_as"})
+        self.register(name, t)
+        return dict(t.current())
+
+    def _drop(self, s: str) -> dict:
+        m = re.match(r"DROP\s+TABLE\s+(\w+)$", s, re.I)
+        if not m:
+            raise ValueError(
+                "expected: DROP TABLE <table> (unregisters the handle; "
+                "data is NOT deleted — storage reclamation is VACUUM's "
+                "job, and the files may be another catalog's)"
+            )
+        self._table(m.group(1))  # raises on unknown
+        self._tables.pop(m.group(1).lower())
+        return {"dropped": m.group(1)}
+
+    def _describe(self, s: str) -> DataFrame:
+        m = re.match(r"DESCRIBE\s+HISTORY\s+(\w+)$", s, re.I)
+        if not m:
+            raise ValueError("expected: DESCRIBE HISTORY <table>")
+        t = self._table(m.group(1))
+        rows = [
+            (
+                int(e["version"]),
+                float(e["ts"]),
+                str(e.get("operation") or ""),
+                bool(e.get("readable", True)),
+                bool(e.get("is_current", False)),
+            )
+            for e in t.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, ts double, operation string, "
+            "readable boolean, is_current boolean",
+        )
+
+    def _show(self, s: str) -> DataFrame:
+        if not re.match(r"SHOW\s+TABLES$", s, re.I):
+            raise ValueError("expected: SHOW TABLES")
+        rows = [
+            (n, type(t).__name__, getattr(t, "root", ""))
+            for n, t in sorted(self._tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, layout string, location string"
         )
 
     # -- row-level DML ------------------------------------------------------

@@ -284,3 +284,51 @@ def test_optimize_plain_layout_full_rewrite(tsql, spark):
     assert rec.get("operation") == "optimize"
     assert not p.current().get("renames")  # fold materialized
     assert t.sql("SELECT COUNT(*) AS n FROM p").collect()[0]["n"] == 400
+
+
+def test_create_drop_describe_show(tsql, spark, tmp_path):
+    t, m, _ = tsql
+    # CTAS into a bucketed mirror
+    rec = t.sql(
+        f"CREATE TABLE top LOCATION '{tmp_path}/top' "
+        "PARTITIONED BY BUCKET(4, id) "
+        "AS SELECT id, val FROM m WHERE grp = 0"
+    )
+    assert rec["n_buckets"] == 4
+    n = t.sql("SELECT COUNT(*) AS n FROM top").collect()[0]["n"]
+    assert n == _frame(spark).filter("grp = 0").count()
+    # the new table takes the full dialect (DML + history)
+    t.sql("DELETE FROM top WHERE id < 7")
+    hist = t.sql("DESCRIBE HISTORY top").collect()
+    assert [r["version"] for r in hist] == sorted(
+        r["version"] for r in hist
+    )
+    assert hist[-1]["is_current"] and hist[-1]["operation"] == "delete_where"
+    # CTAS into a plain snapshot table (no BUCKET clause)
+    t.sql(
+        f"CREATE TABLE flat LOCATION '{tmp_path}/flat' "
+        "AS SELECT grp, COUNT(*) AS n FROM m GROUP BY grp"
+    )
+    assert t.sql("SELECT COUNT(*) AS n FROM flat").collect()[0]["n"] == 7
+    names = [r["name"] for r in t.sql("SHOW TABLES").collect()]
+    assert {"m", "p", "top", "flat"} <= set(names)
+    # guards: duplicate name, non-empty location, unknown drop
+    with pytest.raises(ValueError, match="already registered"):
+        t.sql(
+            f"CREATE TABLE top LOCATION '{tmp_path}/x' AS SELECT 1 AS a"
+        )
+    with pytest.raises(ValueError, match="not empty"):
+        t.sql(
+            f"CREATE TABLE other LOCATION '{tmp_path}/top' "
+            "AS SELECT 1 AS a"
+        )
+    # DROP unregisters but never deletes data; an unregistered name
+    # falls through to Spark's own (loud) resolution error
+    t.sql("DROP TABLE top")
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        t.sql("SELECT * FROM top WHERE 1 = 1")
+    import os
+
+    assert os.path.isdir(f"{tmp_path}/top/data")
