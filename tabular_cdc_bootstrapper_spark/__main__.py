@@ -18,6 +18,12 @@ Engine extensions:
                         for environments without object-store credentials)
   SPARK_CDC_WORK_DIR    checkpoint + mirror state root (default /tmp/...)
   SPARK_CDC_RUN_PIPELINE=0  bootstrap only, skip the data plane
+  SPARK_CDC_AUTO_DISCOVER=1 treat the monitored path as a ROOT of
+                        per-table folders: each first-level folder
+                        becomes its own (changelog, mirror) pair
+                        (reference README.md:8 "will create tables in
+                        Iceberg when new folder paths are detected");
+                        re-running picks up folders created since
   SPARK_CDC_MIRROR_LAYOUT   "snapshot" (default; atomic pointer swap) or
                         "bucketed" (BucketPartitionedMirror — per-batch
                         merges rewrite only touched key buckets; the
@@ -42,27 +48,67 @@ def main() -> int:
     from tabular_cdc_bootstrapper_spark.session import get_spark
 
     cfg = EngineConfig.from_env()
-    if not cfg.targets:
+    auto_discover = os.environ.get("SPARK_CDC_AUTO_DISCOVER", "0") == "1"
+    source_dir_env = os.environ.get("SPARK_CDC_SOURCE_DIR")
+    if not cfg.targets and not (auto_discover and source_dir_env):
         log.error(
             "no targets configured: set TABULAR_BUCKET_NAME and "
-            "TABULAR_BUCKET_MONITOR_PATH (reference README.md:48-58)"
+            "TABULAR_BUCKET_MONITOR_PATH (reference README.md:48-58), "
+            "or SPARK_CDC_AUTO_DISCOVER=1 with SPARK_CDC_SOURCE_DIR"
         )
         return 2
 
     spark = get_spark("cdc-bootstrapper")
-    source_dir_env = os.environ.get("SPARK_CDC_SOURCE_DIR")
-    # schema discovery mirrors the reference's file-loader behavior (new
-    # tables infer their schema from the first files, SURVEY.md §1.3):
-    # infer from the monitored dir when we can see it, else bootstrap with
-    # no schema (table created on first load)
-    schema = None
-    if source_dir_env:
-        schema = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(source_dir_env)
-            .schema
+    if auto_discover:
+        # reference README.md:8: every first-level folder under the
+        # monitored root is its own table pair; the monitor root itself
+        # is the configured URI (or the local stand-in dir)
+        from dataclasses import replace
+
+        from tabular_cdc_bootstrapper_spark.catalog import (
+            bootstrap_discovered,
+            discover_targets,
+            discovered_and_configured,
         )
-    results = bootstrap_all(spark, cfg, schema=schema)
+
+        from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+        monitor_root = source_dir_env or cfg.targets[0].source_uri
+        if cfg.targets:
+            template = replace(cfg.targets[0], source_uri="")
+        else:
+            # no configured target to copy wiring from — the env CDC
+            # fields still apply to every discovered folder (reference
+            # README.md:52-53 documents them as global)
+            template = CdcTarget(
+                source_uri="",
+                key_column=os.environ.get("TABULAR_CDC_ID_FIELD", "id"),
+                ts_column=os.environ.get(
+                    "TABULAR_CDC_TIMESTAMP_FIELD", "transact_seq"
+                ),
+            )
+        cfg = replace(cfg, targets=())  # the root is not itself a table
+        results = bootstrap_discovered(spark, cfg, monitor_root, template)
+        cfg = replace(
+            cfg,
+            targets=discovered_and_configured(
+                cfg, discover_targets(spark, monitor_root, template)
+            ),
+        )
+        schema = None  # per-target schemas are inferred per folder below
+    else:
+        # schema discovery mirrors the reference's file-loader behavior
+        # (new tables infer their schema from the first files, SURVEY.md
+        # §1.3): infer from the monitored dir when we can see it, else
+        # bootstrap with no schema (table created on first load)
+        schema = None
+        if source_dir_env:
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(source_dir_env)
+                .schema
+            )
+        results = bootstrap_all(spark, cfg, schema=schema)
     failed = {u: r for u, r in results.items() if isinstance(r, Exception)}
     for uri, r in results.items():
         if isinstance(r, Exception):
@@ -76,7 +122,7 @@ def main() -> int:
     work_root = os.environ.get(
         "SPARK_CDC_WORK_DIR", "/tmp/tabular_cdc_bootstrapper_spark/work"
     )
-    if not source_dir_env or schema is None:
+    if not source_dir_env or (schema is None and not auto_discover):
         log.info("no SPARK_CDC_SOURCE_DIR; bootstrap-only run complete")
         return 1 if failed else 0
 
@@ -93,10 +139,24 @@ def main() -> int:
     for target in cfg.targets:
         if isinstance(results.get(target.source_uri), Exception):
             continue
+        # auto-discovered targets read from their own folder with their
+        # own inferred schema; configured ones share the monitored dir
+        src = target.source_uri if auto_discover else source_dir_env
+        tgt_schema = schema
+        if tgt_schema is None:
+            try:
+                tgt_schema = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(src)
+                    .schema
+                )
+            except Exception:  # still-empty folder: bootstrapped, no data yet
+                log.info("no data yet under %s; skipping pipeline", src)
+                continue
         out = run_cdc_pipeline_available_now(
             spark,
-            source_dir_env,
-            schema,
+            src,
+            tgt_schema,
             os.path.join(work_root, target.table_name),
             target,
             mirror_layout=mirror_layout,

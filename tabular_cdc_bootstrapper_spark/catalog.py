@@ -239,6 +239,103 @@ def bootstrap_target(
     return changelog, mirror
 
 
+def list_child_prefixes(spark: SparkSession, monitor_uri: str) -> list[str]:
+    """First-level folder URIs under a monitored prefix.
+
+    The reference's delegated layer "will create tables in Iceberg when
+    new folder paths are detected" (reference README.md:8); this is the
+    detection half, done through the Hadoop FileSystem API so the same
+    call works on ``file://`` fixtures and ``s3a://``/``hdfs://``
+    deployments alike. One LIST call per run — a control-plane probe,
+    never a data read, so it costs the same at 100 TB as at 100 KB.
+    """
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(monitor_uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+    )
+
+
+def discover_targets(
+    spark: SparkSession,
+    monitor_uri: str,
+    template: CdcTarget | None = None,
+) -> tuple[CdcTarget, ...]:
+    """Synthesize one ``CdcTarget`` per first-level folder under
+    ``monitor_uri`` (reference README.md:8 auto-discovery; the folder's
+    last path segment names the mirror exactly as
+    batch_bootstrapper.py:55 does for configured URIs). ``template``
+    carries the CDC wiring (key/ts/op columns, glob filters) every
+    synthesized target inherits — discovery finds WHERE the tables are,
+    config still says HOW they change."""
+    from dataclasses import replace
+
+    tmpl = template or CdcTarget(source_uri="")
+    return tuple(
+        replace(tmpl, source_uri=child)
+        for child in list_child_prefixes(spark, monitor_uri)
+    )
+
+
+def discovered_and_configured(
+    cfg: EngineConfig, discovered: tuple[CdcTarget, ...]
+) -> tuple[CdcTarget, ...]:
+    """Configured targets first, then discovered folders that don't
+    collide with them on table name — an operator's explicit config
+    (custom key/ts columns) must win over a synthesized default for the
+    same table."""
+    seen = {t.table_name for t in cfg.targets}
+    extra = tuple(t for t in discovered if t.table_name not in seen)
+    return cfg.targets + extra
+
+
+def bootstrap_discovered(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    monitor_uri: str,
+    template: CdcTarget | None = None,
+) -> dict[str, tuple[str, str] | Exception]:
+    """Auto-discovery bootstrap loop (reference README.md:8): list the
+    monitored prefix, synthesize a target per unseen folder, bootstrap
+    every (changelog, mirror) pair idempotently. Re-running after a new
+    folder appears picks it up and no-ops the rest — this call IS the
+    reference's poll loop, minus the 24 h S3-inventory lag.
+
+    Each folder infers its OWN schema from the files it already holds
+    (different source tables have different shapes); folders that are
+    still empty bootstrap schema-less and register on a later run
+    (``bootstrap_table``'s deferral contract). Per-target error
+    isolation as in ``bootstrap_all`` (C1).
+    """
+    targets = discovered_and_configured(
+        cfg, discover_targets(spark, monitor_uri, template)
+    )
+    results: dict[str, tuple[str, str] | Exception] = {}
+    for target in targets:
+        try:
+            schema = None
+            try:
+                schema = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(target.source_uri)
+                    .schema
+                )
+            except Exception:  # empty/unreadable folder → defer, don't fail
+                pass
+            results[target.source_uri] = bootstrap_target(
+                spark, cfg, target, schema=schema
+            )
+        except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            log.error("bootstrap failed for %s: %s", target.source_uri, exc)
+            results[target.source_uri] = exc
+    return results
+
+
 def bootstrap_all(
     spark: SparkSession, cfg: EngineConfig,
     schema: T.StructType | None = None,

@@ -114,6 +114,17 @@ def apply_changelog(
     """
     keys = _as_list(key_cols)
     ts = _as_list(ts_cols)
+    # fail fast on wiring mistakes: a key/ts column the changelog doesn't
+    # carry would otherwise be null-filled by the union below and the
+    # merge would order by an all-NULL column — picking winners
+    # arbitrarily instead of erroring (a misconfigured
+    # TABULAR_CDC_TIMESTAMP_FIELD must not silently corrupt the mirror)
+    missing = [c for c in (*keys, *ts) if c not in changelog.columns]
+    if missing:
+        raise ValueError(
+            f"changelog is missing CDC column(s) {missing}; its columns "
+            f"are {changelog.columns} — check the configured key/ts fields"
+        )
     events = changelog
     if mirror is not None:
         base = mirror

@@ -38,42 +38,136 @@ del _m, _k
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-12 rotation (policy: keep every
-# query <= 3 rounds stale; VERDICT r11 #5: after r12 no row may be older
-# than r10):
+# fresh driver-side correctness row. Round-13 rotation (policy: keep every
+# query <= 3 rounds stale; VERDICT r12 "what's wrong" #1: never ship a new
+# operator whose only hard signal is a judge session — new entries go
+# in-window the round they land):
 #
-# - IN (new r12, 3): column_generation_masking (field-ID column identity
-#   — three generations of one column's life, each version read under
-#   its own schema, masking metadata-only), snapshot_table_ddl
-#   (ParquetStateTable.alter_schema — DDL symmetry with the bucketed
-#   mirror: shared-dir commit, rename fold, typed-NULL add, pre-DDL time
-#   travel), join_feed_availablenow (MaintainedJoinFeedDriver: two
-#   checkpointed change feeds drained into a MaintainedJoinView with
-#   per-trigger rate limiting). cdc_latest is the flagship, in-window
-#   every round.
-# - IN (r12-changed, 1): mor_merge_fold_roundtrip — its live path now
-#   splits delete rows into the keys-only tier (VERDICT r11 #6), so it
-#   re-certifies under the changed code.
-# - IN (the full r9 cohort, 45): every row whose latest driver check is
-#   r9 — at the 3-round staleness ceiling after r12 (computed from
-#   CORRECTNESS_r09/10/11: r9-green minus the r10/r11 windows).
-# - OUT (tail): the r10 rows (2 rounds stale, scheduled to rotate in
-#   r13) and the r11 rows (1 round stale) — including the other entries
-#   whose read path moved this round (mirror_alter_schema_ddl,
-#   change_feed_stream_fold, concurrent_merge_serialization,
-#   mirror_rebucket_roundtrip — all r11-fresh): window arithmetic is
-#   exact at 50 (1+3+1+45) and the staleness ceiling binds first; every
-#   one of them is still re-executed against DuckDB locally this round
-#   by tests/test_oracle_parity.py plus the session's full verify
-#   drive, so regressions cannot hide between driver rotations.
+# - IN (flagship, 1): cdc_latest, every round.
+# - IN (r12-new, 5): change_feed_datasource_stream, mirror_dml_delete_update,
+#   sink_datasource_stream, table_sql_lifecycle, table_constraints_gate —
+#   never appeared in any driver window (r12's slots rotated onto the r9
+#   staleness cohort); judge-verified green in the r12 session, but the
+#   driver row is the signal of record (VERDICT r12 next-round #2).
+# - IN (r13-new): auto_discovered_mirrors (reference README.md:8 new-folder
+#   auto-discovery — the last missing reference behavior) and every other
+#   entry added this round (inserted into the head as they land; the sync
+#   assert below forces the bookkeeping).
+# - IN (r10 cohort, fills to 50): the 49 rows whose latest driver check is
+#   r10 are at the 3-round staleness ceiling; the head takes as many as fit
+#   (alphabetical). The remainder HEAD THE TAIL and must open the r14
+#   window — they will be 4 rounds stale, the one deliberate ceiling breach,
+#   traded for the new-entry rule above.
+# - OUT: r11 rows (2 stale) then r12 rows (1 stale, freshest last). Every
+#   out-of-window entry is still re-executed against DuckDB locally each
+#   round by tests/test_oracle_parity.py, so regressions cannot hide
+#   between driver rotations.
 # ---------------------------------------------------------------------------
-
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
-    "column_generation_masking",
-    "snapshot_table_ddl",
-    "join_feed_availablenow",
-    "mor_merge_fold_roundtrip",
+    "change_feed_datasource_stream",
+    "mirror_dml_delete_update",
+    "sink_datasource_stream",
+    "table_sql_lifecycle",
+    "table_constraints_gate",
+    "auto_discovered_mirrors",
+    "ann_ivf_topk",
+    "bm25_topk",
+    "brand_name_distance",
+    "bucket_compaction_roundtrip",
+    "cdc_anomaly_report",
+    "cdc_ops_histogram",
+    "corpus_dedup_summary",
+    "cosine_topk",
+    "customer_order_window_stats",
+    "customer_order_years",
+    "dedup_exact_groups",
+    "distinct_count_dims",
+    "embedding_near_duplicates",
+    "events_json_extract",
+    "hash_split_counts",
+    "merge_table_time_travel",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "outer_join_order_fill",
+    "pagerank_dangling_directed",
+    "passage_ann_topk",
+    "pii_redaction_by_source",
+    "pivot_revenue_by_status",
+    "price_percentiles",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "referential_integrity_report",
+    "repetition_stats_by_lang",
+    "rollup_revenue",
+    "set_ops_part_coverage",
+    "simhash_near_duplicates",
+    "snapshot_branch_publish",
+    "snapshot_refs_report",
+    "stats_price_quantity",
+    "string_funcs_parts",
+    "text_stats_by_lang",
+    "top3_orders_per_customer",
+    "uniform_per_group_sample",
+    "user_sessions",
+    "wap_anomaly_gate",
+    "window_navigation",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_topk",
+    "anti_join_no_open_orders",
+    "approx_price_percentiles",
+    "asof_purchase_signup",
+    "bpe_token_counts",
+    "brand_having_filter",
+    "cdc_change_feed",
+    "cdc_mirror_time_travel",
+    "cdc_scd2_history",
+    "change_feed_stream_fold",
+    "cohort_retention",
+    "concurrent_merge_serialization",
+    "cube_order_stats",
+    "doc_fingerprints",
+    "document_chunks",
+    "event_funnel",
+    "events_tumbling_10min",
+    "heavy_hitter_terms",
+    "hll_distinct_counts",
+    "incremental_agg_maintenance",
+    "incremental_cluster_maintenance",
+    "int8_quantized_topk",
+    "ivf_pq_topk",
+    "kmeans_embedding_clusters",
+    "leakage_safe_split",
+    "mad_price_outliers",
+    "merge_orders_corrections",
+    "mirror_alter_schema_ddl",
+    "mirror_rebucket_roundtrip",
+    "multimodal_features",
+    "nations_with_presence",
+    "orders_by_year",
+    "pq_adc_topk",
+    "q17_small_quantity_revenue",
+    "quality_score_histogram",
+    "range_join_click_attribution",
+    "rocchio_lang_confusion",
+    "semi_join_active_customers",
+    "sequence_packing",
+    "snapshot_diff_changelog",
+    "table_profile_lineitem",
+    "table_profile_orders",
+    "table_profile_orders_approx",
+    "temporal_split_embargo",
+    "video_frame_samples",
+    "weighted_mixture_sample",
+    "zorder_layout_stats",
     "ann_batch_shuffle_topk",
     "ann_index_maintained_topk",
     "ann_index_purged_topk",
@@ -82,14 +176,17 @@ _DRIVER_CHECK_PRIORITY = [
     "benchmark_contamination",
     "cdc_purge_history",
     "cluster_balanced_sample",
+    "column_generation_masking",
     "duplicated_span_hashes",
     "event_mix_drift",
     "events_sliding_10min",
     "grouping_sets_revenue",
     "hybrid_retrieval_topk",
     "incremental_join_maintenance",
+    "join_feed_availablenow",
     "lang_id_confusion",
     "minhash_near_duplicates",
+    "mor_merge_fold_roundtrip",
     "orders_above_global_avg",
     "orders_by_month",
     "orders_constraint_report",
@@ -112,6 +209,7 @@ _DRIVER_CHECK_PRIORITY = [
     "session_stats",
     "set_ops_multiset",
     "skewed_priority_agg",
+    "snapshot_table_ddl",
     "source_token_drift",
     "span_dedup_retention",
     "temperature_mixture_quota",
@@ -119,114 +217,6 @@ _DRIVER_CHECK_PRIORITY = [
     "top_terms",
     "unigram_surprisal_quality",
     "winsorized_length_stats",
-    # --- tail (51+): green driver rows on current code, still
-    # oracle-checked locally every round. change_feed_datasource_stream,
-    # mirror_dml_delete_update, sink_datasource_stream,
-    # table_sql_lifecycle and table_constraints_gate are r12-NEW but the
-    # window is exactly full (1+3+1+45, the staleness ceiling binds
-    # first) — they head the tail and rotate into the r13 window ---
-    "change_feed_datasource_stream",
-    "mirror_dml_delete_update",
-    "sink_datasource_stream",
-    "table_sql_lifecycle",
-    "table_constraints_gate",
-    "concurrent_merge_serialization",
-    "change_feed_stream_fold",
-    "mirror_rebucket_roundtrip",
-    "mirror_alter_schema_ddl",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_topk",
-    "anti_join_no_open_orders",
-    "approx_price_percentiles",
-    "asof_purchase_signup",
-    "bpe_token_counts",
-    "brand_having_filter",
-    "cdc_change_feed",
-    "cdc_mirror_time_travel",
-    "cdc_scd2_history",
-    "cohort_retention",
-    "cube_order_stats",
-    "doc_fingerprints",
-    "document_chunks",
-    "event_funnel",
-    "events_tumbling_10min",
-    "heavy_hitter_terms",
-    "hll_distinct_counts",
-    "incremental_agg_maintenance",
-    "incremental_cluster_maintenance",
-    "int8_quantized_topk",
-    "ivf_pq_topk",
-    "kmeans_embedding_clusters",
-    "leakage_safe_split",
-    "mad_price_outliers",
-    "merge_orders_corrections",
-    "multimodal_features",
-    "nations_with_presence",
-    "orders_by_year",
-    "pq_adc_topk",
-    "q17_small_quantity_revenue",
-    "quality_score_histogram",
-    "range_join_click_attribution",
-    "rocchio_lang_confusion",
-    "semi_join_active_customers",
-    "sequence_packing",
-    "snapshot_diff_changelog",
-    "table_profile_lineitem",
-    "table_profile_orders",
-    "table_profile_orders_approx",
-    "temporal_split_embargo",
-    "video_frame_samples",
-    "weighted_mixture_sample",
-    "zorder_layout_stats",
-    "wap_anomaly_gate",
-    "snapshot_refs_report",
-    "snapshot_branch_publish",
-    "bucket_compaction_roundtrip",
-    "cdc_anomaly_report",
-    "merge_table_time_travel",
-    "pagerank_dangling_directed",
-    "passage_ann_topk",
-    "ann_ivf_topk",
-    "bm25_topk",
-    "brand_name_distance",
-    "cdc_ops_histogram",
-    "corpus_dedup_summary",
-    "cosine_topk",
-    "customer_order_window_stats",
-    "customer_order_years",
-    "dedup_exact_groups",
-    "distinct_count_dims",
-    "embedding_near_duplicates",
-    "events_json_extract",
-    "hash_split_counts",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "outer_join_order_fill",
-    "pii_redaction_by_source",
-    "pivot_revenue_by_status",
-    "price_percentiles",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "referential_integrity_report",
-    "repetition_stats_by_lang",
-    "rollup_revenue",
-    "set_ops_part_coverage",
-    "simhash_near_duplicates",
-    "stats_price_quantity",
-    "string_funcs_parts",
-    "text_stats_by_lang",
-    "top3_orders_per_customer",
-    "uniform_per_group_sample",
-    "user_sessions",
-    "window_navigation",
 ]
 
 def _reorder_registry() -> None:

@@ -2524,8 +2524,18 @@ def sink_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "table_sql_lifecycle",
     oracle="""
-    WITH after_del AS (
-        SELECT * FROM orders
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(-1 AS BIGINT), 'O', CAST(100.0 AS DOUBLE), '2-HIGH'),
+            (CAST(-10 AS BIGINT), 'F', CAST(200.0 AS DOUBLE), '1-URGENT'),
+            (CAST(-22 AS BIGINT), 'O', CAST(300.0 AS DOUBLE), '3-MEDIUM')
+        ) AS ins(o_orderkey, o_orderstatus, o_totalprice, o_orderpriority)
+    ),
+    after_del AS (
+        SELECT * FROM base
         WHERE NOT COALESCE(
             o_orderstatus = 'F' AND o_orderkey % 5 = 0, FALSE)
     ),
@@ -2537,8 +2547,10 @@ def sink_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM after_del
     ),
     after_merge AS (
+        -- the MERGE source time-travels to VERSION AS OF 0 (pre-insert),
+        -- so only ORIGINAL keys can match; inserted -22 stays 'O'
         SELECT o_orderkey,
-               CASE WHEN o_orderkey % 11 = 0
+               CASE WHEN o_orderkey % 11 = 0 AND o_orderkey >= 0
                     THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
                o_totalprice
         FROM after_upd
@@ -2559,7 +2571,10 @@ def table_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect a reference user speaks to their Iceberg tables
     (tabular.py:8 — DELETE/UPDATE/MERGE/time travel arrive as SQL),
     dispatched onto the engine's table handles. One lifecycle, every
-    statement a SQL string: ``DELETE FROM``, ``UPDATE ... SET``
+    statement a SQL string: ``INSERT INTO ... VALUES`` (r13 — the plain
+    append verb; the inserted keys then flow through every later
+    statement, and ``VERSION AS OF 0`` proves the append was its own
+    commit), ``DELETE FROM``, ``UPDATE ... SET``
     (expression assignment), ``MERGE INTO ... USING (<subquery over a
     time-traveled SELECT>)`` with a src.-referenced update, then the
     reporting ``SELECT ... GROUP BY`` and a ``VERSION AS OF 0``
@@ -2584,6 +2599,16 @@ def table_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m.initialize(o)
     t = TableSql(spark, {"orders_t": m})
+    # plain append (r13): new keys land as one commit; -10 is then
+    # caught by the DELETE, -1 by the UPDATE — and -22, though %11==0,
+    # is NOT merged because the MERGE source time-travels to v0,
+    # BEFORE the insert (the append is provably its own snapshot)
+    t.sql(
+        "INSERT INTO orders_t VALUES "
+        "(-1, 'O', 100.0, '2-HIGH'), "
+        "(-10, 'F', 200.0, '1-URGENT'), "
+        "(-22, 'O', 300.0, '3-MEDIUM')"
+    )
     t.sql(
         "DELETE FROM orders_t "
         "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0"
@@ -2711,3 +2736,163 @@ def table_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "item string, value double",
     )
+
+
+@query(
+    "auto_discovered_mirrors",
+    oracle="""
+    WITH src AS (
+        SELECT 'auto_nation' AS tbl, n_nationkey AS id, n_name AS name
+        FROM nation
+        UNION ALL
+        SELECT 'auto_region', r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT 'auto_supplier', s_suppkey, s_name FROM supplier
+    ),
+    final AS (
+        SELECT tbl, id,
+               CASE WHEN id % 5 = 0 THEN upper(name) || '.X' ELSE name END
+                   AS name
+        FROM src WHERE id % 7 <> 3
+    )
+    SELECT tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(COUNT(CASE WHEN name LIKE '%.X' THEN 1 END) AS BIGINT)
+               AS n_updated
+    FROM final
+    GROUP BY tbl
+    """,
+)
+def auto_discovered_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-folder-path auto-discovery (r13; reference README.md:8 "will
+    create tables in Iceberg when new folder paths are detected"). A
+    staged root starts with TWO per-table folders (`auto_nation`,
+    `auto_region`), each holding a DMS-style LOAD file plus an
+    incremental changelog (update name where id%5=0 at ts=1, delete
+    where id%7=3 at ts=2). ``bootstrap_discovered`` lists the root,
+    synthesizes a target per folder (name = last path segment, exactly
+    batch_bootstrapper.py:55), bootstraps each (changelog, mirror) pair,
+    and the CDC pipeline replays each folder into its mirror. Then a
+    THIRD folder (`auto_supplier`) appears and a re-run picks it up
+    without re-processing the first two — the reference's poll-loop
+    contract, minus the 24 h S3-inventory lag. The registered catalog
+    tables (control plane) are re-pointed at the pipeline's state dirs
+    (data plane) and the result aggregates THROUGH the catalog tables,
+    so the oracle proves discovery, bootstrap, merge, and table wiring
+    end-to-end against a per-table DuckDB recompute."""
+    import os
+    import re
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_cdc_bootstrapper_spark.catalog import (
+        bootstrap_discovered,
+        discover_targets,
+        point_table_to,
+    )
+    from tabular_cdc_bootstrapper_spark.config import EngineConfig
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        run_cdc_pipeline_available_now,
+    )
+
+    root = tempfile.mkdtemp(prefix="spark_graft_autodisc_")
+    src_root = os.path.join(root, "staged")
+    db = "cdc_disc_" + re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(root))
+    specs = {
+        "auto_nation": ("nation", "n_nationkey", "n_name"),
+        "auto_region": ("region", "r_regionkey", "r_name"),
+        "auto_supplier": ("supplier", "s_suppkey", "s_name"),
+    }
+    wire = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("name", pa.string()),
+            ("op", pa.string()),
+            ("transact_seq", pa.int64()),
+        ]
+    )
+
+    def write_folder(name: str) -> None:
+        base, keyc, namec = specs[name]
+        pdf = (
+            _t(spark, sf_dir, base)
+            .select(F.col(keyc).cast("long").alias("id"), F.col(namec).alias("name"))
+            .toPandas()
+        )
+        d = os.path.join(src_root, name)
+        os.makedirs(d, exist_ok=True)
+        load = pdf.assign(op="I", transact_seq=0)
+        pq.write_table(
+            pa.Table.from_pandas(load, schema=wire, preserve_index=False),
+            os.path.join(d, "LOAD00000001.parquet"),
+        )
+        upd = pdf[pdf["id"] % 5 == 0].copy()
+        upd["name"] = upd["name"].str.upper() + ".X"
+        upd = upd.assign(op="U", transact_seq=1)
+        dele = pdf[pdf["id"] % 7 == 3].assign(op="D", transact_seq=2)
+        import pandas as _pd
+
+        pq.write_table(
+            pa.Table.from_pandas(
+                _pd.concat([upd, dele]), schema=wire, preserve_index=False
+            ),
+            # dash-bearing name → matches the incremental pattern, so the
+            # mirror's one-shot initial load excludes it (reference
+            # batch_bootstrapper.py:85 '**/*-*')
+            os.path.join(d, "2026-01-01T00-00-01.parquet"),
+        )
+
+    cfg = EngineConfig(database=db, warehouse_dir=os.path.join(root, "wh"))
+
+    def run_pipe(target) -> None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(target.source_uri)
+            .schema
+        )
+        out = run_cdc_pipeline_available_now(
+            spark,
+            target.source_uri,
+            schema,
+            os.path.join(root, "work", target.table_name),
+            target,
+            mirror_layout="snapshot",
+        )
+        loc = (out["mirror"].current() or {}).get("dir")
+        if loc:
+            point_table_to(spark, f"{db}.{target.table_name}", loc)
+
+    # phase 1: two folders exist at first poll
+    write_folder("auto_nation")
+    write_folder("auto_region")
+    bootstrap_discovered(spark, cfg, src_root)
+    phase1 = discover_targets(spark, src_root)
+    for t in phase1:
+        run_pipe(t)
+
+    # phase 2: a NEW folder path is detected by the next poll; only the
+    # newcomer is loaded (the first two pairs are untouched)
+    write_folder("auto_supplier")
+    bootstrap_discovered(spark, cfg, src_root)
+    seen = {t.table_name for t in phase1}
+    for t in discover_targets(spark, src_root):
+        if t.table_name not in seen:
+            run_pipe(t)
+
+    parts = [
+        spark.table(f"{db}.{name}")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("id").cast("long").alias("sum_id"),
+            F.count(F.when(F.col("name").endswith(".X"), 1))
+            .cast("long")
+            .alias("n_updated"),
+        )
+        .withColumn("tbl", F.lit(name))
+        .select("tbl", "n_rows", "sum_id", "n_updated")
+        for name in specs
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])

@@ -12,6 +12,7 @@ this is a dispatcher, not a SQL engine.
 
 Supported statements (keywords case-insensitive)::
 
+    INSERT INTO t [(a, b, ...)] VALUES (...), (...) | SELECT ...
     DELETE FROM t WHERE <cond>
     UPDATE t SET a = <expr>, b = <expr> WHERE <cond>
     ALTER TABLE t RENAME COLUMN a TO b
@@ -112,6 +113,8 @@ class TableSql:
     def sql(self, statement: str):
         s = statement.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
+        if head == "INSERT":
+            return self._insert(s)
         if head == "DELETE":
             return self._delete(s)
         if head == "UPDATE":
@@ -137,9 +140,10 @@ class TableSql:
         if head == "SHOW":
             return self._show(s)
         raise ValueError(
-            f"unsupported statement {head!r} — supported: DELETE, UPDATE, "
-            "ALTER TABLE, OPTIMIZE, VACUUM, RESTORE, MERGE, CREATE TABLE, "
-            "DROP TABLE, DESCRIBE HISTORY, SHOW TABLES, SELECT/WITH"
+            f"unsupported statement {head!r} — supported: INSERT, DELETE, "
+            "UPDATE, ALTER TABLE, OPTIMIZE, VACUUM, RESTORE, MERGE, "
+            "CREATE TABLE, DROP TABLE, DESCRIBE HISTORY, SHOW TABLES, "
+            "SELECT/WITH"
         )
 
     # -- DDL: tables --------------------------------------------------------
@@ -235,6 +239,72 @@ class TableSql:
         )
 
     # -- row-level DML ------------------------------------------------------
+    def _insert(self, s: str) -> dict:
+        """``INSERT INTO t [(cols)] VALUES (...)|SELECT ...|WITH ...`` —
+        the plain append verb (VERDICT r12 #4). The row source is handed
+        to Spark's parser whole (``VALUES`` via ``SELECT * FROM VALUES``;
+        ``SELECT``/``WITH`` through :meth:`_select`, so it may read
+        registered tables with time travel). Columns are aligned to the
+        TABLE's schema: a column list maps the source positionally,
+        omitted columns become typed NULLs, and every value is cast to
+        the table column's existing type (Iceberg's assignable-type
+        rule). Dispatches to the layout's ``insert_rows`` — CHECK
+        constraints, CAS, and the duplicate-key refusal (bucketed
+        layout) are the table's own gates."""
+        m = re.match(
+            r"INSERT\s+INTO\s+(\w+)\s*"
+            r"(?:\(\s*([\w\s,]+?)\s*\)\s*)?"
+            r"(VALUES\s+.+|SELECT\s+.+|WITH\s+.+)$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "expected: INSERT INTO <table> [(col, ...)] "
+                "VALUES (...), (...) | SELECT ... | WITH ..."
+            )
+        name, col_list, source = m.groups()
+        t = self._table(name)
+        state = t.read(self.spark)
+        if state is None:
+            raise ValueError(
+                f"table {name!r} has no snapshot to take its schema from"
+            )
+        schema = state.schema
+        if source.split(None, 1)[0].upper() == "VALUES":
+            src = self.spark.sql(f"SELECT * FROM {source}")
+        else:
+            src = self._select(source)
+        if col_list is not None:
+            cols = [c.strip() for c in col_list.split(",") if c.strip()]
+        else:
+            cols = [f.name for f in schema.fields]
+        known = {f.name for f in schema.fields}
+        unknown = [c for c in cols if c not in known]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {name}: unknown column(s) {unknown} "
+                f"(table columns: {sorted(known)})"
+            )
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT INTO {name}: source has {len(src.columns)} "
+                f"column(s) but the target list names {len(cols)}"
+            )
+        types = {f.name: f.dataType for f in schema.fields}
+        by_target = dict(zip(cols, src.columns))
+        aligned = src.select(
+            *[
+                (
+                    F.col(by_target[f.name]).cast(types[f.name])
+                    if f.name in by_target
+                    else F.lit(None).cast(types[f.name])
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        return t.insert_rows(self.spark, aligned)
+
     def _delete(self, s: str) -> dict:
         m = re.match(
             r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", s, re.I | re.S

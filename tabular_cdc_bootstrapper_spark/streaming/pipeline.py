@@ -1345,6 +1345,44 @@ class ParquetStateTable(BranchOps):
         rec["rows_deleted"] = n_hit
         return rec
 
+    def insert_rows(self, spark: SparkSession, rows: DataFrame) -> dict:
+        """``INSERT INTO`` append on the plain snapshot layout (r13;
+        the most common DML verb — Iceberg INSERT INTO appends, it
+        does not upsert). ``rows`` must already be aligned to the
+        table's schema (the SQL front-end does the column-list /
+        NULL-fill / cast work). New state = current ∪ rows in one
+        commit: CHECK constraints validate the written bytes before
+        the pointer moves (``commit``'s existing gate), and the
+        purge-aware CAS token makes a concurrent commit surface as
+        :class:`CommitConflict`, never a lost append."""
+        cur = self.current()
+        if cur is None:
+            # first insert into a registered-but-empty table: the rows
+            # ARE the initial state
+            n_new = rows.count()
+            rec = self.commit(rows, meta={"operation": "insert_into"})
+            rec["rows_inserted"] = n_new
+            return rec
+        df = self.read(spark)
+        extra = [c for c in rows.columns if c not in df.columns]
+        if extra:
+            raise ValueError(
+                f"insert_rows got unknown column(s) {extra} "
+                f"(table columns: {df.columns})"
+            )
+        n_new = rows.count()
+        if n_new == 0:
+            rec = dict(cur)
+            rec["rows_inserted"] = 0
+            return rec
+        rec = self.commit(
+            df.unionByName(rows, allowMissingColumns=True),
+            meta={"operation": "insert_into"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_inserted"] = n_new
+        return rec
+
     def update_where(
         self, spark: SparkSession, condition, assignments: dict
     ) -> dict:
@@ -4315,6 +4353,88 @@ class VersionedBucketMirror(BranchOps):
             raise
         rec["matched_buckets"] = matched
         rec["rows_updated"] = n_hit
+        return rec
+
+    def insert_rows(self, spark: SparkSession, rows: DataFrame) -> dict:
+        """``INSERT INTO`` append (r13) — copy-on-write: only the buckets
+        the new keys hash into are rewritten; every other bucket's dirs
+        carry forward untouched in the new manifest. ``rows`` must
+        already be aligned to the table's schema (the SQL front-end does
+        the column-list / NULL-fill / cast work).
+
+        Inserting a key that already EXISTS is refused: the CDC mirror
+        is keyed on ``key_col`` — a duplicate key would make every later
+        merge/fold pick winners arbitrarily. Model an upsert as MERGE
+        (or a changelog event through ``merge_batch``). The existence
+        probe reads ONLY the touched buckets, key column only — at
+        100 TB it is |touched|/n_buckets of the table, column-pruned.
+
+        CHECK constraints and the CAS basis ride ``_commit_staged``'s
+        existing gates; merge-on-read tables take the same copy-on-write
+        path as predicate DML (the rewrite folds the touched buckets'
+        delta chains as a side effect)."""
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(
+                f"mirror {self.root} has no snapshot yet — "
+                "create it with initialize()"
+            )
+        key = self.key_col
+        if key not in rows.columns:
+            raise ValueError(
+                f"insert_rows requires the key column {key!r} "
+                f"(got columns: {rows.columns})"
+            )
+        touched = sorted(
+            r["b"]
+            for r in rows.select(self._bucket(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            rec = dict(cur)
+            rec["touched_buckets"] = []
+            rec["rows_inserted"] = 0
+            return rec
+        existing = self._read_entry(spark, cur, buckets=touched)
+        dup = (
+            existing.select(key)
+            .join(rows.select(key), on=key, how="inner")
+            .limit(5)
+            .collect()
+            if existing is not None
+            else []
+        )
+        if dup:
+            raise ValueError(
+                f"INSERT INTO {self.root}: key(s) already exist "
+                f"(first few: {[r[key] for r in dup]}) — the mirror is "
+                f"keyed on {key!r}; use MERGE to upsert"
+            )
+        staged = (
+            existing.unionByName(rows, allowMissingColumns=True)
+            if existing is not None
+            else rows
+        )
+        try:
+            rec = self._commit_staged(
+                staged,
+                touched=touched,
+                basis=cur,
+                meta={"operation": "insert_into"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this insert's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["touched_buckets"] = touched
+        rec["rows_inserted"] = rows.count()
         return rec
 
     def merge_batch(

@@ -86,3 +86,90 @@ def test_config_from_env():
     (t,) = cfg.targets
     assert t.key_column == "uid" and t.ts_column == "loaded_at"
     assert t.table_name == "users"
+
+
+# ---------------------------------------------------------------------------
+# New-folder auto-discovery (reference README.md:8: "will create tables in
+# Iceberg when new folder paths are detected")
+# ---------------------------------------------------------------------------
+
+
+def _write_folder(spark, root, name, n=5):
+    spark.createDataFrame(
+        [(i, f"{name}{i}", "I", 0) for i in range(n)],
+        "id long, name string, op string, ts long",
+    ).coalesce(1).write.parquet(f"{root}/{name}/LOAD00000001_parquet")
+
+
+def test_discover_targets_lists_first_level_folders(spark, tmp_path):
+    from tabular_cdc_bootstrapper_spark.catalog import discover_targets
+
+    root = str(tmp_path / "staged")
+    assert discover_targets(spark, root) == ()  # missing root: no targets
+    _write_folder(spark, root, "alpha")
+    _write_folder(spark, root, "beta")
+    tmpl = CdcTarget(source_uri="", key_column="uid", ts_column="seq")
+    targets = discover_targets(spark, root, tmpl)
+    assert [t.table_name for t in targets] == ["alpha", "beta"]
+    # template carries the CDC wiring onto every synthesized target
+    assert all(t.key_column == "uid" and t.ts_column == "seq" for t in targets)
+    # full URIs, readable by spark directly
+    assert spark.read.option("recursiveFileLookup", "true").parquet(
+        targets[0].source_uri
+    ).count() == 5
+
+
+def test_bootstrap_discovered_picks_up_new_folder(spark, tmp_path):
+    """Two folders bootstrap; a third appears; re-run bootstraps ONLY the
+    newcomer and no-ops the rest — the reference's poll-loop contract."""
+    from tabular_cdc_bootstrapper_spark.catalog import bootstrap_discovered
+
+    root = str(tmp_path / "staged")
+    _write_folder(spark, root, "cust")
+    _write_folder(spark, root, "ord")
+    cfg = EngineConfig(
+        database="cdc_disc_test", warehouse_dir=str(tmp_path / "wh")
+    )
+    try:
+        r1 = bootstrap_discovered(spark, cfg, root)
+        assert len(r1) == 2 and not any(
+            isinstance(v, Exception) for v in r1.values()
+        )
+        assert spark.catalog.tableExists("cdc_disc_test.cust")
+        assert spark.catalog.tableExists("cdc_disc_test.cust_changelog")
+        assert spark.catalog.tableExists("cdc_disc_test.ord")
+
+        _write_folder(spark, root, "pay")  # the new folder path
+        r2 = bootstrap_discovered(spark, cfg, root)
+        assert len(r2) == 3
+        assert spark.catalog.tableExists("cdc_disc_test.pay")
+        # per-folder schema inference: mirror drops the CDC envelope
+        cols = [f.name for f in spark.table("cdc_disc_test.pay").schema.fields]
+        assert cols == ["id", "name", "ts"]  # default ts_column is transact_seq
+        # idempotent on the ones that already existed: properties intact
+        props = get_table_properties(spark, "cdc_disc_test.cust_changelog")
+        assert props["dependent-tables"] == "cdc_disc_test.cust"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cdc_disc_test CASCADE")
+
+
+def test_bootstrap_discovered_configured_target_wins(spark, tmp_path):
+    """An explicitly configured target with the same table name beats the
+    synthesized default (custom key/ts columns must survive discovery)."""
+    from tabular_cdc_bootstrapper_spark.catalog import (
+        discover_targets,
+        discovered_and_configured,
+    )
+
+    root = str(tmp_path / "staged")
+    _write_folder(spark, root, "cust")
+    _write_folder(spark, root, "ord")
+    configured = CdcTarget(
+        source_uri=f"file:{root}/cust", key_column="cust_id", ts_column="seq"
+    )
+    cfg = EngineConfig(targets=(configured,))
+    merged = discovered_and_configured(cfg, discover_targets(spark, root))
+    by_name = {t.table_name: t for t in merged}
+    assert len(merged) == 2
+    assert by_name["cust"].key_column == "cust_id"  # config won
+    assert by_name["ord"].key_column == "id"  # synthesized default

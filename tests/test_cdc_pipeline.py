@@ -881,3 +881,41 @@ def test_maintained_agg_view_crash_between_commits(spark, tmp_path):
     ).collect()[0]
     got = view.read(spark).collect()[0]
     assert (got["n_rows"], got["val_sum"]) == (expect["n"], expect["s"])
+
+
+def test_main_entry_auto_discover(tmp_path, monkeypatch):
+    """SPARK_CDC_AUTO_DISCOVER=1 (reference README.md:8): the monitored
+    dir is a ROOT of per-table folders. Run 1 sees two folders → two
+    (changelog, mirror) pairs, each replayed to its own golden state.
+    A third folder appears → run 2 bootstraps and loads it without
+    touching the first two (their checkpoints consume nothing new)."""
+    root = tmp_path / "staged"
+    exp = {}
+    for i, name in enumerate(["home_api", "work_api"]):
+        exp[name] = generate(str(root / name), seed=100 + i)
+
+    monkeypatch.setenv("SPARK_CDC_AUTO_DISCOVER", "1")
+    monkeypatch.setenv("TABULAR_CDC_ID_FIELD", "id")
+    monkeypatch.setenv("TABULAR_CDC_TIMESTAMP_FIELD", "ts")
+    monkeypatch.setenv("SPARK_CDC_SOURCE_DIR", str(root))
+    monkeypatch.setenv("SPARK_CDC_WORK_DIR", str(tmp_path / "work"))
+    monkeypatch.delenv("TABULAR_BUCKET_NAME", raising=False)
+    monkeypatch.delenv("TABULAR_BUCKET_MONITOR_PATH", raising=False)
+
+    from tabular_cdc_bootstrapper_spark.__main__ import main
+
+    assert main() == 0
+    spark = __import__(
+        "tabular_cdc_bootstrapper_spark.session", fromlist=["get_spark"]
+    ).get_spark()
+    for name in ("home_api", "work_api"):
+        assert spark.catalog.tableExists(f"cdc_bootstrap.{name}")
+        assert spark.catalog.tableExists(f"cdc_bootstrap.{name}_changelog")
+        assert _mirror_dict(spark.table(f"cdc_bootstrap.{name}")) == exp[name]
+
+    # a new folder path is detected on the next run
+    exp["crm_api"] = generate(str(root / "crm_api"), seed=300)
+    assert main() == 0
+    assert _mirror_dict(spark.table("cdc_bootstrap.crm_api")) == exp["crm_api"]
+    for name in ("home_api", "work_api"):  # untouched pairs stay correct
+        assert _mirror_dict(spark.table(f"cdc_bootstrap.{name}")) == exp[name]

