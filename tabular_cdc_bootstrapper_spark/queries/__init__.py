@@ -71,6 +71,8 @@ _DRIVER_CHECK_PRIORITY = [
     "table_sql_lifecycle",
     "table_constraints_gate",
     "auto_discovered_mirrors",
+    "partition_transform_pruning",
+    "declarative_agg_view",
     "ann_ivf_topk",
     "bm25_topk",
     "brand_name_distance",

@@ -2896,3 +2896,190 @@ def auto_discovered_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in specs
     ]
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+@query(
+    "partition_transform_pruning",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders
+    ),
+    windowed AS (
+        SELECT * FROM merged
+        WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
+    )
+    SELECT o_orderstatus AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM windowed
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_kept_partitions',
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
+    UNION ALL
+    SELECT '_merge_touched',
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def partition_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partition transform spec (r13): a ``days(o_orderdate)``
+    partitioned ``VersionedBucketMirror`` — the Iceberg partition-spec
+    surface beyond hash buckets (the reference's tables are Iceberg,
+    README.md:8, whose specs are transforms; time-partitioned mirrors
+    are the common warehouse shape). Lifecycle under oracle: initialize
+    from `orders`, CDC-merge a status update (op='U' where key%7=0 —
+    the merge plans its touched partitions from the batch's transform
+    values, proven by the ``_merge_touched`` row = distinct order dates
+    of the updated keys), then a date-window ``read_pruned`` — the
+    predicate on the SOURCE column maps to a partition-id range with no
+    column stats recorded, so only in-window ``bucket=<days>`` dirs are
+    listed (``_kept_partitions`` = distinct in-window dates). At 100 TB
+    this is the read that makes time-windowed queries touch
+    |window|/|retention| of the table instead of all of it."""
+    import datetime
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    m = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_ptp_") + "/t",
+        key_col="o_orderkey",
+        partition_spec=("days", "o_orderdate"),
+        keep_versions=5,
+    )
+    m.initialize(o)
+    target = CdcTarget(
+        source_uri="x", key_column="o_orderkey", ts_column="ts"
+    )
+    batch = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1)})
+    )
+    rec = m.merge_batch(batch, target)
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 5, 31)
+    kept, _total = m._pruned_buckets("o_orderdate", lo, hi)
+    windowed = m.read_pruned(spark, "o_orderdate", lo, hi)
+    agg = windowed.groupBy(
+        F.col("o_orderstatus").alias("grp")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    meta = spark.createDataFrame(
+        [
+            ("_kept_partitions", len(kept), 0.0),
+            ("_merge_touched", len(rec["touched_buckets"]), 0.0),
+        ],
+        "grp string, n_rows long, total_price double",
+    )
+    return agg.unionByName(meta)
+
+
+@query(
+    "declarative_agg_view",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 13 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(p), 2) AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative maintained aggregate (r13, VERDICT r12 #7): a GROUP
+    aggregate of a versioned table maintained by ONE
+    ``readStream.format("table_changes") … writeStream.format(
+    "state_table")`` statement — Spark's own checkpoint machinery, no
+    foreachBatch. Three pieces compose: the change feed's
+    ``emitPreimage=true`` turns every update into a D(old)+I(new)
+    retraction pair (Iceberg's UPDATE_BEFORE/UPDATE_AFTER), the sink's
+    ``mode=additive`` has each executor task fold its slice into signed
+    per-group partials (one DuckDB aggregate per task) appended as
+    sum-fold deltas, and the view's read folds base+deltas by SUM —
+    order-free, so replay protection only needs the manifest batch-id
+    fence. State is GROUP-cardinality: at 100 TB the stream moves
+    |changed rows| and the view stores |groups|, never the corpus. A
+    source mirror built from `orders` takes a DELETE (key%13=0) and a
+    repricing UPDATE (key%7=0, +5); one AvailableNow drain later the
+    view must equal the oracle's from-scratch GROUP BY of the mutated
+    table."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.streaming.datasource import (
+        register_stream_sources,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    register_stream_sources(spark)
+    work = tempfile.mkdtemp(prefix="spark_graft_declview_")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    a = VersionedBucketMirror(
+        f"{work}/src", n_buckets=16, key_col="o_orderkey", keep_versions=10
+    )
+    a.initialize(o)
+    v0 = a.history()[0]["version"]
+    view = VersionedBucketMirror(
+        f"{work}/view",
+        n_buckets=16,
+        key_col="o_orderstatus",
+        keep_versions=10,
+        merge_on_read=True,
+    )
+    view.initialize(
+        o.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("total_price"),
+        )
+    )
+    a.delete_where(spark, "o_orderkey % 13 = 0")
+    a.update_where(
+        spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice + 5"}
+    )
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", a.root)
+        .option("keyCols", "o_orderkey")
+        .option("startingVersion", str(v0))
+        .option("emitPreimage", "true")
+        .load()
+        .writeStream.format("state_table")
+        .option("path", view.root)
+        .option("mode", "additive")
+        .option("groupCols", "o_orderstatus")
+        .option("sumCols", "total_price=o_totalprice")
+        .option("countCol", "n_orders")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return view.read(spark).select(
+        "o_orderstatus",
+        F.col("n_orders"),
+        F.round(F.col("total_price"), 2).alias("total_price"),
+    )

@@ -1,0 +1,1214 @@
+"""Shared commit-protocol machinery for the versioned table layouts.
+
+Split from the former single-file ``streaming/pipeline.py`` (VERDICT r12
+next-round #3 — every r11/r12 defect lived in that 5.9k-line monolith):
+this module holds everything BOTH layouts build on — the error types,
+CHECK-constraint evaluation, the purge lock, ``SnapshotLog`` (manifest
+log + pointer CAS + checkpoints), tag/branch sets, the shared
+``BranchOps`` mixin, and the schema-evolution helpers (union-widening,
+per-version logical reads, ALTER planning). ``streaming/pipeline.py``
+re-exports every name, so import paths are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.operators.cdc import (
+    apply_changelog,
+    latest_by_key,
+)
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+
+
+class CommitConflict(RuntimeError):
+    """An optimistic snapshot commit lost the race: another writer's
+    commit landed between this writer's basis read and its publish (the
+    Iceberg/Delta commit-conflict, surfaced instead of silently
+    last-write-winning). Callers either retry against the new head
+    (blind full-state commits do this internally), re-validate and
+    re-apply (disjoint-bucket merges), or propagate (overlapping
+    writes, where the caller's inputs are stale)."""
+
+
+class ConstraintViolation(RuntimeError):
+    """A commit's data violates a table CHECK constraint (r12 — the
+    Delta ``ALTER TABLE ADD CONSTRAINT`` enforcement model): the commit
+    is refused BEFORE the manifest publishes, so readers never see the
+    violating rows. SQL CHECK semantics — a row passes when the
+    expression is TRUE or NULL; only FALSE violates."""
+
+
+def _check_table_constraints(
+    df: "DataFrame", constraints: dict, where: str
+) -> None:
+    """ONE aggregate over ``df`` evaluating every CHECK expression;
+    raises :class:`ConstraintViolation` naming the first failed
+    constraint and its violation count. Cost ∝ the frame checked —
+    callers pass the STAGED delta/state slice, never the whole table
+    (except ``add_constraint``, which must vouch for existing data)."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    aggs = []
+    for i, n in enumerate(names):
+        violated = ~F.coalesce(
+            F.expr(constraints[n]).cast("boolean"), F.lit(True)
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(violated, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__c{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    for i, n in enumerate(names):
+        if row[f"__c{i}"]:
+            raise ConstraintViolation(
+                f"{where}: CHECK constraint {n!r} "
+                f"({constraints[n]}) violated by {row[f'__c{i}']} row(s) "
+                "— commit refused"
+            )
+
+
+#: record fields owned by the snapshot protocol — caller commit meta may
+#: not shadow them (ADVICE r10: meta containing e.g. ``ref`` would make
+#: ``committed()`` silently hide a published commit from history and
+#: expose its data to orphan GC)
+_RESERVED_META_KEYS = frozenset(
+    {
+        "version", "dir", "buckets", "ts", "ref", "schema", "stats",
+        "stats_cols", "constraints", "shadowed", "next_fid",
+        "deltas", "n_buckets", "renames", "dropped", "altered",
+        "audited", "rollback_of",
+        "purged_ts", "cloned_from", "readable", "is_current",
+    }
+)
+
+
+#: conflict-retry backoff (seconds). Sums past ``conflict_grace_s`` so a
+#: blind commit blocked by a crash orphan outlasts the grace window and
+#: self-heals; under a real race the first retries resolve in ms.
+_RETRY_BACKOFF = (0.05, 0.1, 0.3, 0.8, 2.0, 4.0, 8.0)
+
+#: sentinel distinguishing "no basis given: resolve the current head"
+#: from an explicit ``basis=None`` (empty table)
+_UNSET = object()
+
+#: a purge lock older than this is a crashed holder's orphan and may be
+#: taken over (purges are minutes-long at most; a live holder finishes
+#: or crashes well inside this window)
+_PURGE_LOCK_STALE_S = 900.0
+
+#: purge-vs-writer convergence bound: each catch-up round scans only
+#: the dirs commits added during the previous round, so the work per
+#: round shrinks geometrically; a head that outruns ALL rounds means
+#: pathological traffic and the purge gives up caller-visibly
+_PURGE_CATCHUP_ROUNDS = 10
+
+
+@contextmanager
+def _purge_lock(root: str):
+    """Root-level advisory lock serializing ``purge_keys`` runs (r12,
+    found by ``scripts/probe_concurrent_stress.py``): a purge rewrites
+    retained manifests IN PLACE at unchanged version numbers, so two
+    concurrent purges last-write-win each other's manifest edits — the
+    loser's keys silently SURVIVE in retained history, a GDPR violation
+    the version-based CAS cannot see (neither purge bumps the version).
+    An exclusive lock file turns the race into a caller-visible
+    ``CommitConflict`` (retry after the holder finishes); a crashed
+    holder's lock goes stale after ``_PURGE_LOCK_STALE_S`` and is taken
+    over."""
+    path = os.path.join(root, "_purge.lock")
+    os.makedirs(root, exist_ok=True)
+
+    def _acquire() -> int:
+        return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+
+    try:
+        fd = _acquire()
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:
+            age = 0.0  # holder just released/created: treat as live
+        if age < _PURGE_LOCK_STALE_S:
+            raise CommitConflict(
+                f"another purge_keys holds the purge lock on {root} "
+                f"(age {age:.0f}s); retry after it finishes"
+            ) from None
+        try:  # stale: crashed holder — take over
+            os.remove(path)
+        except OSError:
+            pass
+        try:
+            fd = _acquire()
+        except FileExistsError:
+            raise CommitConflict(
+                f"lost the purge-lock takeover race on {root}; retry"
+            ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def _vanished_path(exc: BaseException) -> bool:
+    """True when a Spark read/plan failed because an input path was
+    deleted out from under it — the reader-vs-purge race (r12, found by
+    probe_concurrent_stress.py): a purge rewrites manifests then deletes
+    the old PII dirs, so a reader holding a PRE-purge manifest dangles.
+    The manifest on disk is already re-pointed; converting the failure
+    into CommitConflict sends callers through their normal re-resolve-
+    and-retry path."""
+    s = str(exc)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "FileNotFoundException" in s
+        or "No such file or directory" in s
+    )
+
+
+def _check_meta(meta: dict | None) -> None:
+    if not meta:
+        return
+    bad = sorted(_RESERVED_META_KEYS & set(meta))
+    if bad:
+        raise ValueError(
+            f"commit meta keys {bad} are reserved snapshot-record fields "
+            "(ADVICE r10); rename or namespace them (e.g. 'job_ref')"
+        )
+
+
+class SnapshotLog:
+    """Append-only snapshot log + atomic CURRENT pointer — the shared
+    commit protocol of ``ParquetStateTable`` (whole-snapshot data dirs)
+    and ``VersionedBucketMirror`` (per-bucket version manifests).
+
+    Records are opaque dicts carrying at least ``version`` and ``ts``.
+    Publishing is an EXCLUSIVE create of the immutable log entry under
+    ``root/_log/v-<n>.json`` (the serialization point: two writers that
+    allocated the same version cannot both win — the Iceberg/Delta
+    put-if-absent commit), a conflict scan of the window between the
+    current pointer and ``n``, then the atomic ``root/_CURRENT`` pointer
+    rename. A FRESH ref-less entry in the window is a concurrent
+    writer's in-flight commit — this publish retracts its own entry and
+    raises :class:`CommitConflict` (r11, VERDICT task 1); an entry older
+    than ``conflict_grace_s`` is a crash orphan — it is removed
+    (reported via ``on_orphan`` so the owner can garbage-collect any
+    data the crashed commit staged) and the publish proceeds. A crash
+    between entry create and pointer swap leaves such an orphan; version
+    allocation takes max(pointer, log) + 1 so it is superseded either
+    way. ``expected_head``: the version this commit was computed
+    against — when given, the publish additionally fails with
+    :class:`CommitConflict` if the pointer has moved past it (the CAS
+    validate step based merges need; -1 means "expect empty table").
+    """
+
+    #: seconds an above-pointer ref-less log entry is presumed to be a
+    #: concurrent writer's in-flight commit (publish raises
+    #: CommitConflict) before it is reclassified as a crash orphan and
+    #: garbage-collected. Writers' internal retry/backoff outlasts this,
+    #: so a commit blocked by a genuine crash orphan self-heals.
+    conflict_grace_s: float = 10.0
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    @property
+    def pointer_path(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    @property
+    def log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
+    def current(self) -> dict | None:
+        try:
+            with open(self.pointer_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    #: Delta-style log compaction (r11): once this many per-commit JSON
+    #: files accumulate, publish folds the committed ref-less history
+    #: into ONE ``ckpt-<v>.checkpoint`` file and deletes the files it
+    #: covers — so every log read costs O(commits since checkpoint) file
+    #: opens instead of O(all history). 0/None disables.
+    checkpoint_interval: int = 100
+
+    def _checkpoint_names(self, names=None) -> list[str]:
+        if names is None:
+            try:
+                names = os.listdir(self.log_dir)
+            except FileNotFoundError:
+                return []
+        return sorted(
+            n
+            for n in names
+            if n.startswith("ckpt-") and n.endswith(".checkpoint")
+        )
+
+    def entries(self) -> list[dict]:
+        """All log records, version order: the latest CHECKPOINT's
+        compacted history overlaid by every per-commit file (a file
+        always wins on version collision — it is newer metadata). An
+        unreadable file is skipped rather than poisoning reads (entries
+        are rename-published, so a torn write can only be a foreign
+        artifact)."""
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        out: dict[int, dict] = {}
+        ckpts = self._checkpoint_names(names)
+        if ckpts:
+            try:
+                with open(os.path.join(self.log_dir, ckpts[-1])) as fh:
+                    for e in json.load(fh)["entries"]:
+                        out[e["version"]] = e
+            except (OSError, json.JSONDecodeError, KeyError):
+                pass
+        for n in sorted(x for x in names if x.endswith(".json")):
+            try:
+                with open(os.path.join(self.log_dir, n)) as fh:
+                    e = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            out[e["version"]] = e
+        return [out[v] for v in sorted(out)]
+
+    def _maybe_checkpoint(self) -> None:
+        """Fold the committed ref-less history into one checkpoint file
+        and drop the per-commit files it covers. Crash-safe: the
+        checkpoint is rename-published first, and an interrupted
+        file-deletion pass only leaves duplicates the overlay resolves.
+        Branch staging (ref-marked) and above-pointer entries are never
+        checkpointed — orphan GC and fast-forward always see files."""
+        if not self.checkpoint_interval:
+            return
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return
+        vfiles = [
+            n for n in names if n.startswith("v-") and n.endswith(".json")
+        ]
+        if len(vfiles) < self.checkpoint_interval:
+            return
+        cur = self.current()
+        if cur is None:
+            return
+        committed = self.committed()
+        if not committed:
+            return
+        cpath = os.path.join(
+            self.log_dir, f"ckpt-{cur['version']:08d}.checkpoint"
+        )
+        tmp = cpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": cur["version"], "entries": committed}, fh)
+        os.replace(tmp, cpath)
+        covered = {e["version"] for e in committed}
+        for n in vfiles:
+            try:
+                v = int(n[2:10])
+            except ValueError:
+                continue
+            if v in covered:
+                self._retract(os.path.join(self.log_dir, n))
+        for n in self._checkpoint_names():  # superseded checkpoints
+            if os.path.join(self.log_dir, n) != cpath:
+                self._retract(os.path.join(self.log_dir, n))
+
+    def rewrite_checkpoint(self, transform) -> int:
+        """Apply ``transform(entry) -> entry | None`` (None = unchanged)
+        to the latest checkpoint's compacted entries, rewriting it
+        atomically — the hook GDPR purge uses so compacted metadata
+        cannot resurrect purged data paths."""
+        ckpts = self._checkpoint_names()
+        if not ckpts:
+            return 0
+        cpath = os.path.join(self.log_dir, ckpts[-1])
+        try:
+            with open(cpath) as fh:
+                payload = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return 0
+        changed = 0
+        out = []
+        for e in payload.get("entries", []):
+            t = transform(e)
+            if t is not None:
+                changed += 1
+                out.append(t)
+            else:
+                out.append(e)
+        if not changed:
+            return 0
+        payload["entries"] = out
+        tmp = cpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, cpath)
+        return changed
+
+    def committed(self) -> list[dict]:
+        """Entries at or below the CURRENT pointer — the published
+        history. Entries above it are crash orphans and are excluded, as
+        are ``ref``-marked entries at ANY position: those are branch
+        staging, and once main advances past a diverged branch's version
+        numbers they sit below the pointer WITHOUT ever having been
+        published to main (fast-forward strips the marker on publish)."""
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        return [
+            e
+            for e in self.entries()
+            if e["version"] <= cur_version and "ref" not in e
+        ]
+
+    def next_version(self) -> int:
+        cur = self.current()
+        base = cur["version"] if cur else -1
+        entries = self.entries()
+        if entries:
+            base = max(base, entries[-1]["version"])
+        return base + 1
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v-{version:08d}.json")
+
+    def _entry_age(self, e: dict) -> float:
+        """Seconds since the entry FILE was written (commit wall-clock,
+        not the record's ``ts``, which tests and clones backdate). A
+        missing file counts as infinitely old."""
+        try:
+            return time.time() - os.path.getmtime(self._entry_path(e["version"]))
+        except OSError:
+            return float("inf")
+
+    def publish(
+        self,
+        record: dict,
+        on_orphan=None,
+        protected=None,
+        expected_head: "int | tuple | None" = None,
+    ) -> dict:
+        """``protected``: optional predicate sparing above-pointer entries
+        from orphan GC — the hook writable BRANCHES use (their staged
+        commits live above the main pointer by design and are not
+        crash orphans). ``expected_head``: CAS basis check, see class
+        docstring — an int compares the version alone (legacy); a
+        ``(version, purged_ts)`` TOKEN also catches an in-place purge
+        rewrite of the head (r12: purge_keys edits the pointer record
+        WITHOUT bumping the version, so a version-only CAS would let a
+        commit based on the pre-purge head resurrect the purged dirs).
+        Raises :class:`CommitConflict` on any lost race."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        n = record["version"]
+        lpath = self._entry_path(n)
+        # serialization point: exclusive create — a concurrent writer
+        # that allocated the same version loses here, never overwrites
+        # (ADVICE r10: os.replace silently erased the loser's commit)
+        try:
+            with open(lpath, "x") as fh:
+                json.dump(record, fh)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {n} of {self.root} already has a log entry — "
+                "a concurrent commit won this version"
+            ) from None
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        cur_purged = (cur or {}).get("purged_ts") or 0
+        if expected_head is not None:
+            exp_v, exp_p = (
+                expected_head
+                if isinstance(expected_head, tuple)
+                else (expected_head, None)
+            )
+            if cur_version != exp_v or (
+                exp_p is not None and cur_purged != exp_p
+            ):
+                self._retract(lpath)
+                raise CommitConflict(
+                    f"{self.root} advanced to v{cur_version} "
+                    f"(purged_ts {cur_purged}) past this commit's basis "
+                    f"v{exp_v}"
+                )
+        # allocation guarantees n > pointer at allocation time, so a
+        # pointer >= n proves a concurrent winner advanced while this
+        # writer stalled (ADVICE r12: a writer stalled past the conflict
+        # grace has its entry GC'd as a crash orphan; without this check
+        # it would resume and regress the pointer to a version whose
+        # staged data was just deleted)
+        if cur_version >= n:
+            self._retract(lpath)
+            raise CommitConflict(
+                f"{self.root} pointer is at v{cur_version} >= this "
+                f"commit's v{n} — a concurrent winner advanced past a "
+                "stalled writer"
+            )
+        # window scan between pointer and n: a FRESH ref-less entry is a
+        # concurrent in-flight commit (it created its entry before ours
+        # — it wins, we retract); an aged one is a crash orphan (GC).
+        # Fresh entries ABOVE n belong to writers that will see OUR
+        # entry in their own window and retract themselves. Ref-marked
+        # entries above the pointer are branch staging (in-flight while
+        # fresh, orphaned-branch leftovers when aged and unprotected);
+        # ref-marked entries below it are staging of a deleted diverged
+        # branch — reclaimed, as before, unless a live branch window
+        # protects them.
+        conflict: dict | None = None
+        for e in self.entries():
+            if e["version"] == n:
+                continue
+            if protected is not None and protected(e):
+                continue
+            dead_branch = "ref" in e and e["version"] <= cur_version
+            above = e["version"] > cur_version
+            if dead_branch:
+                self._gc_entry(e, on_orphan)
+                continue
+            if not above:
+                continue
+            fresh = self._entry_age(e) < self.conflict_grace_s
+            if fresh:
+                if "ref" not in e and e["version"] < n:
+                    conflict = e
+                    break
+                continue  # fresh branch staging / higher-version writer
+            self._gc_entry(e, on_orphan)
+        if conflict is not None:
+            self._retract(lpath)
+            raise CommitConflict(
+                f"in-flight concurrent commit v{conflict['version']} in "
+                f"{self.root} (entry younger than "
+                f"{self.conflict_grace_s:.0f}s grace)"
+            )
+        # pointer may have moved since the entry create (a writer whose
+        # window was already clear) — re-check before the swap so the
+        # pointer never regresses past a commit we didn't build on; the
+        # purged_ts half of the token catches an in-place purge rewrite
+        # landing inside the publish window (r12)
+        cur2 = self.current()
+        cur2_version = cur2["version"] if cur2 else -1
+        cur2_purged = (cur2 or {}).get("purged_ts") or 0
+        if (
+            cur2_version != cur_version
+            or cur2_purged != cur_purged
+            or cur2_version >= n
+        ):
+            self._retract(lpath)
+            raise CommitConflict(
+                f"{self.root} advanced during publish of v{n}"
+            )
+        tmp = self.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, self.pointer_path)  # atomic on posix
+        self._maybe_checkpoint()
+        return record
+
+    def _retract(self, lpath: str) -> None:
+        try:
+            os.remove(lpath)
+        except OSError:
+            pass
+
+    def _gc_entry(self, e: dict, on_orphan) -> None:
+        self._retract(self._entry_path(e["version"]))
+        if on_orphan is not None:
+            on_orphan(e)
+
+
+class TagSet:
+    """Named immutable refs over a SnapshotLog's versions — the Iceberg
+    tag store shared by ParquetStateTable and VersionedBucketMirror. Each
+    tag is one rename-published JSON under ``root/_tags/``; both owners'
+    retention paths honor ``versions()`` (ref-keeps-snapshot)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.dir = os.path.join(root, "_tags")
+
+    def tag(self, name: str, version: int, log: SnapshotLog) -> dict:
+        if not any(e["version"] == version for e in log.committed()):
+            raise ValueError(f"no snapshot {version} in {self.root}")
+        if any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        os.makedirs(self.dir, exist_ok=True)
+        rec = {"name": name, "version": version, "ts": time.time()}
+        path = os.path.join(self.dir, f"{name}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+        return rec
+
+    def tags(self) -> list[dict]:
+        try:
+            names = sorted(
+                n for n in os.listdir(self.dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                with open(os.path.join(self.dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def resolve(self, name: str) -> int:
+        for t in self.tags():
+            if t["name"] == name:
+                return t["version"]
+        raise ValueError(f"no tag {name!r} in {self.root}")
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self.dir, f"{name}.json"))
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r} in {self.root}") from None
+
+    def versions(self) -> set[int]:
+        return {t["version"] for t in self.tags()}
+
+
+class BranchSet:
+    """Named MUTABLE refs over a SnapshotLog — the Iceberg writable
+    branch, completing the ref model beside immutable ``TagSet`` tags
+    (VERDICT r10 task 3). A branch is one rename-published JSON under
+    ``root/_branches/``: ``{"name", "base", "head", "ts"}`` where
+    ``base`` is the main-history fork point and ``head`` the branch's
+    latest staged version. Versions are allocated from the SAME
+    SnapshotLog as main commits (``next_version`` scans all entries), so
+    a branch's log records interleave by number but stay invisible to
+    main readers: they sit ABOVE the main pointer and carry a ``ref``
+    field until fast-forward strips it. ``windows()`` is the protection
+    predicate main publishes use to spare staged branch commits from
+    crash-orphan GC."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.dir = os.path.join(root, "_branches")
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, f"{name}.json")
+
+    def _write(self, rec: dict) -> dict:
+        os.makedirs(self.dir, exist_ok=True)
+        path = self._path(rec["name"])
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)
+        return rec
+
+    def create(self, name: str, base_version: int, log: SnapshotLog) -> dict:
+        if any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        if os.path.exists(self._path(name)):
+            raise ValueError(f"branch {name!r} already exists in {self.root}")
+        if not any(e["version"] == base_version for e in log.committed()):
+            raise ValueError(f"no snapshot {base_version} in {self.root}")
+        return self._write(
+            {
+                "name": name,
+                "base": base_version,
+                "head": base_version,
+                "ts": time.time(),
+            }
+        )
+
+    def branches(self) -> list[dict]:
+        try:
+            names = sorted(
+                n for n in os.listdir(self.dir) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            try:
+                with open(os.path.join(self.dir, n)) as fh:
+                    out.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
+        return out
+
+    def get(self, name: str) -> dict:
+        for b in self.branches():
+            if b["name"] == name:
+                return b
+        raise ValueError(f"no branch {name!r} in {self.root}")
+
+    def set_head(self, name: str, version: int) -> dict:
+        rec = self.get(name)
+        rec["head"] = version
+        return self._write(rec)
+
+    def delete(self, name: str) -> None:
+        try:
+            os.remove(self._path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no branch {name!r} in {self.root}") from None
+
+    def windows(self) -> list[tuple[int, int]]:
+        """(base, head] half-open version windows of every live branch —
+        the span protected from orphan GC. Window-based (not ref-field-
+        based) so entries mid-fast-forward (ref already stripped, main
+        pointer not yet swapped) stay protected through the crash
+        window."""
+        return [(b["base"], b["head"]) for b in self.branches()]
+
+    def covers(self, version: int) -> bool:
+        return any(lo < version <= hi for lo, hi in self.windows())
+
+
+class BranchOps:
+    """Writable-branch operations shared by every SnapshotLog-backed
+    table (VERDICT r10 task 3; generalized to the bucketed mirror the
+    same way TagSet generalized tags in r9). Hosts must provide:
+    ``self.root``, ``self._log`` (SnapshotLog), ``current()``,
+    ``history()``, ``_entry_readable(e)`` (layout-specific data-dir
+    check), and ``_after_fast_forward(head_rec)`` (layout-specific
+    retention pass). Layouts own their ``read_branch`` (data access
+    differs) and thread ``branch=`` through their commit entry points
+    to ``_publish_to_branch``."""
+
+    @property
+    def _branchset(self) -> "BranchSet":
+        return BranchSet(self.root)
+
+    def _branch_covers(self, e: dict) -> bool:
+        return self._branchset.covers(e["version"])
+
+    def _publish_to_branch(self, record: dict, name: str) -> dict:
+        """Advance ``name`` to ``record``: append the (ref-marked) log
+        entry — an EXCLUSIVE create, so a version collision with a
+        concurrent main or foreign-branch commit re-allocates instead of
+        overwriting (r11) — then move the branch pointer; two atomic
+        steps, main's CURRENT untouched. A crash between them leaves an
+        above-pointer entry outside the branch window ((base, head]
+        doesn't cover it), so the next publish GCs it like any crash
+        orphan — the branch is consistent at its old head either way."""
+        self._branchset.get(name)  # raises on unknown branch
+        record = dict(record)
+        record["ref"] = name
+        os.makedirs(self._log.log_dir, exist_ok=True)
+        for delay in (*_RETRY_BACKOFF, None):
+            lpath = self._log._entry_path(record["version"])
+            try:
+                with open(lpath, "x") as fh:
+                    json.dump(record, fh)
+                break
+            except FileExistsError:
+                if delay is None:
+                    raise CommitConflict(
+                        f"branch {name!r} of {self.root}: version "
+                        f"{record['version']} kept colliding with "
+                        "concurrent commits"
+                    ) from None
+                time.sleep(delay)
+                record["version"] = self._log.next_version()
+        self._branchset.set_head(name, record["version"])
+        return record
+
+    def branch(self, name: str, from_version: int | None = None) -> dict:
+        """Create a writable branch forked at ``from_version`` (default:
+        current head) — the Iceberg branch beside immutable ``tag``s:
+        commits with ``branch=name`` advance it invisibly to main;
+        ``fast_forward(name)`` publishes its staged commits to main when
+        (e.g.) audits pass. KB metadata only."""
+        if from_version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to branch from")
+            from_version = cur["version"]
+        return self._branchset.create(name, from_version, self._log)
+
+    def branches(self) -> list[dict]:
+        return self._branchset.branches()
+
+    def branch_history(self, name: str) -> list[dict]:
+        """The branch's lineage: main history up to the fork point plus
+        its staged commits, oldest first."""
+        b = self._branchset.get(name)
+        out = [e for e in self.history() if e["version"] <= b["base"]]
+        for e in self._log.entries():
+            if b["base"] < e["version"] <= b["head"]:
+                e = dict(e)
+                e["readable"] = self._entry_readable(e)
+                e["is_current"] = e["version"] == b["head"]
+                out.append(e)
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch pointer; its staged commits lose protection
+        and are garbage-collected by the next main publish."""
+        self._branchset.delete(name)
+
+    def _ff_marker_path(self, name: str) -> str:
+        return os.path.join(self.root, "_ff", f"{name}.json")
+
+    def _read_ff_marker(self, name: str) -> dict | None:
+        try:
+            with open(self._ff_marker_path(name)) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _clear_ff_marker(self, name: str) -> None:
+        try:
+            os.remove(self._ff_marker_path(name))
+        except OSError:
+            pass
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch's staged commits to main — the Iceberg
+        ``fast_forward`` procedure, and the natural finish of a
+        multi-batch write-audit-publish staged with ``commit(...,
+        branch=...)``. Requires main's head to still BE the branch's
+        fork point (true fast-forward: main must not have advanced —
+        divergence is a caller-visible error, never a silent merge) and
+        the (base, head] version window to contain only this branch's
+        commits (no interleaved foreign branch). Protocol: record an
+        in-progress marker (``root/_ff/<name>.json``, atomic), strip the
+        ``ref`` marker from each staged entry (ascending, atomic
+        renames), swap main's CURRENT to the head, clear the marker — a
+        crash mid-way leaves every entry protected by the branch window
+        and a re-run converges: already-stripped entries are accepted
+        ONLY because the marker proves a fast-forward of exactly this
+        (base, head] was in flight. Without the marker a ref-less entry
+        in the window is a FOREIGN unpublished commit (ADVICE r10: a
+        crashed main commit's orphan that a later branch commit's higher
+        version pulled into the window) — publishing it would leak a
+        never-audited commit to main, so it is garbage-collected if
+        aged past the conflict grace, and a conflict error if fresh.
+        The branch pointer itself is left at the head (now == main),
+        for the caller to keep using or delete."""
+        b = self._branchset.get(name)
+        cur = self.current()
+        cur_v = cur["version"] if cur else -1
+        if cur_v == b["head"]:
+            self._clear_ff_marker(name)
+            return dict(cur)  # already published: idempotent no-op
+        if cur_v != b["base"]:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: main is at {cur_v}, the "
+                f"branch forked at {b['base']} — histories diverged"
+            )
+        if b["head"] == b["base"]:
+            return dict(cur)  # nothing staged: no-op
+        marker = self._read_ff_marker(name)
+        recovering = (
+            marker is not None
+            and marker.get("base") == b["base"]
+            and marker.get("head") == b["head"]
+        )
+        entries = {e["version"]: e for e in self._log.entries()}
+        chain = []
+        for v in range(b["base"] + 1, b["head"] + 1):
+            e = entries.get(v)
+            if e is None:
+                if recovering:
+                    continue  # hole from a prior recovery's orphan GC
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: staged version {v} is "
+                    f"missing from the log of {self.root}"
+                )
+            ref = e.get("ref")
+            if ref == name:
+                chain.append(e)
+                continue
+            if ref is not None:
+                raise ValueError(
+                    f"cannot fast-forward {name!r}: version {v} belongs to "
+                    f"branch {e['ref']!r} — interleaved branches cannot "
+                    "fast-forward"
+                )
+            # ref-less entry inside the window
+            if recovering:
+                chain.append(e)  # stripped by the crashed prior run
+                continue
+            if self._log._entry_age(e) >= self._log.conflict_grace_s:
+                # aged foreign crash orphan swallowed by the window: GC
+                # the entry (its data is reclaimed by the layout's
+                # normal expiry) and fast-forward around the hole
+                self._log._retract(self._log._entry_path(v))
+                continue
+            raise CommitConflict(
+                f"cannot fast-forward {name!r}: version {v} was never "
+                f"staged on this branch — an unpublished concurrent or "
+                "crashed commit sits inside the branch window; retry "
+                "after it completes or ages out"
+            )
+        if not chain:
+            return dict(cur)  # everything staged was a GC'd orphan
+        # marker BEFORE the first strip: the only witness that ref-less
+        # window entries on a re-run are ours
+        os.makedirs(os.path.join(self.root, "_ff"), exist_ok=True)
+        mpath = self._ff_marker_path(name)
+        tmp = mpath + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"name": name, "base": b["base"], "head": b["head"],
+                 "ts": time.time()},
+                fh,
+            )
+        os.replace(tmp, mpath)
+        head_rec = None
+        for e in chain:
+            rec = {k: v for k, v in e.items() if k != "ref"}
+            if "ref" in e:
+                lpath = self._log._entry_path(rec["version"])
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+            head_rec = rec
+        # main must not have advanced while we stripped (CAS re-check)
+        cur2 = self.current()
+        if (cur2["version"] if cur2 else -1) != cur_v:
+            raise CommitConflict(
+                f"cannot fast-forward {name!r}: main advanced during the "
+                "publish — histories diverged"
+            )
+        tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, self._log.pointer_path)
+        self._clear_ff_marker(name)
+        self._after_fast_forward(head_rec)
+        return head_rec
+
+
+def _widen_struct(
+    prev: T.StructType | None, new: T.StructType
+) -> T.StructType:
+    """Union-widen two schemas — the manifest-schema evolution rule of
+    ``VersionedBucketMirror`` (r10): same-name numeric fields resolve to
+    the wider type (integral chain, float<double, int×float mix →
+    double), one-sided fields join as nullable (untouched bucket dirs
+    read NULL for them). Field order: previous schema first, new fields
+    appended — stable across commits. Field METADATA (the r12 column
+    identity: ``fid``/``added_v``) is carried from the PREVIOUS schema —
+    a merge may widen a column's type but never changes its identity."""
+    if prev is None:
+        return T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in new.fields
+            ]
+        )
+    int_rank = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+    flt_rank = {"float": 1, "double": 2}
+
+    def wide(a: T.DataType, b: T.DataType) -> T.DataType:
+        sa, sb = a.simpleString(), b.simpleString()
+        if sa == sb:
+            return a
+        if sa in int_rank and sb in int_rank:
+            return a if int_rank[sa] >= int_rank[sb] else b
+        if sa in flt_rank and sb in flt_rank:
+            return a if flt_rank[sa] >= flt_rank[sb] else b
+        if (sa in int_rank or sa in flt_rank) and (
+            sb in int_rank or sb in flt_rank
+        ):
+            return T.DoubleType()
+        return b  # non-numeric divergence: latest commit wins
+
+    new_by = {f.name: f for f in new.fields}
+    fields = []
+    for f in prev.fields:
+        nf = new_by.get(f.name)
+        dt = f.dataType if nf is None else wide(f.dataType, nf.dataType)
+        fields.append(T.StructField(f.name, dt, True, f.metadata))
+    seen = {f.name for f in prev.fields}
+    for f in new.fields:
+        if f.name not in seen:
+            fields.append(T.StructField(f.name, f.dataType, True, f.metadata))
+    return T.StructType(fields)
+
+
+_DIR_VERSION_RE = re.compile(r"v-(\d{8})")
+
+
+def _dir_version(d: str) -> int:
+    """The snapshot version a data dir was WRITTEN at, parsed from its
+    immutable name (``v-<n>-…`` on every layout, preserved by purge
+    rewrites and deep clones). The write version is what column-
+    generation masking compares against a re-added field's ``added_v``
+    threshold. Unparseable names sort as -1 (pre-versioned legacy dirs:
+    always "old", so a re-added column reads NULL from them — the safe
+    side)."""
+    m = _DIR_VERSION_RE.match(os.path.basename(d))
+    return int(m.group(1)) if m else -1
+
+
+def _read_logical(
+    spark: SparkSession,
+    dirs: Sequence[str],
+    schema_json: dict | None = None,
+    renames: dict | None = None,
+    shadowed: dict | None = None,
+) -> DataFrame | None:
+    """Read parquet dirs under a manifest-recorded LOGICAL schema — the
+    shared read path of both snapshot layouts (r12, VERDICT task 2/3):
+
+    - ``schema_json`` binds the read to the manifest schema (no footer
+      merge; narrower old files read through the parquet widening
+      promotions);
+    - ``renames`` ({new_name: [historical physical names…]}) folds
+      ``coalesce(new, old…)`` over a widened physical schema, so dirs
+      written before and after a metadata-only RENAME read uniformly;
+    - ``shadowed`` ({name: added_version}) is column-GENERATION masking —
+      the field-ID rule (Iceberg: a re-added column is a NEW field): a
+      column re-added after a DROP reads NULL from every dir written
+      BEFORE its re-add, even though those files still physically hold
+      the previous generation's bytes under the same name. Dirs are
+      grouped by their generation signature (one extra scan per distinct
+      signature — re-adds are rare, so almost always 1-2 groups) and
+      unioned; within a group the plan is identical to the unshadowed
+      fast path.
+
+    ``schema_json=None`` → legacy mergeSchema path, unchanged."""
+    if not dirs:
+        return None
+    if schema_json is None:
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    logical = T.StructType.fromJson(schema_json)
+    if not renames and not shadowed:
+        return spark.read.schema(logical).parquet(*dirs)
+    renames = renames or {}
+    types = {f.name: f.dataType for f in logical.fields}
+
+    def _one(group_dirs: list[str], masked: tuple[str, ...]) -> DataFrame:
+        phys = [f for f in logical.fields if f.name not in masked]
+        for new_name, olds in renames.items():
+            for o in olds:
+                phys.append(T.StructField(o, types[new_name], True))
+        df = spark.read.schema(T.StructType(phys)).parquet(*group_dirs)
+        for name in masked:
+            df = df.withColumn(name, F.lit(None).cast(types[name]))
+        for new_name, olds in renames.items():
+            df = df.withColumn(
+                new_name,
+                F.coalesce(F.col(new_name), *[F.col(o) for o in olds]),
+            )
+        return df.select(*[F.col(f.name) for f in logical.fields])
+
+    if not shadowed:
+        return _one(list(dirs), ())
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for d in dirs:
+        v = _dir_version(d)
+        masked = tuple(
+            sorted(n for n, av in shadowed.items() if n in types and v < av)
+        )
+        groups.setdefault(masked, []).append(d)
+    parts = [_one(g, m) for m, g in groups.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _alter_schema_meta(
+    cur: dict,
+    root: str,
+    drop: Sequence[str],
+    rename: dict[str, str],
+    add: dict[str, str],
+    widen: dict[str, str],
+    new_version: int,
+    protected_cols: frozenset = frozenset(),
+    protected_reason: str = "",
+    fold_cols: set | None = None,
+) -> dict:
+    """The layout-independent half of metadata-only ALTER TABLE (r12):
+    validate a rename/drop/add/widen spec against the current record's
+    logical schema and produce the new schema metadata. Shared by
+    ``VersionedBucketMirror.alter_schema`` and
+    ``ParquetStateTable.alter_schema`` — each layout assembles its own
+    record around the returned pieces and publishes with its CAS check.
+
+    Column identity is FIELD-ID based (r12, VERDICT task 3 — the Iceberg
+    rule the r11 name-tombstone workaround approximated): every field
+    carries ``fid`` metadata (allocated lazily at first DDL, preserved by
+    ``_widen_struct`` through every commit), rename is a pure label
+    change (same fid), and DROP FREES THE NAME IMMEDIATELY — re-adding a
+    dropped name allocates a NEW fid and records the name in the
+    record's ``shadowed`` map ({name: added_version}); ``_read_logical``
+    then masks the column to NULL for every dir written before the
+    re-add, so the previous generation's bytes (still physically present
+    in un-rewritten files under the same name) can never resurrect. A
+    materializing rewrite retires ``shadowed`` together with ``renames``
+    and ``dropped``.
+
+    Returns ``{"schema", "renames", "dropped", "shadowed", "next_fid",
+    "altered"}`` (mapping keys present but possibly empty — the caller
+    omits empties from its record).
+    """
+    fold_cols = fold_cols or set()
+    schema = T.StructType.fromJson(cur["schema"])
+    # lazy fid allocation: number un-identified fields in order, resume
+    # the counter from the record (or the max live fid for records
+    # written before field IDs existed)
+    next_fid = cur.get("next_fid")
+    if next_fid is None:
+        next_fid = (
+            max(
+                (f.metadata.get("fid", 0) for f in schema.fields),
+                default=0,
+            )
+            + 1
+        )
+    fields = []
+    for f in schema.fields:
+        if "fid" not in (f.metadata or {}):
+            md = dict(f.metadata or {})
+            md["fid"] = next_fid
+            next_fid += 1
+            f = T.StructField(f.name, f.dataType, True, md)
+        fields.append(f)
+    live = {f.name for f in fields}
+    renames_hist: dict[str, list] = {
+        k: list(v) for k, v in (cur.get("renames") or {}).items()
+    }
+    historical = {o for olds in renames_hist.values() for o in olds}
+    shadowed: dict[str, int] = dict(cur.get("shadowed") or {})
+    tombstones = list(cur.get("dropped") or [])
+    for old in list(rename) + list(drop):
+        if old not in live:
+            raise ValueError(f"no column {old!r} in {root}")
+        if old in protected_cols:
+            raise ValueError(
+                f"cannot alter column {old!r}: {protected_reason}"
+            )
+        if old in fold_cols:
+            raise ValueError(
+                f"column {old!r} is referenced by live merge-on-read "
+                "delta specs; run rewrite_data_files first"
+            )
+    for old, new in rename.items():
+        if old in shadowed:
+            # the rename fold (coalesce over historical physical names)
+            # cannot compose with generation masking — the old label's
+            # previous-generation bytes would win the coalesce
+            raise ValueError(
+                f"column {old!r} was re-added after a drop and its "
+                "previous generation's bytes are still unreclaimed; run "
+                "rewrite_data_files(materialize=True) before renaming it"
+            )
+        if new in (live - {old}) or new in historical or new in tombstones:
+            raise ValueError(
+                f"rename target {new!r} collides with a live, dropped-"
+                f"but-unreclaimed, or historical column name of {root}"
+            )
+    if set(drop) & set(rename):
+        raise ValueError("a column cannot be both dropped and renamed")
+    for name, type_str in add.items():
+        taken = (live - set(drop)) | set(rename.values()) | historical
+        if name in taken or name in drop:
+            raise ValueError(
+                f"add target {name!r} collides with a live or "
+                f"historical column name of {root}"
+            )
+        # parse via a one-field DDL struct — validates the type string
+        T.StructType.fromDDL(f"{name} {type_str}")
+    new_fields = []
+    dropped_hist: set[str] = set()
+    for f in fields:
+        if f.name in drop:
+            # dropping a previously-RENAMED column must retire its
+            # rename mapping (ADVICE r12: a live 'renames' entry for
+            # a name absent from the logical schema KeyErrors every
+            # read) and tombstone its historical physical names too —
+            # old files still hold bytes under those names
+            dropped_hist.update(renames_hist.pop(f.name, []))
+            shadowed.pop(f.name, None)  # dropped again: unmask
+            continue
+        if f.name in rename:
+            new = rename[f.name]
+            hist = renames_hist.pop(f.name, [])
+            renames_hist[new] = [f.name] + hist
+            # rename is a LABEL change: the fid rides along
+            new_fields.append(T.StructField(new, f.dataType, True, f.metadata))
+        else:
+            new_fields.append(f)
+    for name, type_str in add.items():
+        dt = T.StructType.fromDDL(f"{name} {type_str}").fields[0].dataType
+        md = {"fid": next_fid, "added_v": new_version}
+        next_fid += 1
+        if name in tombstones:
+            # re-add after drop: a NEW field under a freed name — the
+            # generation mask keeps the old bytes invisible until a
+            # materializing rewrite reclaims them (the tombstone stays
+            # as the bytes-linger marker driving that rewrite)
+            shadowed[name] = new_version
+        new_fields.append(T.StructField(name, dt, True, md))
+    if widen:
+        from tabular_cdc_bootstrapper_spark.operators.merge import (
+            _is_safe_widening,
+        )
+
+        types = {f.name: f for f in new_fields}
+        for name, type_str in widen.items():
+            if name in protected_cols:
+                raise ValueError(
+                    f"cannot widen column {name!r}: {protected_reason}"
+                )
+            f = types.get(name)
+            if f is None:
+                raise ValueError(f"no column {name!r} in {root}")
+            wide_dt = T.StructType.fromDDL(f"{name} {type_str}").fields[0]
+            if wide_dt.dataType != f.dataType and not _is_safe_widening(
+                wide_dt.dataType.simpleString(),
+                f.dataType.simpleString(),
+            ):
+                raise ValueError(
+                    f"widening {name!r} {f.dataType.simpleString()} → "
+                    f"{type_str} is not lossless"
+                )
+            new_fields[new_fields.index(f)] = T.StructField(
+                name, wide_dt.dataType, True, f.metadata
+            )
+    return {
+        "schema": T.StructType(new_fields).jsonValue(),
+        "renames": renames_hist,
+        "dropped": sorted(set(tombstones) | set(drop) | dropped_hist),
+        "shadowed": shadowed,
+        "next_fid": next_fid,
+        "altered": {
+            "drop": list(drop),
+            "rename": dict(rename),
+            "add": list(add),
+            "widen": dict(widen),
+        },
+    }

@@ -1,0 +1,1611 @@
+"""DML, maintenance, and lifecycle methods of ``VersionedBucketMirror``,
+as a mixin (``bucket_mirror.py`` composes it; ``streaming/pipeline.py``
+re-exports the composed class). Split from ``streaming/pipeline.py``
+(VERDICT r12 #3): the core file keeps the manifest/commit machinery,
+this one the operations that ride on it — clone, rollback,
+write-audit-publish, compaction, rebucket, ALTER, constraints,
+DELETE/UPDATE/INSERT/MERGE, purge, and snapshot expiry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.operators.cdc import (
+    apply_changelog,
+    latest_by_key,
+)
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+
+from tabular_cdc_bootstrapper_spark.streaming._protocol import (  # noqa: F401
+    CommitConflict,
+    ConstraintViolation,
+    SnapshotLog,
+    TagSet,
+    BranchSet,
+    BranchOps,
+    _DIR_VERSION_RE,
+    _PURGE_CATCHUP_ROUNDS,
+    _PURGE_LOCK_STALE_S,
+    _RESERVED_META_KEYS,
+    _RETRY_BACKOFF,
+    _UNSET,
+    _alter_schema_meta,
+    _check_meta,
+    _check_table_constraints,
+    _dir_version,
+    _purge_lock,
+    _read_logical,
+    _vanished_path,
+    _widen_struct,
+)
+
+
+class VersionedBucketMirrorOps:
+    """Operations half of ``VersionedBucketMirror`` (see module
+    docstring); every method binds to the core half's commit and
+    read machinery via ``self``."""
+
+    def clone_to(
+        self,
+        dst_root: str,
+        mode: str = "shallow",
+        version: int | None = None,
+    ) -> "VersionedBucketMirror":
+        """Delta-style CLONE of the bucketed mirror — same contract as
+        ``ParquetStateTable.clone_to`` (r10; closes the r9 latent-hazard
+        note that motivated the purge ownership guard): ``shallow``
+        copies only manifests (the clone's log references the SOURCE's
+        bucket dirs — zero-copy, O(KB)); ``deep`` copies every
+        referenced bucket dir. Clones evolve independently; their
+        destructive ops (purge/expiry/orphan GC) are ``_owns``-guarded,
+        so a shallow clone can drop its REFERENCES to source buckets
+        but never delete the source's bytes."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"unknown clone mode {mode!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot to clone")
+        head = cur["version"] if version is None else version
+        entries = [
+            e
+            for e in self._log.committed()
+            if e["version"] <= head and self._entry_readable(e)
+        ]
+        if not any(e["version"] == head for e in entries):
+            raise ValueError(f"no readable snapshot {head} in {self.root}")
+        # type(self): the composed class (bucket_mirror.py) — a module
+        # import here would be circular, and the clone should be the same
+        # concrete layout as its source in any case
+        dst = type(self)(
+            dst_root,
+            n_buckets=self.n_buckets,
+            key_col=self.key_col,
+            keep_versions=self.keep_versions,
+            merge_on_read=self.merge_on_read,
+            partition_spec=(
+                self.partition_spec
+                if self.partition_spec[0] != "bucket"
+                else None
+            ),
+        )
+        os.makedirs(dst._log.log_dir, exist_ok=True)
+        dir_copy: dict[str, str] = {}
+        head_rec: dict | None = None
+        for e in entries:
+            rec = dict(e)
+            if mode == "deep":
+
+                def _copy(b: str, d: str) -> str:
+                    if d not in dir_copy:
+                        nd = os.path.join(
+                            dst.data_dir,
+                            f"bucket={int(b)}",
+                            os.path.basename(d),
+                        )
+                        shutil.copytree(d, nd)
+                        dir_copy[d] = nd
+                    return dir_copy[d]
+
+                rec["buckets"] = {
+                    b: _copy(b, d) for b, d in e["buckets"].items()
+                }
+                if e.get("deltas"):  # merge-on-read delta dirs ride along
+                    rec["deltas"] = {
+                        b: [{**s, "dir": _copy(b, s["dir"])} for s in specs]
+                        for b, specs in e["deltas"].items()
+                    }
+            rec["cloned_from"] = self.root
+            lpath = os.path.join(
+                dst._log.log_dir, f"v-{rec['version']:08d}.json"
+            )
+            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, lpath)
+            if rec["version"] == head:
+                head_rec = rec
+        tmp = dst._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, dst._log.pointer_path)
+        return dst
+
+    def rollback(
+        self, to_version: int, spark: SparkSession | None = None
+    ) -> dict:
+        """Restore snapshot ``to_version`` as a NEW manifest sharing its
+        bucket dirs — append-only history, zero data movement.
+
+        On a CONSTRAINED table the restored data must be validated
+        (``spark=`` required): the constraint may postdate the target
+        snapshot, and publishing unvalidated old rows under it would
+        break the no-violating-row-visible invariant AND wedge later
+        DML (every rewrite re-validates carried rows). This is the one
+        other whole-table scan besides ``add_constraint`` — both are
+        user-initiated restores of trust."""
+        target = self._resolve(to_version)
+        head = self.current()
+        head_cons = (head or {}).get("constraints") or {}
+        if head_cons:
+            if spark is None:
+                raise ValueError(
+                    f"{self.root} carries CHECK constraints "
+                    f"({sorted(head_cons)}): pass spark= so the restored "
+                    "snapshot can be validated, or DROP them first"
+                )
+            df = self._read_entry(spark, target)
+            if df is not None:
+                _check_table_constraints(df, head_cons, self.root)
+        record = {
+            "version": self._log.next_version(),
+            "ts": time.time(),
+            "buckets": dict(target["buckets"]),
+            "rollback_of": to_version,
+        }
+        if "schema" in target:
+            record["schema"] = target["schema"]
+        if "stats" in target:
+            record["stats"] = target["stats"]
+        if "deltas" in target:  # merge-on-read chains restore too
+            record["deltas"] = target["deltas"]
+        if "n_buckets" in target:  # the restored snapshot's bucket spec
+            record["n_buckets"] = target["n_buckets"]
+        if "partition_spec" in target:  # and its transform spec (r13)
+            record["partition_spec"] = target["partition_spec"]
+        if "renames" in target:  # and its rename mapping
+            record["renames"] = target["renames"]
+        if "dropped" in target:
+            record["dropped"] = target["dropped"]
+        if "shadowed" in target:  # generation masks restore too
+            record["shadowed"] = target["shadowed"]
+        if "next_fid" in target:
+            record["next_fid"] = target["next_fid"]
+        if "stats_cols" in target:
+            record["stats_cols"] = target["stats_cols"]
+        # CHECK constraints are table PROPERTIES, not snapshot data
+        # (Iceberg rollback = pointer move, properties retained): they
+        # carry from the current head (validated above), not the target
+        if head_cons:
+            record["constraints"] = head_cons
+        for delay in (*_RETRY_BACKOFF, None):
+            try:
+                self._log.publish(record, protected=self._branch_covers)
+                break
+            except CommitConflict:
+                if delay is None:
+                    raise
+                time.sleep(delay)
+                record["version"] = self._log.next_version()
+                record["ts"] = time.time()
+        self._expire(record)
+        return record
+
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        rules: Sequence,
+        meta: dict | None = None,
+        key_col: str | None = None,
+        stale_staging_grace_s: float = 3600.0,
+        branch: str | None = None,
+    ) -> dict:
+        """Write-audit-publish on the bucketed 100 TB layout (VERDICT r10
+        task 1 — r9 gave this only to ``ParquetStateTable``): stage
+        ``df`` bucket-partitioned under an unpublished ``wap-*`` dir,
+        audit the staged BYTES read back from disk, and publish only if
+        every rule passes. A failing batch never becomes a manifest and
+        the mirror is untouched.
+
+        ``rules`` may mix constraint ``Rule``s with ``AnomalyRule``s
+        (baseline = the current committed snapshot — "row count within
+        x% of what's live"); anomaly rules on an empty mirror raise.
+        Publish installs each staged bucket dir under an immutable new
+        version name (one os.replace per touched bucket — metadata
+        moves, no data rewrite) and commits ONE manifest mapping exactly
+        the staged buckets: full-state semantics, the audited twin of
+        ``initialize``. Crash mid-install leaves dirs referenced by no
+        manifest — the next publish's ``_expire`` reclaims them, same
+        rule as every staged commit on this layout. Stale ``wap-*``
+        staging (older than ``stale_staging_grace_s``) is GC'd on entry;
+        fresh dirs survive so a concurrent writer's audit-in-flight is
+        never deleted (same contract as the snapshot-table WAP).
+        """
+        from tabular_cdc_bootstrapper_spark.functions.constraints import (
+            AnomalyRule,
+            check_anomalies,
+            check_constraints,
+        )
+
+        now = time.time()
+        for d in os.listdir(self.root):  # GC STALE crashed-audit leftovers
+            if not d.startswith("wap-"):
+                continue
+            p = os.path.join(self.root, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= stale_staging_grace_s:
+                shutil.rmtree(p, ignore_errors=True)
+        row_rules = [r for r in rules if not isinstance(r, AnomalyRule)]
+        anomaly_rules = [r for r in rules if isinstance(r, AnomalyRule)]
+        if branch is not None:
+            self._branchset.get(branch)  # raises on unknown branch
+        if anomaly_rules and branch is None and self.current() is None:
+            raise ValueError(
+                f"{self.root} has no committed snapshot to serve as the "
+                "anomaly-rule baseline; initialize first or gate with "
+                "constraint Rules only"
+            )
+        _check_meta(meta)
+        key = key_col or self.key_col
+        self._sync_spec()
+        wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
+        (
+            df.withColumn("bucket", self._partition_for(key))
+            .repartition("bucket")
+            .write.mode("errorifexists")
+            .partitionBy("bucket")
+            .parquet(wdir)
+        )
+        staged = spark.read.option("basePath", wdir).parquet(wdir).drop(
+            "bucket"
+        )
+        schema_json = _widen_struct(None, staged.schema).jsonValue()
+        static_report = []
+        if row_rules:
+            static_report.extend(
+                {
+                    "rule": r["rule"],
+                    "n_violations": r["n_violations"],
+                    "passed": r["passed"],
+                }
+                for r in check_constraints(staged, row_rules).collect()
+            )
+        # conflict loop (r11, VERDICT task 8) — same contract as the
+        # snapshot-table WAP: a concurrent commit between baseline read
+        # and publish re-runs the ANOMALY audit against the new head;
+        # row-rule verdicts are head-independent and computed once.
+        mapping: dict[str, str] | None = None
+        attempt = 0
+        while True:
+            basis = None if branch is not None else self.current()
+            basis_v = basis["version"] if basis else -1
+            report = list(static_report)
+            if anomaly_rules:
+                report.extend(
+                    {
+                        "rule": r["rule"],
+                        "baseline": r["baseline"],
+                        "observed": r["observed"],
+                        "passed": r["passed"],
+                    }
+                    for r in check_anomalies(
+                        self.read_branch(spark, branch)
+                        if branch is not None
+                        else self.read(spark),
+                        staged,
+                        anomaly_rules,
+                    ).collect()
+                )
+            if not all(r["passed"] for r in report):
+                if mapping is None:
+                    shutil.rmtree(wdir, ignore_errors=True)
+                else:  # re-audit failed: drop the already-installed dirs
+                    for d in mapping.values():
+                        shutil.rmtree(d, ignore_errors=True)
+                return {"published": False, "version": None, "report": report}
+            version = self._log.next_version()
+            if mapping is None:
+                mapping = {}
+                try:
+                    for d in os.listdir(wdir):
+                        if not d.startswith("bucket="):
+                            continue
+                        b = int(d.split("=", 1)[1])
+                        bdir = os.path.join(self.data_dir, f"bucket={b}")
+                        os.makedirs(bdir, exist_ok=True)
+                        dst = os.path.join(
+                            bdir, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+                        )
+                        os.replace(os.path.join(wdir, d), dst)
+                        mapping[str(b)] = dst
+                finally:
+                    shutil.rmtree(wdir, ignore_errors=True)
+                # rebind to the installed bytes so re-audits keep reading
+                staged = (
+                    spark.read.parquet(*mapping.values())
+                    if mapping
+                    else spark.createDataFrame([], staged.schema)
+                )
+            record = {
+                "version": version,
+                "ts": time.time(),
+                "buckets": mapping,
+                "n_buckets": self.n_buckets,
+                "audited": True,
+                "schema": schema_json,
+            }
+            if meta:
+                record.update(meta)
+            if branch is not None:
+                rec = self._publish_to_branch(record, branch)
+                return {"published": True, **rec, "report": report}
+            try:
+                self._log.publish(
+                    record,
+                    protected=self._branch_covers,
+                    expected_head=basis_v if anomaly_rules else None,
+                )
+                self._expire(record)
+                return {"published": True, **record, "report": report}
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                if any(not os.path.isdir(d) for d in mapping.values()):
+                    raise CommitConflict(
+                        f"WAP staging of {self.root} was reclaimed by a "
+                        "concurrent retention pass; re-run the WAP"
+                    ) from None
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        materialize: bool = False,
+        zorder_cols: Sequence[str] = (),
+        partial_progress: bool = False,
+    ) -> dict:
+        """Small-file compaction across the CURRENT manifest (VERDICT r10
+        task 4 — the Iceberg ``rewrite_data_files`` maintenance action,
+        manifest-aware where the plain-table compactor in
+        sources/sinks.py is not): every live bucket dir holding
+        ``min_files``+ files is rewritten into a coalesced replacement,
+        and ONE manifest commit re-points those buckets. History, tags
+        and time travel are untouched — superseded dirs stay owned by
+        the older manifests that reference them, and retention reclaims
+        them on its normal schedule; a crash mid-write leaves dirs no
+        manifest references (next publish's ``_expire`` GCs them).
+
+        One Spark job regardless of bucket count: the fragmented dirs
+        are read together and re-staged through the same bucket-
+        partitioned commit path as a merge (1 task → 1 file per bucket),
+        so data never moves twice and the bucket hash assignment is
+        reproduced bit-for-bit. Returns a receipt with before/after file
+        counts — the read-amplification recovery the probe measures.
+
+        ``partial_progress`` (r12, the Iceberg ``partial-progress``
+        compaction mode, found by ``scripts/probe_concurrent_stress.py``):
+        under sustained writer traffic a full-restage-on-conflict
+        compaction STARVES — every landing merge invalidates the whole
+        staged rewrite. With partial progress, buckets a concurrent
+        commit modified are dropped from the commit (their staged
+        rewrite is a stale copy of superseded bytes — losing it loses
+        nothing; they stay fragmented for the next pass) and the
+        untouched majority lands. Safe for pure rewrites only, which a
+        compaction is by construction; the receipt reports
+        ``buckets_dropped``. Schema-metadata retirement (renames/
+        dropped/shadowed/materialize) only completes when NO bucket is
+        dropped — a partial pass carries the metadata forward exactly
+        like any commit that leaves old dirs live."""
+        cur = self.current()
+
+        def _nfiles(d: str) -> int:
+            try:
+                return sum(
+                    1 for n in os.listdir(d) if n.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                return 0
+
+        if cur is None:
+            return {
+                "version": None,
+                "buckets_compacted": 0,
+                "files_before": 0,
+                "files_after": 0,
+            }
+        deltas = cur.get("deltas") or {}
+        # fragmented bases AND every delta'd bucket (r11: compaction is
+        # the merge-on-read FOLD point — base+deltas rewrite into one
+        # fresh base and the chain resets). A live RENAME mapping (or
+        # explicit ``materialize=True``, e.g. after a metadata-only
+        # column drop) pulls in EVERY bucket: the rewrite lands the
+        # logical column names physically, retiring the read-side
+        # coalesce fold and reclaiming dropped columns' bytes.
+        todo = {
+            b
+            for b, d in cur["buckets"].items()
+            if _nfiles(d) >= max(min_files, 2)
+        } | set(deltas)
+        if (
+            materialize
+            or zorder_cols
+            or cur.get("renames")
+            or cur.get("dropped")
+            or cur.get("shadowed")
+        ):
+            todo |= set(cur["buckets"])
+        if not todo:
+            return {
+                "version": None,
+                "buckets_compacted": 0,
+                "files_before": 0,
+                "files_after": 0,
+            }
+        files_before = sum(
+            _nfiles(cur["buckets"][b]) for b in todo if b in cur["buckets"]
+        ) + sum(
+            _nfiles(s["dir"]) for b in todo for s in deltas.get(b, [])
+        )
+        try:
+            frag = self._read_entry(
+                spark, cur, buckets=[int(b) for b in todo]
+            )
+            rec = self._commit_staged(
+                frag,
+                touched=[int(b) for b in todo],
+                meta={"operation": "rewrite_data_files"},
+                basis=cur,
+                zorder_cols=zorder_cols,
+                drop_conflicted=partial_progress,
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this compaction's basis dirs were "
+                    "purged concurrently — re-run against the new head"
+                ) from None
+            raise
+        # with partial progress, a conflicted bucket's dir is the
+        # concurrent winner's, not our coalesced rewrite — count only
+        # buckets this commit actually installed
+        compacted = rec.get("_installed", sorted(str(b) for b in todo))
+        files_after = sum(
+            _nfiles(rec["buckets"][b]) for b in todo if b in rec["buckets"]
+        )
+        return {
+            "version": rec["version"],
+            "buckets_compacted": len(compacted),
+            "buckets_dropped": len(todo) - len(compacted),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
+    def rebucket(self, spark: SparkSession, new_n: int) -> dict:
+        """Bucket-count (partition-spec) evolution (r11, VERDICT task 4
+        — the Iceberg spec-evolution analog, eager form): rewrite the
+        CURRENT state under a ``new_n``-bucket hash spec as ONE manifest
+        commit. History stays intact — old manifests keep their dirs and
+        their own recorded spec, time travel and tags read through —
+        and every subsequent merge/lookup prunes under the new spec
+        (the spec rides the manifest; ``_sync_spec`` rebinds handles).
+        Cost ∝ live data (one bucket-partitioned rewrite), independent
+        of history length — the probe scripts measure exactly that.
+        Merges prepared under the old spec conflict cleanly (their
+        basis buckets were all rewritten)."""
+        new_n = int(new_n)
+        if new_n < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n}")
+        self._sync_spec()
+        if self.partition_spec[0] != "bucket":
+            raise ValueError(
+                f"rebucket applies to hash-bucket specs; this table is "
+                f"partitioned by {self.partition_spec!r}"
+            )
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        if new_n == self.n_buckets:
+            return dict(cur)  # already on this spec: no-op
+        try:
+            full = self._read_entry(spark, cur)
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this rebucket's basis dirs were "
+                    "purged concurrently — re-run against the new head"
+                ) from None
+            raise
+        old_n = self.n_buckets
+        self.n_buckets = new_n
+        try:
+            # basis=cur: the full-state replace was DERIVED from cur, so
+            # a commit landing between the read and the publish must
+            # CommitConflict (ADVICE r12: touched=None used to rebase
+            # silently, overwriting the concurrent commit with pre-read
+            # state — a lost update). Callers re-run rebucket.
+            rec = self._commit_staged(
+                full, touched=None, meta={"operation": "rebucket"},
+                basis=cur,
+            )
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return rec
+
+    def alter_schema(
+        self,
+        drop: Sequence[str] = (),
+        rename: dict[str, str] | None = None,
+        add: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+    ) -> dict:
+        """Metadata-only ALTER TABLE (r11 — the Iceberg
+        rename/drop-column semantics without field IDs): ONE manifest
+        commit, zero data movement. ``rename={old: new}`` records the
+        historical physical name in the manifest's ``renames`` mapping;
+        reads fold ``coalesce(new, old…)`` over the widened physical
+        schema, so dirs written before and after the rename read
+        uniformly. ``drop`` removes columns from the logical schema —
+        the bytes remain in old files (unreadable through the table,
+        exactly Iceberg's drop) and are physically reclaimed by the
+        next ``rewrite_data_files``/full rewrite, which materializes
+        the logical schema and retires the rename mapping.
+
+        Constraints: requires a schema'd manifest (legacy tables must
+        full-rewrite first); the bucket key can be neither dropped nor
+        renamed (the hash spec binds to it); columns referenced by live
+        merge-on-read delta specs (ts/op/tiebreak fold params) must be
+        folded (``rewrite_data_files``) before altering; a new name may
+        not collide with any live logical or historical physical name.
+        Publishes with the CAS basis check — a concurrent commit raises
+        ``CommitConflict`` (re-run: the alter is cheap by design).
+
+        ``add={name: spark_type_string}`` appends NULLABLE columns (the
+        Iceberg v1 add-column): old files read NULL through the explicit
+        manifest schema, no data moves. Re-adding a DROPPED name works
+        immediately (r12 field IDs — ``_alter_schema_meta``): the new
+        column is a NEW field (fresh ``fid``) and the record's
+        ``shadowed`` map masks it to NULL for every dir written before
+        the re-add, so the previous generation's bytes (still physically
+        present in un-rewritten files) can never resurrect; the
+        ``dropped`` tombstones remain as the bytes-linger marker until a
+        materializing rewrite reclaims them.
+
+        ``widen={name: wider_type}`` is metadata-only ALTER COLUMN TYPE
+        (the Delta type-widening table feature): the manifest schema
+        records the wider type and old files read through the parquet
+        reader's widening promotions (int32→int64, float→double — the
+        r10 machinery) — no rewrite at all. Only lossless widenings
+        apply; the bucket key cannot widen (its HASH is type-sensitive
+        — ``rebucket`` to a new layout instead)."""
+        rename = dict(rename or {})
+        drop = list(drop)
+        add = dict(add or {})
+        widen = dict(widen or {})
+        if not rename and not drop and not add and not widen:
+            raise ValueError("alter_schema: nothing to do")
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        for cname, cexpr in (cur.get("constraints") or {}).items():
+            for col in list(drop) + list(rename):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr, re.I):
+                    # case-insensitive like Spark's column resolution —
+                    # a case-mismatched guard would let the rename
+                    # publish and wedge every later commit on an
+                    # unresolved constraint column (review r12)
+                    raise ValueError(
+                        f"column {col!r} is referenced by CHECK "
+                        f"constraint {cname!r} ({cexpr}) — DROP the "
+                        "constraint before altering the column"
+                    )
+        if "schema" not in cur:
+            raise ValueError(
+                f"{self.root} has a pre-schema manifest; run a full "
+                "rewrite (e.g. a widening merge or re-initialize) before "
+                "metadata-only schema changes"
+            )
+        fold_cols: set[str] = set()
+        for specs in (cur.get("deltas") or {}).values():
+            for sp in specs:
+                fold_cols.add(sp["key"])
+                fold_cols.add(sp["op"])
+                fold_cols.update(sp["ts"])
+                fold_cols.update(sp.get("tiebreak") or ())
+        new_version = self._log.next_version()
+        meta = _alter_schema_meta(
+            cur,
+            self.root,
+            drop,
+            rename,
+            add,
+            widen,
+            new_version,
+            protected_cols=frozenset({self.key_col}),
+            protected_reason=(
+                "it is the bucket key (the hash spec binds to it); "
+                "rebucket to a new layout instead"
+            ),
+            fold_cols=fold_cols,
+        )
+        # per-bucket stats follow their columns
+        stats = None
+        if "stats" in cur:
+            stats = {}
+            for b, cols in cur["stats"].items():
+                out = {}
+                for c, bounds in cols.items():
+                    if c in drop:
+                        continue
+                    out[rename.get(c, c)] = bounds
+                stats[b] = out
+        record = {
+            "version": new_version,
+            "ts": time.time(),
+            "buckets": dict(cur["buckets"]),
+            "schema": meta["schema"],
+            "next_fid": meta["next_fid"],
+            "operation": "alter_schema",
+            "altered": meta["altered"],
+        }
+        if meta["dropped"]:
+            record["dropped"] = meta["dropped"]
+        if meta["renames"]:
+            record["renames"] = meta["renames"]
+        if meta["shadowed"]:
+            record["shadowed"] = meta["shadowed"]
+        if "deltas" in cur:
+            record["deltas"] = cur["deltas"]
+        if "n_buckets" in cur:
+            record["n_buckets"] = cur["n_buckets"]
+        if stats is not None:
+            record["stats"] = stats
+        # stats_cols follow their columns like the bounds do (r12)
+        recorded_cols = cur.get("stats_cols") or self.stats_cols
+        if recorded_cols:
+            record["stats_cols"] = [
+                rename.get(c, c) for c in recorded_cols if c not in drop
+            ]
+        if cur.get("constraints"):
+            # table properties carry (constrained columns can't be
+            # dropped/renamed — guarded above)
+            record["constraints"] = cur["constraints"]
+        self._log.publish(
+            record,
+            protected=self._branch_covers,
+            # token CAS (r12): the record SHARES cur's bucket dirs — an
+            # in-place purge landing in between would delete them
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        self._expire(record)
+        return record
+
+    def constraints(self) -> dict:
+        """The table's CHECK constraints (name → SQL expression)."""
+        cur = self.current()
+        return dict((cur or {}).get("constraints") or {})
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> dict:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (r12 — the
+        Delta model): existing data must already satisfy the expression
+        (ONE validating scan, exactly Delta's add-time check), then the
+        constraint rides the manifest as a table property and EVERY
+        Spark-side write path validates its staged slice before the
+        publish — cost ∝ the commit's own bytes, never the table.
+        Pure-metadata publish sharing the current dirs (token CAS,
+        like ``alter_schema``). SQL CHECK semantics: NULL passes."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]}) — "
+                "DROP it first"
+            )
+        df = self._read_entry(spark, cur)
+        if df is not None:
+            _check_table_constraints(df, {name: expr}, self.root)
+        cons[name] = expr
+        return self._publish_properties(cur, constraints=cons)
+
+    def drop_constraint(self, name: str) -> dict:
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {self.root} "
+                f"(have: {sorted(cons)})"
+            )
+        cons.pop(name)
+        return self._publish_properties(cur, constraints=cons)
+
+    def _publish_properties(self, cur: dict, **props) -> dict:
+        """Metadata-only commit updating table properties: the record
+        SHARES every data dir of ``cur`` (zero movement), carries all
+        other metadata forward, and publishes under the purge-aware
+        token CAS."""
+        record = {
+            "version": self._log.next_version(),
+            "ts": time.time(),
+            "buckets": dict(cur["buckets"]),
+            "operation": "set_properties",
+        }
+        for k in (
+            "schema",
+            "next_fid",
+            "deltas",
+            "n_buckets",
+            "stats",
+            "stats_cols",
+            "renames",
+            "dropped",
+            "shadowed",
+            "constraints",
+        ):
+            if k in cur:
+                record[k] = cur[k]
+        for k, v in props.items():
+            if v:
+                record[k] = v
+            else:
+                record.pop(k, None)
+        self._log.publish(
+            record,
+            protected=self._branch_covers,
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        self._expire(record)
+        return record
+
+    def _constraints_for(self, basis=_UNSET, branch: str | None = None) -> dict:
+        e = (
+            (
+                self._branch_head_entry(branch)
+                if branch is not None
+                else self.current()
+            )
+            if basis is _UNSET
+            else basis
+        )
+        return dict((e or {}).get("constraints") or {})
+
+    def _dml_matched_buckets(
+        self,
+        spark: SparkSession,
+        cur: dict,
+        hit,
+        prune: tuple | None,
+    ) -> tuple[list[int], int]:
+        """Shared DML planning scan: candidate buckets (manifest-stats
+        pruned when a ``(col, lower, upper)`` hint is given), then ONE
+        bounded aggregate (≤ n_buckets rows) over the candidates —
+        column-pruned by Catalyst to the key + predicate columns — that
+        finds the buckets actually holding matches and the total match
+        count. At 100 TB this scan is the cheap phase (narrow read,
+        pushed filter); the rewrite phase that follows touches ONLY the
+        matched buckets."""
+        if prune is not None:
+            col, lo, hi = prune
+            cand = [int(b) for b in self._pruned_buckets(col, lo, hi)[0]]
+        else:
+            cand = sorted(
+                int(b)
+                for b in set(cur["buckets"]) | set(cur.get("deltas") or {})
+            )
+        if not cand:
+            return [], 0
+        df = self._read_entry(spark, cur, buckets=cand)
+        if df is None:
+            return [], 0
+        rows = (
+            df.filter(hit)
+            .groupBy(self._row_partition().alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        matched = sorted(int(r["b"]) for r in rows)
+        return matched, int(sum(r["n"] for r in rows))
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        prune: tuple | None = None,
+    ) -> dict:
+        """Row-level ``DELETE FROM t WHERE condition`` (the Iceberg
+        copy-on-write DELETE; the reference's tables take DML through
+        the same Iceberg surface, `/root/reference/batch-bootstrapper/tabular.py:8`'s
+        format). ``condition`` is a SQL expression string or a Column;
+        rows where it is NULL are KEPT (SQL DELETE semantics: only
+        TRUE deletes). Two phases: a narrow planning scan finds the
+        buckets that actually hold matches (optionally manifest-stats
+        pruned via ``prune=(col, lower, upper)``), then ONLY those
+        buckets are rewritten copy-on-write — every other bucket's dirs
+        carry forward untouched in the new manifest, and the CAS basis
+        makes a concurrent overlapping commit surface as
+        :class:`CommitConflict`, never a lost update.
+
+        Merge-on-read tables take the same copy-on-write path
+        deliberately: the delta fold orders by the CDC ts columns, and
+        a predicate delete has no ts that deterministically beats the
+        live row's — key-granular MoR deletes are ``merge_batch``
+        tombstones (the keys-only delete tier) or ``purge_keys``.
+        A rewrite folds the matched buckets' delta chains as a side
+        effect (staged full state supersedes them)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        matched, n_hit = self._dml_matched_buckets(spark, cur, hit, prune)
+        if not matched:
+            rec = dict(cur)
+            rec["matched_buckets"] = []
+            rec["rows_deleted"] = 0
+            return rec
+        try:
+            live = self._read_entry(spark, cur, buckets=matched).filter(~hit)
+            rec = self._commit_staged(
+                live,
+                touched=matched,
+                basis=cur,
+                meta={"operation": "delete_where"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this delete's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["matched_buckets"] = matched
+        rec["rows_deleted"] = n_hit
+        return rec
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition,
+        assignments: dict,
+        prune: tuple | None = None,
+    ) -> dict:
+        """Row-level ``UPDATE t SET col = expr, ... WHERE condition``
+        (the Iceberg copy-on-write UPDATE). ``assignments`` maps column
+        name → SQL expression string or Column; every right-hand side
+        reads PRE-update values (simultaneous-assignment SQL semantics
+        — the rewrite is one ``select`` over the original frame, so
+        ``SET a = b, b = a`` swaps). Each assigned value is cast to the
+        column's existing manifest type (Iceberg's assignable-type
+        rule); the key column cannot be assigned (the bucket hash binds
+        to it — model a key change as DELETE + INSERT). Rows where the
+        condition is NULL are left unchanged. Same two-phase plan and
+        CAS contract as :meth:`delete_where`: only buckets holding
+        matches are rewritten, everything else carries forward."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        if self.key_col in assignments:
+            raise ValueError(
+                f"cannot assign key column {self.key_col!r} — the bucket "
+                "hash binds to it; model a key change as DELETE + INSERT"
+            )
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"mirror {self.root} has no snapshot yet")
+        if "schema" in cur:
+            # validate assignment targets BEFORE any scan (review r12):
+            # a typo'd column with a zero-match predicate must raise,
+            # not silently report rows_updated=0
+            known = {f["name"] for f in cur["schema"]["fields"]}
+            missing = [c for c in assignments if c not in known]
+            if missing:
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {missing} "
+                    f"(table columns: {sorted(known)})"
+                )
+        matched, n_hit = self._dml_matched_buckets(spark, cur, hit, prune)
+        if not matched:
+            rec = dict(cur)
+            rec["matched_buckets"] = []
+            rec["rows_updated"] = 0
+            return rec
+        try:
+            df = self._read_entry(spark, cur, buckets=matched)
+            missing = [c for c in assignments if c not in df.columns]
+            if missing:  # legacy schema-free manifests validate here
+                raise ValueError(
+                    f"update_where assigns unknown column(s) {missing} "
+                    f"(table columns: {df.columns})"
+                )
+            types = {f.name: f.dataType for f in df.schema.fields}
+            projected = []
+            for c in df.columns:
+                if c in assignments:
+                    v = assignments[c]
+                    rhs = F.expr(v) if isinstance(v, str) else v
+                    projected.append(
+                        F.when(hit, rhs.cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    projected.append(F.col(c))
+            rec = self._commit_staged(
+                df.select(*projected),
+                touched=matched,
+                basis=cur,
+                meta={"operation": "update_where"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this update's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["matched_buckets"] = matched
+        rec["rows_updated"] = n_hit
+        return rec
+
+    def insert_rows(self, spark: SparkSession, rows: DataFrame) -> dict:
+        """``INSERT INTO`` append (r13) — copy-on-write: only the buckets
+        the new keys hash into are rewritten; every other bucket's dirs
+        carry forward untouched in the new manifest. ``rows`` must
+        already be aligned to the table's schema (the SQL front-end does
+        the column-list / NULL-fill / cast work).
+
+        Inserting a key that already EXISTS is refused: the CDC mirror
+        is keyed on ``key_col`` — a duplicate key would make every later
+        merge/fold pick winners arbitrarily. Model an upsert as MERGE
+        (or a changelog event through ``merge_batch``). The existence
+        probe reads ONLY the touched buckets, key column only — at
+        100 TB it is |touched|/n_buckets of the table, column-pruned.
+        Under a TRANSFORM spec a key's partition is not derivable from
+        the key, so the probe scans every partition's key column (still
+        column-pruned; the hash spec keeps the bucket-local probe).
+
+        CHECK constraints and the CAS basis ride ``_commit_staged``'s
+        existing gates; merge-on-read tables take the same copy-on-write
+        path as predicate DML (the rewrite folds the touched buckets'
+        delta chains as a side effect)."""
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            raise ValueError(
+                f"mirror {self.root} has no snapshot yet — "
+                "create it with initialize()"
+            )
+        key = self.key_col
+        if key not in rows.columns:
+            raise ValueError(
+                f"insert_rows requires the key column {key!r} "
+                f"(got columns: {rows.columns})"
+            )
+        touched = sorted(
+            r["b"]
+            for r in rows.select(self._partition_for(key).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            rec = dict(cur)
+            rec["touched_buckets"] = []
+            rec["rows_inserted"] = 0
+            return rec
+        probe_buckets = touched
+        if self.partition_spec[0] != "bucket":
+            probe_buckets = sorted(
+                int(b)
+                for b in set(cur.get("buckets") or {})
+                | set(cur.get("deltas") or {})
+            )
+        existing = self._read_entry(spark, cur, buckets=probe_buckets)
+        dup = (
+            existing.select(key)
+            .join(rows.select(key), on=key, how="inner")
+            .limit(5)
+            .collect()
+            if existing is not None
+            else []
+        )
+        if dup:
+            raise ValueError(
+                f"INSERT INTO {self.root}: key(s) already exist "
+                f"(first few: {[r[key] for r in dup]}) — the mirror is "
+                f"keyed on {key!r}; use MERGE to upsert"
+            )
+        # the staged rewrite carries ONLY the touched partitions' rows
+        # (the probe may have read more under a transform spec)
+        base = (
+            existing
+            if probe_buckets == touched
+            else self._read_entry(spark, cur, buckets=touched)
+        )
+        staged = (
+            base.unionByName(rows, allowMissingColumns=True)
+            if base is not None
+            else rows
+        )
+        try:
+            rec = self._commit_staged(
+                staged,
+                touched=touched,
+                basis=cur,
+                meta={"operation": "insert_into"},
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this insert's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["touched_buckets"] = touched
+        rec["rows_inserted"] = rows.count()
+        return rec
+
+    def merge_batch(
+        self,
+        batch_df: DataFrame,
+        target: CdcTarget,
+        tiebreak_cols: Sequence[str] = (),
+        branch: str | None = None,
+    ) -> dict:
+        """Apply one changelog micro-batch; stage + remap only touched
+        buckets, carry every other bucket's dir forward unchanged.
+        ``branch``: merge against (and advance) a writable branch's head
+        instead of main — the stage-risky-batch-then-fast-forward flow,
+        with the same touched-bucket cost."""
+        spark = batch_df.sparkSession
+        key = target.key_column
+        self._sync_spec()  # bind to the current manifest's bucket spec
+        # one bounded aggregate (≤ n_buckets rows) finds the touched
+        # buckets AND the batch's delete/upsert composition — the same
+        # shuffle the old distinct() paid, now also steering the
+        # merge-on-read delete-tier split (r12) with zero extra jobs
+        is_del = F.coalesce(
+            F.col(target.op_column) == F.lit(target.delete_op),
+            F.lit(False),
+        )
+        brows = (
+            batch_df.select(
+                self._partition_for(key).alias("b"), is_del.alias("d")
+            )
+            .groupBy("b")
+            .agg(F.max("d").alias("has_d"), F.min("d").alias("all_d"))
+            .collect()
+        )
+        touched = sorted(r["b"] for r in brows)
+        if not touched:
+            return {"touched_buckets": []}
+        has_deletes = any(r["has_d"] for r in brows)
+        has_upserts = any(not r["all_d"] for r in brows)
+        # resolve the basis manifest ONCE: both the merge's input reads
+        # and the commit's CAS check bind to it (r11 — a commit landing
+        # between read and publish surfaces as CommitConflict / a
+        # validated disjoint-bucket rebase, never a silent lost update)
+        base = (
+            self._branch_head_entry(branch)
+            if branch is not None
+            else self.current()
+        )
+        ts_cols = (
+            [target.ts_column]
+            if isinstance(target.ts_column, str)
+            else list(target.ts_column)
+        )
+        if self.merge_on_read:
+            # MoR write path: no base read at all — the commit appends
+            # the batch's latest-per-key slice (tombstones retained) as
+            # one delta dir per touched bucket; cost ∝ |batch|
+            delta = latest_by_key(
+                batch_df,
+                key_cols=key,
+                ts_cols=ts_cols,
+                tiebreak_cols=tiebreak_cols,
+            )
+            rec = self._commit_delta(
+                delta,
+                touched=touched,
+                fold={
+                    "key": key,
+                    "ts": ts_cols,
+                    "op": target.op_column,
+                    "delete_op": target.delete_op,
+                    "tiebreak": list(tiebreak_cols),
+                },
+                basis=base,
+                branch=branch,
+                # the keys-only delete tier strips payload columns, and a
+                # TRANSFORM spec derives the partition id from one — so
+                # under a transform, deletes stay in the full-payload
+                # upsert slice (same semantics, a little more write amp)
+                split_deletes=has_deletes
+                and self.partition_spec[0] == "bucket",
+                has_upserts=has_upserts,
+            )
+            rec["touched_buckets"] = touched
+            return rec
+        try:
+            current = (
+                self._read_entry(spark, base, buckets=touched)
+                if base is not None
+                else None
+            )
+            new_state = apply_changelog(
+                batch_df,
+                key_cols=key,
+                ts_cols=target.ts_column,
+                op_col=target.op_column,
+                delete_op=target.delete_op,
+                mirror=current,
+                tiebreak_cols=tiebreak_cols,
+                drop_envelope=(),
+            )
+            rec = self._commit_staged(
+                new_state, touched=touched, key_col=key, branch=branch,
+                basis=base,
+            )
+        except CommitConflict:
+            raise
+        except Exception as exc:
+            if _vanished_path(exc):  # reader-vs-purge race (r12)
+                raise CommitConflict(
+                    f"{self.root}: this merge's basis dirs were purged "
+                    "concurrently — re-run against the new head"
+                ) from None
+            raise
+        rec["touched_buckets"] = touched
+        return rec
+
+    def commit_merged(
+        self,
+        df: DataFrame,
+        touched: Sequence[int],
+        key_col: str | None = None,
+        meta: dict | None = None,
+        branch: str | None = None,
+        expected_version: int | None = None,
+    ) -> dict:
+        """Commit an externally-merged state slice for ``touched`` buckets
+        as one manifest (the hook ``operators/merge.py merge_into_table``
+        uses: a general MERGE = one time-travelable commit, cost ∝
+        touched buckets). ``meta`` rides the manifest record — same
+        provenance contract as ``ParquetStateTable.commit`` (ADVICE r9:
+        a merge commit must be distinguishable from a CDC commit in
+        ``history()`` on every layout that has one).
+
+        ``expected_version``: the manifest version ``df`` was derived
+        from (r11 optimistic concurrency) — the commit then validates
+        against it: if the table advanced but the concurrent commits
+        left this merge's buckets untouched, the commit rebases and
+        lands; if they touched the same buckets, CommitConflict."""
+        basis = _UNSET
+        if expected_version is not None:
+            basis = None
+            if expected_version >= 0:
+                for e in self._log.entries():
+                    if e["version"] == expected_version:
+                        basis = e
+                        break
+                if basis is None:
+                    raise ValueError(
+                        f"no snapshot {expected_version} in {self.root}"
+                    )
+        rec = self._commit_staged(
+            df, touched=list(touched), key_col=key_col, meta=meta,
+            branch=branch, basis=basis,
+        )
+        rec["touched_buckets"] = sorted(int(b) for b in touched)
+        return rec
+
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str | None = None,
+    ) -> dict:
+        """See ``_purge_keys_locked``; the purge lock serializes runs —
+        two unsynchronized purges rewrite manifests in place and
+        last-write-win each other's deletions (r12)."""
+        with _purge_lock(self.root):
+            return self._purge_keys_locked(spark, keys_df, key_col)
+
+    def _purge_keys_locked(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str | None = None,
+    ) -> dict:
+        """GDPR-style hard delete across the mirror's retained history —
+        the bucketed composition of ``ParquetStateTable.purge_keys``, and
+        the 100 TB shape: the purge keys hash to a bucket set, so only
+        TOUCHED bucket dirs are ever read or rewritten (cost ∝ touched
+        buckets × retained manifests, deduped — dirs shared across
+        manifests are rewritten once); the untouched majority of the
+        mirror is never scanned.
+
+        Protocol mirrors the state-table purge: per distinct touched dir
+        holding any purge key, one broadcast anti-join rewrite installed
+        under a new immutable version name (a bucket emptied by the
+        purge drops out of its manifests, matching the merge path's
+        fully-deleted-bucket rule); HISTORY manifests AND the
+        CURRENT pointer re-pointed in place (versions/ts/meta preserved,
+        ``purged_ts`` stamped — the stamp rides in every CAS publish's
+        head token, r12, so concurrent merges basing on the pre-purge
+        head conflict-and-rebase instead of resurrecting the PII dirs);
+        old dirs deleted last, after the pointer rewrite. A head that
+        moves mid-purge is CHASED with delta-sized catch-up rounds
+        (bounded; gives up caller-visibly). Crash mid-way leaves every
+        snapshot readable and a re-run converges (dirs already purged
+        are skipped by the semi-join probe).
+        """
+        key = key_col or self.key_col
+        self._sync_spec()
+        cur = self.current()
+        if cur is None:
+            return {"manifests_rewritten": 0, "bucket_dirs_rewritten": 0}
+        probe = keys_df.select(F.col(key).alias("__p_0")).distinct()
+        if self.partition_spec[0] == "bucket":
+            touched = {
+                str(r["b"])
+                for r in keys_df.select(self._partition_for(key).alias("b"))
+                .distinct()
+                .collect()
+            }
+        else:
+            # transform spec: the partition id is a function of the
+            # SOURCE column, which a keys-only purge frame does not
+            # carry — every partition is a candidate (the per-dir
+            # semi-join probe below still skips untouched dirs cheaply)
+            cur0 = self.current() or {}
+            touched = set(cur0.get("buckets") or {}) | set(
+                cur0.get("deltas") or {}
+            )
+        def _entries() -> list[dict]:
+            es = self._log.committed()
+            # staged branch manifests hold the same PII above the main
+            # pointer
+            windows = self._branchset.windows()
+            seen_v = {e["version"] for e in es}
+            return es + [
+                e
+                for e in self._log.entries()
+                if e["version"] not in seen_v
+                and any(lo < e["version"] <= hi for lo, hi in windows)
+            ]
+
+        dir_map: dict[str, str | None] = {}
+
+        clean_dirs: set[str] = set()
+
+        def _purge_dir(b: str, d: str, version: int, kind: str) -> None:
+            if d in dir_map or d in clean_dirs or not os.path.isdir(d):
+                return
+            dst = os.path.join(
+                self.data_dir,
+                f"bucket={int(b)}",
+                f"v-{version:08d}-{kind}purge-{uuid.uuid4().hex[:8]}",
+            )
+            try:
+                df = spark.read.parquet(d)
+                match = df[key].eqNullSafe(probe["__p_0"])
+                # a dir holding NO purge keys stays untouched (r12): a
+                # re-run is a true no-op, and this purge's own outputs
+                # are never re-purged into dst chains whose tails the
+                # final cleanup would have to chase
+                if df.join(
+                    F.broadcast(probe), match, "left_semi"
+                ).isEmpty():
+                    clean_dirs.add(d)
+                    return
+                clean = df.join(F.broadcast(probe), match, "left_anti")
+                if clean.isEmpty():  # dir emptied by the purge
+                    dir_map[d] = None
+                    return
+                clean.coalesce(1).write.mode("errorifexists").parquet(dst)
+            except Exception:
+                # the isdir check above is TOCTOU: a concurrent commit's
+                # retention pass may delete ``d`` mid-scan once no
+                # retained manifest references it (r12, found by
+                # probe_concurrent_stress.py) — then there is nothing
+                # left to purge in it and skipping is correct. Any other
+                # failure propagates.
+                if os.path.isdir(d):
+                    raise
+                shutil.rmtree(dst, ignore_errors=True)
+                return
+            dir_map[d] = dst
+
+        now = time.time()
+
+        def _rewrite(e: dict):
+            buckets = e["buckets"]
+            out_b = {
+                b: (dir_map[d] if d in dir_map else d)
+                for b, d in buckets.items()
+            }
+            out_b = {b: d for b, d in out_b.items() if d is not None}
+            old_d = e.get("deltas") or {}
+            out_d: dict[str, list] = {}
+            for b, specs in old_d.items():
+                ns = []
+                for s in specs:
+                    nd = dir_map.get(s["dir"], s["dir"])
+                    if nd is None:
+                        continue  # delta emptied by the purge
+                    ns.append({**s, "dir": nd} if nd != s["dir"] else s)
+                if ns:
+                    out_d[b] = ns
+            if out_b == buckets and out_d == old_d:
+                return None
+            return out_b, out_d
+
+        def _ckpt_purge(e: dict) -> dict | None:
+            # checkpointed manifests rewrite inside the checkpoint (r11)
+            new_bd2 = _rewrite(e)
+            if new_bd2 is None:
+                return None
+            rec2 = dict(e)
+            rec2["buckets"], d2 = new_bd2
+            rec2.pop("deltas", None)
+            if d2:
+                rec2["deltas"] = d2
+            rec2["purged_ts"] = now
+            return rec2
+
+        # convergent catch-up (r12, found by probe_concurrent_stress.py):
+        # under sustained writer traffic a purge whose scan takes longer
+        # than the inter-commit gap ALWAYS sees the head move, so the
+        # r11 raise-on-any-movement CAS starved it. Instead, CHASE the
+        # head: each round scans only the dirs new commits added (the
+        # dir_map dedupes everything already purged — delta-sized work),
+        # rewrites the manifests that still reference un-purged dirs,
+        # and re-checks the pointer; the work per round shrinks toward
+        # the pointer swap. Gives up (CommitConflict) only if the head
+        # outruns it for every round — the caller re-runs.
+        manifests_rewritten = 0
+        catchup_rounds = 0
+        for _round in range(_PURGE_CATCHUP_ROUNDS):
+            catchup_rounds += 1
+            entries = _entries()
+            for e in entries:
+                for b, d in e["buckets"].items():
+                    if b in touched:
+                        _purge_dir(b, d, e["version"], "")
+                # merge-on-read delta dirs hold the same PII (upserts
+                # AND key-bearing tombstones) — purge them identically
+                for b, specs in (e.get("deltas") or {}).items():
+                    if b not in touched:
+                        continue
+                    for s in specs:
+                        _purge_dir(b, s["dir"], e["version"], "delta-")
+            for e in entries:
+                new_bd = _rewrite(e)
+                if new_bd is None:
+                    continue
+                rec = dict(e)
+                rec["buckets"], deltas = new_bd
+                rec.pop("deltas", None)
+                if deltas:
+                    rec["deltas"] = deltas
+                rec["purged_ts"] = now
+                lpath = os.path.join(
+                    self._log.log_dir, f"v-{e['version']:08d}.json"
+                )
+                if os.path.exists(lpath):
+                    tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as fh:
+                        json.dump(rec, fh)
+                    os.replace(tmp, lpath)
+                manifests_rewritten += 1
+            self._log.rewrite_checkpoint(_ckpt_purge)
+            # head update: the pointer record is rewritten IN PLACE at
+            # the same version — versions/branches/tags/FF all survive a
+            # purge — but with ``purged_ts`` stamped, which every CAS
+            # publish now carries in its head token (r12, found by the
+            # threaded race test): a concurrent merge basing on the
+            # pre-purge head conflicts on the token and rebases onto the
+            # purged manifest instead of carrying (resurrecting) the PII
+            # dirs this purge is about to delete.
+            live = self.current()
+            if (live["version"] if live else -1) != cur["version"]:
+                cur = live  # the head moved: chase it
+                continue
+            new_bd = _rewrite(cur)
+            if new_bd is not None:
+                rec = dict(cur)
+                rec["buckets"], deltas = new_bd
+                rec.pop("deltas", None)
+                if deltas:
+                    rec["deltas"] = deltas
+                rec["purged_ts"] = now
+                tmp = self._log.pointer_path + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, self._log.pointer_path)
+            break
+        else:
+            raise CommitConflict(
+                f"{self.root} kept advancing through "
+                f"{_PURGE_CATCHUP_ROUNDS} purge catch-up rounds — "
+                "re-run the purge"
+            )
+        # old dirs hold the PII: delete AFTER the pointer rewrite — any
+        # commit still based on the pre-purge head now conflicts on the
+        # purged_ts token and rebases onto the purged manifest, so
+        # nothing can re-reference them
+        for old in dir_map:
+            if self._owns(old):
+                shutil.rmtree(old, ignore_errors=True)
+        return {
+            "manifests_rewritten": manifests_rewritten,
+            "bucket_dirs_rewritten": len(dir_map),
+            "catchup_rounds": catchup_rounds,
+            "touched_buckets": sorted(int(b) for b in touched),
+        }
+
+    def expire_snapshots(
+        self,
+        older_than_ts: float | None = None,
+        keep_last: int | None = None,
+    ) -> dict:
+        """Explicit snapshot expiry on the bucketed layout — same contract
+        as ``ParquetStateTable.expire_snapshots``: drop the bucket-version
+        dirs referenced ONLY by manifests older than ``older_than_ts``
+        and/or beyond the newest ``keep_last``; dir sharing means an
+        untouched bucket's dir survives for as long as ANY retained
+        manifest points at it (so expiring old history reclaims exactly
+        the bucket versions that were since rewritten — the Iceberg
+        expire_snapshots accounting). Manifest log entries stay
+        (``history()`` marks them unreadable)."""
+        cur = self.current()
+        if cur is None:
+            return {"expired_versions": [], "dirs_removed": 0}
+        committed = self._log.committed()
+        keep_versions = {cur["version"]} | self._tagged_versions()
+        windows = self._branchset.windows()
+        keep_versions.update(b["base"] for b in self._branchset.branches())
+        if keep_last is not None:
+            keep_versions.update(
+                e["version"] for e in committed[-max(keep_last, 1):]
+            )
+        expired = []
+        for e in committed:
+            if e["version"] in keep_versions:
+                continue
+            if older_than_ts is not None and e["ts"] >= older_than_ts:
+                continue
+            if older_than_ts is None and keep_last is None:
+                continue
+            expired.append(e)
+        expired_versions = {e["version"] for e in expired}
+        kept_dirs: set[str] = set()
+        for e in committed:
+            if e["version"] not in expired_versions:
+                kept_dirs.update(self._entry_dirs(e))
+        for e in self._log.entries():
+            if any(lo <= e["version"] <= hi for lo, hi in windows):
+                kept_dirs.update(self._entry_dirs(e))
+        doomed: set[str] = set()
+        for e in expired:
+            doomed.update(
+                d
+                for d in self._entry_dirs(e)
+                if d not in kept_dirs and self._owns(d)
+            )
+        removed = 0
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {
+            "expired_versions": sorted(expired_versions),
+            "dirs_removed": removed,
+        }
+
+    def _expire(self, just_published: dict) -> None:
+        """GC bucket-version dirs no retained manifest references. Kept:
+        everything referenced by the newest ``keep_versions`` committed
+        manifests (dir sharing means a rollback target or an untouched
+        bucket stays alive as long as any retained manifest points at it)
+        plus the record just published. Staged dirs of crashed commits are
+        referenced by nothing and die here."""
+        keep = max(self.keep_versions, 1)
+        referenced = set(self._entry_dirs(just_published))
+        for e in self._log.committed()[-keep:]:
+            referenced.update(self._entry_dirs(e))
+        tagged = self._tagged_versions()
+        windows = self._branchset.windows()  # [base, head] incl. fork point
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        logged: set[str] = set()
+        for e in self._log.entries():
+            logged.update(self._entry_dirs(e))
+            # above-pointer manifests are in-flight or crashed commits:
+            # their dirs are reclaimed only after the ENTRY dies (orphan
+            # GC), never by retention racing an in-flight publish (r11)
+            if (
+                e["version"] > cur_version
+                or e["version"] in tagged
+                or any(lo <= e["version"] <= hi for lo, hi in windows)
+            ):
+                referenced.update(self._entry_dirs(e))
+        now = time.time()
+        for bdir in os.listdir(self.data_dir):
+            if not bdir.startswith("bucket="):
+                continue
+            bpath = os.path.join(self.data_dir, bdir)
+            for vdir in os.listdir(bpath):
+                full = os.path.join(bpath, vdir)
+                if not vdir.startswith("v-") or full in referenced:
+                    continue
+                if full not in logged:
+                    # referenced by NO manifest: aged = crash staging
+                    # (reclaim), fresh = a concurrent writer's installed
+                    # dirs between install and publish (spare — r11).
+                    # An in-flight PURGE's rewritten dirs stay
+                    # unreferenced for its whole scan phase (r12, found
+                    # by the threaded race test): they get the purge
+                    # lock's staleness as their grace — a crashed
+                    # purge's leftovers still GC, just on that clock.
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except OSError:
+                        continue
+                    grace = (
+                        _PURGE_LOCK_STALE_S
+                        if "-purge-" in vdir
+                        else self._log.conflict_grace_s
+                    )
+                    if age < grace:
+                        continue
+                shutil.rmtree(full, ignore_errors=True)

@@ -183,6 +183,7 @@ class _WindowPartition(InputPartition):
         keys: list[str],
         drop_cols: list[str],
         schema_json: dict,
+        preimage: bool = False,
     ) -> None:
         self.old_dirs = old_dirs
         self.old_specs = old_specs
@@ -191,6 +192,7 @@ class _WindowPartition(InputPartition):
         self.keys = keys
         self.drop_cols = drop_cols
         self.schema_json = schema_json
+        self.preimage = preimage
 
 
 def _read_dirs_pandas(dirs: Sequence[str], columns: list[str]):
@@ -250,9 +252,19 @@ def _fold_state_pandas(dirs: list[str], specs: list[dict], columns: list[str]):
     return latest
 
 
-def _diff_pandas(old, new, keys: list[str], payload: list[str]):
+def _diff_pandas(
+    old, new, keys: list[str], payload: list[str], preimage: bool = False
+):
     """``table_diff`` in pandas: presence-based I/D, null-safe payload
-    inequality for U (deletes carry NULL payload)."""
+    inequality for U (deletes carry NULL payload).
+
+    ``preimage=True`` (r13) emits the RETRACTION form instead — the
+    Iceberg UPDATE_BEFORE/UPDATE_AFTER (Flink changelog) shape: every
+    update becomes a D row carrying the OLD payload plus an I row with
+    the new one, and deletes carry their old payload instead of NULLs.
+    This makes the feed a pure signed stream: any additive consumer
+    (the sink's ``mode=additive`` maintained aggregate) can retract a
+    row's old contribution without ever reading the table."""
     import numpy as np
     import pandas as pd
 
@@ -261,7 +273,6 @@ def _diff_pandas(old, new, keys: list[str], payload: list[str]):
     j = o.merge(
         n, on=keys, how="outer", suffixes=("__o", "__n"), indicator=True
     )
-    rows = {k: j[k] for k in keys}
     in_old = j["_merge"].isin(("left_only", "both"))
     in_new = j["_merge"].isin(("right_only", "both"))
     if payload:
@@ -272,6 +283,19 @@ def _diff_pandas(old, new, keys: list[str], payload: list[str]):
             changed |= neq.to_numpy()
     else:
         changed = np.zeros(len(j), dtype=bool)
+    if preimage:
+        retract = (in_old & ~in_new) | (in_old & changed)
+        assert_ = (in_new & ~in_old) | (in_new & changed)
+        d = pd.DataFrame({k: j.loc[retract, k] for k in keys})
+        for c in payload:
+            d[c] = j.loc[retract, f"{c}__o"]
+        d["op"] = "D"
+        i = pd.DataFrame({k: j.loc[assert_, k] for k in keys})
+        for c in payload:
+            i[c] = j.loc[assert_, f"{c}__n"]
+        i["op"] = "I"
+        return pd.concat([d, i], ignore_index=True)
+    rows = {k: j[k] for k in keys}
     op = np.where(
         ~in_old, "I", np.where(~in_new, "D", np.where(changed, "U", ""))
     )
@@ -298,6 +322,12 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         ]
         sv = _opt(options, "startingVersion")
         self._starting = int(sv) if sv is not None else None
+        # r13: emit updates as retraction pairs (D old payload + I new
+        # payload) and deletes with their old payload — the signed
+        # changelog an additive maintained aggregate consumes
+        self._preimage = str(
+            _opt(options, "emitPreimage", "false")
+        ).lower() in ("1", "true")
         self._schema = schema
 
     # -- offsets ----------------------------------------------------------
@@ -330,6 +360,14 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             raise ValueError(f"no snapshot {to_v} in {self._root}")
         e_old = by_v.get(from_v)
         e_new = by_v[to_v]
+        for e in (e_old, e_new):
+            for specs in ((e or {}).get("deltas") or {}).values():
+                if any(sp.get("mode") == "additive" for sp in specs):
+                    raise ValueError(
+                        f"{self._root} is an additive maintained view "
+                        "(sum-fold deltas) — its change feed is not "
+                        "latest-per-key diffable; read the view directly"
+                    )
         for v in range(from_v + 1, to_v + 1):
             e = by_v.get(v)
             if e is not None and e.get("operation") == "alter_schema":
@@ -372,6 +410,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                         self._keys,
                         drop,
                         schema_json,
+                        self._preimage,
                     )
                 )
             return parts
@@ -385,6 +424,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 self._keys,
                 drop,
                 schema_json,
+                self._preimage,
             )
         ]
 
@@ -405,7 +445,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         keep = [c for c in cols if c not in partition.drop_cols]
         keys = partition.keys
         payload = [c for c in keep if c not in keys]
-        diff = _diff_pandas(old[keep], new[keep], keys, payload)
+        diff = _diff_pandas(
+            old[keep], new[keep], keys, payload,
+            preimage=getattr(partition, "preimage", False),
+        )
         out_fields = [
             f
             for f in T.StructType.fromJson(partition.schema_json).fields
@@ -498,17 +541,58 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, schema: T.StructType, options: dict) -> None:
         self._root = _opt(options, "path")
-        self._key = _opt(options, "keyCol") or _opt(options, "keyCols")
-        if self._key is None or "," in self._key:
+        # r13: ``mode=additive`` turns the sink into a MAINTAINED
+        # AGGREGATE — each task partial-aggregates its slice into signed
+        # per-group contributions (op=I adds, op=D retracts; feed it a
+        # ``table_changes`` stream with emitPreimage=true), the commit
+        # appends them as sum-fold deltas, and reads fold by summing.
+        # A maintained view is then ONE readStream→writeStream statement.
+        self._mode = str(_opt(options, "mode", "latest")).lower()
+        if self._mode not in ("latest", "additive"):
             raise ValueError(
-                "state_table sink needs .option('keyCol', <single key "
-                "column>) — the mirror buckets by ONE key"
+                f"state_table sink: unknown mode {self._mode!r} — "
+                "'latest' (keyed fold) or 'additive' (maintained agg)"
             )
-        self._ts = [
-            c.strip()
-            for c in (_opt(options, "tsCols") or _opt(options, "tsCol", "ts")).split(",")
-            if c.strip()
-        ]
+        self._group: list[str] = []
+        self._sums: dict[str, str] = {}
+        self._count_col = _opt(options, "countCol", "n_rows")
+        if self._mode == "additive":
+            self._group = [
+                c.strip()
+                for c in (_opt(options, "groupCols") or "").split(",")
+                if c.strip()
+            ]
+            if not self._group:
+                raise ValueError(
+                    "state_table sink (additive): .option('groupCols', "
+                    "'g1[,g2...]') is required"
+                )
+            for pair in (_opt(options, "sumCols") or "").split(","):
+                pair = pair.strip()
+                if not pair:
+                    continue
+                if "=" in pair:
+                    out, src = (p.strip() for p in pair.split("=", 1))
+                else:
+                    out, src = f"sum_{pair}", pair
+                self._sums[out] = src
+            self._key = self._group[0]  # partition by the first group col
+        else:
+            self._key = _opt(options, "keyCol") or _opt(options, "keyCols")
+            if self._key is None or "," in self._key:
+                raise ValueError(
+                    "state_table sink needs .option('keyCol', <single key "
+                    "column>) — the mirror buckets by ONE key"
+                )
+        self._ts = (
+            []
+            if self._mode == "additive"
+            else [
+                c.strip()
+                for c in (_opt(options, "tsCols") or _opt(options, "tsCol", "ts")).split(",")
+                if c.strip()
+            ]
+        )
         self._op = _opt(options, "opCol", "op")
         self._delete_op = _opt(options, "deleteOp", "D")
         self._tiebreak = [
@@ -522,7 +606,10 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
             if c.strip()
         ]
         self._sink_id = _opt(options, "sinkId", "default")
-        for c in (self._key, *self._ts, self._op):
+        required = (self._key, *self._ts, self._op)
+        if self._mode == "additive":
+            required = (*self._group, *self._sums.values(), self._op)
+        for c in required:
             if c not in schema.fieldNames():
                 raise ValueError(
                     f"state_table sink: column {c!r} missing from the "
@@ -563,8 +650,111 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
                 "bucket spec (pre-r11 table) — rewrite_data_files first"
             )
         _refuse_ddl_metadata(cur, self._root)
+        # CHECK constraints (r13, VERDICT r12 #6 — enforce instead of
+        # refuse): bind the table's constraint set on the driver; each
+        # executor task validates its staged slice with DuckDB (the
+        # exprs are ANSI-SQL comparisons/boolean logic — the engine this
+        # repo already treats as the semantics oracle). Probe-parse each
+        # expr HERE so a Spark-only expression fails at sink creation,
+        # loudly, not mid-stream on an executor.
+        self._constraints = dict(cur.get("constraints") or {})
+        if self._mode == "additive":
+            if self._constraints:
+                raise ValueError(
+                    "state_table sink (additive): the view table carries "
+                    "CHECK constraints — row-level constraints are not "
+                    "defined over partial aggregates; DROP them from the "
+                    "view table"
+                )
+            # the staged deltas are partial aggregates: groups (typed as
+            # in the stream) + BIGINT count + per-sum columns (BIGINT
+            # for integer sources, DOUBLE otherwise)
+            int_types = ("long", "integer", "short", "byte")
+            self._sum_int = {
+                out: schema[src].dataType.typeName() in int_types
+                for out, src in self._sums.items()
+            }
+            fields = [schema[g] for g in self._group]
+            fields.append(T.StructField(self._count_col, T.LongType()))
+            for out in self._sums:
+                fields.append(
+                    T.StructField(
+                        out,
+                        T.LongType() if self._sum_int[out] else T.DoubleType(),
+                    )
+                )
+            self._view_schema = T.StructType(fields)
+        if self._constraints:
+            import duckdb as _duckdb
+
+            probe = _duckdb.connect()
+            # parse-probe each expr against the stream schema as an
+            # empty typed relation (NULL-cast columns): a failure here
+            # is a non-portable expression, refused at sink creation
+            duck_types = {
+                "long": "BIGINT", "integer": "INTEGER", "short": "SMALLINT",
+                "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+                "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+                "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+                "binary": "BLOB",
+            }
+            cols = ", ".join(
+                "CAST(NULL AS {}) AS \"{}\"".format(
+                    duck_types.get(f.dataType.typeName(), "VARCHAR"), f.name
+                )
+                for f in schema.fields
+            )
+            for name, expr in sorted(self._constraints.items()):
+                try:
+                    probe.execute(
+                        f"SELECT COUNT(*) FROM (SELECT {cols}) _t "
+                        f"WHERE NOT COALESCE(({expr}), TRUE)"
+                    )
+                except Exception as exc:
+                    raise ValueError(
+                        f"state_table sink: CHECK constraint {name!r} "
+                        f"({expr}) is not expressible in the sink's "
+                        f"executor-side evaluator: {exc} — ingest "
+                        "through merge_batch (foreachBatch) instead"
+                    ) from None
+            probe.close()
 
     # -- executor side ------------------------------------------------------
+    def _partial_agg(self, table):
+        """Fold this task's arrow slice into signed per-group partial
+        aggregates (additive mode): op=I rows contribute +1/+value,
+        op=``deleteOp`` rows −1/−value — exactly the retraction stream
+        ``table_changes ... emitPreimage=true`` emits. One DuckDB
+        aggregate per task; group cardinality bounds the output."""
+        import duckdb
+        import pyarrow as pa
+
+        con = duckdb.connect()
+        con.register("_staged", table)
+        sign = (
+            f'CASE WHEN "{self._op}" = \'{self._delete_op}\' '
+            "THEN -1 ELSE 1 END"
+        )
+        gcols = ", ".join(f'"{g}"' for g in self._group)
+        aggs = [f"CAST(SUM({sign}) AS BIGINT) AS \"{self._count_col}\""]
+        for out, src in self._sums.items():
+            cast = "BIGINT" if self._sum_int[out] else "DOUBLE"
+            aggs.append(
+                f'CAST(SUM(({sign}) * "{src}") AS {cast}) AS "{out}"'
+            )
+        out = con.execute(
+            f"SELECT {gcols}, {', '.join(aggs)} FROM _staged "
+            f"GROUP BY {gcols}"
+        ).fetch_arrow_table()
+        con.close()
+        # align arrow types to the view schema (duckdb may widen)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        want = to_arrow_schema(self._view_schema)
+        return out.select(want.names).cast(
+            pa.schema([want.field(n) for n in want.names])
+        )
+
     def write(self, iterator) -> _SinkBatchMessage:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -580,11 +770,43 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
         table = pa.Table.from_batches(batches)
         if table.num_rows == 0:
             return _SinkBatchMessage({}, 0, {})
+        if self._mode == "additive":
+            table = self._partial_agg(table)
+            if table.num_rows == 0:
+                return _SinkBatchMessage({}, 0, {})
         keys = table.column(self._key).to_pandas()
         if keys.isna().any():
             raise ValueError(
                 f"state_table sink: NULL in key column {self._key!r}"
             )
+        if self._constraints:
+            # CHECK enforcement (r13): one DuckDB aggregate per task
+            # over THIS task's arrow slice, tombstones excluded (a
+            # delete event legitimately carries NULL payload — same
+            # frame the Spark-side delta commit validates). A violation
+            # fails the task → the query → nothing is ever staged into
+            # a commit.
+            import duckdb
+
+            con = duckdb.connect()
+            con.register("_staged", table)
+            live_guard = (
+                f'NOT COALESCE(("{self._op}" = \'{self._delete_op}\'), '
+                "FALSE)"
+            )
+            for name in sorted(self._constraints):
+                expr = self._constraints[name]
+                n_bad = con.execute(
+                    f"SELECT COUNT(*) FROM _staged WHERE {live_guard} "
+                    f"AND NOT COALESCE(({expr}), TRUE)"
+                ).fetchone()[0]
+                if n_bad:
+                    raise ValueError(
+                        f"{self._root}: CHECK constraint {name!r} "
+                        f"({expr}) violated by {n_bad} row(s) in this "
+                        "micro-batch — sink commit refused"
+                    )
+            con.close()
         buckets = spark_buckets(keys, self._n_buckets, self._key_type)
         staging = os.path.join(self._root, "_sink", "staging")
         os.makedirs(staging, exist_ok=True)
@@ -670,6 +892,13 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
         # names union-widen back into the manifest beside their renamed
         # selves — refuse, exactly like the source side does per window
         _refuse_ddl_metadata(cur, self._root)
+        if dict(cur.get("constraints") or {}) != self._constraints:
+            raise ValueError(
+                f"state_table sink: {self._root}'s CHECK constraints "
+                "changed mid-stream — this writer validated its batches "
+                "against the old set; restart the streaming query to "
+                "rebind"
+            )
         staged: dict[int, list[str]] = {}
         stats: dict[str, dict] = {}
         rows = 0
@@ -690,23 +919,53 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
                         ]
                     else:
                         merged[c] = [mn, mx]
+        if self._mode == "additive":
+            # durable replay fence (r13): an additive delta is NOT
+            # idempotent under re-application (it double-counts), so the
+            # nonce fence file is not enough across a checkpoint
+            # restart. The manifest itself records each sink commit's
+            # (sink_id, batch id); if the newest such commit already
+            # covers this id, the replayed batch is dropped. NOTE: this
+            # means a RESET checkpoint (ids restart at 0) must use a
+            # fresh sinkId — document contract of additive sinks.
+            for e in reversed(_load_log(self._root).entries()):
+                if (
+                    e.get("operation") == "sink_commit"
+                    and e.get("sink_id") == self._sink_id
+                ):
+                    if int(e.get("sink_batch_id", -1)) >= batchId:
+                        self._cleanup(messages)
+                        return
+                    break
+            fold = {
+                "mode": "additive",
+                "group": list(self._group),
+                "count": self._count_col,
+                "sums": list(self._sums),
+            }
+            schema = self._view_schema
+        else:
+            fold = {
+                "key": self._key,
+                "ts": list(self._ts),
+                "op": self._op,
+                "delete_op": self._delete_op,
+                "tiebreak": list(self._tiebreak),
+            }
+            schema = self._schema
         m = VersionedBucketMirror(
             self._root, key_col=self._key, merge_on_read=True
         )
         if staged:
             m.commit_prestaged_delta(
                 staged,
-                fold={
-                    "key": self._key,
-                    "ts": list(self._ts),
-                    "op": self._op,
-                    "delete_op": self._delete_op,
-                    "tiebreak": list(self._tiebreak),
-                },
-                schema=self._schema,
+                constraints_checked=self._constraints,
+                fold=fold,
+                schema=schema,
                 staged_stats=stats,
                 meta={
                     "operation": "sink_commit",
+                    "sink_id": self._sink_id,
                     "sink_batch_id": int(batchId),
                     "sink_rows": int(rows),
                 },

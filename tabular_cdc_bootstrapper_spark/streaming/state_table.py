@@ -1,0 +1,1269 @@
+"""ParquetStateTable: the snapshot-swap table layout, plus the CDC merge
+helper that targets it. Split from ``streaming/pipeline.py`` (VERDICT r12
+#3); ``streaming/pipeline.py`` re-exports every name.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.operators.cdc import (
+    apply_changelog,
+    latest_by_key,
+)
+from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
+from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+
+from tabular_cdc_bootstrapper_spark.streaming._protocol import (  # noqa: F401
+    CommitConflict,
+    ConstraintViolation,
+    SnapshotLog,
+    TagSet,
+    BranchSet,
+    BranchOps,
+    _DIR_VERSION_RE,
+    _PURGE_CATCHUP_ROUNDS,
+    _PURGE_LOCK_STALE_S,
+    _RESERVED_META_KEYS,
+    _RETRY_BACKOFF,
+    _UNSET,
+    _alter_schema_meta,
+    _check_meta,
+    _check_table_constraints,
+    _dir_version,
+    _purge_lock,
+    _read_logical,
+    _vanished_path,
+    _widen_struct,
+)
+
+
+class ParquetStateTable(BranchOps):
+    """Versioned parquet table with an atomic CURRENT pointer.
+
+    Layout: ``root/v-<n>-<uuid>/*.parquet`` + ``root/_CURRENT`` (JSON:
+    {"version": n, "dir": ..., "ts": ...}). Commits write a new version dir
+    then atomically rename the pointer — readers resolve the pointer first,
+    so replace is atomic and crash-safe; stale versions are pruned after
+    commit (best-effort, like snapshot expiry).
+
+    Time travel: each commit also appends an immutable snapshot entry under
+    ``root/_log/v-<n>.json`` BEFORE the pointer swap — the table's
+    append-only snapshot history, the same metadata-log idea as an Iceberg
+    snapshot list (the reference's tables are Iceberg, tabular.py:8,92;
+    this reproduces VERSION AS OF / TIMESTAMP AS OF / rollback semantics
+    without the format, since the runtime jar is not available offline).
+    ``history()`` lists committed snapshots; ``read_version`` /
+    ``read_as_of`` resolve reads against the log; ``rollback(n)`` commits a
+    NEW snapshot whose data dir is version n's — history is never
+    rewritten. Retention: ``keep_versions`` snapshots stay readable; a data
+    dir is deleted only when no retained snapshot references it, so a
+    rollback target stays readable while in retention. Expired snapshots
+    remain in the log (``readable: false``) — metadata is tiny, data is
+    not. Crash between log append and pointer swap leaves an orphan log
+    entry above the pointer; version allocation takes
+    max(pointer, log) + 1, so the orphan is superseded and never surfaces
+    in ``history()``. Tables written before the log existed keep working:
+    pointer reads are unchanged and the log starts at their next commit.
+    """
+
+    def __init__(self, root: str, keep_versions: int = 2) -> None:
+        self.root = root
+        self.keep_versions = keep_versions
+        self._log = SnapshotLog(root)
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return self._log.pointer_path
+
+    @property
+    def _log_dir(self) -> str:
+        return self._log.log_dir
+
+    def current(self) -> dict | None:
+        return self._log.current()
+
+    def _log_entries(self) -> list[dict]:
+        return self._log.entries()
+
+    def history(self) -> list[dict]:
+        """Committed snapshots, oldest first — version/dir/ts/meta plus
+        ``readable`` (data dir still within retention) and ``is_current``.
+        Log entries above the CURRENT pointer are crash orphans (the commit
+        never published) and are excluded."""
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        out = []
+        for e in self._log.committed():
+            e = dict(e)
+            e["readable"] = os.path.isdir(e["dir"])
+            e["is_current"] = e["version"] == cur_version
+            out.append(e)
+        return out
+
+    def _next_version(self) -> int:
+        return self._log.next_version()
+
+    def _owns(self, d: str) -> bool:
+        """True iff ``d`` lives under this table's root. A SHALLOW clone's
+        log references the SOURCE table's data dirs; every destructive
+        path (orphan GC, purge, expiry) must refuse to delete storage it
+        does not own — the clone may drop its reference, never the
+        source's bytes."""
+        root = os.path.realpath(self.root)
+        return os.path.realpath(d).startswith(root + os.sep)
+
+    def clone_to(
+        self,
+        dst_root: str,
+        mode: str = "shallow",
+        version: int | None = None,
+    ) -> "ParquetStateTable":
+        """Delta-style CLONE: create an independent table at ``dst_root``
+        whose history is this table's committed history up to ``version``
+        (default: current head). ``shallow`` copies only metadata — the
+        clone's log references the source's data dirs (zero-copy dev/test
+        branch; O(KB) regardless of table size); ``deep`` copies every
+        referenced dir. Either way the clone evolves independently: its
+        commits write under its own root, and its destructive operations
+        (purge/expiry/orphan GC) are ownership-guarded so they can drop
+        the clone's REFERENCES to source data but never the source's
+        bytes — a purge on a shallow clone rewrites into the clone's root
+        and leaves the source intact (purging the source itself is the
+        source's ``purge_keys``). Expired source snapshots are skipped
+        (their data is gone); expiry on a shallow clone reclaims only
+        clone-owned dirs."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"unknown clone mode {mode!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot to clone")
+        head = cur["version"] if version is None else version
+        entries = [
+            e
+            for e in self._log.committed()
+            if e["version"] <= head and os.path.isdir(e["dir"])
+        ]
+        if not any(e["version"] == head for e in entries):
+            raise ValueError(f"no readable snapshot {head} in {self.root}")
+        dst = ParquetStateTable(dst_root, keep_versions=self.keep_versions)
+        os.makedirs(dst._log_dir, exist_ok=True)
+        dir_copy: dict[str, str] = {}
+        head_rec: dict | None = None
+        for e in entries:
+            rec = dict(e)
+            if mode == "deep":
+                if e["dir"] not in dir_copy:
+                    nd = os.path.join(dst_root, os.path.basename(e["dir"]))
+                    shutil.copytree(e["dir"], nd)
+                    dir_copy[e["dir"]] = nd
+                rec["dir"] = dir_copy[e["dir"]]
+            rec["cloned_from"] = self.root
+            lpath = os.path.join(
+                dst._log_dir, f"v-{rec['version']:08d}.json"
+            )
+            tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, lpath)
+            if rec["version"] == head:
+                head_rec = rec
+        tmp = dst._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(head_rec, fh)
+        os.replace(tmp, dst._pointer)
+        return dst
+
+    def _publish(
+        self, record: dict, keep: str, expected_head: int | None = None
+    ) -> dict:
+        # Orphan GC must not touch dirs referenced by COMMITTED history
+        # (ADVICE r8): a rollback's log entry shares its dir with the older
+        # committed snapshot it re-points at, so a crash between its log
+        # append and pointer swap leaves an orphan whose dir still belongs
+        # to a retained committed snapshot — guarding only on the record
+        # being published would rmtree committed data. Snapshot the set
+        # before publish, while the pointer is still the pre-commit one.
+        committed_dirs = {e["dir"] for e in self._log.committed()}
+
+        def gc_orphan(e: dict) -> None:
+            if (
+                e["dir"] != record["dir"]
+                and e["dir"] not in committed_dirs
+                and self._owns(e["dir"])
+            ):
+                shutil.rmtree(e["dir"], ignore_errors=True)
+
+        # staged branch commits also live above the main pointer — they
+        # are deliberate, not crash orphans; spare them from the GC
+        self._log.publish(
+            record,
+            on_orphan=gc_orphan,
+            protected=self._branch_covers,
+            expected_head=expected_head,
+        )
+        self._expire(keep=keep)
+        return record
+
+    def _publish_retry(self, record: dict, on_retry=None) -> dict:
+        """Publish a BLIND (full-state) commit with conflict retry: on a
+        lost race, re-allocate the next version — renaming the data dir
+        to match, so pre-log name-ordered retention stays version-ordered
+        — and try again against the new head (a full-state replace does
+        not depend on what it replaces, so rebasing is just renumbering).
+        The backoff outlasts ``conflict_grace_s``, so a commit blocked by
+        a crash orphan self-heals once the orphan ages out.
+
+        ``on_retry(record, head)`` (r12): head-dependent reconciliation
+        hook — called before EVERY attempt with the head that attempt
+        will publish against, and the publish then CASes on that exact
+        head, so a property changing concurrently (e.g. a constraint
+        added mid-commit) can never be silently dropped: the CAS fails,
+        the next attempt reconciles against the newer head."""
+        rename_dir = "rollback_of" not in record  # rollback shares an
+        # older committed snapshot's dir — never rename that
+
+        def _attempt():
+            head = self.current()
+            expected = None
+            if on_retry is not None:
+                on_retry(record, head)
+                if head is not None:
+                    expected = (
+                        head["version"],
+                        head.get("purged_ts") or 0,
+                    )
+            return self._publish(
+                record, keep=record["dir"], expected_head=expected
+            )
+
+        for delay in _RETRY_BACKOFF:
+            try:
+                return _attempt()
+            except CommitConflict:
+                time.sleep(delay)
+                new_version = self._next_version()
+                if new_version != record["version"]:
+                    if rename_dir:
+                        new_dir = os.path.join(
+                            self.root,
+                            f"v-{new_version:08d}-{uuid.uuid4().hex[:8]}",
+                        )
+                        os.replace(record["dir"], new_dir)
+                        record["dir"] = new_dir
+                    record["version"] = new_version
+                record["ts"] = time.time()
+        return _attempt()  # last try raises
+
+    def exists(self) -> bool:
+        return self.current() is not None
+
+    def _read_rec(self, spark: SparkSession, e: dict) -> DataFrame:
+        """Read one snapshot record's dir under ITS schema metadata:
+        records written by ``alter_schema`` carry a logical schema plus
+        rename folds / generation masks (shared ``_read_logical`` path,
+        r12); every other record reads the dir raw, exactly as before —
+        a plain ``commit`` is a full-state replace whose dir already
+        holds the logical column names, so DDL metadata retires with
+        it."""
+        if e.get("schema") is None:
+            return spark.read.parquet(e["dir"])
+        return _read_logical(
+            spark, [e["dir"]], e["schema"], e.get("renames"),
+            e.get("shadowed"),
+        )
+
+    def read(self, spark: SparkSession, schema: T.StructType | None = None) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return None
+        return self._read_rec(spark, cur)
+
+    def alter_schema(
+        self,
+        drop: Sequence[str] = (),
+        rename: dict[str, str] | None = None,
+        add: dict[str, str] | None = None,
+        widen: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
+    ) -> dict:
+        """Metadata-only ALTER TABLE on the plain snapshot layout (r12,
+        VERDICT task 2 — DDL symmetry with ``VersionedBucketMirror``):
+        ONE log commit SHARING the current version's data dir, zero data
+        movement. Semantics are ``_alter_schema_meta``'s — field-ID
+        column identity, rename as label change (read-side coalesce
+        fold), drop frees the name immediately, re-add-after-drop masks
+        the previous generation's bytes via the dir-version threshold.
+        The next full-state ``commit`` naturally materializes the
+        logical schema (its dir is written fresh from logical columns)
+        and the DDL metadata retires with it.
+
+        ``spark`` is needed only for the FIRST alter on a table whose
+        records predate schema metadata (to bind the current parquet
+        schema); subsequent alters evolve the recorded schema."""
+        rename = dict(rename or {})
+        drop = list(drop)
+        add = dict(add or {})
+        widen = dict(widen or {})
+        if not rename and not drop and not add and not widen:
+            raise ValueError("alter_schema: nothing to do")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        for cname, cexpr in (cur.get("constraints") or {}).items():
+            for col in list(drop) + list(rename):
+                if re.search(rf"\b{re.escape(col)}\b", cexpr, re.I):
+                    # case-insensitive like Spark's column resolution —
+                    # a case-mismatched guard would let the rename
+                    # publish and wedge every later commit on an
+                    # unresolved constraint column (review r12)
+                    raise ValueError(
+                        f"column {col!r} is referenced by CHECK "
+                        f"constraint {cname!r} ({cexpr}) — DROP the "
+                        "constraint before altering the column"
+                    )
+        if "schema" not in cur:
+            if spark is None:
+                raise ValueError(
+                    f"first alter_schema on {self.root} needs spark= to "
+                    "bind the current parquet schema into the record"
+                )
+            cur = dict(cur)
+            cur["schema"] = spark.read.parquet(cur["dir"]).schema.jsonValue()
+        new_version = self._next_version()
+        meta = _alter_schema_meta(
+            cur, self.root, drop, rename, add, widen, new_version
+        )
+        record = {
+            "version": new_version,
+            "dir": cur["dir"],  # zero data movement: the dir is shared
+            "ts": time.time(),
+            "schema": meta["schema"],
+            "next_fid": meta["next_fid"],
+            "operation": "alter_schema",
+            "altered": meta["altered"],
+        }
+        if meta["dropped"]:
+            record["dropped"] = meta["dropped"]
+        if meta["renames"]:
+            record["renames"] = meta["renames"]
+        if meta["shadowed"]:
+            record["shadowed"] = meta["shadowed"]
+        if cur.get("constraints"):
+            # table properties carry (constrained columns can't be
+            # dropped/renamed — guarded above)
+            record["constraints"] = cur["constraints"]
+        return self._publish(
+            record,
+            keep=record["dir"],
+            # token CAS (r12): the record SHARES cur's data dir — an
+            # in-place purge landing in between would delete it
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+
+    def constraints(self) -> dict:
+        """The table's CHECK constraints (name → SQL expression)."""
+        cur = self.current()
+        return dict((cur or {}).get("constraints") or {})
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> dict:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` on the plain
+        layout — semantics identical to the bucketed mirror's: existing
+        data validates once at add time, then every ``commit`` validates
+        its written state before the pointer swap. SQL CHECK: NULL
+        passes, only FALSE violates."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists ({cons[name]}) — "
+                "DROP it first"
+            )
+        df = self.read(spark)
+        if df is not None:
+            _check_table_constraints(df, {name: expr}, self.root)
+        cons[name] = expr
+        return self._publish_properties(cur, constraints=cons)
+
+    def drop_constraint(self, name: str) -> dict:
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        cons = dict(cur.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} on {self.root} "
+                f"(have: {sorted(cons)})"
+            )
+        cons.pop(name)
+        return self._publish_properties(cur, constraints=cons)
+
+    def _publish_properties(self, cur: dict, **props) -> dict:
+        """Metadata-only properties commit sharing ``cur``'s data dir
+        (zero movement, purge-aware token CAS) — the plain-layout twin
+        of the mirror's ``_publish_properties``."""
+        record = {
+            "version": self._next_version(),
+            "dir": cur["dir"],
+            "ts": time.time(),
+            "operation": "set_properties",
+        }
+        for k in (
+            "schema",
+            "next_fid",
+            "renames",
+            "dropped",
+            "shadowed",
+            "constraints",
+        ):
+            if k in cur:
+                record[k] = cur[k]
+        for k, v in props.items():
+            if v:
+                record[k] = v
+            else:
+                record.pop(k, None)
+        return self._publish(
+            record,
+            keep=record["dir"],
+            expected_head=(cur["version"], cur.get("purged_ts") or 0),
+        )
+
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level ``DELETE WHERE`` on the plain snapshot layout —
+        the one-dir twin of ``VersionedBucketMirror.delete_where``
+        (DML symmetry across both layouts, like ``alter_schema``).
+        The layout has no bucket granularity, so a match anywhere
+        rewrites the whole state dir (exactly what every ``commit``
+        does); the value over hand-rolled read-filter-commit is the
+        counted receipt, SQL NULL semantics (NULL condition keeps the
+        row), the no-op short-circuit (zero matches publishes
+        nothing), and the purge-aware CAS token."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        df = self.read(spark)
+        n_hit = df.filter(hit).count()
+        if n_hit == 0:
+            rec = dict(cur)
+            rec["rows_deleted"] = 0
+            return rec
+        rec = self.commit(
+            df.filter(~hit),
+            meta={"operation": "delete_where"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_deleted"] = n_hit
+        return rec
+
+    def insert_rows(self, spark: SparkSession, rows: DataFrame) -> dict:
+        """``INSERT INTO`` append on the plain snapshot layout (r13;
+        the most common DML verb — Iceberg INSERT INTO appends, it
+        does not upsert). ``rows`` must already be aligned to the
+        table's schema (the SQL front-end does the column-list /
+        NULL-fill / cast work). New state = current ∪ rows in one
+        commit: CHECK constraints validate the written bytes before
+        the pointer moves (``commit``'s existing gate), and the
+        purge-aware CAS token makes a concurrent commit surface as
+        :class:`CommitConflict`, never a lost append."""
+        cur = self.current()
+        if cur is None:
+            # first insert into a registered-but-empty table: the rows
+            # ARE the initial state
+            n_new = rows.count()
+            rec = self.commit(rows, meta={"operation": "insert_into"})
+            rec["rows_inserted"] = n_new
+            return rec
+        df = self.read(spark)
+        extra = [c for c in rows.columns if c not in df.columns]
+        if extra:
+            raise ValueError(
+                f"insert_rows got unknown column(s) {extra} "
+                f"(table columns: {df.columns})"
+            )
+        n_new = rows.count()
+        if n_new == 0:
+            rec = dict(cur)
+            rec["rows_inserted"] = 0
+            return rec
+        rec = self.commit(
+            df.unionByName(rows, allowMissingColumns=True),
+            meta={"operation": "insert_into"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_inserted"] = n_new
+        return rec
+
+    def update_where(
+        self, spark: SparkSession, condition, assignments: dict
+    ) -> dict:
+        """Row-level ``UPDATE SET ... WHERE`` on the plain snapshot
+        layout — semantics identical to
+        ``VersionedBucketMirror.update_where``: simultaneous
+        assignment (every right-hand side reads pre-update values),
+        values cast to the column's existing type, NULL condition
+        leaves the row unchanged, zero matches publishes nothing."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        cur = self.current()
+        if cur is None:
+            raise ValueError(f"{self.root} has no snapshot yet")
+        df = self.read(spark)
+        missing = [c for c in assignments if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"update_where assigns unknown column(s) {missing} "
+                f"(table columns: {df.columns})"
+            )
+        n_hit = df.filter(hit).count()
+        if n_hit == 0:
+            rec = dict(cur)
+            rec["rows_updated"] = 0
+            return rec
+        types = {f.name: f.dataType for f in df.schema.fields}
+        projected = []
+        for c in df.columns:
+            if c in assignments:
+                v = assignments[c]
+                rhs = F.expr(v) if isinstance(v, str) else v
+                projected.append(
+                    F.when(hit, rhs.cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                projected.append(F.col(c))
+        rec = self.commit(
+            df.select(*projected),
+            meta={"operation": "update_where"},
+            expected_version=(cur["version"], cur.get("purged_ts") or 0),
+        )
+        rec["rows_updated"] = n_hit
+        return rec
+
+    def commit(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        branch: str | None = None,
+        expected_version: "int | tuple | None" = None,
+    ) -> dict:
+        """Commit a new version; ``meta`` rides the pointer JSON — the hook
+        transactional sinks use to make replayed batches detectable (e.g.
+        ``last_batch_id``), since the pointer swap and the metadata are one
+        atomic rename.
+
+        ``branch``: stage the commit on a writable branch instead of
+        publishing to main — the version is allocated from the shared
+        log (so numbers stay globally unique) but only the BRANCH
+        pointer advances; main readers never see it until
+        ``fast_forward``. The log entry carries ``ref: <branch>`` as
+        provenance until fast-forward strips it.
+
+        ``expected_version``: the head this commit's ``df`` was computed
+        FROM (a based commit, e.g. a merge) — the publish then raises
+        :class:`CommitConflict` if the table advanced past it, instead of
+        silently clobbering the concurrent commit (r11 optimistic
+        concurrency). Without it the commit is blind full-state replace
+        and retries internally on conflicts."""
+        _check_meta(meta)
+        cur_head = self.current()
+        cons = (cur_head or {}).get("constraints") or {}
+        version = self._next_version()
+        vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(vdir)
+        if cons:
+            # CHECK constraints (r12): validate the WRITTEN bytes before
+            # the pointer ever moves — one scan of this commit's state
+            try:
+                _check_table_constraints(
+                    df.sparkSession.read.parquet(vdir), cons, self.root
+                )
+            except ConstraintViolation:
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
+        record = {"version": version, "dir": vdir, "ts": time.time()}
+        if cons:
+            record["constraints"] = cons  # table property, carries
+        if meta:
+            record.update(meta)
+        if branch is not None:
+            return self._publish_to_branch(record, branch)
+        if expected_version is not None:
+            try:
+                return self._publish(
+                    record, keep=vdir, expected_head=expected_version
+                )
+            except CommitConflict:
+                shutil.rmtree(vdir, ignore_errors=True)  # stale basis:
+                raise  # the caller must re-read and re-derive df
+
+        def _reconcile(rec: dict, head: dict | None) -> None:
+            # a constraint added/changed CONCURRENTLY with this blind
+            # commit (review r12): validate the already-written bytes
+            # against the newer set and carry it — the per-attempt CAS
+            # in _publish_retry makes a drop impossible
+            nonlocal cons
+            new_cons = (head or {}).get("constraints") or {}
+            if new_cons != cons:
+                extra = {
+                    k: v for k, v in new_cons.items() if cons.get(k) != v
+                }
+                if extra:
+                    _check_table_constraints(
+                        df.sparkSession.read.parquet(rec["dir"]),
+                        extra,
+                        self.root,
+                    )
+                cons = new_cons
+            if cons:
+                rec["constraints"] = cons
+            else:
+                rec.pop("constraints", None)
+
+        try:
+            return self._publish_retry(record, on_retry=_reconcile)
+        except ConstraintViolation:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the branch head (its latest staged commit, or the fork
+        point if nothing is staged yet)."""
+        b = self._branchset.get(name)
+        if b["head"] == b["base"]:
+            return self.read_version(spark, b["base"])
+        for e in self._log.entries():
+            if e["version"] == b["head"]:
+                return self._read_rec(spark, e)
+        raise ValueError(
+            f"branch {name!r} head {b['head']} missing from the log of "
+            f"{self.root}"
+        )
+
+    def _entry_readable(self, e: dict) -> bool:
+        return os.path.isdir(e["dir"])
+
+    def _after_fast_forward(self, head_rec: dict) -> None:
+        self._expire(keep=head_rec["dir"])
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """VERSION AS OF: read snapshot ``version`` from the log."""
+        for e in self.history():
+            if e["version"] == version:
+                if not e["readable"]:
+                    raise ValueError(
+                        f"snapshot {version} of {self.root} has expired "
+                        f"(retention keep_versions={self.keep_versions})"
+                    )
+                return self._read_rec(spark, e)
+        raise ValueError(f"no snapshot {version} in {self.root}")
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF: the latest snapshot committed at or before
+        ``ts`` (unix seconds, the clock ``commit`` stamps)."""
+        candidates = [e for e in self.history() if e["ts"] <= ts]
+        if not candidates:
+            raise ValueError(
+                f"no snapshot of {self.root} exists at or before ts={ts}"
+            )
+        return self.read_version(spark, candidates[-1]["version"])
+
+    def rollback(
+        self, to_version: int, spark: SparkSession | None = None
+    ) -> dict:
+        """Re-point CURRENT at snapshot ``to_version`` as a NEW commit —
+        history stays append-only (an Iceberg-style rollback records the
+        restore; it never erases the snapshots it skips past). The data dir
+        is shared, not copied; retention keeps it readable because the new
+        head log entry references it. On a CONSTRAINED table ``spark=``
+        is required: the restored data validates against the carried
+        constraints (they may postdate the target snapshot)."""
+        target = None
+        for e in self.history():
+            if e["version"] == to_version:
+                target = e
+        if target is None:
+            raise ValueError(f"no snapshot {to_version} in {self.root}")
+        if not target["readable"]:
+            raise ValueError(
+                f"snapshot {to_version} of {self.root} has expired "
+                f"(retention keep_versions={self.keep_versions})"
+            )
+        record = {
+            "version": self._next_version(),
+            "dir": target["dir"],
+            "ts": time.time(),
+            "rollback_of": to_version,
+        }
+        # the restored snapshot's DDL metadata rides along (r12): a
+        # rollback to a post-alter version must read under that
+        # version's logical schema, folds and generation masks
+        for k in ("schema", "renames", "dropped", "shadowed", "next_fid"):
+            if k in target:
+                record[k] = target[k]
+        # constraints are table properties — they survive the restore
+        # (Iceberg pointer-move semantics), riding from the current head;
+        # the restored data must validate against them (review r12: the
+        # constraint may postdate the target snapshot)
+        head = self.current()
+        head_cons = (head or {}).get("constraints") or {}
+        if head_cons:
+            if spark is None:
+                raise ValueError(
+                    f"{self.root} carries CHECK constraints "
+                    f"({sorted(head_cons)}): pass spark= so the restored "
+                    "snapshot can be validated, or DROP them first"
+                )
+            # read through the version's own logical schema (rename
+            # folds, typed NULL for later-added columns — NULL passes)
+            _check_table_constraints(
+                self.read_version(spark, to_version), head_cons, self.root
+            )
+            record["constraints"] = head_cons
+        return self._publish_retry(record)
+
+    def purge_keys(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_cols: str | Sequence[str],
+    ) -> dict:
+        """See ``_purge_keys_locked``; the purge lock serializes runs —
+        two unsynchronized purges rewrite manifests in place and
+        last-write-win each other's deletions (r12)."""
+        with _purge_lock(self.root):
+            return self._purge_keys_locked(spark, keys_df, key_cols)
+
+    def _purge_keys_locked(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_cols: str | Sequence[str],
+    ) -> dict:
+        """GDPR-style hard delete: physically remove every row matching
+        ``keys_df`` from the CURRENT snapshot AND every retained historical
+        snapshot — the right-to-be-forgotten operation (Delta's
+        delete + REORG PURGE / Iceberg's rewrite-data-files shape). This is
+        the ONE deliberate exception to append-only history: versions,
+        timestamps, and metadata are preserved, but each retained data dir
+        is rewritten without the purged keys, so no VERSION AS OF /
+        TIMESTAMP AS OF / rollback / change-feed read can resurrect them.
+
+        Protocol (crash-safe, idempotent): (1) for each distinct retained
+        data dir HOLDING ANY PURGE KEY (a broadcast semi-join probe skips
+        clean dirs, so re-runs are true no-ops), write a purged copy
+        (keys broadcast into one anti-join — the table side never
+        shuffles, and dirs shared by several log entries, e.g. rollback
+        targets, are rewritten once); (2) rewrite each log entry and
+        the CURRENT pointer in place (atomic renames, versions/ts/meta
+        preserved, ``purged_ts`` stamped — the stamp rides in every CAS
+        publish's head token, r12, so concurrent commits basing on the
+        pre-purge head conflict and re-read instead of resurrecting the
+        PII dir); (3) delete the old dirs after the pointer rewrite. A head that
+        moves mid-purge is CHASED with delta-sized catch-up rounds
+        (bounded; gives up caller-visibly). A crash mid-way leaves every
+        snapshot readable (old or new dir) and a re-run converges.
+
+        Scale: cost = one pruned scan + write per RETAINED snapshot
+        (retention bounds the work, the reason purge pairs with
+        ``keep_versions``); the purge-key probe broadcasts.
+        """
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        from functools import reduce as _reduce
+
+        probe = keys_df.select(
+            *[F.col(k).alias(f"__p_{i}") for i, k in enumerate(keys)]
+        ).distinct()
+        cur = self.current()
+        if cur is None:
+            return {"versions_rewritten": 0, "dirs_rewritten": 0}
+        def _entries() -> list[dict]:
+            es = self._log.committed() or [self.current()]
+            # staged branch commits hold the same PII above the main
+            # pointer — a right-to-be-forgotten purge must reach them too
+            windows = self._branchset.windows()
+            seen = {e["version"] for e in es}
+            return es + [
+                e
+                for e in self._log.entries()
+                if e["version"] not in seen
+                and any(lo < e["version"] <= hi for lo, hi in windows)
+            ]
+
+        dir_map: dict[str, str] = {}
+        clean_dirs: set[str] = set()
+        now = time.time()
+
+        def _purge_dir(e: dict) -> None:
+            d = e["dir"]
+            if d in dir_map or d in clean_dirs or not os.path.isdir(d):
+                return
+            nd = os.path.join(
+                self.root,
+                f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
+            )
+            try:
+                df = spark.read.parquet(d)
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [
+                        df[k].eqNullSafe(probe[f"__p_{i}"])
+                        for i, k in enumerate(keys)
+                    ],
+                )
+                # a dir holding NO purge keys stays untouched (r12): a
+                # re-run is a true no-op and this purge's own outputs
+                # are never re-purged into dst chains
+                if df.join(F.broadcast(probe), cond, "left_semi").isEmpty():
+                    clean_dirs.add(d)
+                    return
+                clean = df.join(F.broadcast(probe), cond, "left_anti")
+                clean.write.mode("errorifexists").parquet(nd)
+            except Exception:
+                # TOCTOU on the isdir check: a concurrent commit's
+                # retention pass may delete ``d`` mid-scan once no
+                # retained manifest references it (r12) — nothing left
+                # to purge there; any other failure propagates
+                if os.path.isdir(d):
+                    raise
+                shutil.rmtree(nd, ignore_errors=True)
+                return
+            dir_map[d] = nd
+
+        # checkpointed (log-compacted) entries have no per-version file —
+        # rewrite them inside the checkpoint so compacted metadata cannot
+        # resurrect purged data paths (r11)
+        def _ckpt_purge(e: dict) -> dict | None:
+            if e.get("dir") not in dir_map:
+                return None
+            rec = dict(e)
+            rec["dir"] = dir_map[e["dir"]]
+            rec["purged_ts"] = now
+            return rec
+
+        # convergent catch-up (r12, found by probe_concurrent_stress.py —
+        # same loop as the mirror purge): chase a head that moves during
+        # the scan instead of starving; each round's work is only the
+        # dirs new commits added (dir_map dedupes the rest)
+        versions_rewritten = 0
+        for _round in range(_PURGE_CATCHUP_ROUNDS):
+            entries = _entries()
+            for e in entries:
+                _purge_dir(e)
+            for e in entries:
+                if e["dir"] not in dir_map:
+                    continue
+                rec = dict(e)
+                rec["dir"] = dir_map[e["dir"]]
+                rec["purged_ts"] = now
+                lpath = os.path.join(
+                    self._log_dir, f"v-{e['version']:08d}.json"
+                )
+                if not os.path.exists(lpath):
+                    # pre-snapshot-log table: only the pointer exists
+                    versions_rewritten += 1
+                    continue
+                tmp = lpath + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, lpath)
+                versions_rewritten += 1
+            self._log.rewrite_checkpoint(_ckpt_purge)
+            # head update: the pointer record is rewritten IN PLACE at
+            # the same version (versions/branches/tags/FF all survive a
+            # purge) with ``purged_ts`` stamped, which every CAS publish
+            # carries in its head token (r12): an alter_schema or merge
+            # basing on the pre-purge head conflicts on the token and
+            # re-reads instead of referencing the PII dir this purge
+            # deletes.
+            live = self.current()
+            if (live["version"] if live else -1) != cur["version"]:
+                cur = live  # the head moved: chase it
+                continue
+            if cur["dir"] in dir_map:
+                rec = dict(cur)
+                rec["dir"] = dir_map[cur["dir"]]
+                rec["purged_ts"] = now
+                tmp = self._pointer + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(rec, fh)
+                os.replace(tmp, self._pointer)
+            break
+        else:
+            raise CommitConflict(
+                f"{self.root} kept advancing through "
+                f"{_PURGE_CATCHUP_ROUNDS} purge catch-up rounds — "
+                "re-run the purge"
+            )
+        # old dirs hold the PII: delete AFTER the pointer rewrite — any
+        # commit still based on the pre-purge head conflicts on the
+        # purged_ts token and re-reads. Ownership guard: a shallow clone
+        # drops only its REFERENCE to a source-owned dir; deleting the
+        # source's bytes is the source table's own purge_keys to perform
+        for old in dir_map:
+            if self._owns(old):
+                shutil.rmtree(old, ignore_errors=True)
+        return {
+            "versions_rewritten": versions_rewritten,
+            "dirs_rewritten": len(dir_map),
+        }
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Create (or move) a named immutable ref to a snapshot — the
+        Iceberg tag. Tags are KB metadata (``_tags/<name>.json``, atomic
+        rename); a tagged snapshot's data survives retention and
+        ``expire_snapshots`` for as long as the tag exists (the ref-keeps-
+        snapshot rule), so a `prod`/`training-run-42` tag is a durable,
+        reproducible read point."""
+        if version is None:
+            cur = self.current()
+            if cur is None:
+                raise ValueError(f"{self.root} has no snapshot to tag")
+            version = cur["version"]
+        return self._tagset.tag(name, version, self._log)
+
+    def tags(self) -> list[dict]:
+        return self._tagset.tags()
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.read_version(spark, self._tagset.resolve(name))
+
+    def delete_tag(self, name: str) -> None:
+        self._tagset.delete(name)
+
+    @property
+    def _tagset(self) -> "TagSet":
+        return TagSet(self.root)
+
+    def _tagged_versions(self) -> set[int]:
+        return self._tagset.versions()
+
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        rules: Sequence,
+        meta: dict | None = None,
+        stale_staging_grace_s: float = 3600.0,
+        branch: str | None = None,
+    ) -> dict:
+        """Iceberg's write-audit-publish (WAP) pattern: stage ``df`` as an
+        UNPUBLISHED snapshot, audit the staged files with a Deequ-style
+        rule suite (`functions/constraints.py`), and publish only if every
+        rule passes — a failing batch never becomes a readable version and
+        the table is untouched. The audit reads the staged parquet BACK
+        from disk, so it validates exactly the bytes readers would see
+        (the point of WAP over pre-write validation: encoding/casting
+        surprises are caught too).
+
+        ``rules`` may mix constraint ``Rule``s (absolute, Deequ-style)
+        with ``AnomalyRule``s (relative to the PREVIOUS committed
+        snapshot — "row count within x%", "null rate didn't jump"): the
+        real warehouse publish gate is both, and r9 left the anomaly
+        half post-hoc-only (VERDICT r10 task 1). Anomaly rules need a
+        baseline: on a table with no committed snapshot they raise.
+
+        Staging uses a ``wap-*`` dir invisible to readers and retention;
+        publish is one atomic rename into a version name + the normal
+        log/pointer protocol. A crash mid-audit leaves an unreferenced
+        ``wap-*`` dir that a LATER call garbage-collects — only once it
+        is ``stale_staging_grace_s`` old, so a concurrent writer's
+        audit-in-flight staging is never deleted out from under it
+        (ADVICE r9; concurrent WAPs then serialize on the pointer swap
+        instead of corrupting each other). Returns ``{"published":
+        bool, "report": [...], ...}``; on success the commit record
+        rides along (``audited: true`` in its metadata)."""
+        from tabular_cdc_bootstrapper_spark.functions.constraints import (
+            AnomalyRule,
+            check_anomalies,
+            check_constraints,
+        )
+
+        now = time.time()
+        for d in os.listdir(self.root):  # GC STALE crashed-audit leftovers
+            if not d.startswith("wap-"):
+                continue
+            p = os.path.join(self.root, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age >= stale_staging_grace_s:
+                shutil.rmtree(p, ignore_errors=True)
+        row_rules = [r for r in rules if not isinstance(r, AnomalyRule)]
+        anomaly_rules = [r for r in rules if isinstance(r, AnomalyRule)]
+        if branch is not None:
+            self._branchset.get(branch)  # raises on unknown branch
+        if anomaly_rules and branch is None and self.current() is None:
+            raise ValueError(
+                f"{self.root} has no committed snapshot to serve as the "
+                "anomaly-rule baseline; commit one first or gate with "
+                "constraint Rules only"
+            )
+        _check_meta(meta)
+        wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
+        df.write.mode("errorifexists").parquet(wdir)
+        staged = spark.read.parquet(wdir)
+        static_report = []
+        if row_rules:
+            static_report.extend(
+                {
+                    "rule": r["rule"],
+                    "n_violations": r["n_violations"],
+                    "passed": r["passed"],
+                }
+                for r in check_constraints(staged, row_rules).collect()
+            )
+        # conflict loop (r11, VERDICT task 8): a concurrent commit landing
+        # between this WAP's baseline read and its publish surfaces as a
+        # CommitConflict — the ANOMALY audit then re-runs with the new
+        # head as its baseline (the two-writer WAP contract: audits are
+        # always relative to the state they actually publish onto);
+        # row-rule verdicts are head-independent and computed once.
+        sdir = wdir  # current home of the staged bytes (wap-* then v-*)
+        attempt = 0
+        while True:
+            basis = None if branch is not None else self.current()
+            basis_v = basis["version"] if basis else -1
+            report = list(static_report)
+            if anomaly_rules:
+                # baseline = the previous state of wherever this
+                # publishes: the branch head for a branch-staged WAP
+                # (multi-batch WAP audits each batch against the batch
+                # before it), else the main CURRENT snapshot
+                baseline = (
+                    self.read_branch(spark, branch)
+                    if branch is not None
+                    else self.read(spark)
+                )
+                report.extend(
+                    {
+                        "rule": r["rule"],
+                        "baseline": r["baseline"],
+                        "observed": r["observed"],
+                        "passed": r["passed"],
+                    }
+                    for r in check_anomalies(
+                        baseline, staged, anomaly_rules
+                    ).collect()
+                )
+            if not all(r["passed"] for r in report):
+                shutil.rmtree(sdir, ignore_errors=True)
+                return {"published": False, "version": None, "report": report}
+            version = self._next_version()
+            if sdir == wdir:
+                vdir = os.path.join(
+                    self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}"
+                )
+                os.replace(wdir, vdir)
+                sdir = vdir
+                staged = spark.read.parquet(vdir)  # rebind for re-audits
+            record = {
+                "version": version,
+                "dir": sdir,
+                "ts": time.time(),
+                "audited": True,
+            }
+            if meta:
+                record.update(meta)
+            if branch is not None:
+                rec = self._publish_to_branch(record, branch)
+                return {"published": True, **rec, "report": report}
+            try:
+                self._publish(
+                    record,
+                    keep=sdir,
+                    expected_head=basis_v if anomaly_rules else None,
+                )
+                return {"published": True, **record, "report": report}
+            except CommitConflict:
+                attempt += 1
+                if attempt > len(_RETRY_BACKOFF):
+                    raise
+                if not os.path.isdir(sdir):
+                    raise CommitConflict(
+                        f"WAP staging of {self.root} was reclaimed by a "
+                        "concurrent retention pass; re-run the WAP"
+                    ) from None
+                time.sleep(_RETRY_BACKOFF[attempt - 1])
+
+    def expire_snapshots(
+        self,
+        older_than_ts: float | None = None,
+        keep_last: int | None = None,
+    ) -> dict:
+        """Explicit snapshot expiry — the Iceberg ``expire_snapshots``
+        maintenance action, completing the triad beside compaction
+        (sources/sinks.py) and GDPR purge. Retention via ``keep_versions``
+        expires per-commit as a side effect; this is the storage-reclaim
+        op a warehouse runs on a schedule: drop the DATA of committed
+        snapshots strictly older than ``older_than_ts`` (commit clock)
+        and/or beyond the newest ``keep_last``, while the log entries stay
+        (metadata is tiny; ``history()`` marks them ``readable: false``).
+        The CURRENT snapshot and every dir it shares (rollback heads) are
+        always kept. Returns the expired versions and reclaimed dirs."""
+        cur = self.current()
+        if cur is None:
+            return {"expired_versions": [], "dirs_removed": 0}
+        committed = self._log.committed()
+        keep_versions = {cur["version"]} | self._tagged_versions()
+        # a live branch pins its fork point (read_branch of an
+        # empty-staged branch resolves there) and every staged version
+        windows = self._branchset.windows()
+        keep_versions.update(b["base"] for b in self._branchset.branches())
+        if keep_last is not None:
+            keep_versions.update(
+                e["version"] for e in committed[-max(keep_last, 1):]
+            )
+        expired = []
+        for e in committed:
+            if e["version"] in keep_versions:
+                continue
+            if older_than_ts is not None and e["ts"] >= older_than_ts:
+                continue
+            if older_than_ts is None and keep_last is None:
+                continue  # no criterion given: expire nothing
+            expired.append(e)
+        expired_versions = {e["version"] for e in expired}
+        kept_dirs = {
+            e["dir"]
+            for e in committed
+            if e["version"] not in expired_versions
+        }
+        kept_dirs.update(
+            e["dir"]
+            for e in self._log.entries()
+            if any(lo <= e["version"] <= hi for lo, hi in windows)
+        )
+        doomed = {
+            e["dir"]
+            for e in expired
+            if e["dir"] not in kept_dirs and self._owns(e["dir"])
+        }
+        removed = 0
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {
+            "expired_versions": sorted(expired_versions),
+            "dirs_removed": removed,
+        }
+
+    def _expire(self, keep: str) -> None:
+        """Drop data dirs outside retention. Kept: ``keep`` (the dir just
+        published), the newest ``keep_versions`` dirs by version order
+        (pre-log behavior, still what governs tables with no snapshot log),
+        and every dir referenced by the newest ``keep_versions`` log
+        entries (so a rollback that re-points at an old dir keeps that dir
+        alive for as long as the rollback snapshot is retained) — plus
+        every dir a TAG references (the Iceberg ref-keeps-snapshot rule)."""
+        all_dirs = sorted(d for d in os.listdir(self.root) if d.startswith("v-"))
+        kept = {os.path.basename(keep)}
+        kept.update(all_dirs[-max(self.keep_versions, 1):])
+        entries = self._log_entries()
+        for e in entries[-max(self.keep_versions, 1):]:
+            kept.add(os.path.basename(e["dir"]))
+        tagged = self._tagged_versions()
+        windows = self._branchset.windows()  # [base, head] incl. fork point
+        cur = self.current()
+        cur_version = cur["version"] if cur else -1
+        logged = set()
+        for e in entries:
+            logged.add(os.path.basename(e["dir"]))
+            # an above-pointer entry is an in-flight or crashed commit:
+            # its data is reclaimed via the orphan-GC path when the
+            # ENTRY dies, never by retention racing an in-flight publish
+            if (
+                e["version"] > cur_version
+                or e["version"] in tagged
+                or any(lo <= e["version"] <= hi for lo, hi in windows)
+            ):
+                kept.add(os.path.basename(e["dir"]))
+        now = time.time()
+        for d in all_dirs:
+            if d in kept:
+                continue
+            full = os.path.join(self.root, d)
+            if d not in logged:
+                # referenced by no log entry: crash staging if aged, a
+                # concurrent writer's installed-but-unpublished commit
+                # (e.g. a WAP between conflict and re-audit) if fresh —
+                # only reclaim past the conflict grace (r11). In-flight
+                # purge rewrites stay unreferenced for the whole purge
+                # scan (r12): purge-named dirs get the purge lock's
+                # staleness as their grace instead.
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                grace = (
+                    _PURGE_LOCK_STALE_S
+                    if "-purge-" in d
+                    else self._log.conflict_grace_s
+                )
+                if age < grace:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def cdc_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    mirror: ParquetStateTable,
+    target: CdcTarget,
+    tiebreak_cols: Sequence[str] = (),
+) -> dict:
+    """Merge one micro-batch of changelog events into the mirror.
+
+    Incremental-merge shape (not full recompute): reduce the batch to
+    latest-per-key, then union with current mirror rows and reduce again.
+    The second reduce is cheap — |mirror ∩ batch keys| + |batch keys| rows
+    per key at most 2. At 100 TB the mirror side would be key-partitioned
+    so only partitions containing batch keys are rewritten (dynamic
+    partition overwrite); locally the state table swaps whole snapshots.
+    """
+    ts_col = target.ts_column
+    basis = mirror.current()
+    current = mirror.read(spark)
+    new_state = apply_changelog(
+        batch_df,
+        key_cols=target.key_column,
+        ts_cols=ts_col,
+        op_col=target.op_column,
+        delete_op=target.delete_op,
+        mirror=current,
+        tiebreak_cols=tiebreak_cols,
+        drop_envelope=(),
+    )
+    # based commit (r11): the new state was derived FROM ``basis`` — a
+    # concurrent commit in between must surface as CommitConflict, and
+    # the streaming caller's checkpoint replay re-derives idempotently
+    return mirror.commit(
+        new_state, expected_version=basis["version"] if basis else -1
+    )

@@ -1,0 +1,222 @@
+"""Hidden-partition transforms on VersionedBucketMirror (r13): Iceberg's
+``days(col)`` / ``truncate(col, w)`` / ``identity(col)`` partition specs
+beyond the classic key-hash bucketing — time-partitioned mirrors are the
+common warehouse shape (reference tables are Iceberg, whose specs are
+transforms). Contract under test: writes land in transform partitions,
+merges/DML touch only the partitions their rows map to, a predicate on
+the source column prunes partitions with no stats needed, the spec rides
+the manifest (handles adopt it), and the golden CDC replay is exact.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+    VersionedBucketMirror,
+)
+
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def _days(d: str) -> int:
+    return (datetime.date.fromisoformat(d) - EPOCH).days
+
+
+@pytest.fixture()
+def days_mirror(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "m"),
+        key_col="id",
+        partition_spec=("days", "d"),
+        keep_versions=10,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "a"),
+            (2, "2024-01-01", "b"),
+            (3, "2024-01-05", "c"),
+            (4, "2024-02-01", "d"),
+        ],
+        "id long, d string, v string",
+    ).withColumn("d", F.col("d").cast("date"))
+    m.initialize(df)
+    return m
+
+
+def test_days_partitions_and_manifest_spec(days_mirror):
+    cur = days_mirror.current()
+    assert sorted(cur["buckets"], key=int) == [
+        str(_days("2024-01-01")),
+        str(_days("2024-01-05")),
+        str(_days("2024-02-01")),
+    ]
+    assert cur["partition_spec"] == ["days", "d"]
+
+
+def test_merge_touches_only_event_partitions(spark, days_mirror):
+    target = CdcTarget(source_uri="x", key_column="id", ts_column="ts")
+    batch = spark.createDataFrame(
+        [
+            (3, "2024-01-05", "c2", "U", 1),  # same day as its live row
+            (5, "2024-03-01", "e", "I", 1),  # brand-new day
+            (2, "2024-01-01", "b", "D", 1),
+        ],
+        "id long, d string, v string, op string, ts long",
+    ).withColumn("d", F.col("d").cast("date"))
+    rec = days_mirror.merge_batch(batch, target)
+    assert rec["touched_buckets"] == sorted(
+        [_days("2024-01-05"), _days("2024-03-01"), _days("2024-01-01")]
+    )
+    got = {
+        r["id"]: (str(r["d"]), r["v"])
+        for r in days_mirror.read(spark).collect()
+    }
+    assert got == {
+        1: ("2024-01-01", "a"),
+        3: ("2024-01-05", "c2"),
+        4: ("2024-02-01", "d"),
+        5: ("2024-03-01", "e"),
+    }
+
+
+def test_fresh_handle_adopts_spec_and_hash_table_wins(spark, tmp_path, days_mirror):
+    m2 = VersionedBucketMirror(days_mirror.root, key_col="id")
+    assert m2.partition_spec == ("days", "d")
+    # the reverse: a transform handle on a committed HASH table resets
+    h = VersionedBucketMirror(str(tmp_path / "h"), key_col="id", n_buckets=4)
+    h.initialize(spark.createDataFrame([(1, 1)], "id long, x long"))
+    h2 = VersionedBucketMirror(
+        h.root, key_col="id", partition_spec=("identity", "x")
+    )
+    assert h2.partition_spec == ("bucket",)
+
+
+def test_hidden_partition_pruned_read(spark, days_mirror):
+    """A range predicate on the spec's source column prunes by the
+    transform itself — no column stats recorded, yet only in-range
+    partition dirs are listed (the Iceberg hidden-partitioning read)."""
+    kept, _ = days_mirror._pruned_buckets(
+        "d", datetime.date(2024, 1, 2), datetime.date(2024, 2, 15)
+    )
+    assert kept == [str(_days("2024-01-05")), str(_days("2024-02-01"))]
+    df = days_mirror.read_pruned(
+        spark, "d", datetime.date(2024, 1, 2), datetime.date(2024, 2, 15)
+    )
+    # the physical read lists ONLY the kept partition dirs
+    files = df.inputFiles()
+    assert files and all(
+        f"bucket={_days('2024-01-01')}/" not in f for f in files
+    )
+    assert sorted(r["id"] for r in df.collect()) == [3, 4]
+
+
+def test_dml_and_insert_on_days_spec(spark, days_mirror):
+    rec = days_mirror.update_where(spark, "id = 3", {"v": "'cc'"})
+    assert rec["rows_updated"] == 1
+    assert rec["matched_buckets"] == [_days("2024-01-05")]
+    rec = days_mirror.delete_where(spark, "d = DATE'2024-02-01'")
+    assert rec["rows_deleted"] == 1
+    new = spark.createDataFrame(
+        [(9, "2024-02-02", "z")], "id long, d string, v string"
+    ).withColumn("d", F.col("d").cast("date"))
+    rec = days_mirror.insert_rows(spark, new)
+    assert rec["touched_buckets"] == [_days("2024-02-02")]
+    got = {r["id"]: r["v"] for r in days_mirror.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "cc", 9: "z"}
+    # duplicate-key refusal still holds across partitions
+    with pytest.raises(ValueError, match="already exist"):
+        days_mirror.insert_rows(
+            spark,
+            spark.createDataFrame(
+                [(1, "2025-01-01", "q")], "id long, d string, v string"
+            ).withColumn("d", F.col("d").cast("date")),
+        )
+
+
+def test_rebucket_refused_and_purge_scans_all(spark, days_mirror):
+    with pytest.raises(ValueError, match="hash-bucket"):
+        days_mirror.rebucket(spark, 32)
+    keys = spark.createDataFrame([(1,)], "id long")
+    days_mirror.purge_keys(spark, keys)
+    assert sorted(r["id"] for r in days_mirror.read(spark).collect()) == [
+        2,
+        3,
+        4,
+    ]
+
+
+def test_truncate_spec_golden(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "t"),
+        key_col="id",
+        partition_spec=("truncate", "id", 100),
+        keep_versions=10,
+    )
+    df = spark.range(0, 250).select(
+        "id", (F.col("id") % 10).alias("g")
+    )
+    m.initialize(df)
+    assert sorted(m.current()["buckets"], key=int) == ["0", "100", "200"]
+    target = CdcTarget(source_uri="x", key_column="id", ts_column="ts")
+    batch = spark.createDataFrame(
+        [(7, 99, "U", 1), (250, 5, "I", 1)],
+        "id long, g long, op string, ts long",
+    )
+    rec = m.merge_batch(batch, target)
+    assert rec["touched_buckets"] == [0, 200]
+    got = {r["id"]: r["g"] for r in m.read(spark).collect()}
+    assert len(got) == 251 and got[7] == 99 and got[250] == 5
+    # truncate prune: id in [150, 260] → partitions 100, 200
+    kept, _ = m._pruned_buckets("id", 150, 260)
+    assert kept == ["100", "200"]
+
+
+def test_days_spec_golden_vs_bruteforce(spark, tmp_path, sf_dir):
+    """Golden CDC replay on a days(o_orderdate) mirror built from the
+    orders fixture: two changelog batches (updates then deletes, the
+    partition column immutable per key) must land exactly the
+    latest-per-key recompute, and the merge-on-read variant must agree
+    with copy-on-write."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .limit(2000)
+        .cache()
+    )
+    target = CdcTarget(
+        source_uri="x", key_column="o_orderkey", ts_column="ts"
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1)})
+    )
+    b2 = o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+        {"op": F.lit("D"), "ts": F.lit(2)}
+    )
+    expected = {
+        r["o_orderkey"]: ("X" if r["o_orderkey"] % 7 == 0 else r["o_orderstatus"])
+        for r in o.collect()
+        if r["o_orderkey"] % 13 != 0
+    }
+    for mor in (False, True):
+        m = VersionedBucketMirror(
+            str(tmp_path / f"g{int(mor)}"),
+            key_col="o_orderkey",
+            partition_spec=("days", "o_orderdate"),
+            keep_versions=10,
+            merge_on_read=mor,
+        )
+        m.initialize(o)
+        m.merge_batch(b1, target)
+        m.merge_batch(b2, target)
+        got = {
+            r["o_orderkey"]: r["o_orderstatus"]
+            for r in m.read(spark).select("o_orderkey", "o_orderstatus").collect()
+        }
+        assert got == expected, f"mor={mor}"

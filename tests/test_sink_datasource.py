@@ -518,3 +518,65 @@ def test_update_where_unknown_column_raises_even_with_zero_matches(
     m = _init_mirror(spark, str(tmp_path / "m"))
     with pytest.raises(ValueError, match="unknown column"):
         m.update_where(spark, "id = -12345", {"nope": "1"})
+
+
+def test_sink_enforces_check_constraints(spark, tmp_path):
+    """r13 (VERDICT r12 #6): the Spark-less sink ENFORCES CHECK
+    constraints instead of refusing constrained tables — each executor
+    task validates its staged arrow slice (DuckDB over the batch, the
+    same ANSI exprs), a violating micro-batch fails the query with
+    nothing committed, and a clean batch lands normally. Tombstones are
+    exempt (delete events carry NULL payload by design)."""
+    work = str(tmp_path)
+    m = _init_mirror(spark, f"{work}/m")
+    m.add_constraint(spark, "v_nonneg", "v >= 0")
+    head = m.current()["version"]
+    srcdir = f"{work}/src"
+    os.makedirs(srcdir)
+    # violating batch: one negative v on a live (non-delete) row
+    spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") == 3, -1.0).otherwise(2.0).alias("v"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("ts"),
+    ).write.parquet(f"{srcdir}/bad.parquet")
+    with pytest.raises(Exception, match="v_nonneg"):
+        _run_sink(spark, srcdir, m, f"{work}/ckpt-bad")
+    assert m.current()["version"] == head  # nothing committed
+    assert m.read(spark).filter("v < 0").count() == 0
+
+    # valid batch (same constraint set) passes the gate; a NULL-payload
+    # DELETE rides along without tripping it
+    srcdir2 = f"{work}/src2"
+    os.makedirs(srcdir2)
+    ups = spark.range(0, 10).select(
+        F.col("id"),
+        F.lit(5.0).alias("v"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("ts"),
+    )
+    dels = spark.createDataFrame(
+        [(299, None, "D", 2)], "id long, v double, op string, ts long"
+    )
+    ups.unionByName(dels).write.parquet(f"{srcdir2}/good.parquet")
+    _run_sink(spark, srcdir2, m, f"{work}/ckpt-good")
+    got = m.read(spark)
+    assert got.filter("v = 5.0").count() == 10
+    assert got.filter("id = 299").count() == 0
+    assert m.current()["operation"] == "sink_commit"
+
+
+def test_sink_refuses_nonportable_constraint_expr(spark, tmp_path):
+    """A CHECK expression the sink's executor-side evaluator cannot
+    parse is refused AT SINK CREATION (loud), never skipped."""
+    work = str(tmp_path)
+    m = _init_mirror(spark, f"{work}/m")
+    m.add_constraint(spark, "sparky", "xxhash64(v) != 42")
+    srcdir = f"{work}/src"
+    os.makedirs(srcdir)
+    spark.range(0, 5).select(
+        F.col("id"), F.lit(1.0).alias("v"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("ts"),
+    ).write.parquet(f"{srcdir}/f.parquet")
+    with pytest.raises(Exception, match="not expressible"):
+        _run_sink(spark, srcdir, m, f"{work}/ckpt")

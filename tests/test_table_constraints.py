@@ -138,13 +138,20 @@ def test_ddl_guard_and_lifecycle(spark, mirror):
     mirror.alter_schema(rename={"val": "price"})
 
 
-def test_sink_refuses_constrained_table(spark, mirror):
+def test_prestaged_commit_requires_constraint_attestation(spark, mirror):
+    """r13: a constrained table accepts externally staged deltas ONLY
+    from a writer that attests to having enforced the exact current
+    constraint set executor-side (the state_table sink does); a
+    non-attesting or stale-set commit is refused."""
     mirror.add_constraint(spark, "val_nonneg", "val >= 0")
-    with pytest.raises(ValueError, match="cannot enforce"):
+    fold = {"key": "id", "ts": ["ts"], "op": "op", "delete_op": "D"}
+    schema = mirror.read(spark).schema
+    with pytest.raises(ValueError, match="did not attest"):
+        mirror.commit_prestaged_delta({0: []}, fold=fold, schema=schema)
+    with pytest.raises(ValueError, match="did not attest"):
         mirror.commit_prestaged_delta(
-            {0: []},
-            fold={"key": "id", "ts": ["ts"], "op": "op", "delete_op": "D"},
-            schema=mirror.read(spark).schema,
+            {0: []}, fold=fold, schema=schema,
+            constraints_checked={"val_nonneg": "val >= 1"},  # stale set
         )
 
 
