@@ -49,6 +49,7 @@ UDF_HEAVY = {
     # a pandas UDF on their first execution (r12: ~3x) — same discard rule
     "change_feed_datasource_stream",
     "sink_datasource_stream",
+    "declarative_agg_view",  # r13: Python datasource on both ends
     "minhash_near_duplicates",
     "simhash_near_duplicates",
     "embedding_near_duplicates",

@@ -2919,30 +2919,34 @@ def auto_discovered_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     UNION ALL
     SELECT '_kept_partitions',
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), CAST(0.0 AS DOUBLE)
+           CAST(COUNT(DISTINCT date_trunc('month', o_orderdate))
+                AS BIGINT), CAST(0.0 AS DOUBLE)
     FROM orders
     WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-05-31'
     UNION ALL
     SELECT '_merge_touched',
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT), CAST(0.0 AS DOUBLE)
+           CAST(COUNT(DISTINCT date_trunc('month', o_orderdate))
+                AS BIGINT), CAST(0.0 AS DOUBLE)
     FROM orders WHERE o_orderkey % 7 = 0
     """,
 )
 def partition_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hidden-partition transform spec (r13): a ``days(o_orderdate)``
+    """Hidden-partition transform spec (r13): a ``months(o_orderdate)``
     partitioned ``VersionedBucketMirror`` — the Iceberg partition-spec
     surface beyond hash buckets (the reference's tables are Iceberg,
     README.md:8, whose specs are transforms; time-partitioned mirrors
     are the common warehouse shape). Lifecycle under oracle: initialize
     from `orders`, CDC-merge a status update (op='U' where key%7=0 —
     the merge plans its touched partitions from the batch's transform
-    values, proven by the ``_merge_touched`` row = distinct order dates
-    of the updated keys), then a date-window ``read_pruned`` — the
-    predicate on the SOURCE column maps to a partition-id range with no
-    column stats recorded, so only in-window ``bucket=<days>`` dirs are
-    listed (``_kept_partitions`` = distinct in-window dates). At 100 TB
-    this is the read that makes time-windowed queries touch
-    |window|/|retention| of the table instead of all of it."""
+    values, proven by the ``_merge_touched`` row = distinct order
+    months of the updated keys), then a date-window ``read_pruned`` —
+    the predicate on the SOURCE column maps to a partition-id range
+    with no column stats recorded, so only in-window ``bucket=<month>``
+    dirs are listed (``_kept_partitions`` = distinct in-window months).
+    The grain is chosen to the data: months over 7 years ≈ 80
+    partitions here; at 100 TB each month holds GBs and the same read
+    touches |window|/|retention| of the table instead of all of it
+    (days() exists for day-grain volumes — the test suite covers it)."""
     import datetime
     import tempfile
 
@@ -2957,7 +2961,7 @@ def partition_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = VersionedBucketMirror(
         tempfile.mkdtemp(prefix="spark_graft_ptp_") + "/t",
         key_col="o_orderkey",
-        partition_spec=("days", "o_orderdate"),
+        partition_spec=("months", "o_orderdate"),
         keep_versions=5,
     )
     m.initialize(o)

@@ -26,6 +26,10 @@ Supported statements (keywords case-insensitive)::
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET a = <expr>, ...]
         [WHEN MATCHED [AND <cond>] THEN DELETE]
         [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+    CREATE TABLE t LOCATION '<p>' [PARTITIONED BY BUCKET(n, key)
+        | DAYS(col) | MONTHS(col) | YEARS(col) | TRUNCATE(col, w)
+        | IDENTITY(col) [KEY key]] AS SELECT ...
+    SHOW PARTITIONS t
     SELECT ... FROM t [VERSION AS OF <n> | TIMESTAMP AS OF <ts>] ...
 
 In MERGE expressions, source columns are referenced as ``src.col``
@@ -148,10 +152,20 @@ class TableSql:
 
     # -- DDL: tables --------------------------------------------------------
     def _create(self, s: str) -> dict:
+        """CTAS. ``PARTITIONED BY`` takes the Iceberg spec surface:
+        ``BUCKET(n, key)`` (hash), ``DAYS(col)`` / ``MONTHS(col)`` /
+        ``YEARS(col)`` (hidden time transforms, r13), ``TRUNCATE(col,
+        w)``, ``IDENTITY(col)`` — all create a
+        ``VersionedBucketMirror`` on that spec; omitted → a plain
+        ``ParquetStateTable``. ``KEY <col>`` after a transform names the
+        mirror's key column (default ``id``)."""
         m = re.match(
             r"CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'"
-            r"(?:\s+PARTITIONED\s+BY\s+BUCKET\s*\(\s*(\d+)\s*,"
-            r"\s*(\w+)\s*\))?"
+            r"(?:\s+PARTITIONED\s+BY\s+"
+            r"(BUCKET|DAYS|MONTHS|YEARS|TRUNCATE|IDENTITY)\s*"
+            r"\(\s*([\w\s,]+?)\s*\)"
+            r"(?:\s+KEY\s+(\w+))?"
+            r")?"
             r"\s+AS\s+(SELECT\s+.+|WITH\s+.+)$",
             s,
             re.I | re.S,
@@ -159,11 +173,13 @@ class TableSql:
         if not m:
             raise ValueError(
                 "expected: CREATE TABLE t LOCATION '<path>' "
-                "[PARTITIONED BY BUCKET(n, key_col)] AS SELECT ... — "
-                "BUCKET(...) creates a VersionedBucketMirror, otherwise "
-                "a plain ParquetStateTable"
+                "[PARTITIONED BY BUCKET(n, key_col) | DAYS(col) | "
+                "MONTHS(col) | YEARS(col) | TRUNCATE(col, w) | "
+                "IDENTITY(col) [KEY key_col]] AS SELECT ... — a "
+                "partition spec creates a VersionedBucketMirror, "
+                "otherwise a plain ParquetStateTable"
             )
-        name, loc, n_buckets, key, query_sql = m.groups()
+        name, loc, kind, args, keyopt, query_sql = m.groups()
         if name.lower() in self._tables:
             raise ValueError(f"table {name!r} is already registered")
         import os as _os
@@ -178,14 +194,44 @@ class TableSql:
             VersionedBucketMirror,
         )
 
-        if n_buckets is not None:
-            if key not in df.columns:
+        if kind is not None:
+            kind = kind.upper()
+            parts = [a.strip() for a in args.split(",") if a.strip()]
+            if kind == "BUCKET":
+                if len(parts) != 2 or not parts[0].isdigit():
+                    raise ValueError(
+                        "expected: PARTITIONED BY BUCKET(<n>, <key_col>)"
+                    )
+                n_buckets, key = int(parts[0]), parts[1]
+                spec, cols = None, [key]
+            elif kind == "TRUNCATE":
+                if len(parts) != 2 or not parts[1].isdigit():
+                    raise ValueError(
+                        "expected: PARTITIONED BY TRUNCATE(<col>, <w>)"
+                    )
+                n_buckets, key = 64, keyopt or "id"
+                spec, cols = ("truncate", parts[0], int(parts[1])), [
+                    parts[0], key,
+                ]
+            else:
+                if len(parts) != 1:
+                    raise ValueError(
+                        f"expected: PARTITIONED BY {kind}(<col>)"
+                    )
+                n_buckets, key = 64, keyopt or "id"
+                spec = (
+                    "identity" if kind == "IDENTITY" else kind.lower(),
+                    parts[0],
+                )
+                cols = [parts[0], key]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
                 raise ValueError(
-                    f"BUCKET key {key!r} is not a column of the SELECT "
-                    f"({df.columns})"
+                    f"PARTITIONED BY references column(s) {missing} not "
+                    f"in the SELECT ({df.columns})"
                 )
             t = VersionedBucketMirror(
-                loc, n_buckets=int(n_buckets), key_col=key
+                loc, n_buckets=n_buckets, key_col=key, partition_spec=spec
             )
             t.initialize(df)
         else:
@@ -228,8 +274,34 @@ class TableSql:
         )
 
     def _show(self, s: str) -> DataFrame:
+        pm = re.match(r"SHOW\s+PARTITIONS\s+(\w+)$", s, re.I)
+        if pm:
+            t = self._table(pm.group(1))
+            cur = t.current() if hasattr(t, "current") else None
+            if cur is None or "buckets" not in cur:
+                raise ValueError(
+                    f"{pm.group(1)!r} has no partitioned manifest "
+                    "(plain snapshot layout or empty table)"
+                )
+            spec = cur.get("partition_spec") or ["bucket"]
+            deltas = cur.get("deltas") or {}
+            rows = [
+                (
+                    int(b),
+                    "/".join(str(x) for x in spec),
+                    1 if b in cur["buckets"] else 0,
+                    len(deltas.get(b, [])),
+                )
+                for b in sorted(
+                    set(cur["buckets"]) | set(deltas), key=int
+                )
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "partition long, spec string, has_base int, n_deltas int",
+            )
         if not re.match(r"SHOW\s+TABLES$", s, re.I):
-            raise ValueError("expected: SHOW TABLES")
+            raise ValueError("expected: SHOW TABLES | SHOW PARTITIONS <t>")
         rows = [
             (n, type(t).__name__, getattr(t, "root", ""))
             for n, t in sorted(self._tables.items())

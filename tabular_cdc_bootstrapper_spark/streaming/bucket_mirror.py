@@ -108,7 +108,9 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         #: hidden-partition transform (r13, the Iceberg partition-spec
         #: surface beyond hash buckets): ``None``/``("bucket",)`` is
         #: the classic ``pmod(xxhash64(key), n)``; ``("days", col)``
-        #: partitions by days-since-epoch of a date/timestamp column;
+        #: partitions by days-since-epoch of a date/timestamp column
+        #: (``months``/``years`` likewise, coarser — pick the grain that
+        #: gives GB-scale partitions at your volume);
         #: ``("truncate", col, w)`` by the floored multiple of ``w``
         #: (numeric cols); ``("identity", col)`` by the value itself.
         #: Contract (same as an Iceberg CDC table partitioned by a
@@ -124,12 +126,12 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
             tuple(partition_spec) if partition_spec else ("bucket",)
         )
         if self.partition_spec[0] not in (
-            "bucket", "days", "truncate", "identity",
+            "bucket", "days", "months", "years", "truncate", "identity",
         ):
             raise ValueError(
                 f"unknown partition_spec {self.partition_spec!r} — "
-                "supported: (bucket,), (days, col), (truncate, col, w), "
-                "(identity, col)"
+                "supported: (bucket,), (days|months|years, col), "
+                "(truncate, col, w), (identity, col)"
             )
         #: merge-on-read (r11, VERDICT task 2 — the Iceberg v2 /
         #: Delta-DV cost model): a CDC merge appends one DELTA dir per
@@ -181,6 +183,18 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 F.col(self.partition_spec[1]).cast("date"),
                 F.to_date(F.lit("1970-01-01")),
             ).cast("int")
+        if kind == "months":
+            c = F.col(self.partition_spec[1]).cast("date")
+            return (
+                (F.year(c) - F.lit(1970)) * F.lit(12)
+                + F.month(c)
+                - F.lit(1)
+            ).cast("int")
+        if kind == "years":
+            return (
+                F.year(F.col(self.partition_spec[1]).cast("date"))
+                - F.lit(1970)
+            ).cast("int")
         if kind == "truncate":
             c, w = self.partition_spec[1], int(self.partition_spec[2])
             return (F.floor(F.col(c) / F.lit(w)) * F.lit(w)).cast("long")
@@ -207,14 +221,18 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
 
         kind = self.partition_spec[0]
         try:
-            if kind == "days":
+            if kind in ("days", "months", "years"):
                 if isinstance(value, str):
                     value = _dt.datetime.fromisoformat(value)
                 if isinstance(value, _dt.datetime):
                     value = value.date()
-                if isinstance(value, _dt.date):
+                if not isinstance(value, _dt.date):
+                    return None
+                if kind == "days":
                     return (value - _dt.date(1970, 1, 1)).days
-                return None
+                if kind == "months":
+                    return (value.year - 1970) * 12 + value.month - 1
+                return value.year - 1970
             if kind == "truncate":
                 w = int(self.partition_spec[2])
                 return int(_math.floor(float(value) / w)) * w

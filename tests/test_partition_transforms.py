@@ -220,3 +220,35 @@ def test_days_spec_golden_vs_bruteforce(spark, tmp_path, sf_dir):
             for r in m.read(spark).select("o_orderkey", "o_orderstatus").collect()
         }
         assert got == expected, f"mor={mor}"
+
+
+def test_months_and_years_specs(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "mo"),
+        key_col="id",
+        partition_spec=("months", "d"),
+        keep_versions=10,
+    )
+    df = spark.createDataFrame(
+        [(1, "1995-01-15"), (2, "1995-01-20"), (3, "1995-03-02"), (4, "1996-01-01")],
+        "id long, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    m.initialize(df)
+    # months id = (year-1970)*12 + month-1
+    assert sorted(m.current()["buckets"], key=int) == [
+        str(25 * 12 + 0),
+        str(25 * 12 + 2),
+        str(26 * 12 + 0),
+    ]
+    kept, _ = m._pruned_buckets(
+        "d", datetime.date(1995, 2, 1), datetime.date(1995, 12, 31)
+    )
+    assert kept == [str(25 * 12 + 2)]
+    y = VersionedBucketMirror(
+        str(tmp_path / "yr"),
+        key_col="id",
+        partition_spec=("years", "d"),
+        keep_versions=10,
+    )
+    y.initialize(df)
+    assert sorted(y.current()["buckets"], key=int) == ["25", "26"]

@@ -426,3 +426,43 @@ def test_insert_errors_are_loud(tsql):
         t.sql("INSERT m VALUES (1)")
     with pytest.raises(ValueError, match="unknown table"):
         t.sql("INSERT INTO nope VALUES (1)")
+
+
+def test_ctas_transform_partitioning_and_show_partitions(tsql, spark, tmp_path):
+    """r13: CTAS takes the Iceberg transform spec surface — a
+    MONTHS(col)-partitioned mirror lands one partition per month, takes
+    the full dialect (INSERT with the dup-probe, time travel), and
+    SHOW PARTITIONS reports the manifest's partition map."""
+    t, _, _ = tsql
+    loc = str(tmp_path / "ctas_months")
+    rec = t.sql(
+        f"CREATE TABLE ev LOCATION '{loc}' "
+        "PARTITIONED BY MONTHS(d) KEY id AS "
+        "SELECT id, CAST(CONCAT('1995-0', CAST(id % 3 + 1 AS STRING), "
+        "'-15') AS DATE) AS d, val FROM m WHERE id < 30"
+    )
+    # months ids: (1995-1970)*12 + {0,1,2}
+    assert sorted(int(b) for b in rec["buckets"]) == [300, 301, 302]
+    parts = t.sql("SHOW PARTITIONS ev").collect()
+    assert [r["partition"] for r in parts] == [300, 301, 302]
+    assert all(r["spec"] == "months/d" for r in parts)
+    r = t.sql("INSERT INTO ev VALUES (1000, DATE'1996-06-01', 9.0)")
+    assert r["rows_inserted"] == 1 and r["touched_buckets"] == [317]
+    assert (
+        t.sql("SELECT COUNT(*) AS n FROM ev").collect()[0]["n"] == 31
+    )
+    # truncate spec + errors
+    loc2 = str(tmp_path / "ctas_trunc")
+    rec2 = t.sql(
+        f"CREATE TABLE tr LOCATION '{loc2}' "
+        "PARTITIONED BY TRUNCATE(id, 100) KEY id AS "
+        "SELECT id, val FROM m WHERE id < 250"
+    )
+    assert sorted(int(b) for b in rec2["buckets"]) == [0, 100, 200]
+    with pytest.raises(ValueError, match="not in the SELECT"):
+        t.sql(
+            f"CREATE TABLE bad LOCATION '{tmp_path / 'b'}' "
+            "PARTITIONED BY DAYS(nope) AS SELECT id FROM m"
+        )
+    with pytest.raises(ValueError, match="SHOW TABLES"):
+        t.sql("SHOW COLUMNS")
