@@ -24,6 +24,10 @@ Engine extensions:
                         (reference README.md:8 "will create tables in
                         Iceberg when new folder paths are detected");
                         re-running picks up folders created since
+  SPARK_CDC_PARTITION_SPEC  Iceberg transform for versioned mirror
+                        layouts: "months:o_orderdate", "days:ts",
+                        "years:d", "truncate:id:1000", "identity:col"
+                        (default: hash buckets on the key column)
   SPARK_CDC_MIRROR_LAYOUT   "snapshot" (default; atomic pointer swap) or
                         "bucketed" (BucketPartitionedMirror — per-batch
                         merges rewrite only touched key buckets; the
@@ -136,6 +140,13 @@ def main() -> int:
     )
 
     mirror_layout = os.environ.get("SPARK_CDC_MIRROR_LAYOUT", "snapshot")
+    spec_env = os.environ.get("SPARK_CDC_PARTITION_SPEC", "")
+    partition_spec = None
+    if spec_env:
+        parts = spec_env.split(":")
+        partition_spec = tuple(
+            int(x) if x.isdigit() else x for x in parts
+        )
     for target in cfg.targets:
         if isinstance(results.get(target.source_uri), Exception):
             continue
@@ -160,6 +171,7 @@ def main() -> int:
             os.path.join(work_root, target.table_name),
             target,
             mirror_layout=mirror_layout,
+            partition_spec=partition_spec,
         )
         state = out["mirror"].read(spark)
         n = state.count() if state is not None else 0

@@ -106,6 +106,7 @@ def run_cdc_pipeline_available_now(
     target: CdcTarget,
     mirror_layout: str = "snapshot",
     n_buckets: int = 64,
+    partition_spec: "Sequence | None" = None,
 ) -> dict:
     """End-to-end one-shot CDC run over whatever files currently exist.
 
@@ -124,12 +125,25 @@ def run_cdc_pipeline_available_now(
     ``"bucketed"`` (BucketPartitionedMirror — merges rewrite only the key
     buckets the batch touches; the 100 TB shape).
 
+    ``partition_spec`` (r13, versioned layouts only): an Iceberg
+    transform — ``("months", col)`` etc. — instead of the key hash; the
+    operator-facing knob is ``SPARK_CDC_PARTITION_SPEC`` in
+    ``__main__`` (``"months:o_orderdate"`` form).
+
     Returns {"mirror": <state table>, "changelog_dir": ...}. Re-running
     with the same work_dir is incremental: the checkpoint skips
     already-ingested files (T2 exactly-once).
     """
     changelog_dir = os.path.join(work_dir, "changelog")
     checkpoint = os.path.join(work_dir, "_checkpoint")
+    if partition_spec and mirror_layout not in (
+        "bucketed_versioned", "bucketed_versioned_mor",
+    ):
+        raise ValueError(
+            f"partition_spec applies to the versioned layouts, not "
+            f"{mirror_layout!r} — silently ignoring a configured "
+            "transform would be a misconfiguration trap"
+        )
     if mirror_layout == "bucketed":
         mirror = BucketPartitionedMirror(
             os.path.join(work_dir, "mirror"),
@@ -141,6 +155,7 @@ def run_cdc_pipeline_available_now(
             os.path.join(work_dir, "mirror"),
             n_buckets=n_buckets,
             key_col=target.key_column,
+            partition_spec=partition_spec,
         )
     elif mirror_layout == "bucketed_versioned_mor":
         # merge-on-read (r11): merges append delta files, reads fold,
@@ -151,6 +166,7 @@ def run_cdc_pipeline_available_now(
             n_buckets=n_buckets,
             key_col=target.key_column,
             merge_on_read=True,
+            partition_spec=partition_spec,
         )
     elif mirror_layout == "snapshot":
         mirror = ParquetStateTable(os.path.join(work_dir, "mirror"))

@@ -235,3 +235,66 @@ def test_additive_durable_replay_fence(spark, tmp_path):
     w3 = StateTableStreamWriter(schema, dict(opts))
     w3.commit([staged_msg()], batchId=4)
     assert _view_state(spark, view)[0][0] == after_once[0][0] + 1
+
+
+def test_declarative_join_view_one_statement(spark, tmp_path):
+    """Maintained JOIN view as ONE statement (r13): the change feed
+    stream-static-joins a dimension frame in the stream graph and lands
+    in a latest-mode sink — Catalyst broadcasts the dim into each
+    micro-batch, delete rows pass through (NULL payload → left join →
+    op=D reaches the sink), and after each drain the view equals the
+    from-scratch join of the source's head with the dim."""
+    register_stream_sources(spark)
+    work = str(tmp_path)
+    a = _source(spark, f"{work}/a")
+    v0 = a.history()[0]["version"]
+    dim = spark.createDataFrame(
+        [(g, f"seg-{g % 2}") for g in range(5)], "g long, segment string"
+    )
+    view = VersionedBucketMirror(
+        f"{work}/jview", n_buckets=8, key_col="id", keep_versions=10,
+        merge_on_read=True,
+    )
+    view.initialize(a.read(spark).join(dim, "g", "left"))
+
+    def drain(epoch):
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", a.root)
+            .option("keyCols", "id")
+            .option("startingVersion", str(v0))
+            .load()
+            .join(dim, "g", "left")
+            .withColumn("ts", F.lit(epoch).cast("long"))
+            .writeStream.format("state_table")
+            .option("path", view.root)
+            .option("keyCol", "id")
+            .option("tsCols", "ts")
+            .option("checkpointLocation", f"{work}/jckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def expected():
+        return {
+            r["id"]: (r["g"], r["v"], r["segment"])
+            for r in a.read(spark).join(dim, "g", "left").collect()
+        }
+
+    def got():
+        return {
+            r["id"]: (r["g"], r["v"], r["segment"])
+            for r in view.read(spark)
+            .select("id", "g", "v", "segment")
+            .collect()
+        }
+
+    a.update_where(spark, "g = 1", {"v": "v + 500"})
+    a.delete_where(spark, "g = 3")
+    drain(1)
+    assert got() == expected()
+    a.delete_where(spark, "id % 7 = 0")
+    a.update_where(spark, "g = 0", {"v": "v - 1"})
+    drain(2)
+    assert got() == expected()

@@ -252,3 +252,44 @@ def test_months_and_years_specs(spark, tmp_path):
     )
     y.initialize(df)
     assert sorted(y.current()["buckets"], key=int) == ["25", "26"]
+
+
+def test_main_entry_with_partition_spec(tmp_path, monkeypatch):
+    """SPARK_CDC_PARTITION_SPEC wires a transform into the end-to-end
+    pipeline: the mirror's manifest records the spec and partitions are
+    transform ids, while the golden replay stays exact."""
+    from tests.dms_scenario import generate
+
+    src = tmp_path / "cdc" / "t1"
+    expected = generate(str(src), seed=11)
+    monkeypatch.setenv("TABULAR_BUCKET_NAME", "local-bucket")
+    monkeypatch.setenv("TABULAR_BUCKET_MONITOR_PATH", "cdc/spec_table")
+    monkeypatch.setenv("TABULAR_CDC_ID_FIELD", "id")
+    monkeypatch.setenv("TABULAR_CDC_TIMESTAMP_FIELD", "ts")
+    monkeypatch.setenv("SPARK_CDC_SOURCE_DIR", str(src))
+    monkeypatch.setenv("SPARK_CDC_WORK_DIR", str(tmp_path / "work"))
+    monkeypatch.setenv("SPARK_CDC_MIRROR_LAYOUT", "bucketed_versioned")
+    # identity on the id column: one partition per key decade bucket is
+    # overkill for 100 rows, but proves the spec reaches the mirror
+    monkeypatch.setenv("SPARK_CDC_PARTITION_SPEC", "truncate:id:25")
+
+    from tabular_cdc_bootstrapper_spark.__main__ import main
+
+    assert main() == 0
+    spark = __import__(
+        "tabular_cdc_bootstrapper_spark.session", fromlist=["get_spark"]
+    ).get_spark()
+    m = VersionedBucketMirror(
+        str(tmp_path / "work" / "spec_table" / "mirror"), key_col="id"
+    )
+    assert m.partition_spec == ("truncate", "id", 25)
+    got = {
+        r["id"]: r["name"]
+        for r in m.read(spark).select("id", "name").collect()
+    }
+    assert got == {k: v["name"] for k, v in expected.items()}
+    # spec on a non-versioned layout is refused loudly
+    monkeypatch.setenv("SPARK_CDC_MIRROR_LAYOUT", "snapshot")
+    monkeypatch.setenv("SPARK_CDC_WORK_DIR", str(tmp_path / "work2"))
+    with pytest.raises(ValueError, match="versioned layouts"):
+        main()
