@@ -70,7 +70,7 @@ def main() -> int:
         from dataclasses import replace
 
         from tabular_cdc_bootstrapper_spark.catalog import (
-            bootstrap_discovered,
+            bootstrap_targets,
             discover_targets,
             discovered_and_configured,
         )
@@ -92,13 +92,14 @@ def main() -> int:
                 ),
             )
         cfg = replace(cfg, targets=())  # the root is not itself a table
-        results = bootstrap_discovered(spark, cfg, monitor_root, template)
-        cfg = replace(
-            cfg,
-            targets=discovered_and_configured(
-                cfg, discover_targets(spark, monitor_root, template)
-            ),
+        # ONE listing decides both the bootstrap set and the pipeline
+        # set (r13 review: a folder appearing between two listings
+        # would reach the pipeline loop un-bootstrapped and KeyError)
+        targets = discovered_and_configured(
+            cfg, discover_targets(spark, monitor_root, template)
         )
+        results = bootstrap_targets(spark, cfg, targets)
+        cfg = replace(cfg, targets=targets)
         schema = None  # per-target schemas are inferred per folder below
     else:
         # schema discovery mirrors the reference's file-loader behavior

@@ -315,6 +315,21 @@ def bootstrap_discovered(
     targets = discovered_and_configured(
         cfg, discover_targets(spark, monitor_uri, template)
     )
+    return bootstrap_targets(spark, cfg, targets)
+
+
+def bootstrap_targets(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    targets: tuple[CdcTarget, ...],
+) -> dict[str, tuple[str, str] | Exception]:
+    """Bootstrap an explicit target list with per-folder schema inference
+    and per-target error isolation — the loop ``bootstrap_discovered``
+    runs after discovery, split out (r13 review) so callers that already
+    listed the prefix (``__main__``'s auto-discover path) bootstrap the
+    SAME list they will run pipelines for: one LIST per poll, and no
+    folder can appear between two listings and reach the pipeline loop
+    un-bootstrapped."""
     results: dict[str, tuple[str, str] | Exception] = {}
     for target in targets:
         try:

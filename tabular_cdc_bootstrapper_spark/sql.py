@@ -202,6 +202,12 @@ class TableSql:
                     raise ValueError(
                         "expected: PARTITIONED BY BUCKET(<n>, <key_col>)"
                     )
+                if keyopt is not None:
+                    raise ValueError(
+                        "KEY is redundant with BUCKET(n, key_col) — the "
+                        "bucket spec already names the key; drop the "
+                        "KEY clause"
+                    )
                 n_buckets, key = int(parts[0]), parts[1]
                 spec, cols = None, [key]
             elif kind == "TRUNCATE":
@@ -226,9 +232,15 @@ class TableSql:
                 cols = [parts[0], key]
             missing = [c for c in cols if c not in df.columns]
             if missing:
+                hint = (
+                    " — transform specs need a mirror key column: add "
+                    "KEY <col> after the spec (it defaulted to 'id')"
+                    if keyopt is None and key in missing
+                    else ""
+                )
                 raise ValueError(
                     f"PARTITIONED BY references column(s) {missing} not "
-                    f"in the SELECT ({df.columns})"
+                    f"in the SELECT ({df.columns}){hint}"
                 )
             t = VersionedBucketMirror(
                 loc, n_buckets=n_buckets, key_col=key, partition_spec=spec

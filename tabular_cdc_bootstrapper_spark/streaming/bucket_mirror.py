@@ -235,6 +235,11 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 return value.year - 1970
             if kind == "truncate":
                 w = int(self.partition_spec[2])
+                if isinstance(value, int):
+                    # exact integer floor division — float() would lose
+                    # precision above 2^53 and prune a boundary
+                    # partition wrongly (r13 review)
+                    return (value // w) * w
                 return int(_math.floor(float(value) / w)) * w
             if kind == "identity":
                 return int(value)

@@ -359,6 +359,11 @@ class VersionedBucketMirrorOps:
                 "ts": time.time(),
                 "buckets": mapping,
                 "n_buckets": self.n_buckets,
+                **(
+                    {"partition_spec": list(self.partition_spec)}
+                    if self.partition_spec[0] != "bucket"
+                    else {}
+                ),
                 "audited": True,
                 "schema": schema_json,
             }
@@ -641,6 +646,15 @@ class VersionedBucketMirrorOps:
         fold_cols: set[str] = set()
         for specs in (cur.get("deltas") or {}).values():
             for sp in specs:
+                if sp.get("mode") == "additive":
+                    # sum-fold specs carry group/count/sums, not
+                    # key/ts/op — refuse cleanly like every other
+                    # additive-incompatible metadata path (r13 review)
+                    raise ValueError(
+                        f"{self.root} has live additive (sum-fold) "
+                        "deltas — run rewrite_data_files("
+                        "materialize=True) to fold them before ALTER"
+                    )
                 fold_cols.add(sp["key"])
                 fold_cols.add(sp["op"])
                 fold_cols.update(sp["ts"])
@@ -691,6 +705,8 @@ class VersionedBucketMirrorOps:
             record["deltas"] = cur["deltas"]
         if "n_buckets" in cur:
             record["n_buckets"] = cur["n_buckets"]
+        if "partition_spec" in cur:  # transform spec survives DDL (r13)
+            record["partition_spec"] = cur["partition_spec"]
         if stats is not None:
             record["stats"] = stats
         # stats_cols follow their columns like the bounds do (r12)
@@ -774,6 +790,7 @@ class VersionedBucketMirrorOps:
             "next_fid",
             "deltas",
             "n_buckets",
+            "partition_spec",
             "stats",
             "stats_cols",
             "renames",
@@ -1027,6 +1044,27 @@ class VersionedBucketMirrorOps:
                 f"insert_rows requires the key column {key!r} "
                 f"(got columns: {rows.columns})"
             )
+        # one bounded aggregate validates the BATCH itself (r13 review):
+        # an intra-batch duplicate or NULL key would land two rows /
+        # an unreachable row in the keyed mirror — permanently, since
+        # the existing-state probe below can't see them
+        bstat = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(key).alias("n_keys"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).collect()[0]
+        n_new = int(bstat["n"])
+        if bstat["n_keys"] != n_new:
+            raise ValueError(
+                f"INSERT INTO {self.root}: NULL in key column {key!r} "
+                f"({n_new - int(bstat['n_keys'])} row(s))"
+            )
+        if bstat["n_distinct"] != n_new:
+            raise ValueError(
+                f"INSERT INTO {self.root}: the inserted batch repeats "
+                f"{n_new - int(bstat['n_distinct'])} key value(s) — the "
+                f"mirror is keyed on {key!r}; use MERGE to upsert"
+            )
         touched = sorted(
             r["b"]
             for r in rows.select(self._partition_for(key).alias("b"))
@@ -1089,7 +1127,7 @@ class VersionedBucketMirrorOps:
                 ) from None
             raise
         rec["touched_buckets"] = touched
-        rec["rows_inserted"] = rows.count()
+        rec["rows_inserted"] = n_new
         return rec
 
     def merge_batch(

@@ -775,7 +775,8 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
             if table.num_rows == 0:
                 return _SinkBatchMessage({}, 0, {})
         keys = table.column(self._key).to_pandas()
-        if keys.isna().any():
+        null_mask = keys.isna()
+        if null_mask.any() and self._mode != "additive":
             raise ValueError(
                 f"state_table sink: NULL in key column {self._key!r}"
             )
@@ -807,10 +808,24 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
                         "micro-batch — sink commit refused"
                     )
             con.close()
-        buckets = spark_buckets(keys, self._n_buckets, self._key_type)
+        import numpy as np
+
+        if null_mask.any():
+            # additive mode: NULL is a legal GROUP BY value. Spark's
+            # F.xxhash64(NULL) returns the seed (42) — verified against
+            # the JVM — so the NULL group lands in pmod(42, n), exactly
+            # where the view table's own _bucket(F.col(group)) puts it.
+            buckets = np.empty(len(keys), dtype=np.int64)
+            nn = ~null_mask.to_numpy()
+            if nn.any():
+                buckets[nn] = spark_buckets(
+                    keys[nn], self._n_buckets, self._key_type
+                )
+            buckets[~nn] = 42 % self._n_buckets
+        else:
+            buckets = spark_buckets(keys, self._n_buckets, self._key_type)
         staging = os.path.join(self._root, "_sink", "staging")
         os.makedirs(staging, exist_ok=True)
-        import numpy as np
         import uuid as _uuid
 
         files: dict[int, list[str]] = {}

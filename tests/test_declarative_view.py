@@ -298,3 +298,46 @@ def test_declarative_join_view_one_statement(spark, tmp_path):
     a.update_where(spark, "g = 0", {"v": "v - 1"})
     drain(2)
     assert got() == expected()
+
+
+def test_additive_view_with_null_group(spark, tmp_path):
+    """r13 review: NULL is a legal GROUP BY value — the additive view
+    must maintain the NULL group (it hashes to pmod(xxhash64(NULL)=42,
+    n), bit-identical on both write paths), not fail the stream."""
+    register_stream_sources(spark)
+    work = str(tmp_path)
+    a = VersionedBucketMirror(
+        f"{work}/a", n_buckets=8, key_col="id", keep_versions=10
+    )
+    a.initialize(
+        spark.range(0, 100).select(
+            "id",
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id") % 3)
+            .alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    v0 = a.history()[0]["version"]
+    view = _view_for(spark, a, f"{work}/view")
+    assert None in _view_state(spark, view)  # initialized with it
+    a.update_where(spark, "g IS NULL", {"v": "v + 100"})
+    a.delete_where(spark, "g = 2")
+    _drain(spark, a, view, f"{work}/ckpt", v0)
+    got, exp = _view_state(spark, view), _agg_of(spark, a)
+    assert got == exp and None in got
+
+
+def test_alter_refused_on_live_additive_chain(spark, tmp_path):
+    register_stream_sources(spark)
+    work = str(tmp_path)
+    a = _source(spark, f"{work}/a", n=50)
+    v0 = a.history()[0]["version"]
+    view = _view_for(spark, a, f"{work}/view")
+    a.update_where(spark, "g = 1", {"v": "v + 1"})
+    _drain(spark, a, view, f"{work}/ckpt", v0)
+    with pytest.raises(ValueError, match="additive"):
+        view.alter_schema(add={"note": "string"})
+    # compaction folds the chain; ALTER then proceeds
+    view.rewrite_data_files(spark, min_files=1, materialize=True)
+    view.alter_schema(add={"note": "string"})

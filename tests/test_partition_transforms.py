@@ -293,3 +293,67 @@ def test_main_entry_with_partition_spec(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_CDC_WORK_DIR", str(tmp_path / "work2"))
     with pytest.raises(ValueError, match="versioned layouts"):
         main()
+
+
+def test_spec_survives_constraint_ddl_and_wap(spark, days_mirror):
+    """r13 review: every manifest-record builder must carry the
+    transform spec — a single ADD CONSTRAINT / ALTER / WAP commit that
+    dropped it would make _sync_spec degrade the table to hash
+    bucketing and the next merge would corrupt the layout."""
+    days_mirror.add_constraint(spark, "v_ok", "v IS NOT NULL")
+    assert days_mirror.current().get("partition_spec") == ["days", "d"]
+    h = VersionedBucketMirror(days_mirror.root, key_col="id")
+    assert h.partition_spec == ("days", "d")
+    days_mirror.drop_constraint("v_ok")
+    assert days_mirror.current().get("partition_spec") == ["days", "d"]
+    days_mirror.alter_schema(add={"note": "string"})
+    assert days_mirror.current().get("partition_spec") == ["days", "d"]
+    new = spark.createDataFrame(
+        [(50, "2024-05-01", "w", None)],
+        "id long, d string, v string, note string",
+    ).withColumn("d", F.col("d").cast("date"))
+    days_mirror.write_audit_publish(spark, new, rules=())
+    assert days_mirror.current().get("partition_spec") == ["days", "d"]
+    # and the layout still behaves as a transform table end-to-end
+    h2 = VersionedBucketMirror(days_mirror.root, key_col="id")
+    assert h2.partition_spec == ("days", "d")
+    rec = h2.insert_rows(
+        spark,
+        spark.createDataFrame(
+            [(60, "2024-06-01", "x", None)],
+            "id long, d string, v string, note string",
+        ).withColumn("d", F.col("d").cast("date")),
+    )
+    assert rec["touched_buckets"] == [_days("2024-06-01")]
+
+
+def test_insert_refuses_batch_dups_and_null_keys(spark, days_mirror):
+    dup = spark.createDataFrame(
+        [(100, "2025-01-01", "a"), (100, "2025-01-01", "b")],
+        "id long, d string, v string",
+    ).withColumn("d", F.col("d").cast("date"))
+    with pytest.raises(ValueError, match="repeats"):
+        days_mirror.insert_rows(spark, dup)
+    nul = spark.createDataFrame(
+        [(None, "2025-01-01", "a")], "id long, d string, v string"
+    ).withColumn("d", F.col("d").cast("date"))
+    with pytest.raises(ValueError, match="NULL in key"):
+        days_mirror.insert_rows(spark, nul)
+    assert days_mirror.read(spark).count() == 4  # nothing landed
+
+
+def test_truncate_prune_is_integer_exact_above_2_53(spark, tmp_path):
+    m = VersionedBucketMirror(
+        str(tmp_path / "big"),
+        key_col="id",
+        partition_spec=("truncate", "id", 1000),
+        keep_versions=5,
+    )
+    base = 9_007_199_254_741_993  # > 2^53; float() rounds it
+    m.initialize(
+        spark.createDataFrame([(base, 1)], "id long, x long")
+    )
+    want = (base // 1000) * 1000
+    assert list(m.current()["buckets"]) == [str(want)]
+    kept, _ = m._pruned_buckets("id", base, base)
+    assert kept == [str(want)]  # a float round-trip would miss it

@@ -466,3 +466,19 @@ def test_ctas_transform_partitioning_and_show_partitions(tsql, spark, tmp_path):
         )
     with pytest.raises(ValueError, match="SHOW TABLES"):
         t.sql("SHOW COLUMNS")
+
+
+def test_ctas_key_clause_errors(tsql, tmp_path):
+    t, _, _ = tsql
+    with pytest.raises(ValueError, match="redundant with BUCKET"):
+        t.sql(
+            f"CREATE TABLE b1 LOCATION '{tmp_path / 'b1'}' "
+            "PARTITIONED BY BUCKET(8, id) KEY id AS SELECT id FROM m"
+        )
+    # transform spec without KEY and without an 'id' column: the error
+    # names the hidden default and the fix
+    with pytest.raises(ValueError, match="add KEY"):
+        t.sql(
+            f"CREATE TABLE b2 LOCATION '{tmp_path / 'b2'}' "
+            "PARTITIONED BY IDENTITY(grp) AS SELECT grp, val FROM m"
+        )
