@@ -196,8 +196,13 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 - F.lit(1970)
             ).cast("int")
         if kind == "truncate":
-            c, w = self.partition_spec[1], int(self.partition_spec[2])
-            return (F.floor(F.col(c) / F.lit(w)) * F.lit(w)).cast("long")
+            # exact integer arithmetic (Iceberg: v - ((v % W + W) % W),
+            # the floored multiple): F.floor(col / w) would route long
+            # division through DOUBLE and mis-partition values above
+            # 2^53 (caught by the r13 property test)
+            c = F.col(self.partition_spec[1]).cast("long")
+            w = F.lit(int(self.partition_spec[2]))
+            return (c - F.pmod(c, w)).cast("long")
         # identity
         return F.col(self.partition_spec[1]).cast("long")
 

@@ -357,3 +357,67 @@ def test_truncate_prune_is_integer_exact_above_2_53(spark, tmp_path):
     assert list(m.current()["buckets"]) == [str(want)]
     kept, _ = m._pruned_buckets("id", base, base)
     assert kept == [str(want)]  # a float round-trip would miss it
+
+
+def test_transform_id_agrees_with_row_partition_property(spark, tmp_path):
+    """The pruning-correctness invariant: the driver-side value→id map
+    (``_transform_id``, used to prune) must agree with the executor-side
+    Column expression (``_row_partition``, used to write) on every
+    value — disagreement silently drops partitions from pruned reads.
+    Property-checked over hypothesis-generated dates and ints (incl.
+    negatives and 2^53+ longs) for days/months/years/truncate/identity."""
+    from hypothesis import given, settings, strategies as st
+
+    dates = st.dates(
+        min_value=datetime.date(1960, 1, 1),
+        max_value=datetime.date(2120, 12, 31),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(dates, min_size=1, max_size=8, unique=True))
+    def check_dates(ds):
+        for kind in ("days", "months", "years"):
+            m = VersionedBucketMirror(
+                str(tmp_path / f"p_{kind}_{len(ds)}_{ds[0]}"),
+                key_col="id",
+                partition_spec=(kind, "d"),
+            )
+            df = spark.createDataFrame(
+                [(i, d) for i, d in enumerate(ds)], "id long, d date"
+            )
+            got = {
+                r["d"]: r["b"]
+                for r in df.withColumn("b", m._row_partition()).collect()
+            }
+            for d in ds:
+                assert m._transform_id(d) == got[d], (kind, d)
+
+    check_dates()
+
+    longs = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=-1000, max_value=1000),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(longs, min_size=1, max_size=8, unique=True),
+        st.integers(min_value=1, max_value=10**6),
+    )
+    def check_truncate(vals, w):
+        m = VersionedBucketMirror(
+            str(tmp_path / f"p_tr_{w}_{abs(hash(tuple(vals))) % 10**6}"),
+            key_col="id",
+            partition_spec=("truncate", "x", w),
+        )
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, x long"
+        )
+        got = {
+            r["x"]: r["b"]
+            for r in df.withColumn("b", m._row_partition()).collect()
+        }
+        for v in vals:
+            assert m._transform_id(v) == got[v], (v, w)
+
+    check_truncate()
