@@ -110,6 +110,7 @@ def main() -> int:
         if source_dir_env:
             schema = (
                 spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")  # drift-safe union (r14)
                 .parquet(source_dir_env)
                 .schema
             )
@@ -159,6 +160,7 @@ def main() -> int:
             try:
                 tgt_schema = (
                     spark.read.option("recursiveFileLookup", "true")
+                    .option("mergeSchema", "true")  # drift-safe (r14)
                     .parquet(src)
                     .schema
                 )

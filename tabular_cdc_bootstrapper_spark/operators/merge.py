@@ -134,6 +134,131 @@ def _is_safe_widening(src_t: str, tgt_t: str) -> bool:
     return False
 
 
+def _transform_merge_touched(
+    spark,
+    table,
+    source: DataFrame,
+    on: list[str],
+    update_set: dict,
+    insert_set: dict,
+    insert_cond,
+) -> list[int]:
+    """Touched partitions of a MERGE into a TRANSFORM-partitioned
+    ``VersionedBucketMirror`` (ADVICE r13): the union of
+
+    - MATCHED partitions — partitions of live rows whose merge keys
+      appear in the source. Found by ONE narrow probe over every live
+      partition (key + spec-source columns only, column-pruned by
+      Catalyst) semi-joined against the distinct source keys and grouped
+      by the table's partition expression — the same all-partition probe
+      shape ``insert_rows`` uses, because under a transform spec a key's
+      partition is a function of the spec SOURCE column, not the key;
+    - INSERT partitions — transform ids of the rows an unmatched source
+      row would insert (``insert_set``'s value for the source column
+      when overridden, else the source column itself), filtered by
+      ``insert_cond`` so an update-only MERGE (insert branch statically
+      FALSE) plans zero insert partitions.
+
+    Refuses an ``update_set`` that assigns the spec source column: the
+    commit path recomputes each staged row's partition from that value,
+    and a row moved outside the touched set would be silently lost —
+    the same rule ``update_where`` enforces.
+    """
+    from pyspark.sql import types as T
+
+    insert_set = insert_set or {}
+    src_col = table.partition_spec[1]
+    if src_col in update_set:
+        raise ValueError(
+            f"MERGE may not assign {src_col!r} — the table's "
+            f"{table.partition_spec[0]} partition transform derives "
+            "partition ids from it; model a partition move as "
+            "DELETE + INSERT"
+        )
+    cur = table.current() if table.exists() else None
+    existing = None
+    matched: set[int] = set()
+    if cur is not None:
+        parts = sorted(
+            int(b)
+            for b in set(cur.get("buckets") or {})
+            | set(cur.get("deltas") or {})
+        )
+        existing = (
+            table._read_entry(spark, cur, buckets=parts) if parts else None
+        )
+    src_keys = source.select(*on).distinct()
+    if existing is not None:
+        cond = None
+        for k in on:  # merge keys join NULL-SAFELY (merge_into contract)
+            eq = existing[k].eqNullSafe(src_keys[k])
+            cond = eq if cond is None else cond & eq
+        matched = {
+            int(r["b"])
+            for r in existing.join(src_keys, cond, "left_semi")
+            .groupBy(table._row_partition(existing).alias("b"))
+            .agg(F.count(F.lit(1)))
+            .collect()
+        }
+    # unmatched source rows: the insert candidates
+    if existing is not None:
+        tgt_keys = existing.select(*on).distinct()
+        cond = None
+        for k in on:
+            eq = source[k].eqNullSafe(tgt_keys[k])
+            cond = eq if cond is None else cond & eq
+        unmatched = source.join(tgt_keys, cond, "left_anti")
+    else:
+        unmatched = source
+    # evaluate insert_cond / the inserted spec-column value in the same
+    # frame shape merge_into uses: source columns prefixed __s_, target
+    # columns typed NULL (an unmatched row has no target side)
+    ev = unmatched.select(
+        *[F.col(c).alias(f"__s_{c}") for c in unmatched.columns]
+    )
+    if cur is not None and cur.get("schema"):
+        tfields = T.StructType.fromJson(cur["schema"]).fields
+    elif existing is not None:
+        tfields = existing.schema.fields
+    else:
+        tfields = []  # first merge into an empty table: target = source
+    for f in tfields:
+        if f.name != "bucket":
+            ev = ev.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if insert_cond is not None:
+        ev = ev.filter(F.coalesce(insert_cond, F.lit(False)))
+    if src_col in insert_set:
+        val = insert_set[src_col]
+    elif src_col in unmatched.columns:
+        val = src(src_col)
+    else:
+        val = None  # no inserts can resolve the spec column
+    inserts: set[int] = set()
+    if val is not None:
+        pv = ev.select(val.alias("__pv"))
+        dtype = pv.schema[0].dataType.simpleString()
+        prows = (
+            pv.select(table._transform_col(F.col("__pv"), dtype).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if any(r["b"] is None for r in prows):
+            raise ValueError(
+                f"MERGE would insert rows with NULL {src_col!r} — the "
+                "partition transform's source column is non-null by "
+                "contract"
+            )
+        inserts = {int(r["b"]) for r in prows}
+    elif not ev.isEmpty():
+        raise ValueError(
+            f"MERGE inserts into a {table.partition_spec[0]}-partitioned "
+            f"table but the source carries no {src_col!r} column (and "
+            "insert_set does not provide one) — the inserted rows' "
+            "partitions cannot be planned"
+        )
+    return sorted(matched | inserts)
+
+
 def merge_into_table(
     spark,
     table,
@@ -208,12 +333,29 @@ def merge_into_table(
             raise ValueError(
                 f"bucketed merge requires the bucket key {key!r} in on={on}"
             )
-        touched = sorted(
-            r["b"]
-            for r in source.select(table._bucket(F.col(key)).alias("b"))
-            .distinct()
-            .collect()
-        )
+        spec = tuple(getattr(table, "partition_spec", ("bucket",)))
+        if spec[0] == "bucket":
+            # hash spec: a key's bucket is derivable from the key, so the
+            # source's key hashes ARE the touched set (one bounded agg)
+            touched = sorted(
+                r["b"]
+                for r in source.select(table._bucket(F.col(key)).alias("b"))
+                .distinct()
+                .collect()
+            )
+        else:
+            # transform spec (ADVICE r13, high): a key's partition is NOT
+            # derivable from the key — planning via the hash read the
+            # wrong partitions, staged merged rows under transform ids
+            # outside the touched set (discarded), and popped colliding
+            # hash-id entries from the manifest. Plan instead from the
+            # data: matched partitions via a narrow all-partition key
+            # probe (as insert_rows does), insert partitions from the
+            # unmatched source rows' transform values.
+            touched = _transform_merge_touched(
+                spark, table, source, on, update_set, insert_set,
+                insert_cond,
+            )
         target = table.read_buckets(spark, touched) if table.exists() else None
         if target is not None and "bucket" in target.columns:
             target = target.drop("bucket")

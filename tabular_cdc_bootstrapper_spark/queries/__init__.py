@@ -38,82 +38,29 @@ del _m, _k
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-13 rotation (policy: keep every
-# query <= 3 rounds stale; VERDICT r12 "what's wrong" #1: never ship a new
-# operator whose only hard signal is a judge session — new entries go
-# in-window the round they land):
+# fresh driver-side correctness row. Round-14 rotation (policy: keep every
+# query <= 3 rounds stale; new entries go in-window the round they land):
 #
 # - IN (flagship, 1): cdc_latest, every round.
-# - IN (r12-new, 5): change_feed_datasource_stream, mirror_dml_delete_update,
-#   sink_datasource_stream, table_sql_lifecycle, table_constraints_gate —
-#   never appeared in any driver window (r12's slots rotated onto the r9
-#   staleness cohort); judge-verified green in the r12 session, but the
-#   driver row is the signal of record (VERDICT r12 next-round #2).
-# - IN (r13-new): auto_discovered_mirrors (reference README.md:8 new-folder
-#   auto-discovery — the last missing reference behavior) and every other
-#   entry added this round (inserted into the head as they land; the sync
-#   assert below forces the bookkeeping).
-# - IN (r10 cohort, fills to 50): the 49 rows whose latest driver check is
-#   r10 are at the 3-round staleness ceiling; the head takes as many as fit
-#   (alphabetical). The remainder HEAD THE TAIL and must open the r14
-#   window — they will be 4 rounds stale, the one deliberate ceiling breach,
-#   traded for the new-entry rule above.
-# - OUT: r11 rows (2 stale) then r12 rows (1 stale, freshest last). Every
-#   out-of-window entry is still re-executed against DuckDB locally each
-#   round by tests/test_oracle_parity.py, so regressions cannot hide
-#   between driver rotations.
+# - IN (r14-new, 2): sql_pruned_dml (WHERE-derived partition pruning in the
+#   SQL front-end, VERDICT r13 #1) and schema_drift_discovery (discovered
+#   folders widen on re-poll, VERDICT r13 #5).
+# - IN (r10 staleness tail, 8): stats_price_quantity .. window_navigation —
+#   4 rounds stale (r13's deliberate ceiling breach); VERDICT r13 #4 says
+#   close them first.
+# - IN (r11 cohort, fills to 50): 39 of the 48 rows last driver-checked in
+#   r11 (alphabetical), at the 3-round ceiling now. The remaining 9
+#   (sequence_packing .. zorder_layout_stats) HEAD THE TAIL and must open
+#   the r15 window — the same deliberate one-round breach r13 took.
+# - OUT: r12 rows (2 stale), then the r13 window's rows (1 stale, freshest
+#   last). Every out-of-window entry is still re-executed against DuckDB
+#   locally each round by tests/test_oracle_parity.py, so regressions cannot
+#   hide between driver rotations.
 # ---------------------------------------------------------------------------
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
-    "change_feed_datasource_stream",
-    "mirror_dml_delete_update",
-    "sink_datasource_stream",
-    "table_sql_lifecycle",
-    "table_constraints_gate",
-    "auto_discovered_mirrors",
-    "partition_transform_pruning",
-    "declarative_agg_view",
-    "ann_ivf_topk",
-    "bm25_topk",
-    "brand_name_distance",
-    "bucket_compaction_roundtrip",
-    "cdc_anomaly_report",
-    "cdc_ops_histogram",
-    "corpus_dedup_summary",
-    "cosine_topk",
-    "customer_order_window_stats",
-    "customer_order_years",
-    "dedup_exact_groups",
-    "distinct_count_dims",
-    "embedding_near_duplicates",
-    "events_json_extract",
-    "hash_split_counts",
-    "merge_table_time_travel",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "outer_join_order_fill",
-    "pagerank_dangling_directed",
-    "passage_ann_topk",
-    "pii_redaction_by_source",
-    "pivot_revenue_by_status",
-    "price_percentiles",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_check",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "referential_integrity_report",
-    "repetition_stats_by_lang",
-    "rollup_revenue",
-    "set_ops_part_coverage",
-    "simhash_near_duplicates",
-    "snapshot_branch_publish",
-    "snapshot_refs_report",
+    "sql_pruned_dml",
+    "schema_drift_discovery",
     "stats_price_quantity",
     "string_funcs_parts",
     "text_stats_by_lang",
@@ -219,6 +166,55 @@ _DRIVER_CHECK_PRIORITY = [
     "top_terms",
     "unigram_surprisal_quality",
     "winsorized_length_stats",
+    "change_feed_datasource_stream",
+    "mirror_dml_delete_update",
+    "sink_datasource_stream",
+    "table_sql_lifecycle",
+    "table_constraints_gate",
+    "auto_discovered_mirrors",
+    "partition_transform_pruning",
+    "declarative_agg_view",
+    "ann_ivf_topk",
+    "bm25_topk",
+    "brand_name_distance",
+    "bucket_compaction_roundtrip",
+    "cdc_anomaly_report",
+    "cdc_ops_histogram",
+    "corpus_dedup_summary",
+    "cosine_topk",
+    "customer_order_window_stats",
+    "customer_order_years",
+    "dedup_exact_groups",
+    "distinct_count_dims",
+    "embedding_near_duplicates",
+    "events_json_extract",
+    "hash_split_counts",
+    "merge_table_time_travel",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "outer_join_order_fill",
+    "pagerank_dangling_directed",
+    "passage_ann_topk",
+    "pii_redaction_by_source",
+    "pivot_revenue_by_status",
+    "price_percentiles",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_check",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "referential_integrity_report",
+    "repetition_stats_by_lang",
+    "rollup_revenue",
+    "set_ops_part_coverage",
+    "simhash_near_duplicates",
+    "snapshot_branch_publish",
+    "snapshot_refs_report",
 ]
 
 def _reorder_registry() -> None:

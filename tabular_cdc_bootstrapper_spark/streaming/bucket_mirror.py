@@ -110,7 +110,10 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         #: the classic ``pmod(xxhash64(key), n)``; ``("days", col)``
         #: partitions by days-since-epoch of a date/timestamp column
         #: (``months``/``years`` likewise, coarser — pick the grain that
-        #: gives GB-scale partitions at your volume);
+        #: gives GB-scale partitions at your volume). Temporal
+        #: transforms on TIMESTAMP sources are computed in UTC (the
+        #: Iceberg ``days()`` contract; see ``_transform_col``) — the
+        #: partition id never depends on ``spark.sql.session.timeZone``;
         #: ``("truncate", col, w)`` by the floored multiple of ``w``
         #: (numeric cols); ``("identity", col)`` by the value itself.
         #: Contract (same as an Iceberg CDC table partitioned by a
@@ -169,51 +172,82 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
     def _bucket(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
-    def _row_partition(self):
-        """The partition id of a row under the table's spec, as a Column
-        — the single point every write/plan path derives ``bucket``
-        from. Hash spec: the classic key hash. Transform specs: the
-        Iceberg transform of the source column (non-null, key-stable by
-        contract — see ``partition_spec``)."""
+    #: one UTC day in microseconds — the temporal transforms' unit
+    _DAY_US = 86_400_000_000
+
+    def _transform_col(self, c, dtype: str | None = None):
+        """The spec's transform applied to column expression ``c``
+        (``dtype``: the input's Spark simpleString type when known).
+
+        Timezone contract (r14, ADVICE r13): the temporal transforms
+        (days/months/years) are defined in UTC, exactly Iceberg's
+        ``days()``/``months()``/``years()``. A TIMESTAMP input (an
+        instant, session-tz-DISPLAYED) is floored on its epoch
+        microseconds — integer-exact, independent of
+        ``spark.sql.session.timeZone`` — so a table written under tz A
+        and range-read under tz B computes identical partition ids.
+        DATE / TIMESTAMP_NTZ inputs are wall-clock values with no zone
+        to begin with and transform as-is. When ``dtype`` is unknown
+        (no frame in scope), the cast("date") path applies — callers on
+        write/plan paths always pass the frame, so only a
+        date-or-wall-clock source may legally omit it."""
         kind = self.partition_spec[0]
-        if kind == "bucket":
-            return self._bucket(F.col(self.key_col))
-        if kind == "days":
-            return F.datediff(
-                F.col(self.partition_spec[1]).cast("date"),
-                F.to_date(F.lit("1970-01-01")),
-            ).cast("int")
-        if kind == "months":
-            c = F.col(self.partition_spec[1]).cast("date")
-            return (
-                (F.year(c) - F.lit(1970)) * F.lit(12)
-                + F.month(c)
-                - F.lit(1)
-            ).cast("int")
-        if kind == "years":
-            return (
-                F.year(F.col(self.partition_spec[1]).cast("date"))
-                - F.lit(1970)
-            ).cast("int")
+        if kind in ("days", "months", "years"):
+            if dtype == "timestamp":
+                m = F.unix_micros(c)
+                day = (
+                    (m - F.pmod(m, F.lit(self._DAY_US)))
+                    / F.lit(self._DAY_US)
+                ).cast("int")
+                d = F.date_add(F.to_date(F.lit("1970-01-01")), day)
+            else:
+                d = c.cast("date")
+            if kind == "days":
+                return F.datediff(
+                    d, F.to_date(F.lit("1970-01-01"))
+                ).cast("int")
+            if kind == "months":
+                return (
+                    (F.year(d) - F.lit(1970)) * F.lit(12)
+                    + F.month(d)
+                    - F.lit(1)
+                ).cast("int")
+            return (F.year(d) - F.lit(1970)).cast("int")
         if kind == "truncate":
             # exact integer arithmetic (Iceberg: v - ((v % W + W) % W),
             # the floored multiple): F.floor(col / w) would route long
             # division through DOUBLE and mis-partition values above
             # 2^53 (caught by the r13 property test)
-            c = F.col(self.partition_spec[1]).cast("long")
+            cl = c.cast("long")
             w = F.lit(int(self.partition_spec[2]))
-            return (c - F.pmod(c, w)).cast("long")
+            return (cl - F.pmod(cl, w)).cast("long")
         # identity
-        return F.col(self.partition_spec[1]).cast("long")
+        return c.cast("long")
 
-    def _partition_for(self, key: str):
+    def _row_partition(self, df: DataFrame | None = None):
+        """The partition id of a row under the table's spec, as a Column
+        — the single point every write/plan path derives ``bucket``
+        from. Hash spec: the classic key hash. Transform specs: the
+        Iceberg transform of the source column (non-null, key-stable by
+        contract — see ``partition_spec``). ``df``: the frame the
+        expression will run over — resolves the source column's type so
+        TIMESTAMP inputs take the UTC-exact path (see
+        ``_transform_col``)."""
+        if self.partition_spec[0] == "bucket":
+            return self._bucket(F.col(self.key_col))
+        src = self.partition_spec[1]
+        dtype = dict(df.dtypes).get(src) if df is not None else None
+        return self._transform_col(F.col(src), dtype)
+
+    def _partition_for(self, key: str, df: DataFrame | None = None):
         """Partition expr for a write/plan path whose key column may be
         overridden per call: hash specs bind to THAT key (unchanged
         pre-r13 behavior); transform specs always bind to the spec's
-        source column."""
+        source column (``df`` resolves its type — see
+        ``_row_partition``)."""
         if self.partition_spec[0] == "bucket":
             return self._bucket(F.col(key))
-        return self._row_partition()
+        return self._row_partition(df)
 
     def _transform_id(self, value):
         """Driver-side twin of ``_row_partition`` for transform specs:
@@ -230,6 +264,13 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 if isinstance(value, str):
                     value = _dt.datetime.fromisoformat(value)
                 if isinstance(value, _dt.datetime):
+                    # UTC contract (r14, mirrors _transform_col): a
+                    # tz-aware instant maps to its UTC calendar day; a
+                    # NAIVE datetime is UTC by the repo-wide convention
+                    # (sql.py time travel pins the same rule) — never
+                    # the host or session zone
+                    if value.tzinfo is not None:
+                        value = value.astimezone(_dt.timezone.utc)
                     value = value.date()
                 if not isinstance(value, _dt.date):
                     return None
@@ -251,6 +292,42 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         except (TypeError, ValueError):
             return None
         return None
+
+    def _key_bucket(self, value, entry: dict | None = None) -> int | None:
+        """Driver-side bucket id of one KEY value under the hash spec —
+        the point-lookup twin of ``_bucket``, computed with the Python
+        xxHash64 (seed 42) the streaming sink already pins bit-identical
+        to ``F.xxhash64``. Returns None when the key's manifest type is
+        unknown or not long/integer/string, or the value's Python type
+        does not match it exactly (a mistyped literal must fall back to
+        the stats prune, never hash to a WRONG bucket)."""
+        e = entry if entry is not None else self.current()
+        ktype = None
+        if e and e.get("schema"):
+            for f in e["schema"]["fields"]:
+                if f["name"] == self.key_col and isinstance(f["type"], str):
+                    ktype = f["type"]
+                    break
+        if ktype not in ("long", "integer"):
+            if ktype != "string":
+                return None
+            if not isinstance(value, str):
+                return None
+        else:
+            if isinstance(value, bool) or not isinstance(value, int):
+                return None
+            limit = 2**63 if ktype == "long" else 2**31
+            if not (-limit <= value < limit):
+                return None
+        import pandas as pd
+
+        from tabular_cdc_bootstrapper_spark.functions.xxhash import (
+            spark_buckets,
+        )
+
+        return int(
+            spark_buckets(pd.Series([value]), self.n_buckets, ktype)[0]
+        )
 
     def _sync_spec(self) -> None:
         """Bind this handle to the CURRENT manifest's bucket spec (r11,
@@ -483,9 +560,27 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         spec's source column, the partition id itself is a monotonic
         function of the value, so [lower, upper] maps directly to a
         partition-id range — pruning needs no stats at all (the Iceberg
-        hidden-partitioning read path). Both prunes compose."""
+        hidden-partitioning read path). Both prunes compose.
+
+        Key-point pruning (r14, VERDICT #1): an EQUALITY bound on the
+        KEY column of a hash-spec table maps to exactly one bucket via
+        the Python xxhash twin (``functions/xxhash.py`` — bit-identical
+        to ``F.xxhash64``, the streaming sink's partitioner), so a
+        key-scoped DELETE/UPDATE/SELECT plans 1/n_buckets of the table
+        with no scan at all."""
         e = self._resolve(version)
         stats = e.get("stats") or {}
+        if (
+            self.partition_spec[0] == "bucket"
+            and col == self.key_col
+            and lower is not None
+            and lower == upper
+        ):
+            b = self._key_bucket(lower, e)
+            if b is not None:
+                present = set(e["buckets"]) | set(e.get("deltas") or {})
+                kept = [str(b)] if str(b) in present else []
+                return kept, len(e["buckets"])
         # transform-domain prune: value bounds → partition-id bounds
         pid_lo = pid_hi = None
         if (
@@ -654,7 +749,7 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         key = key_col or self.key_col
         version = self._log.next_version()
         staging = os.path.join(self.root, f"staging-{uuid.uuid4().hex[:8]}")
-        staged_df = df.withColumn("bucket", self._partition_for(key))
+        staged_df = df.withColumn("bucket", self._partition_for(key, df))
         if zorder_cols:
             # OPTIMIZE ... ZORDER BY composed into the commit path (r11):
             # the Morton key is computed ONCE over the staged frame

@@ -278,7 +278,7 @@ class VersionedBucketMirrorOps:
         self._sync_spec()
         wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
         (
-            df.withColumn("bucket", self._partition_for(key))
+            df.withColumn("bucket", self._partition_for(key, df))
             .repartition("bucket")
             .write.mode("errorifexists")
             .partitionBy("bucket")
@@ -855,7 +855,7 @@ class VersionedBucketMirrorOps:
             return [], 0
         rows = (
             df.filter(hit)
-            .groupBy(self._row_partition().alias("b"))
+            .groupBy(self._row_partition(df).alias("b"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
@@ -950,6 +950,21 @@ class VersionedBucketMirrorOps:
                 "hash binds to it; model a key change as DELETE + INSERT"
             )
         self._sync_spec()
+        if (
+            self.partition_spec[0] != "bucket"
+            and self.partition_spec[1] in assignments
+        ):
+            # ADVICE r13 (high): _commit_staged recomputes each staged
+            # row's partition from the (new) source-column value, so a
+            # row assigned into a partition outside the touched set
+            # would be staged, never installed, and silently LOST when
+            # staging is removed — mirror the key-column refusal
+            raise ValueError(
+                f"cannot assign {self.partition_spec[1]!r} — the table's "
+                f"{self.partition_spec[0]} partition transform derives "
+                "partition ids from it; model a partition move as "
+                "DELETE + INSERT"
+            )
         cur = self.current()
         if cur is None:
             raise ValueError(f"mirror {self.root} has no snapshot yet")
@@ -1067,7 +1082,7 @@ class VersionedBucketMirrorOps:
             )
         touched = sorted(
             r["b"]
-            for r in rows.select(self._partition_for(key).alias("b"))
+            for r in rows.select(self._partition_for(key, rows).alias("b"))
             .distinct()
             .collect()
         )
@@ -1155,7 +1170,7 @@ class VersionedBucketMirrorOps:
         )
         brows = (
             batch_df.select(
-                self._partition_for(key).alias("b"), is_del.alias("d")
+                self._partition_for(key, batch_df).alias("b"), is_del.alias("d")
             )
             .groupBy("b")
             .agg(F.max("d").alias("has_d"), F.min("d").alias("all_d"))
@@ -1335,7 +1350,7 @@ class VersionedBucketMirrorOps:
         if self.partition_spec[0] == "bucket":
             touched = {
                 str(r["b"])
-                for r in keys_df.select(self._partition_for(key).alias("b"))
+                for r in keys_df.select(self._partition_for(key, keys_df).alias("b"))
                 .distinct()
                 .collect()
             }

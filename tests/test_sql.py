@@ -482,3 +482,141 @@ def test_ctas_key_clause_errors(tsql, tmp_path):
             f"CREATE TABLE b2 LOCATION '{tmp_path / 'b2'}' "
             "PARTITIONED BY IDENTITY(grp) AS SELECT grp, val FROM m"
         )
+
+
+# ---------------------------------------------------------------------------
+# r14: WHERE-derived partition pruning in the SQL front-end (VERDICT r13 #1).
+# ---------------------------------------------------------------------------
+
+
+def _capture_plan_buckets(monkeypatch, m):
+    """Record the ``buckets=`` list of every ``_read_entry`` call — the
+    listing scope of the DML planning scan and of reads."""
+    calls: list[list[int] | None] = []
+    orig = type(m)._read_entry
+
+    def spy(self, spark, e, buckets=None):
+        calls.append(sorted(int(b) for b in buckets) if buckets else None)
+        return orig(self, spark, e, buckets=buckets)
+
+    monkeypatch.setattr(type(m), "_read_entry", spy)
+    return calls
+
+
+@pytest.fixture()
+def months_tsql(spark, tmp_path):
+    """A months(d)-partitioned mirror spanning 1995-01..1995-06."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "mt"),
+        key_col="id",
+        partition_spec=("months", "d"),
+        keep_versions=10,
+    )
+    df = spark.range(0, 600).select(
+        "id",
+        F.date_add(
+            F.to_date(F.lit("1995-01-01")), (F.col("id") % 180).cast("int")
+        ).alias("d"),
+        (F.col("id") % 9).alias("grp"),
+    )
+    m.initialize(df)
+    return TableSql(spark, {"mt": m}), m
+
+
+def test_sql_delete_prunes_to_transform_partitions(
+    months_tsql, spark, monkeypatch
+):
+    t, m = months_tsql
+    jan, feb = 25 * 12 + 0, 25 * 12 + 1  # (1995-1970)*12 + month-1
+    before = {r["id"] for r in m.read(spark).collect()}
+    calls = _capture_plan_buckets(monkeypatch, m)
+    r = t.sql(
+        "DELETE FROM mt WHERE d BETWEEN DATE '1995-01-10' "
+        "AND DATE '1995-02-20' AND grp = 3"
+    )
+    # the PLANNING scan listed only the Jan+Feb partitions (six live)
+    assert calls[0] is not None and set(calls[0]) <= {jan, feb}
+    want_gone = {i for i in before if i % 9 == 3 and 9 <= i % 180 <= 50}
+    assert r["rows_deleted"] == len(want_gone)
+    assert {r["id"] for r in m.read(spark).collect()} == before - want_gone
+
+
+def test_sql_update_key_equality_plans_single_bucket(
+    tsql, spark, monkeypatch
+):
+    t, m, _ = tsql
+    b = m._key_bucket(123)
+    assert b is not None
+    calls = _capture_plan_buckets(monkeypatch, m)
+    r = t.sql("UPDATE m SET val = -1 WHERE id = 123")
+    assert r["rows_updated"] == 1
+    assert calls[0] == [b]  # planning read ONE bucket of 8
+    assert r["matched_buckets"] == [b]
+    got = t.sql("SELECT val FROM m WHERE id = 123").collect()
+    assert got[0]["val"] == -1.0
+
+
+def test_sql_select_resolves_through_pruned_read(
+    months_tsql, spark, monkeypatch
+):
+    t, m = months_tsql
+    mar = 25 * 12 + 2
+    seen: list[tuple] = []
+    orig = type(m).read_pruned
+
+    def spy(self, spark_, col, lower=None, upper=None, version=None):
+        seen.append((col, lower, upper))
+        return orig(self, spark_, col, lower, upper, version)
+
+    monkeypatch.setattr(type(m), "read_pruned", spy)
+    df = t.sql(
+        "SELECT grp, COUNT(*) AS n FROM mt "
+        "WHERE d >= DATE '1995-03-05' AND d <= DATE '1995-03-25' "
+        "GROUP BY grp ORDER BY grp"
+    )
+    rows = df.collect()
+    assert seen == [("d", "1995-03-05", "1995-03-25")]
+    # only March's dir is listed physically
+    assert all(f"/bucket={mar}/" in f for f in df.inputFiles())
+    # exact vs the unpruned recompute
+    monkeypatch.setattr(type(m), "read_pruned", orig)
+    want = (
+        m.read(spark)
+        .filter("d >= DATE '1995-03-05' AND d <= DATE '1995-03-25'")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .orderBy("grp")
+        .collect()
+    )
+    assert rows == want
+
+
+def test_sql_prune_never_misfires(months_tsql, tsql, spark):
+    """Statements whose WHERE cannot be safely bounded must read
+    unpruned and stay exact: OR, subqueries, expressions over the
+    column, mistyped literals, multi-table SELECTs."""
+    t, m = months_tsql
+    full = m.read(spark).count()
+    # OR disables derivation (bounds are not necessary conditions)
+    assert t._derive_prune(m, "d >= DATE '1995-03-01' OR grp = 1") is None
+    # expression on the column contributes no bound
+    assert t._derive_prune(m, "date_add(d, 40) = DATE '1995-03-01'") is None
+    # mistyped literal (numeric on a date column) must not prune
+    assert t._derive_prune(m, "d >= 42") is None
+    # a string containing ' and ' is data, not a connective
+    assert t._derive_prune(m, "grp = 'a and b'") is None
+    n = t.sql(
+        "SELECT COUNT(*) AS n FROM mt WHERE d >= DATE '1995-05-01' "
+        "OR d < DATE '1995-02-01'"
+    ).collect()[0]["n"]
+    want = m.read(spark).filter(
+        "d >= DATE '1995-05-01' OR d < DATE '1995-02-01'"
+    ).count()
+    assert n == want and full == 600
+    # key inequality on the hash layout: no prune, full result
+    t2, m2, _ = tsql
+    assert t2._derive_prune(m2, "id >= 10") == ("id", 10, None) or (
+        t2._derive_prune(m2, "id >= 10") is None
+    )
+    got = t2.sql("SELECT COUNT(*) AS n FROM m WHERE id >= 390").collect()
+    assert got[0]["n"] == 10
