@@ -75,6 +75,14 @@ UDF_HEAVY = {
 }
 
 
+import re as _re_mod
+
+#: BASELINE.md per-query row: | name | sec | recorded | config |
+_BASELINE_ROW = _re_mod.compile(
+    r"^\|\s*([A-Za-z0-9_]+)\s*\|\s*(\d+(?:\.\d+)?)\s*\|"
+)
+
+
 def _parse_round_argv() -> str | None:
     """Validate --round N up front (ADVICE r8: a trailing --round used to
     IndexError only AFTER the full bench run, losing the artifact write).
@@ -125,10 +133,62 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     warm_discard = os.environ.get("SPARK_GRAFT_WARM_DISCARD", "1") == "1"
+
+    # Host-factor calibration (r14, VERDICT r13 #3 — makes the host-noise
+    # adjudication MECHANICAL instead of a per-round SCALING.md essay):
+    # three fixed, stable-plan, pure-JVM probes run median-of-5 before the
+    # sweep; host_factor = median(probe / its pinned BASELINE.md time).
+    # A loaded or slow VM inflates every row roughly uniformly (measured
+    # 1.20-1.21x across r12/r13), so the gate should compare
+    # time / (baseline * host_factor); rows are flagged on the NORMALIZED
+    # ratio, recorded in the artifact as "flagged_normalized".
+    CALIBRATION = {
+        "q6_forecast_revenue": 0.29,  # BASELINE.md pinned probe times
+        "q1_pricing_summary": 0.41,
+        "cdc_ops_histogram": 0.56,
+    }
+    calibration: dict[str, float] = {}
+    ratios: list[float] = []
+    for probe, base_s in CALIBRATION.items():
+        fn = q.QUERIES.get(probe)
+        if fn is None:
+            continue
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        med = statistics.median(runs)
+        calibration[probe] = round(med, 3)
+        ratios.append(med / base_s)
+    host_factor = round(statistics.median(ratios), 3) if ratios else 1.0
+
+    def _baseline_rows() -> dict[str, float]:
+        """Pinned per-query baselines from BASELINE.md's markdown tables
+        (| query | sec | recorded | config |)."""
+        out: dict[str, float] = {}
+        try:
+            text = (Path(__file__).resolve().parent / "BASELINE.md").read_text()
+        except OSError:
+            return out
+        for line in text.splitlines():
+            m = _BASELINE_ROW.match(line)
+            if m:
+                out[m.group(1)] = float(m.group(2))
+        return out
+
+    baselines = _baseline_rows()
+    # SPARK_GRAFT_ONLY=a,b,c restricts the sweep (single-row re-baseline
+    # runs and bench smoke tests; the summary is then partial by design)
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = {n for n in only_env.split(",") if n} if only_env else None
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in q.QUERIES.items():
+        if only is not None and name not in only:
+            continue
         # per-query error isolation (same discipline as catalog.py C1):
         # one broken query must not zero the whole round's perf signal
         try:
@@ -159,12 +219,24 @@ def main() -> None:
                   flush=True)
             print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
 
+    flagged = {}
+    for name, sec in timings.items():
+        base = baselines.get(name)
+        if base and isinstance(sec, (int, float)):
+            norm = sec / (base * host_factor)
+            if norm >= 1.5:
+                flagged[name] = round(norm, 2)
     result = {
         # summary keys FIRST: a head-truncated capture keeps the newest
         # per-query entries; a tail capture keeps everything that matters
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        # host-noise normalization (r14): divide any row's ratio-to-
+        # baseline by host_factor before judging it a regression
+        "host_factor": host_factor,
+        "calibration": calibration,
+        "flagged_normalized": flagged,
         # value sums only the SURVIVING queries: a non-zero n_failed means
         # the headline total is not comparable round-over-round
         "n_failed": len(errors),

@@ -163,6 +163,14 @@ def _transform_merge_touched(
     commit path recomputes each staged row's partition from that value,
     and a row moved outside the touched set would be silently lost —
     the same rule ``update_where`` enforces.
+
+    Fast path: when the SOURCE carries the spec column (and does not
+    override it on insert), the spec's immutability-per-key contract
+    means a matched target row's stored value equals the source row's —
+    so the source's own transform values ARE the touched set, with zero
+    probe scans (exactly how ``merge_batch`` plans a CDC merge). The
+    probe path below only runs for sources missing the column (the
+    update-only MERGE shape).
     """
     from pyspark.sql import types as T
 
@@ -175,6 +183,20 @@ def _transform_merge_touched(
             "partition ids from it; model a partition move as "
             "DELETE + INSERT"
         )
+    if src_col in source.columns and src_col not in insert_set:
+        pv = source.select(F.col(src_col).alias("__pv"))
+        dtype = pv.schema[0].dataType.simpleString()
+        prows = (
+            pv.select(table._transform_col(F.col("__pv"), dtype).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if any(r["b"] is None for r in prows):
+            raise ValueError(
+                f"MERGE source carries NULL {src_col!r} — the partition "
+                "transform's source column is non-null by contract"
+            )
+        return sorted(int(r["b"]) for r in prows)
     cur = table.current() if table.exists() else None
     existing = None
     matched: set[int] = set()

@@ -39,6 +39,16 @@ of registered tables; each reference (with optional time travel) is
 resolved to a snapshot read and substituted as a temp view before the
 statement is handed to ``spark.sql`` whole.
 
+Partition pruning is DERIVED from WHERE clauses (r14, VERDICT r13 #1):
+DELETE/UPDATE pass a ``(col, lower, upper)`` hint distilled from the
+statement's simple conjuncts to the table's pruned planning scan, and a
+single-table SELECT resolves through ``read_pruned`` — so a month-scoped
+statement on a ``MONTHS(col)`` table lists only that month's partitions
+and a key-equality statement on a hash table plans ONE bucket. Always
+advisory: the full predicate still runs row-level, and any condition the
+deriver can't prove conjunctive (OR/NOT/IN/subqueries) simply reads
+unpruned.
+
 DML/maintenance statements return the engine's receipt dict; SELECT
 returns a DataFrame.
 """
@@ -524,6 +534,8 @@ class TableSql:
         opnd = r"(?:(?:DATE|TIMESTAMP)\s*)?(?:\x00\d+\x00|-?\d+(?:\.\d+)?)"
 
         def _btw(m: re.Match) -> str:
+            if m.group(1) is not None:
+                return m.group(0)  # qualified ref: see below — no bound
             _add(
                 m.group(2), ">=", self._parse_prune_literal(_unstash(m.group(3)))
             )
@@ -538,13 +550,16 @@ class TableSql:
             masked,
         )
         # with OR/NOT excluded the whole condition is one conjunction,
-        # so every top-level comparison is a necessary bound
+        # so every top-level comparison is a necessary bound. Qualified
+        # references (a.b) contribute NOTHING: the qualifier may be a
+        # struct column or (in a SELECT) another relation, and a bound
+        # on `meta.d` must never prune the table's own `d`.
         for part in re.split(r"(?i)\bAND\b", masked):
             part = _unstash(part.strip().strip("()").strip())
             m = re.fullmatch(
                 r"(?is)(?:(\w+)\.)?(\w+)\s*(<=|>=|=|<|>)\s*(.+)", part
             )
-            if m:
+            if m and m.group(1) is None:
                 val = self._parse_prune_literal(m.group(4))
                 if val is not None:
                     _add(m.group(2), m.group(3), val)
@@ -552,7 +567,7 @@ class TableSql:
             m = re.fullmatch(
                 r"(?is)(.+?)\s*(<=|>=|=|<|>)\s*(?:(\w+)\.)?(\w+)", part
             )
-            if m:
+            if m and m.group(3) is None:
                 val = self._parse_prune_literal(m.group(1))
                 if val is not None:
                     flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
@@ -867,6 +882,17 @@ class TableSql:
         masked = re.sub(r"'(?:[^']|'')*'", "''", s)
         if len(re.findall(r"(?i)\bSELECT\b", masked)) != 1:
             return None  # subqueries: the WHERE's scope is ambiguous
+        # multi-relation FROMs (JOIN with a temp view / comma list): a
+        # WHERE bound may belong to the OTHER relation — never derive
+        if re.search(r"(?i)\bJOIN\b|\bLATERAL\b", masked):
+            return None
+        fm = re.search(
+            r"(?is)\bFROM\b(.*?)(?:\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b"
+            r"|\bLIMIT\b|$)",
+            masked,
+        )
+        if fm and "," in fm.group(1):
+            return None
         wm = re.search(
             r"(?is)\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b"
             r"|\bORDER\s+BY\b|\bLIMIT\b|$)",

@@ -117,6 +117,64 @@ def register_stream_sources(spark) -> None:
     spark.dataSource.register(StateTableSinkDataSource)
 
 
+def prewarm_stream_sources(spark) -> None:
+    """Pay the Python-datasource spin-up floor ONCE, at session start
+    (r14, VERDICT r13 #6): the first streaming drain of a session costs
+    far more than a warm one (r13 measured 14.9 s vs 4.1 s at sf0.1 —
+    streaming-planner Python worker start, executor workers' first
+    pandas/pyarrow imports, micro-batch codegen), and all of it is
+    SESSION-scoped. Draining a 1-row throwaway ``table_changes`` →
+    ``state_table`` pipeline here moves that cost out of the first real
+    pipeline drain. Call once after :func:`register_stream_sources`;
+    skipping it costs nothing but first-drain latency."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tabular_cdc_bootstrapper_spark.streaming.bucket_mirror import (
+        VersionedBucketMirror,
+    )
+
+    work = tempfile.mkdtemp(prefix="ds_prewarm_")
+    try:
+        src = VersionedBucketMirror(
+            f"{work}/src", n_buckets=1, key_col="id", keep_versions=5
+        )
+        src.initialize(
+            spark.createDataFrame([(0, "g", 1.0)], "id long, g string, v double")
+        )
+        v0 = src.history()[0]["version"]
+        view = VersionedBucketMirror(
+            f"{work}/view", n_buckets=1, key_col="g", keep_versions=5,
+            merge_on_read=True,
+        )
+        view.initialize(
+            spark.createDataFrame([("g", 1, 1.0)], "g string, n long, sv double")
+        )
+        src.update_where(spark, "id = 0", {"v": "v + 1"})
+        q = (
+            spark.readStream.format("table_changes")
+            .option("path", src.root)
+            .option("keyCols", "id")
+            .option("startingVersion", str(v0))
+            .option("emitPreimage", "true")
+            .load()
+            .writeStream.format("state_table")
+            .option("path", view.root)
+            .option("mode", "additive")
+            .option("groupCols", "g")
+            .option("sumCols", "sv=v")
+            .option("countCol", "n")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _opt(options: dict, name: str, default=None):
     """Spark passes data-source options through a case-insensitive map
     that lower-cases keys — accept both spellings."""

@@ -463,13 +463,32 @@ def test_merge_into_table_on_days_spec(spark, days_mirror):
         ],
         "id long, d string, v string",
     ).withColumn("d", F.col("d").cast("date"))
-    rec = merge_into_table(
-        spark,
-        days_mirror,
-        source,
-        on=["id"],
-        update_set={"v": src("v")},
-        delete_cond=src("v") == F.lit("DEL"),
+    # fast path (source carries the spec column): every read is scoped
+    # to the source's own transform partitions — no all-partition probe
+    reads: list[list[int] | None] = []
+    orig_read = type(days_mirror)._read_entry
+
+    def spy(self, spark_, e, buckets=None):
+        reads.append(sorted(int(b) for b in buckets) if buckets else None)
+        return orig_read(self, spark_, e, buckets=buckets)
+
+    type(days_mirror)._read_entry = spy
+    try:
+        rec = merge_into_table(
+            spark,
+            days_mirror,
+            source,
+            on=["id"],
+            update_set={"v": src("v")},
+            delete_cond=src("v") == F.lit("DEL"),
+        )
+    finally:
+        type(days_mirror)._read_entry = orig_read
+    expected_touched = {
+        _days("2024-01-01"), _days("2024-01-05"), _days("2024-04-01")
+    }
+    assert reads and all(
+        r is not None and set(r) <= expected_touched for r in reads
     )
     assert rec["touched_buckets"] == sorted(
         [_days("2024-01-01"), _days("2024-01-05"), _days("2024-04-01")]

@@ -605,6 +605,35 @@ def test_sql_prune_never_misfires(months_tsql, tsql, spark):
     assert t._derive_prune(m, "d >= 42") is None
     # a string containing ' and ' is data, not a connective
     assert t._derive_prune(m, "grp = 'a and b'") is None
+    # qualified references never contribute bounds: the qualifier may
+    # be a struct column or another relation — `meta.d` must not prune
+    # the table's own `d` (r14 review)
+    assert t._derive_prune(m, "meta.d >= DATE '1995-03-01'") is None
+    assert (
+        t._derive_prune(m, "meta.d BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'")
+        is None
+    )
+    # SELECT derivation bails on multi-relation FROMs — a JOINed temp
+    # view's same-named column must never prune the registered table
+    import re as _re
+
+    pat = _re.compile(
+        r"('(?:[^']|'')*')|" + type(t)._TT.format(names="mt"), _re.I
+    )
+    assert (
+        t._select_prune_hint(
+            "SELECT * FROM mt JOIN other ON mt.id = other.id "
+            "WHERE d >= DATE '1995-03-01'",
+            pat,
+        )
+        is None
+    )
+    assert (
+        t._select_prune_hint(
+            "SELECT * FROM mt, other WHERE d >= DATE '1995-03-01'", pat
+        )
+        is None
+    )
     n = t.sql(
         "SELECT COUNT(*) AS n FROM mt WHERE d >= DATE '1995-05-01' "
         "OR d < DATE '1995-02-01'"
