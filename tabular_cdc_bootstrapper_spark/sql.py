@@ -474,7 +474,7 @@ class TableSql:
             return float(text)
         return None
 
-    def _derive_prune(self, t, cond: str) -> tuple | None:
+    def _derive_prune(self, t, cond: str, version: int | None = None) -> tuple | None:
         """Derive a ``(col, lower, upper)`` manifest-prune hint from the
         simple conjuncts of a WHERE clause, so a partition-scoped
         statement plans against only the buckets that can hold matches
@@ -493,7 +493,13 @@ class TableSql:
         transform's source column, or any stats column."""
         if not hasattr(t, "_pruned_buckets"):
             return None
-        cur = t.current() if hasattr(t, "current") else None
+        if version is None:
+            cur = t.current() if hasattr(t, "current") else None
+        else:
+            try:
+                cur = t._resolve(version)
+            except Exception:
+                return None
         if not cur or not cur.get("schema"):
             return None
         # mask string literals so keyword scans / AND splits can't be
@@ -597,7 +603,7 @@ class TableSql:
             if (ftype in numeric) != vals_numeric:
                 continue  # a mistyped literal must not reach the prune
             try:
-                kept, _total = t._pruned_buckets(col, lo, hi)
+                kept, _total = t._pruned_buckets(col, lo, hi, version)
             except Exception:
                 continue
             if len(kept) < live and (best is None or len(kept) < best[0]):
@@ -873,8 +879,11 @@ class TableSql:
         snapshot view exactly as before (Spark's row-level pushdown
         still applies)."""
         refs = [m for m in pat.finditer(s) if m.group(2) is not None]
-        if len(refs) != 1 or refs[0].group(3) or refs[0].group(4):
+        # VERSION AS OF composes (read_pruned takes version=); a
+        # TIMESTAMP AS OF would need its own resolution — full read
+        if len(refs) != 1 or refs[0].group(4):
             return None
+        version = int(refs[0].group(3)) if refs[0].group(3) else None
         name = refs[0].group(2).lower()
         t = self._tables.get(name)
         if t is None or not hasattr(t, "read_pruned"):
@@ -900,8 +909,8 @@ class TableSql:
         )
         if not wm:
             return None
-        prune = self._derive_prune(t, wm.group(1))
-        return (name, prune) if prune is not None else None
+        prune = self._derive_prune(t, wm.group(1), version)
+        return (name, prune, version) if prune is not None else None
 
     # -- SELECT (incl. time travel) ------------------------------------------
     _TT = (
@@ -945,8 +954,22 @@ class TableSql:
             key = (name, ver, ts)
             if key not in views:
                 t = self._table(name)
+                hinted = (
+                    prune_hint is not None
+                    and prune_hint[0] == name
+                    and prune_hint[2] == (int(ver) if ver else None)
+                )
                 if ver is not None:
-                    df = t.read_version(self.spark, int(ver))
+                    if hinted:
+                        df = t.read_pruned(
+                            self.spark, *prune_hint[1], version=int(ver)
+                        )
+                        if df is None:
+                            df = self.spark.createDataFrame(
+                                [], self._table_schema(t, name)
+                            )
+                    else:
+                        df = t.read_version(self.spark, int(ver))
                 elif ts is not None:
                     import datetime as _dt
 
@@ -958,7 +981,7 @@ class TableSql:
                     if dt.tzinfo is None:
                         dt = dt.replace(tzinfo=_dt.timezone.utc)
                     df = t.read_as_of(self.spark, dt.timestamp())
-                elif prune_hint is not None and prune_hint[0] == name:
+                elif hinted:
                     # WHERE-derived partition pruning (r14, VERDICT #1):
                     # list only the buckets the statement's bounds can
                     # touch; the outer query still applies the full

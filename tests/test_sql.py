@@ -649,3 +649,41 @@ def test_sql_prune_never_misfires(months_tsql, tsql, spark):
     )
     got = t2.sql("SELECT COUNT(*) AS n FROM m WHERE id >= 390").collect()
     assert got[0]["n"] == 10
+
+
+def test_sql_select_version_as_of_composes_with_pruning(
+    months_tsql, spark, monkeypatch
+):
+    """VERSION AS OF + WHERE bounds resolve through read_pruned(version=)
+    — the time-traveled manifest prunes, and the result is the OLD
+    state (r14)."""
+    t, m = months_tsql
+    v0 = m.current()["version"]
+    pre = m.read(spark).filter(
+        "d BETWEEN DATE '1995-02-01' AND DATE '1995-02-28'"
+    ).count()
+    t.sql(
+        "DELETE FROM mt WHERE d BETWEEN DATE '1995-02-01' "
+        "AND DATE '1995-02-28'"
+    )
+    seen = []
+    orig = type(m).read_pruned
+
+    def spy(self, spark_, col, lower=None, upper=None, version=None):
+        seen.append((col, lower, upper, version))
+        return orig(self, spark_, col, lower, upper, version)
+
+    monkeypatch.setattr(type(m), "read_pruned", spy)
+    n_now = t.sql(
+        "SELECT COUNT(*) AS n FROM mt WHERE d >= DATE '1995-02-01' "
+        "AND d <= DATE '1995-02-28'"
+    ).collect()[0]["n"]
+    n_then = t.sql(
+        f"SELECT COUNT(*) AS n FROM mt VERSION AS OF {v0} "
+        "WHERE d >= DATE '1995-02-01' AND d <= DATE '1995-02-28'"
+    ).collect()[0]["n"]
+    assert n_now == 0 and n_then == pre > 0
+    assert seen == [
+        ("d", "1995-02-01", "1995-02-28", None),
+        ("d", "1995-02-01", "1995-02-28", v0),
+    ]
