@@ -147,6 +147,10 @@ def main() -> None:
         "q1_pricing_summary": 0.41,
         "cdc_ops_histogram": 0.56,
     }
+    # SPARK_GRAFT_CALIBRATE=0 skips the ~15 probe executions — for smoke
+    # runs; re-baseline runs should keep it (the factor is their point)
+    if os.environ.get("SPARK_GRAFT_CALIBRATE", "1") != "1":
+        CALIBRATION = {}
     calibration: dict[str, float] = {}
     ratios: list[float] = []
     for probe, base_s in CALIBRATION.items():

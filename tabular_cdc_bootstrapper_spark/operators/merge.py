@@ -134,6 +134,23 @@ def _is_safe_widening(src_t: str, tgt_t: str) -> bool:
     return False
 
 
+def _distinct_transform_ids(table, frame, col_expr, null_msg: str) -> set[int]:
+    """Distinct partition ids of ``col_expr`` evaluated over ``frame``
+    under the table's transform spec; raises ``null_msg`` when any row's
+    spec value is NULL (the transform source column is non-null by
+    contract — a NULL would land in an unplannable partition)."""
+    pv = frame.select(col_expr.alias("__pv"))
+    dtype = pv.schema[0].dataType.simpleString()
+    rows = (
+        pv.select(table._transform_col(F.col("__pv"), dtype).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if any(r["b"] is None for r in rows):
+        raise ValueError(null_msg)
+    return {int(r["b"]) for r in rows}
+
+
 def _transform_merge_touched(
     spark,
     table,
@@ -147,12 +164,12 @@ def _transform_merge_touched(
     ``VersionedBucketMirror`` (ADVICE r13): the union of
 
     - MATCHED partitions — partitions of live rows whose merge keys
-      appear in the source. Found by ONE narrow probe over every live
-      partition (key + spec-source columns only, column-pruned by
-      Catalyst) semi-joined against the distinct source keys and grouped
-      by the table's partition expression — the same all-partition probe
-      shape ``insert_rows`` uses, because under a transform spec a key's
-      partition is a function of the spec SOURCE column, not the key;
+      appear in the source. Found by NARROW all-partition probes (key +
+      spec-source columns only, column-pruned by Catalyst; one job for
+      the semi-join/group-by, one for the anti-join feeding the insert
+      plan) — the same probe shape ``insert_rows`` uses, because under a
+      transform spec a key's partition is a function of the spec SOURCE
+      column, not the key;
     - INSERT partitions — transform ids of the rows an unmatched source
       row would insert (``insert_set``'s value for the source column
       when overridden, else the source column itself), filtered by
@@ -184,19 +201,15 @@ def _transform_merge_touched(
             "DELETE + INSERT"
         )
     if src_col in source.columns and src_col not in insert_set:
-        pv = source.select(F.col(src_col).alias("__pv"))
-        dtype = pv.schema[0].dataType.simpleString()
-        prows = (
-            pv.select(table._transform_col(F.col("__pv"), dtype).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if any(r["b"] is None for r in prows):
-            raise ValueError(
+        return sorted(
+            _distinct_transform_ids(
+                table,
+                source,
+                F.col(src_col),
                 f"MERGE source carries NULL {src_col!r} — the partition "
-                "transform's source column is non-null by contract"
+                "transform's source column is non-null by contract",
             )
-        return sorted(int(r["b"]) for r in prows)
+        )
     cur = table.current() if table.exists() else None
     existing = None
     matched: set[int] = set()
@@ -257,20 +270,13 @@ def _transform_merge_touched(
         val = None  # no inserts can resolve the spec column
     inserts: set[int] = set()
     if val is not None:
-        pv = ev.select(val.alias("__pv"))
-        dtype = pv.schema[0].dataType.simpleString()
-        prows = (
-            pv.select(table._transform_col(F.col("__pv"), dtype).alias("b"))
-            .distinct()
-            .collect()
+        inserts = _distinct_transform_ids(
+            table,
+            ev,
+            val,
+            f"MERGE would insert rows with NULL {src_col!r} — the "
+            "partition transform's source column is non-null by contract",
         )
-        if any(r["b"] is None for r in prows):
-            raise ValueError(
-                f"MERGE would insert rows with NULL {src_col!r} — the "
-                "partition transform's source column is non-null by "
-                "contract"
-            )
-        inserts = {int(r["b"]) for r in prows}
     elif not ev.isEmpty():
         raise ValueError(
             f"MERGE inserts into a {table.partition_spec[0]}-partitioned "

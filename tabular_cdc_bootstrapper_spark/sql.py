@@ -590,6 +590,28 @@ class TableSql:
         live = len(
             set(cur.get("buckets") or {}) | set(cur.get("deltas") or {})
         )
+
+        def _session_aware_ts(v):
+            # a naive timestamp literal is evaluated row-level by Spark
+            # in the SESSION zone; the driver-side transform twin is
+            # UTC-pinned — convert here or a non-UTC session's prune is
+            # off by one partition-day (r14 review). Date-only strings
+            # parse to session-zone midnight, matching Spark's cast.
+            import datetime as _dt
+            from zoneinfo import ZoneInfo
+
+            if isinstance(v, str):
+                try:
+                    v = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            if not isinstance(v, _dt.datetime):
+                return None
+            if v.tzinfo is None:
+                tz = self.spark.conf.get("spark.sql.session.timeZone")
+                v = v.replace(tzinfo=ZoneInfo(tz))
+            return v
+
         best: tuple | None = None
         for col, (lo, hi) in bounds.items():
             if (lo is None and hi is None) or col not in fields:
@@ -602,6 +624,14 @@ class TableSql:
             )
             if (ftype in numeric) != vals_numeric:
                 continue  # a mistyped literal must not reach the prune
+            if ftype == "timestamp":  # LTZ: session-zone literals
+                lo2 = _session_aware_ts(lo) if lo is not None else None
+                hi2 = _session_aware_ts(hi) if hi is not None else None
+                if (lo is not None and lo2 is None) or (
+                    hi is not None and hi2 is None
+                ):
+                    continue  # unparseable — never guess a prune
+                lo, hi = lo2, hi2
             try:
                 kept, _total = t._pruned_buckets(col, lo, hi, version)
             except Exception:
@@ -888,7 +918,17 @@ class TableSql:
         t = self._tables.get(name)
         if t is None or not hasattr(t, "read_pruned"):
             return None
-        masked = re.sub(r"'(?:[^']|'')*'", "''", s)
+        # every keyword scan AND the WHERE extraction run on the
+        # literal-MASKED text: a string literal containing 'WHERE id=7'
+        # must never poison the derived bounds (r14 review). The masked
+        # clause is unstashed before derivation so literals survive.
+        lits: list[str] = []
+
+        def _stash(m: re.Match) -> str:
+            lits.append(m.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        masked = re.sub(r"'(?:[^']|'')*'", _stash, s)
         if len(re.findall(r"(?i)\bSELECT\b", masked)) != 1:
             return None  # subqueries: the WHERE's scope is ambiguous
         # multi-relation FROMs (JOIN with a temp view / comma list): a
@@ -905,11 +945,14 @@ class TableSql:
         wm = re.search(
             r"(?is)\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bHAVING\b"
             r"|\bORDER\s+BY\b|\bLIMIT\b|$)",
-            s,
+            masked,
         )
         if not wm:
             return None
-        prune = self._derive_prune(t, wm.group(1), version)
+        cond = re.sub(
+            r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], wm.group(1)
+        )
+        prune = self._derive_prune(t, cond, version)
         return (name, prune, version) if prune is not None else None
 
     # -- SELECT (incl. time travel) ------------------------------------------
@@ -965,9 +1008,18 @@ class TableSql:
                             self.spark, *prune_hint[1], version=int(ver)
                         )
                         if df is None:
-                            df = self.spark.createDataFrame(
-                                [], self._table_schema(t, name)
+                            # typed empty under THAT version's schema —
+                            # the head schema may have evolved since and
+                            # must not leak into a historical read
+                            from pyspark.sql import types as T
+
+                            e = t._resolve(int(ver))
+                            schema = (
+                                T.StructType.fromJson(e["schema"])
+                                if e.get("schema")
+                                else self._table_schema(t, name)
                             )
+                            df = self.spark.createDataFrame([], schema)
                     else:
                         df = t.read_version(self.spark, int(ver))
                 elif ts is not None:

@@ -1143,7 +1143,7 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 self.root, f"staging-{uuid.uuid4().hex[:8]}"
             )
             staged_df = slice_df.withColumn(
-                "bucket", self._partition_for(key)
+                "bucket", self._partition_for(key, slice_df)
             )
             staged_df = staged_df.repartition("bucket")
             if self.sort_cols and kind == "delta":
@@ -1220,7 +1220,7 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         if up_schema is None:  # pure-delete batch: envelope-only schema
             up_schema = (
                 slices[-1][0]
-                .withColumn("bucket", self._partition_for(key))
+                .withColumn("bucket", self._partition_for(key, slices[-1][0]))
                 .schema
             )
         new_schema = T.StructType(

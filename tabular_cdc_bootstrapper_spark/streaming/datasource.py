@@ -170,7 +170,11 @@ def prewarm_stream_sources(spark) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # a stalled prewarm must not leave a zombie query running
+            # against dirs the finally-block is about to delete
+            q.stop()
+            q.awaitTermination(30)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

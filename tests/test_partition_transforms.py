@@ -708,3 +708,45 @@ def test_timestamp_transform_id_twin_under_tz(spark, tmp_path):
                     assert r["b"] == (aware.date() - EPOCH).days
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_timestamp_transform_utc_merge_on_read(spark, tmp_path):
+    """r14 review (critical): the merge-on-read delta commit
+    (``_commit_delta``) must stage under the SAME UTC partition ids its
+    touched-set planning computes — under a non-UTC session a
+    session-tz cast would stage a UTC-midnight-straddling row under the
+    wrong id and the install loop would silently DROP it."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        m = VersionedBucketMirror(
+            str(tmp_path / "mor"),
+            key_col="id",
+            partition_spec=("days", "ts"),
+            keep_versions=10,
+            merge_on_read=True,
+        )
+        t1 = _utc_ts(2024, 1, 1, 23, 30)  # UTC Jan 1, LA Jan 1
+        t2 = _utc_ts(2024, 1, 2, 1, 0)  # UTC Jan 2, LA Jan 1 (straddle!)
+        df = spark.createDataFrame(
+            [(1, t1, "a"), (2, t2, "b")], "id long, sec long, v string"
+        ).select("id", F.timestamp_seconds("sec").alias("ts"), "v")
+        m.initialize(df)
+        target = CdcTarget(source_uri="x", key_column="id", ts_column="seq")
+        batch = spark.createDataFrame(
+            [(2, t2, "b2", "U", 1), (3, _utc_ts(2024, 1, 2, 2, 0), "c", "I", 1)],
+            "id long, sec long, v string, op string, seq long",
+        ).select(
+            "id", F.timestamp_seconds("sec").alias("ts"), "v", "op", "seq"
+        )
+        rec = m.merge_batch(batch, target)
+        assert rec["touched_buckets"] == [_days("2024-01-02")]
+        # THE bug: the delta for id=2/3 staged under the LA day
+        # (2024-01-01) was never installed — the rows vanished
+        got = {r["id"]: r["v"] for r in m.read(spark).collect()}
+        assert got == {1: "a", 2: "b2", 3: "c"}
+        # and the delta chain landed under the UTC id
+        deltas = m.current().get("deltas") or {}
+        assert set(deltas) == {str(_days("2024-01-02"))}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

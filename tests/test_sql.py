@@ -687,3 +687,65 @@ def test_sql_select_version_as_of_composes_with_pruning(
         ("d", "1995-02-01", "1995-02-28", None),
         ("d", "1995-02-01", "1995-02-28", v0),
     ]
+
+
+def test_select_prune_ignores_where_inside_string_literal(
+    months_tsql, spark
+):
+    """r14 review (critical): a string literal containing 'WHERE col =
+    lit' must never poison the derived bounds — the clause is located on
+    the literal-MASKED statement."""
+    t, m = months_tsql
+    rows = t.sql(
+        "SELECT 'flag WHERE grp = 7 AND ' AS note, COUNT(*) AS n "
+        "FROM mt WHERE d >= DATE '1995-03-01' AND d <= DATE '1995-03-31'"
+    ).collect()
+    want = m.read(spark).filter(
+        "d >= DATE '1995-03-01' AND d <= DATE '1995-03-31'"
+    ).count()
+    assert rows[0]["n"] == want and want > 0
+
+
+def test_timestamp_prune_respects_session_timezone(spark, tmp_path):
+    """r14 review: Spark evaluates a naive TIMESTAMP literal in the
+    SESSION zone while the transform twin is UTC-pinned — the deriver
+    must convert the bound through the session zone or a boundary
+    partition holding matching rows is wrongly pruned (silent DELETE
+    misses)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Karachi")  # +5
+        m = VersionedBucketMirror(
+            str(tmp_path / "tzp"),
+            key_col="id",
+            partition_spec=("days", "ts"),
+            keep_versions=10,
+        )
+        import datetime as dt
+
+        def utc(*a):
+            return int(
+                dt.datetime(*a, tzinfo=dt.timezone.utc).timestamp()
+            )
+
+        # row at 2024-01-01T20:00Z = 2024-01-02T01:00 Karachi — matches
+        # `ts >= TIMESTAMP '2024-01-02 00:00:00'` (session-zone bound =
+        # 2024-01-01T19:00Z) but lives in UTC partition 2024-01-01
+        df = spark.createDataFrame(
+            [(1, utc(2024, 1, 1, 20, 0)), (2, utc(2024, 1, 2, 12, 0)),
+             (3, utc(2024, 1, 1, 10, 0))],
+            "id long, sec long",
+        ).select("id", F.timestamp_seconds("sec").alias("ts"))
+        m.initialize(df)
+        t = TableSql(spark, {"tz": m})
+        r = t.sql(
+            "DELETE FROM tz WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'"
+        )
+        # rows 1 AND 2 match under the session zone; a UTC-naive prune
+        # would have dropped the 2024-01-01 partition and missed row 1
+        assert r["rows_deleted"] == 2
+        assert sorted(
+            x["id"] for x in m.read(spark).collect()
+        ) == [3]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
