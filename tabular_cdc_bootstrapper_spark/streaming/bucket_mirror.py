@@ -158,8 +158,12 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         #: ingest-clustered columns. For mid-domain range scans pair
         #: with ``sort_cols``: files inside each bucket dir then carry
         #: TIGHT parquet row-group stats and Spark's pushed filters skip
-        #: them natively (the Iceberg sorted-table shape). Numeric or
-        #: string columns only (stats are JSON in the manifest).
+        #: them natively (the Iceberg sorted-table shape). Numeric,
+        #: string, or date columns (stats are JSON in the manifest —
+        #: date/timestamp bounds serialize as ISO strings, r14, whose
+        #: lexicographic order is their temporal order; timestamp
+        #: bounds never prune through the SQL deriver, whose aware-
+        #: datetime predicates fail the string compare SAFELY — kept).
         self.stats_cols = list(stats_cols)
         self.sort_cols = list(sort_cols)
         self._log = SnapshotLog(root)
@@ -174,6 +178,21 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
 
     #: one UTC day in microseconds — the temporal transforms' unit
     _DAY_US = 86_400_000_000
+
+    @staticmethod
+    def _json_stat(v):
+        """A min/max bound as a JSON-serializable value (r14): DATE and
+        TIMESTAMP bounds become ISO strings, whose lexicographic order
+        equals their temporal order — so the prune's string compare
+        against an ISO-string predicate bound stays exact. Everything
+        else (numbers, strings) passes through."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
 
     def _transform_col(self, c, dtype: str | None = None):
         """The spec's transform applied to column expression ``c``
@@ -602,10 +621,16 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                 kept.append(b)
                 continue
             mn, mx = st
-            if lower is not None and mx < lower:
-                continue
-            if upper is not None and mn > upper:
-                continue
+            try:
+                if lower is not None and mx < lower:
+                    continue
+                if upper is not None and mn > upper:
+                    continue
+            except TypeError:
+                # cross-type bound vs recorded stat (e.g. an aware
+                # datetime predicate against string stats): stats only
+                # ever prune when they PROVE non-overlap — keep
+                pass
             kept.append(b)
         return kept, len(e["buckets"])
 
@@ -806,7 +831,11 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                     aggs.append(F.max(c).alias(f"__mx_{c}"))
                 for r in sdf.groupBy("bucket").agg(*aggs).collect():
                     staged_stats[str(int(r["bucket"]))] = {
-                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                        c: [
+                            self._json_stat(r[f"__mn_{c}"]),
+                            self._json_stat(r[f"__mx_{c}"]),
+                        ]
+                        for c in present
                     }
         # untouched buckets carry forward from wherever this commit lands:
         # the caller-resolved basis manifest when given (the manifest its
@@ -1197,7 +1226,10 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
                         aggs.append(F.max(c).alias(f"__mx_{c}"))
                     for r in sdf.groupBy("bucket").agg(*aggs).collect():
                         staged_stats[str(int(r["bucket"]))] = {
-                            c: [r[f"__mn_{c}"], r[f"__mx_{c}"]]
+                            c: [
+                                self._json_stat(r[f"__mn_{c}"]),
+                                self._json_stat(r[f"__mx_{c}"]),
+                            ]
                             for c in present
                         }
             try:

@@ -907,7 +907,19 @@ class StateTableStreamWriter(DataSourceStreamArrowWriter):
                 for c in self._stats_cols:
                     if c in sub.column_names:
                         mm = pc.min_max(sub.column(c)).as_py()
-                        st[c] = [mm["min"], mm["max"]]
+                        # date/timestamp bounds → ISO strings, matching
+                        # the Spark-side _json_stat rule (r14): the
+                        # manifest is JSON and ISO order == time order
+                        import datetime as _dt
+
+                        st[c] = [
+                            v.isoformat(sep=" ")
+                            if isinstance(v, _dt.datetime)
+                            else v.isoformat()
+                            if isinstance(v, _dt.date)
+                            else v
+                            for v in (mm["min"], mm["max"])
+                        ]
                 stats[int(b)] = st
         return _SinkBatchMessage(files, table.num_rows, stats)
 

@@ -443,32 +443,38 @@ def test_sink_preserves_and_merges_manifest_stats(spark, tmp_path):
     # .option('statsCols') bounds are widen-merged into the manifest
     work = str(tmp_path)
     base = spark.range(0, 100).select(
-        F.col("id"), (F.col("id") % 50).alias("v").cast("double")
+        F.col("id"), (F.col("id") % 50).alias("v").cast("double"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), F.col("id").cast("int")
+        ).alias("d"),
     )
     m = VersionedBucketMirror(
         f"{work}/m", n_buckets=8, key_col="id", keep_versions=10,
-        merge_on_read=True, stats_cols=["v"],
+        merge_on_read=True, stats_cols=["v", "d"],
     )
     m.initialize(base)
     assert m.current().get("stats")
-    assert m.current().get("stats_cols") == ["v"]
+    assert m.current().get("stats_cols") == ["v", "d"]
     srcdir = f"{work}/src"
     os.makedirs(srcdir)
     spark.range(0, 10).select(
         F.col("id"),
         F.lit(500.0).alias("v"),
+        F.to_date(F.lit("2025-06-01")).alias("d"),
         F.lit("U").alias("op"),
         F.lit(1).cast("long").alias("ts"),
     ).write.parquet(f"{srcdir}/f1.parquet")
     register_stream_sources(spark)
     q = (
-        spark.readStream.schema("id long, v double, op string, ts long")
+        spark.readStream.schema(
+            "id long, v double, d date, op string, ts long"
+        )
         .parquet(f"{srcdir}/*.parquet")
         .writeStream.format("state_table")
         .option("path", m.root)
         .option("keyCol", "id")
         .option("tsCols", "ts")
-        .option("statsCols", "v")
+        .option("statsCols", "v,d")
         .option("checkpointLocation", f"{work}/ckpt")
         .trigger(availableNow=True)
         .start()
@@ -481,6 +487,15 @@ def test_sink_preserves_and_merges_manifest_stats(spark, tmp_path):
     # the touched buckets' v bounds must have widened to include 500
     assert any(
         st.get("v") and st["v"][1] is not None and st["v"][1] >= 500.0
+        for st in stats.values()
+    )
+    # DATE bounds ride the sink's executor-side stats as ISO strings
+    # (r14) — JSON-safe, widened past the drift batch's 2025 date
+    import json as _json
+
+    _json.dumps(cur)
+    assert any(
+        st.get("d") and isinstance(st["d"][1], str) and st["d"][1] >= "2025-06-01"
         for st in stats.values()
     )
 
