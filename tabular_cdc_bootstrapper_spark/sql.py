@@ -909,15 +909,35 @@ class TableSql:
         snapshot view exactly as before (Spark's row-level pushdown
         still applies)."""
         refs = [m for m in pat.finditer(s) if m.group(2) is not None]
-        # VERSION AS OF composes (read_pruned takes version=); a
-        # TIMESTAMP AS OF would need its own resolution — full read
-        if len(refs) != 1 or refs[0].group(4):
+        if len(refs) != 1:
             return None
-        version = int(refs[0].group(3)) if refs[0].group(3) else None
         name = refs[0].group(2).lower()
         t = self._tables.get(name)
         if t is None or not hasattr(t, "read_pruned"):
             return None
+        # time travel composes: VERSION AS OF directly (read_pruned
+        # takes version=); TIMESTAMP AS OF resolves to the manifest
+        # read_as_of would pick (latest ts <= bound, naive = UTC) and
+        # prunes against THAT version — any resolution hiccup just
+        # falls back to the unpruned read path
+        version = None
+        if refs[0].group(3):
+            version = int(refs[0].group(3))
+        elif refs[0].group(4):
+            import datetime as _dt
+
+            try:
+                dt = _dt.datetime.fromisoformat(refs[0].group(4))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=_dt.timezone.utc)
+                cands = [
+                    e for e in t.history() if e["ts"] <= dt.timestamp()
+                ]
+            except Exception:
+                return None
+            if not cands:
+                return None
+            version = cands[-1]["version"]
         # every keyword scan AND the WHERE extraction run on the
         # literal-MASKED text: a string literal containing 'WHERE id=7'
         # must never poison the derived bounds (r14 review). The masked
@@ -953,7 +973,15 @@ class TableSql:
             r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], wm.group(1)
         )
         prune = self._derive_prune(t, cond, version)
-        return (name, prune, version) if prune is not None else None
+        if prune is None:
+            return None
+        return {
+            "name": name,
+            "prune": prune,
+            "ver": refs[0].group(3),
+            "ts": refs[0].group(4),
+            "resolved": version,
+        }
 
     # -- SELECT (incl. time travel) ------------------------------------------
     _TT = (
@@ -997,31 +1025,46 @@ class TableSql:
             key = (name, ver, ts)
             if key not in views:
                 t = self._table(name)
+                h = prune_hint
                 hinted = (
-                    prune_hint is not None
-                    and prune_hint[0] == name
-                    and prune_hint[2] == (int(ver) if ver else None)
+                    h is not None
+                    and h["name"] == name
+                    and h["ver"] == ver
+                    and h["ts"] == ts
                 )
+
+                def _pruned_or_empty(version):
+                    df = t.read_pruned(
+                        self.spark, *h["prune"], version=version
+                    )
+                    if df is None:
+                        # typed empty under THAT version's schema — the
+                        # head schema may have evolved since and must
+                        # not leak into a historical read
+                        from pyspark.sql import types as T
+
+                        e = (
+                            t._resolve(version)
+                            if version is not None
+                            else t.current()
+                        )
+                        schema = (
+                            T.StructType.fromJson(e["schema"])
+                            if e and e.get("schema")
+                            else self._table_schema(t, name)
+                        )
+                        df = self.spark.createDataFrame([], schema)
+                    return df
+
                 if ver is not None:
                     if hinted:
-                        df = t.read_pruned(
-                            self.spark, *prune_hint[1], version=int(ver)
-                        )
-                        if df is None:
-                            # typed empty under THAT version's schema —
-                            # the head schema may have evolved since and
-                            # must not leak into a historical read
-                            from pyspark.sql import types as T
-
-                            e = t._resolve(int(ver))
-                            schema = (
-                                T.StructType.fromJson(e["schema"])
-                                if e.get("schema")
-                                else self._table_schema(t, name)
-                            )
-                            df = self.spark.createDataFrame([], schema)
+                        df = _pruned_or_empty(int(ver))
                     else:
                         df = t.read_version(self.spark, int(ver))
+                elif ts is not None and hinted:
+                    # TIMESTAMP AS OF + WHERE bounds: prune against the
+                    # manifest the timestamp resolves to (r14)
+                    df = _pruned_or_empty(h["resolved"])
                 elif ts is not None:
                     import datetime as _dt
 
@@ -1038,11 +1081,7 @@ class TableSql:
                     # list only the buckets the statement's bounds can
                     # touch; the outer query still applies the full
                     # predicate row-level, so the result is exact
-                    df = t.read_pruned(self.spark, *prune_hint[1])
-                    if df is None:  # every bucket pruned: typed empty
-                        df = self.spark.createDataFrame(
-                            [], self._table_schema(t, name)
-                        )
+                    df = _pruned_or_empty(None)
                 else:
                     df = t.read(self.spark)
                 if df is None:

@@ -749,3 +749,41 @@ def test_timestamp_prune_respects_session_timezone(spark, tmp_path):
         ) == [3]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_sql_select_timestamp_as_of_composes_with_pruning(
+    months_tsql, spark, monkeypatch
+):
+    """TIMESTAMP AS OF + WHERE bounds resolve the timestamp to its
+    manifest version and prune against THAT manifest (r14) — result is
+    the pre-delete state, read through read_pruned(version=v0)."""
+    import datetime as dt
+    import time
+
+    t, m = months_tsql
+    v0 = m.current()["version"]
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    pre = m.read(spark).filter(
+        "d BETWEEN DATE '1995-04-01' AND DATE '1995-04-30'"
+    ).count()
+    t.sql(
+        "DELETE FROM mt WHERE d BETWEEN DATE '1995-04-01' "
+        "AND DATE '1995-04-30'"
+    )
+    seen = []
+    orig = type(m).read_pruned
+
+    def spy(self, spark_, col, lower=None, upper=None, version=None):
+        seen.append(version)
+        return orig(self, spark_, col, lower, upper, version)
+
+    monkeypatch.setattr(type(m), "read_pruned", spy)
+    iso = dt.datetime.fromtimestamp(t_mid, tz=dt.timezone.utc).isoformat()
+    n_then = t.sql(
+        f"SELECT COUNT(*) AS n FROM mt TIMESTAMP AS OF '{iso}' "
+        "WHERE d >= DATE '1995-04-01' AND d <= DATE '1995-04-30'"
+    ).collect()[0]["n"]
+    assert n_then == pre > 0
+    assert seen == [v0]
