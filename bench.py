@@ -151,22 +151,26 @@ def main() -> None:
     # runs; re-baseline runs should keep it (the factor is their point)
     if os.environ.get("SPARK_GRAFT_CALIBRATE", "1") != "1":
         CALIBRATION = {}
-    calibration: dict[str, float] = {}
-    ratios: list[float] = []
-    for probe, base_s in CALIBRATION.items():
-        fn = q.QUERIES.get(probe)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        med = statistics.median(runs)
-        calibration[probe] = round(med, 3)
-        ratios.append(med / base_s)
-    host_factor = round(statistics.median(ratios), 3) if ratios else 1.0
+
+    def _calibrate() -> tuple[dict[str, float], float]:
+        cal: dict[str, float] = {}
+        rs: list[float] = []
+        for probe, base_s in CALIBRATION.items():
+            fn = q.QUERIES.get(probe)
+            if fn is None:
+                continue
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            med = statistics.median(runs)
+            cal[probe] = round(med, 3)
+            rs.append(med / base_s)
+        return cal, (round(statistics.median(rs), 3) if rs else 1.0)
+
+    calibration, host_factor = _calibrate()
 
     def _baseline_rows() -> dict[str, float]:
         """Pinned per-query baselines from BASELINE.md's markdown tables
@@ -223,11 +227,23 @@ def main() -> None:
                   flush=True)
             print(f"bench: {name} FAILED: {msg}", file=sys.stderr)
 
+    # post-sweep recalibration (r15, VERDICT r14 #5): the host can
+    # degrade DURING the ~25-minute sweep (r14 measured 0.53→1.01 s on
+    # the same probe), in which case the PRE factor under-corrects late
+    # rows. Re-run the probes and, when pre/post disagree by >1.3×,
+    # flag the ARTIFACT (not the queries) — per-row flags then use the
+    # more lenient of the two factors so drift cannot fake regressions.
+    calibration_post, host_factor_post = _calibrate()
+    drift = max(host_factor, host_factor_post) / max(
+        1e-9, min(host_factor, host_factor_post)
+    )
+    host_drift_flag = bool(CALIBRATION) and drift > 1.3
+    norm_factor = max(host_factor, host_factor_post)
     flagged = {}
     for name, sec in timings.items():
         base = baselines.get(name)
         if base and isinstance(sec, (int, float)):
-            norm = sec / (base * host_factor)
+            norm = sec / (base * norm_factor)
             if norm >= 1.5:
                 flagged[name] = round(norm, 2)
     result = {
@@ -237,9 +253,15 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         # host-noise normalization (r14): divide any row's ratio-to-
-        # baseline by host_factor before judging it a regression
+        # baseline by host_factor before judging it a regression.
+        # host_factor_post (r15): same probes re-run AFTER the sweep —
+        # host_drift_flag marks the whole artifact unreliable when the
+        # host moved >1.3× mid-sweep; flagged rows use max(pre, post)
         "host_factor": host_factor,
+        "host_factor_post": host_factor_post,
+        "host_drift_flag": host_drift_flag,
         "calibration": calibration,
+        "calibration_post": calibration_post,
         "flagged_normalized": flagged,
         # value sums only the SURVIVING queries: a non-zero n_failed means
         # the headline total is not comparable round-over-round

@@ -137,6 +137,82 @@ def main() -> None:
         and out["bytes_ratio"] >= 3.0
         and out["keys_only_cols"] == ["id", "op", "ts"]
     )
+
+    # --- r15 (VERDICT r14 #2): the same shape under a months() TRANSFORM
+    # spec — the keys-only slice now carries the transform source column
+    # (one date col) so tombstones route to their partition; write amp
+    # must stay ∝ keys, not ∝ payload, on temporal-partitioned mirrors
+    base_d = base.withColumn(
+        "d",
+        F.to_date(
+            F.concat(
+                F.lit("1995-"),
+                F.lpad((F.pmod(F.col("id"), F.lit(6)) + 1).cast("string"), 2, "0"),
+                F.lit("-15"),
+            )
+        ),
+    )
+    dels_d = dels.withColumn(
+        "d",
+        F.to_date(
+            F.concat(
+                F.lit("1995-"),
+                F.lpad((F.pmod(F.col("id"), F.lit(6)) + 1).cast("string"), 2, "0"),
+                F.lit("-15"),
+            )
+        ),
+    )
+    mt = VersionedBucketMirror(
+        os.path.join(work, "mor_months"), key_col="id",
+        keep_versions=10, merge_on_read=True,
+        partition_spec=("months", "d"),
+    )
+    mt.initialize(base_d)
+    t0 = time.time()
+    rec_t = mt.merge_batch(dels_d, target)
+    out["transform_keys_only_commit_s"] = round(time.time() - t0, 3)
+    del_dirs_t = [
+        s["dir"]
+        for ss in mt.current()["deltas"].values()
+        for s in ss
+        if s["version"] == rec_t["version"]
+    ]
+    out["transform_keys_only_bytes"] = sum(_tree_bytes(d) for d in del_dirs_t)
+    out["transform_keys_only_cols"] = sorted(
+        spark.read.parquet(del_dirs_t[0]).columns
+    )
+    full_dir_t = os.path.join(work, "fullwidth_months")
+    dels_d.withColumn(
+        "bucket",
+        (F.year("d") - F.lit(1970)) * F.lit(12) + F.month("d") - F.lit(1),
+    ).repartition("bucket").write.partitionBy("bucket").parquet(full_dir_t)
+    out["transform_full_width_bytes"] = _tree_bytes(full_dir_t)
+    out["transform_bytes_ratio"] = round(
+        out["transform_full_width_bytes"]
+        / max(out["transform_keys_only_bytes"], 1),
+        2,
+    )
+    out["transform_keys_only_bytes_per_delete"] = round(
+        out["transform_keys_only_bytes"] / n_del, 2
+    )
+    survivors_t = sorted(
+        r["id"] for r in mt.read(spark).select("id").collect()
+    )
+    out["transform_fold_parity"] = survivors_t == sorted(
+        r["id"] for r in cow.read(spark).select("id").collect()
+    )
+    # transform criteria: parity + envelope shape + tombstones stay a
+    # few bytes each (the ratio vs full-width is lower than the hash
+    # leg's only because 6 month partitions compress the full-width
+    # comparison better than 16 hash buckets do — bytes/delete is the
+    # scale-invariant number)
+    out["pass"] = bool(
+        out["pass"]
+        and out["transform_fold_parity"]
+        and out["transform_bytes_ratio"] >= 2.0
+        and out["transform_keys_only_bytes_per_delete"] <= 10.0
+        and out["transform_keys_only_cols"] == ["d", "id", "op", "ts"]
+    )
     print(json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()

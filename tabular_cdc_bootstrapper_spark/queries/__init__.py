@@ -38,76 +38,34 @@ del _m, _k
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness gate records exactly the FIRST
 # 50 registry entries each round, so entry order decides which queries get a
-# fresh driver-side correctness row. Round-14 rotation (policy: keep every
+# fresh driver-side correctness row. Round-15 rotation (policy: keep every
 # query <= 3 rounds stale; new entries go in-window the round they land):
 #
 # - IN (flagship, 1): cdc_latest, every round.
-# - IN (r14-new, 2): sql_pruned_dml (WHERE-derived partition pruning in the
-#   SQL front-end, VERDICT r13 #1) and schema_drift_discovery (discovered
-#   folders widen on re-poll, VERDICT r13 #5).
-# - IN (r10 staleness tail, 8): stats_price_quantity .. window_navigation —
-#   4 rounds stale (r13's deliberate ceiling breach); VERDICT r13 #4 says
+# - IN (r15-new, 2): mirror_regrain_roundtrip (partition-spec evolution
+#   across transform grains, VERDICT r14 #3) and sql_optimize_zorder
+#   (OPTIMIZE ... ZORDER BY through the dialect, VERDICT r14 #7).
+# - IN (r15-changed, 1): sql_pruned_dml — it gained the IN-list point-set
+#   prune statements (VERDICT r14 #4), so its r14 row no longer covers it.
+# - IN (r11 staleness tail, 9): sequence_packing .. zorder_layout_stats —
+#   4 rounds stale (r14's deliberate ceiling breach); VERDICT r14 #1 says
 #   close them first.
-# - IN (r11 cohort, fills to 50): 39 of the 48 rows last driver-checked in
-#   r11 (alphabetical), at the 3-round ceiling now. The remaining 9
-#   (sequence_packing .. zorder_layout_stats) HEAD THE TAIL and must open
-#   the r15 window — the same deliberate one-round breach r13 took.
-# - OUT: r12 rows (2 stale), then the r13 window's rows (1 stale, freshest
+# - IN (r12 cohort, fills to 50): 37 of the 49 rows last driver-checked in
+#   r12 (alphabetical), at the 3-round ceiling now. The remaining 12
+#   (semantic_dedup_summary .. winsorized_length_stats) HEAD THE TAIL and
+#   must open the r16 window — the same deliberate one-round breach every
+#   round since r13 has taken (157+ queries / 50 slots makes the steady-
+#   state cycle ~3.2 rounds).
+# - OUT: r13 rows (2 stale), then the r14 window's rows (1 stale, freshest
 #   last). Every out-of-window entry is still re-executed against DuckDB
 #   locally each round by tests/test_oracle_parity.py, so regressions cannot
 #   hide between driver rotations.
 # ---------------------------------------------------------------------------
 _DRIVER_CHECK_PRIORITY = [
     "cdc_latest",
+    "mirror_regrain_roundtrip",
+    "sql_optimize_zorder",
     "sql_pruned_dml",
-    "schema_drift_discovery",
-    "stats_price_quantity",
-    "string_funcs_parts",
-    "text_stats_by_lang",
-    "top3_orders_per_customer",
-    "uniform_per_group_sample",
-    "user_sessions",
-    "wap_anomaly_gate",
-    "window_navigation",
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_topk",
-    "anti_join_no_open_orders",
-    "approx_price_percentiles",
-    "asof_purchase_signup",
-    "bpe_token_counts",
-    "brand_having_filter",
-    "cdc_change_feed",
-    "cdc_mirror_time_travel",
-    "cdc_scd2_history",
-    "change_feed_stream_fold",
-    "cohort_retention",
-    "concurrent_merge_serialization",
-    "cube_order_stats",
-    "doc_fingerprints",
-    "document_chunks",
-    "event_funnel",
-    "events_tumbling_10min",
-    "heavy_hitter_terms",
-    "hll_distinct_counts",
-    "incremental_agg_maintenance",
-    "incremental_cluster_maintenance",
-    "int8_quantized_topk",
-    "ivf_pq_topk",
-    "kmeans_embedding_clusters",
-    "leakage_safe_split",
-    "mad_price_outliers",
-    "merge_orders_corrections",
-    "mirror_alter_schema_ddl",
-    "mirror_rebucket_roundtrip",
-    "multimodal_features",
-    "nations_with_presence",
-    "orders_by_year",
-    "pq_adc_topk",
-    "q17_small_quantity_revenue",
-    "quality_score_histogram",
-    "range_join_click_attribution",
-    "rocchio_lang_confusion",
-    "semi_join_active_customers",
     "sequence_packing",
     "snapshot_diff_changelog",
     "table_profile_lineitem",
@@ -166,34 +124,31 @@ _DRIVER_CHECK_PRIORITY = [
     "top_terms",
     "unigram_surprisal_quality",
     "winsorized_length_stats",
-    "change_feed_datasource_stream",
-    "mirror_dml_delete_update",
-    "sink_datasource_stream",
-    "table_sql_lifecycle",
-    "table_constraints_gate",
-    "auto_discovered_mirrors",
-    "partition_transform_pruning",
-    "declarative_agg_view",
     "ann_ivf_topk",
+    "auto_discovered_mirrors",
     "bm25_topk",
     "brand_name_distance",
     "bucket_compaction_roundtrip",
     "cdc_anomaly_report",
     "cdc_ops_histogram",
+    "change_feed_datasource_stream",
     "corpus_dedup_summary",
     "cosine_topk",
     "customer_order_window_stats",
     "customer_order_years",
+    "declarative_agg_view",
     "dedup_exact_groups",
     "distinct_count_dims",
     "embedding_near_duplicates",
     "events_json_extract",
     "hash_split_counts",
     "merge_table_time_travel",
+    "mirror_dml_delete_update",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "outer_join_order_fill",
     "pagerank_dangling_directed",
+    "partition_transform_pruning",
     "passage_ann_topk",
     "pii_redaction_by_source",
     "pivot_revenue_by_status",
@@ -213,8 +168,59 @@ _DRIVER_CHECK_PRIORITY = [
     "rollup_revenue",
     "set_ops_part_coverage",
     "simhash_near_duplicates",
+    "sink_datasource_stream",
     "snapshot_branch_publish",
     "snapshot_refs_report",
+    "table_constraints_gate",
+    "table_sql_lifecycle",
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_topk",
+    "anti_join_no_open_orders",
+    "approx_price_percentiles",
+    "asof_purchase_signup",
+    "bpe_token_counts",
+    "brand_having_filter",
+    "cdc_change_feed",
+    "cdc_mirror_time_travel",
+    "cdc_scd2_history",
+    "change_feed_stream_fold",
+    "cohort_retention",
+    "concurrent_merge_serialization",
+    "cube_order_stats",
+    "doc_fingerprints",
+    "document_chunks",
+    "event_funnel",
+    "events_tumbling_10min",
+    "heavy_hitter_terms",
+    "hll_distinct_counts",
+    "incremental_agg_maintenance",
+    "incremental_cluster_maintenance",
+    "int8_quantized_topk",
+    "ivf_pq_topk",
+    "kmeans_embedding_clusters",
+    "leakage_safe_split",
+    "mad_price_outliers",
+    "merge_orders_corrections",
+    "mirror_alter_schema_ddl",
+    "mirror_rebucket_roundtrip",
+    "multimodal_features",
+    "nations_with_presence",
+    "orders_by_year",
+    "pq_adc_topk",
+    "q17_small_quantity_revenue",
+    "quality_score_histogram",
+    "range_join_click_attribution",
+    "rocchio_lang_confusion",
+    "schema_drift_discovery",
+    "semi_join_active_customers",
+    "stats_price_quantity",
+    "string_funcs_parts",
+    "text_stats_by_lang",
+    "top3_orders_per_customer",
+    "uniform_per_group_sample",
+    "user_sessions",
+    "wap_anomaly_gate",
+    "window_navigation",
 ]
 
 def _reorder_registry() -> None:

@@ -1728,6 +1728,168 @@ def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mirror_regrain_roundtrip",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS st
+        FROM orders WHERE o_orderkey % 13 <> 0
+    ), a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) n,
+               CAST(SUM(o_orderkey) AS BIGINT) s,
+               CAST(COUNT(CASE WHEN st = 'X' THEN 1 END) AS BIGINT) x
+        FROM final
+    )
+    SELECT 'final_rows' AS item, n AS value FROM a
+    UNION ALL SELECT 'final_keysum', s FROM a
+    UNION ALL SELECT 'final_x', x FROM a
+    UNION ALL SELECT 'year_partitions', (
+        SELECT CAST(COUNT(DISTINCT date_part('year', CAST(o_orderdate AS DATE)))
+               AS BIGINT) FROM orders) FROM a
+    UNION ALL SELECT 'history_intact', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'old_grain_partitions_listed', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'old_grain_rows', (
+        SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01'
+                                            AND DATE '1995-03-31') FROM a
+    UNION ALL SELECT 'new_grain_partitions_listed', CAST(1 AS BIGINT) FROM a
+    UNION ALL SELECT 'new_grain_rows', (
+        SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 13 <> 0
+          AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                            AND DATE '1996-12-31') FROM a
+    """,
+)
+def mirror_regrain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution across TRANSFORM grains (r15, VERDICT
+    r14 #3 — the Iceberg partition-spec-evolution contract, reference
+    tabular.py:8): a ``months(o_orderdate)``-partitioned mirror takes
+    the derived update batch, ``regrain``s to ``years(o_orderdate)`` as
+    ONE manifest commit, then takes the delete batch under the NEW
+    grain. Pinned: the final CDC state (equal to the oracle), the new
+    grain's partition count (= distinct order years), history intactness
+    across the boundary, and a pruned window read on EACH grain — a
+    month window at the pre-regrain version lists exactly one OLD-grain
+    partition dir (the time-travel prune binds to the resolved
+    manifest's own spec), a year window at head lists exactly one
+    NEW-grain dir; both row counts recomputed by DuckDB."""
+    import re as _re
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    mirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_regrain_"),
+        key_col="o_orderkey",
+        keep_versions=10,
+        partition_spec=("months", "o_orderdate"),
+    )
+    target = CdcTarget(
+        source_uri="file:///dev/null",
+        key_column="o_orderkey",
+        ts_column="ts",
+    )
+    mirror.initialize(
+        o.withColumns({"op": F.lit("I"), "ts": F.lit(0).cast("int")})
+    )
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumns({"op": F.lit("U"), "ts": F.lit(1).cast("int")}),
+        target,
+    )
+    pre_version = mirror.current()["version"]
+    pre_agg = mirror.read(spark).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    mirror.regrain(spark, ("years", "o_orderdate"))
+    mirror.merge_batch(
+        o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
+            {"op": F.lit("D"), "ts": F.lit(2).cast("int")}
+        ),
+        target,
+    )
+    hist_agg = mirror.read_version(spark, pre_version).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("s"),
+    ).collect()[0]
+    history_intact = int(
+        (hist_agg["n"], hist_agg["s"]) == (pre_agg["n"], pre_agg["s"])
+    )
+
+    def _parts(df) -> set[str]:
+        return {
+            m.group(1)
+            for f in df.inputFiles()
+            if (m := _re.search(r"/bucket=(\d+)/", f))
+        }
+
+    import datetime as _dt
+
+    old_win = mirror.read_pruned(
+        spark,
+        "o_orderdate",
+        _dt.date(1995, 3, 1),
+        _dt.date(1995, 3, 31),
+        version=pre_version,
+    )
+    old_rows = old_win.count()
+    old_parts = _parts(old_win)
+    new_win = mirror.read_pruned(
+        spark, "o_orderdate", _dt.date(1996, 1, 1), _dt.date(1996, 12, 31)
+    )
+    new_rows = new_win.count()
+    new_parts = _parts(new_win)
+    flags = spark.createDataFrame(
+        [
+            ("year_partitions", len(mirror.current()["buckets"])),
+            ("history_intact", history_intact),
+            ("old_grain_partitions_listed", len(old_parts)),
+            ("old_grain_rows", int(old_rows)),
+            ("new_grain_partitions_listed", len(new_parts)),
+            ("new_grain_rows", int(new_rows)),
+        ],
+        "item string, value long",
+    )
+    final = mirror.read(spark)
+    aggs = final.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("o_orderkey").cast("long").alias("__s"),
+        F.count(F.when(F.col("o_orderstatus") == "X", 1))
+        .cast("long")
+        .alias("__x"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("final_rows").alias("item"),
+                    F.col("__n").alias("value"),
+                ),
+                F.struct(
+                    F.lit("final_keysum").alias("item"),
+                    F.col("__s").alias("value"),
+                ),
+                F.struct(
+                    F.lit("final_x").alias("item"),
+                    F.col("__x").alias("value"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item", "p.value")
+    return aggs.unionByName(flags)
+
+
+@query(
     "mirror_alter_schema_ddl",
     oracle="""
     WITH final AS (
@@ -3111,8 +3273,14 @@ def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE o_totalprice END AS o_totalprice
         FROM after_del
     ),
-    win AS (
+    after_del2 AS (
         SELECT * FROM after_upd
+        WHERE NOT COALESCE(
+            o_orderdate IN (DATE '1996-01-15', DATE '1997-07-15'),
+            FALSE)
+    ),
+    win AS (
+        SELECT * FROM after_del2
         WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
     )
     SELECT 'deleted_rows' AS item,
@@ -3128,6 +3296,20 @@ def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'updated_price', ROUND((
         SELECT SUM(o_totalprice) FROM after_upd
         WHERE o_orderkey = (SELECT k FROM params)), 2)
+    UNION ALL SELECT 'inlist_sel_rows', CAST((
+        SELECT COUNT(*) FROM after_upd
+        WHERE o_orderdate IN (DATE '1996-01-15', DATE '1997-07-15')
+        ) AS DOUBLE)
+    UNION ALL SELECT 'inlist_partitions_listed', 2.0
+    UNION ALL SELECT 'inlist_deleted_rows', CAST((
+        SELECT COUNT(*) FROM after_upd
+        WHERE o_orderdate IN (DATE '1996-01-15', DATE '1997-07-15')
+        ) AS DOUBLE)
+    UNION ALL SELECT 'inlist_matched_partitions', CAST((
+        SELECT COUNT(DISTINCT date_trunc('month', o_orderdate))
+        FROM after_upd
+        WHERE o_orderdate IN (DATE '1996-01-15', DATE '1997-07-15')
+        ) AS DOUBLE)
     UNION ALL SELECT 'window_rows',
         CAST((SELECT COUNT(*) FROM win) AS DOUBLE)
     UNION ALL SELECT 'window_total',
@@ -3136,7 +3318,7 @@ def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(DISTINCT date_trunc('month', o_orderdate)) FROM win
         ) AS DOUBLE)
     UNION ALL SELECT 'head_rows',
-        CAST((SELECT COUNT(*) FROM after_upd) AS DOUBLE)
+        CAST((SELECT COUNT(*) FROM after_del2) AS DOUBLE)
     """,
 )
 def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3147,12 +3329,15 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     then every statement is partition-scoped SQL whose WHERE bounds the
     planner derives pruning from: a month-window DELETE (its planning
     scan lists only the window's partitions — pinned in
-    tests/test_sql.py), a key-equality UPDATE, and a quarter-window
+    tests/test_sql.py), a key-equality UPDATE, a quarter-window
     SELECT resolved through ``read_pruned`` whose physically-listed
     partition dirs are counted via ``inputFiles()`` and proven against
-    the oracle's distinct-month recompute. Receipts (rows deleted,
-    partitions holding matches) and aggregates are all recomputed by
-    DuckDB as plain relational algebra."""
+    the oracle's distinct-month recompute, and (r15, VERDICT r14 #4) a
+    two-date IN-list SELECT + DELETE whose point-set prune lists
+    exactly the two named month partitions instead of the seven-month
+    [min, max] envelope. Receipts (rows deleted, partitions holding
+    matches) and aggregates are all recomputed by DuckDB as plain
+    relational algebra."""
     import re as _re
     import tempfile
 
@@ -3184,6 +3369,24 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"UPDATE ords SET o_totalprice = o_totalprice * 2 "
         f"WHERE o_orderkey = {k}"
     )
+    # IN-list point-set pruning (r15, VERDICT r14 #4): a two-date IN
+    # SELECT physically lists exactly the two named month partitions
+    # (not the 7-month [min, max] envelope), then the same IN scopes a
+    # DELETE whose planning scan reports the matched partitions
+    insel = t.sql(
+        "SELECT o_orderkey, o_orderdate FROM ords WHERE o_orderdate IN "
+        "(DATE '1996-01-15', DATE '1997-07-15')"
+    )
+    inlist_parts = {
+        m2.group(1)
+        for f in insel.inputFiles()
+        if (m2 := _re.search(r"/bucket=(\d+)/", f))
+    }
+    inlist_sel_rows = insel.count()
+    del2_rec = t.sql(
+        "DELETE FROM ords WHERE o_orderdate IN "
+        "(DATE '1996-01-15', DATE '1997-07-15')"
+    )
     win = t.sql(
         "SELECT o_orderdate, o_totalprice FROM ords "
         "WHERE o_orderdate >= DATE '1996-01-01' "
@@ -3213,6 +3416,13 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(len(upd_rec["matched_buckets"])),
         ),
         ("updated_price", round(float(upd_price), 2)),
+        ("inlist_sel_rows", float(inlist_sel_rows)),
+        ("inlist_partitions_listed", float(len(inlist_parts))),
+        ("inlist_deleted_rows", float(del2_rec["rows_deleted"])),
+        (
+            "inlist_matched_partitions",
+            float(len(del2_rec["matched_buckets"])),
+        ),
         ("window_rows", float(wagg["n"])),
         ("window_total", float(wagg["s"])),
         ("window_partitions_listed", float(len(parts_listed))),

@@ -19,6 +19,8 @@ Supported statements (keywords case-insensitive)::
     ALTER TABLE t DROP COLUMN a[, b ...]
     ALTER TABLE t ADD COLUMN a <spark-type>
     ALTER TABLE t ALTER COLUMN a TYPE <spark-type>
+    ALTER TABLE t PARTITIONED BY DAYS(col) | MONTHS(col) | YEARS(col)
+        | TRUNCATE(col, w) | IDENTITY(col) | BUCKET(n)
     OPTIMIZE t [ZORDER BY (a, b)]
     VACUUM t [RETAIN <n> VERSIONS]
     RESTORE TABLE t TO VERSION AS OF <n>
@@ -486,11 +488,16 @@ class TableSql:
         Safe by construction: pruning is ADVISORY — ``_pruned_buckets``
         keeps every bucket it cannot prove disjoint and the full
         predicate still runs row-level — so an unparseable conjunct just
-        contributes no bound, while OR / NOT / IN / subqueries anywhere
+        contributes no bound, while OR / NOT / subqueries anywhere
         disable derivation entirely (under those the conjunct bounds are
-        not necessary conditions). Picks the column whose bounds prune
-        the most buckets: a key equality (point hash), the partition
-        transform's source column, or any stats column."""
+        not necessary conditions). ``col IN (lit, ...)`` conjuncts (r15,
+        VERDICT r14 #4) become POINT-SET prunes — the union of each
+        literal's own prune, returned as ``(col, [v, ...], None)`` —
+        when every element parses as a literal; a list with any
+        non-literal element contributes nothing (its points would not
+        be a superset). Picks the column whose bounds prune the most
+        buckets: a key equality (point hash), the partition transform's
+        source column, or any stats column."""
         if not hasattr(t, "_pruned_buckets"):
             return None
         if version is None:
@@ -517,10 +524,11 @@ class TableSql:
 
         masked = re.sub(r"'(?:[^']|'')*'", _stash, cond)
         if re.search(
-            r"(?i)\bOR\b|\bNOT\b|\bIN\b|\bSELECT\b|\bEXISTS\b", masked
+            r"(?i)\bOR\b|\bNOT\b|\bSELECT\b|\bEXISTS\b", masked
         ):
             return None
         bounds: dict[str, list] = {}  # col -> [lo, hi]
+        points: dict[str, list] = {}  # col -> IN-list literal points (r15)
 
         def _add(col: str, op: str, val) -> None:
             if val is None:
@@ -561,7 +569,25 @@ class TableSql:
         # struct column or (in a SELECT) another relation, and a bound
         # on `meta.d` must never prune the table's own `d`.
         for part in re.split(r"(?i)\bAND\b", masked):
-            part = _unstash(part.strip().strip("()").strip())
+            rawpart = part.strip()
+            im = re.fullmatch(
+                r"(?is)\(?\s*(?:(\w+)\.)?(\w+)\s+IN\s*\((.+)\)\s*\)?",
+                rawpart,
+            )
+            if im:
+                # IN-list conjunct (r15): fully-literal lists become a
+                # point set; a qualified ref or any non-literal element
+                # contributes nothing (its points would not be a
+                # superset of the conjunct's admissible values)
+                if im.group(1) is None:
+                    vals = [
+                        self._parse_prune_literal(_unstash(el.strip()))
+                        for el in im.group(3).split(",")
+                    ]
+                    if vals and all(v is not None for v in vals):
+                        points.setdefault(im.group(2), []).extend(vals)
+                continue
+            part = _unstash(rawpart.strip("()").strip())
             m = re.fullmatch(
                 r"(?is)(?:(\w+)\.)?(\w+)\s*(<=|>=|=|<|>)\s*(.+)", part
             )
@@ -638,6 +664,30 @@ class TableSql:
                 continue
             if len(kept) < live and (best is None or len(kept) < best[0]):
                 best = (len(kept), col, lo, hi)
+        for col, vals in points.items():
+            # point sets compete with range bounds on equal terms; the
+            # winner's hint rides as (col, [v, ...], None) — the shape
+            # _dml_matched_buckets/read_pruned decode as an IN prune
+            if not vals or col not in fields:
+                continue
+            ftype = fields[col]
+            if (ftype in numeric) != all(
+                isinstance(v, (int, float)) for v in vals
+            ):
+                continue  # a mistyped literal must not reach the prune
+            if ftype == "timestamp":
+                conv = [_session_aware_ts(v) for v in vals]
+                if any(c is None for c in conv):
+                    continue  # unparseable — never guess a prune
+                vals = conv
+            try:
+                kept, _total = t._pruned_buckets(
+                    col, version=version, points=vals
+                )
+            except Exception:
+                continue
+            if len(kept) < live and (best is None or len(kept) < best[0]):
+                best = (len(kept), col, list(vals), None)
         return (best[1], best[2], best[3]) if best else None
 
     # -- DDL ----------------------------------------------------------------
@@ -672,6 +722,13 @@ class TableSql:
                 r"ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()<>, ]+)$",
                 lambda t, c, ty: self._alter_call(t, widen={c: ty.strip()}),
             ),
+            (
+                # partition-spec evolution (r15): regrain/rebucket as
+                # one statement — same spec surface as CTAS
+                r"ALTER\s+TABLE\s+(\w+)\s+PARTITIONED\s+BY\s+"
+                r"(\w+)\s*\(\s*([\w\s,]*?)\s*\)$",
+                lambda t, kind, args: self._regrain_table(t, kind, args),
+            ),
         ]
         for pat, fn in pats:
             m = re.match(pat, s, re.I)
@@ -681,7 +738,44 @@ class TableSql:
             "expected one of: ALTER TABLE t RENAME COLUMN a TO b | "
             "DROP COLUMN a[, b] | ADD COLUMN a <type> | "
             "ALTER COLUMN a TYPE <type> | "
-            "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n"
+            "ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n | "
+            "PARTITIONED BY DAYS(col)|MONTHS(col)|YEARS(col)|"
+            "TRUNCATE(col, w)|IDENTITY(col)|BUCKET(n)"
+        )
+
+    def _regrain_table(self, name: str, kind: str, args: str) -> dict:
+        """``ALTER TABLE t PARTITIONED BY <spec>`` (r15, VERDICT r14 #3
+        — Iceberg's partition-spec evolution as one statement): regrain
+        the mirror's live state under the new spec in ONE manifest
+        commit; history keeps its old grain and time-travel prunes
+        under the spec each snapshot recorded. ``BUCKET(n)`` targets
+        the hash layout (a rebucket when already hashed)."""
+        t = self._table(name)
+        if not hasattr(t, "regrain"):
+            raise ValueError(
+                f"{name!r} is not a partitioned mirror — only tables "
+                "created PARTITIONED BY evolve their spec"
+            )
+        kind = kind.upper()
+        parts = [a.strip() for a in args.split(",") if a.strip()]
+        if kind == "BUCKET":
+            if len(parts) != 1 or not parts[0].isdigit():
+                raise ValueError("expected: PARTITIONED BY BUCKET(<n>)")
+            return t.regrain(self.spark, ("bucket",), n_buckets=int(parts[0]))
+        if kind == "TRUNCATE":
+            if len(parts) != 2 or not parts[1].isdigit():
+                raise ValueError(
+                    "expected: PARTITIONED BY TRUNCATE(<col>, <w>)"
+                )
+            return t.regrain(self.spark, ("truncate", parts[0], int(parts[1])))
+        if kind in ("DAYS", "MONTHS", "YEARS", "IDENTITY"):
+            if len(parts) != 1:
+                raise ValueError(f"expected: PARTITIONED BY {kind}(<col>)")
+            return t.regrain(self.spark, (kind.lower(), parts[0]))
+        raise ValueError(
+            f"unknown partition spec {kind!r} — supported: BUCKET(n), "
+            "DAYS(col), MONTHS(col), YEARS(col), TRUNCATE(col, w), "
+            "IDENTITY(col)"
         )
 
     def _alter_call(self, name: str, **kwargs) -> dict:

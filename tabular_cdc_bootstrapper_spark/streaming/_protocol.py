@@ -200,6 +200,36 @@ def _check_meta(meta: dict | None) -> None:
         )
 
 
+def _validate_partition_spec(spec: tuple) -> None:
+    """Shared partition-spec shape check (ctor + ``regrain``, r15):
+    ``("bucket",)``, ``(days|months|years, col)``, ``(truncate, col,
+    w)``, or ``(identity, col)``."""
+    kinds = ("bucket", "days", "months", "years", "truncate", "identity")
+    if not spec or spec[0] not in kinds:
+        raise ValueError(
+            f"unknown partition_spec {spec!r} — supported: (bucket,), "
+            "(days|months|years, col), (truncate, col, w), (identity, col)"
+        )
+    if spec[0] == "bucket":
+        if len(spec) != 1:
+            raise ValueError(
+                f"partition_spec {spec!r}: the hash spec takes no "
+                "arguments — bucket count is n_buckets/rebucket"
+            )
+    elif spec[0] == "truncate":
+        if len(spec) != 3 or not str(spec[2]).lstrip("-").isdigit() or int(
+            spec[2]
+        ) < 1:
+            raise ValueError(
+                f"partition_spec {spec!r}: truncate takes (col, width>=1)"
+            )
+    elif len(spec) != 2:
+        raise ValueError(
+            f"partition_spec {spec!r}: {spec[0]} takes exactly one "
+            "source column"
+        )
+
+
 class SnapshotLog:
     """Append-only snapshot log + atomic CURRENT pointer — the shared
     commit protocol of ``ParquetStateTable`` (whole-snapshot data dirs)

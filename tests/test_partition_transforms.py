@@ -750,3 +750,160 @@ def test_timestamp_transform_utc_merge_on_read(spark, tmp_path):
         assert set(deltas) == {str(_days("2024-01-02"))}
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+# -- regrain: partition-spec evolution across transform specs (r15, ------
+# -- VERDICT r14 #3 — the rebucket pattern generalized: days→months, ----
+# -- transform↔hash, all as ONE manifest commit with history intact) ----
+
+
+def _months(d: str) -> int:
+    dd = datetime.date.fromisoformat(d)
+    return (dd.year - 1970) * 12 + dd.month - 1
+
+
+def test_regrain_days_to_months(spark, days_mirror):
+    m = days_mirror
+    pre_version = m.current()["version"]
+    pre = sorted(
+        (r["id"], str(r["d"]), r["v"]) for r in m.read(spark).collect()
+    )
+    rec = m.regrain(spark, ("months", "d"))
+    assert rec["partition_spec"] == ["months", "d"]
+    # 3 day partitions re-grained into 2 month partitions
+    assert sorted(rec["buckets"], key=int) == [
+        str(_months("2024-01-01")),
+        str(_months("2024-02-01")),
+    ]
+    # state identical through the regrain
+    post = sorted(
+        (r["id"], str(r["d"]), r["v"]) for r in m.read(spark).collect()
+    )
+    assert post == pre
+    # history intact: the pre-regrain snapshot still reads under ITS spec
+    old = m.read_version(spark, pre_version)
+    assert sorted(
+        (r["id"], str(r["d"]), r["v"]) for r in old.collect()
+    ) == pre
+    # a fresh handle adopts the new spec from the manifest
+    h = VersionedBucketMirror(m.root, key_col="id")
+    assert h.partition_spec == ("months", "d")
+    # subsequent merges plan in MONTH partitions
+    target = CdcTarget(source_uri="x", key_column="id", ts_column="ts")
+    batch = spark.createDataFrame(
+        [(9, "2024-01-20", "z", "I", 1)],
+        "id long, d string, v string, op string, ts long",
+    ).withColumn("d", F.col("d").cast("date"))
+    rec2 = m.merge_batch(batch, target)
+    assert rec2["touched_buckets"] == [_months("2024-01-20")]
+    # hidden-partition pruning under the new grain
+    kept, _ = m._pruned_buckets(
+        "d", datetime.date(2024, 2, 1), datetime.date(2024, 2, 28)
+    )
+    assert kept == [str(_months("2024-02-01"))]
+
+
+def test_regrain_transform_to_hash_and_back(spark, days_mirror):
+    m = days_mirror
+    pre = sorted((r["id"], r["v"]) for r in m.read(spark).collect())
+    rec = m.regrain(spark, ("bucket",))
+    # hash manifests record no partition_spec key (the absence IS the
+    # hash spec — _sync_spec's contract)
+    assert "partition_spec" not in rec
+    assert m.partition_spec == ("bucket",)
+    assert sorted(
+        (r["id"], r["v"]) for r in m.read(spark).collect()
+    ) == pre
+    # a key point-lookup now prunes by the hash
+    kept, _ = m._pruned_buckets("id", 3, 3)
+    assert len(kept) == 1
+    # and back onto a transform
+    m.regrain(spark, ("days", "d"))
+    assert m.current()["partition_spec"] == ["days", "d"]
+    assert sorted(
+        (r["id"], r["v"]) for r in m.read(spark).collect()
+    ) == pre
+
+
+def test_regrain_validation_and_noop(spark, days_mirror):
+    m = days_mirror
+    with pytest.raises(ValueError, match="unknown partition_spec"):
+        m.regrain(spark, ("hour", "d"))
+    with pytest.raises(ValueError, match="not a table column"):
+        m.regrain(spark, ("months", "nope"))
+    v = m.current()["version"]
+    rec = m.regrain(spark, ("days", "d"))  # same spec: no-op, no commit
+    assert rec["version"] == v and m.current()["version"] == v
+
+
+def test_regrain_mor_folds_delta_chain(spark, tmp_path):
+    """Regraining a merge-on-read mirror folds its delta chains into the
+    rewritten partitions (touched=None full replace), exactly like
+    compaction — the new-spec manifest starts chain-free."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "mm"),
+        key_col="id",
+        partition_spec=("days", "d"),
+        keep_versions=10,
+        merge_on_read=True,
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")],
+        "id long, d string, v string",
+    ).withColumn("d", F.col("d").cast("date"))
+    m.initialize(df)
+    target = CdcTarget(source_uri="x", key_column="id", ts_column="ts")
+    m.merge_batch(
+        spark.createDataFrame(
+            [(1, "2024-01-01", "a2", "U", 1), (2, "2024-01-02", None, "D", 1)],
+            "id long, d string, v string, op string, ts long",
+        ).withColumn("d", F.col("d").cast("date")),
+        target,
+    )
+    assert m.current().get("deltas")
+    rec = m.regrain(spark, ("months", "d"))
+    assert not rec.get("deltas")
+    got = {r["id"]: r["v"] for r in m.read(spark).collect()}
+    assert got == {1: "a2"}
+
+
+def test_pruned_read_of_old_version_after_regrain(spark, days_mirror):
+    """Time-travel prune binds to the RESOLVED manifest's spec (r15):
+    after a regrain, an old snapshot's partitions still carry the OLD
+    grain's ids — pruning them under the new grain would prove false
+    disjointness and drop every bucket."""
+    m = days_mirror
+    pre_version = m.current()["version"]
+    m.regrain(spark, ("years", "d"))
+    kept, _ = m._pruned_buckets(
+        "d",
+        datetime.date(2024, 1, 2),
+        datetime.date(2024, 2, 15),
+        version=pre_version,
+    )
+    assert kept == [str(_days("2024-01-05")), str(_days("2024-02-01"))]
+    df = m.read_pruned(
+        spark,
+        "d",
+        datetime.date(2024, 1, 2),
+        datetime.date(2024, 2, 15),
+        version=pre_version,
+    )
+    assert sorted(r["id"] for r in df.collect()) == [3, 4]
+
+
+def test_key_point_prune_of_old_version_after_rebucket(spark, tmp_path):
+    """Same law for hash specs: a key point-lookup prune at an old
+    version hashes under THAT version's recorded n_buckets."""
+    m = VersionedBucketMirror(
+        str(tmp_path / "r"), key_col="id", n_buckets=4, keep_versions=10
+    )
+    m.initialize(
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, x long")
+    )
+    v0 = m.current()["version"]
+    m.rebucket(spark, 16)
+    kept, _ = m._pruned_buckets("id", 7, 7, version=v0)
+    assert len(kept) == 1
+    got = m._read_entry(spark, m._resolve(v0), buckets=[int(kept[0])])
+    assert got.filter(F.col("id") == 7).count() == 1

@@ -798,3 +798,43 @@ def test_date_column_stats_serialize_and_prune(spark, tmp_path):
     ).collect()[0]["n"]
     assert n == 0
     assert t._derive_prune(m, "d >= DATE '2025-06-01'") is not None
+
+
+def test_timestamp_stats_keep_midnight_rows_on_date_grain_bounds(
+    spark, tmp_path
+):
+    """r15 review: timestamp stats serialize as ISO DATETIME strings
+    ('D 00:00:00') while a DATE-literal predicate contributes the
+    10-char date string 'D' — a plain string compare would prove
+    `mn > upper` for a bucket whose min is midnight of the bound's own
+    day and wrongly prune its matching rows. The date-grain-truncating
+    compare keeps it; genuinely disjoint buckets still prune."""
+    from pyspark.sql import functions as F2
+
+    m = VersionedBucketMirror(
+        str(tmp_path / "ts"),
+        n_buckets=1,  # one bucket => its stats ARE the row range
+        key_col="id",
+        keep_versions=10,
+        stats_cols=["t"],
+    )
+    df = spark.range(0, 5).select(
+        "id",
+        F2.timestamp_seconds(
+            F2.lit(1706659200) + F2.col("id") * 86400  # 2024-01-31 00:00 UTC
+        ).cast("timestamp_ntz").alias("t"),
+    )
+    m.initialize(df)
+    (st,) = m.current()["stats"].values()
+    assert st["t"][0].startswith("2024-01-31 00:00")
+    # upper bound = the min's own calendar day, date-only: MUST keep
+    kept, _ = m._pruned_buckets("t", None, "2024-01-31")
+    assert kept == ["0"]
+    got = m.read_pruned(spark, "t", "2024-01-01", "2024-01-31")
+    assert got is not None and got.count() == 1  # the midnight row
+    # a day strictly before every row still prunes
+    kept, _ = m._pruned_buckets("t", None, "2024-01-30")
+    assert kept == []
+    # and a point set on the boundary day keeps too (IN-list path)
+    kept, _ = m._pruned_buckets("t", points=["2024-01-31"])
+    assert kept == ["0"]
