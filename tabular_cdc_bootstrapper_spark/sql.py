@@ -46,10 +46,11 @@ DELETE/UPDATE pass a ``(col, lower, upper)`` hint distilled from the
 statement's simple conjuncts to the table's pruned planning scan, and a
 single-table SELECT resolves through ``read_pruned`` — so a month-scoped
 statement on a ``MONTHS(col)`` table lists only that month's partitions
-and a key-equality statement on a hash table plans ONE bucket. Always
-advisory: the full predicate still runs row-level, and any condition the
-deriver can't prove conjunctive (OR/NOT/IN/subqueries) simply reads
-unpruned.
+and a key-equality statement on a hash table plans ONE bucket. ``col IN (lit, ...)`` conjuncts and
+same-column OR-of-equality groups (``c = a OR c = b``) prune as point
+sets (r15). Always advisory: the full predicate still runs row-level,
+and any condition the deriver can't prove conjunctive (other ORs, NOT,
+subqueries) simply reads unpruned.
 
 DML/maintenance statements return the engine's receipt dict; SELECT
 returns a DataFrame.
@@ -488,14 +489,17 @@ class TableSql:
         Safe by construction: pruning is ADVISORY — ``_pruned_buckets``
         keeps every bucket it cannot prove disjoint and the full
         predicate still runs row-level — so an unparseable conjunct just
-        contributes no bound, while OR / NOT / subqueries anywhere
-        disable derivation entirely (under those the conjunct bounds are
-        not necessary conditions). ``col IN (lit, ...)`` conjuncts (r15,
+        contributes no bound, while NOT / subqueries anywhere disable
+        derivation entirely (under those the conjunct bounds are not
+        necessary conditions). ``col IN (lit, ...)`` conjuncts (r15,
         VERDICT r14 #4) become POINT-SET prunes — the union of each
         literal's own prune, returned as ``(col, [v, ...], None)`` —
         when every element parses as a literal; a list with any
         non-literal element contributes nothing (its points would not
-        be a superset). Picks the column whose bounds prune the most
+        be a superset). A disjunction whose every disjunct is an
+        equality between the SAME unqualified column and a literal
+        folds to the equivalent IN (``_fold_or``, r15); any other OR
+        disables derivation. Picks the column whose bounds prune the most
         buckets: a key equality (point hash), the partition transform's
         source column, or any stats column."""
         if not hasattr(t, "_pruned_buckets"):
@@ -523,6 +527,56 @@ class TableSql:
             )
 
         masked = re.sub(r"'(?:[^']|'')*'", _stash, cond)
+
+        _eq_opnd = (
+            r"(?:(?:DATE|TIMESTAMP)\s*)?(?:\x00\d+\x00|-?\d+(?:\.\d+)?)"
+        )
+
+        def _fold_or(text: str) -> str | None:
+            """Fold a paren-free disjunction into IN-list form when every
+            disjunct is an equality between the SAME unqualified column
+            and a literal — ``c = a OR c = b`` ≡ ``c IN (a, b)`` (r15
+            follow-up to the IN point-set prune). Any other disjunct
+            shape (qualified ref, non-equality, a second column, an AND
+            inside a disjunct) voids the fold: its admissible values
+            would not be a superset of one column's point set."""
+            col, elems = None, []
+            for p in re.split(r"(?i)\bOR\b", text):
+                m = re.fullmatch(
+                    rf"(?is)\s*(\w+)\s*=\s*({_eq_opnd})\s*", p
+                )
+                if m:
+                    c, v = m.group(1), m.group(2)
+                else:
+                    m = re.fullmatch(
+                        rf"(?is)\s*({_eq_opnd})\s*=\s*(\w+)\s*", p
+                    )
+                    if not m:
+                        return None
+                    c, v = m.group(2), m.group(1)
+                if re.fullmatch(r"(?i)DATE|TIMESTAMP|TRUE|FALSE|NULL", c):
+                    return None  # keyword, not a column reference
+                if col is not None and c.lower() != col.lower():
+                    return None
+                col = c
+                elems.append(v)
+            return f" {col} IN ({', '.join(elems)}) " if elems else None
+
+        # innermost parenthesized OR groups first — `(c = a OR c = b)
+        # AND grp = 2` stays derivable as a point-set conjunct
+        while True:
+            g = re.search(r"\(([^()]*?\bOR\b[^()]*)\)", masked, re.I)
+            if g is None:
+                break
+            folded = _fold_or(g.group(1))
+            if folded is None:
+                break  # an unfoldable OR survives → disabled below
+            masked = masked[: g.start()] + folded + masked[g.end() :]
+        # a bare whole-condition disjunction (no parens at all)
+        if re.search(r"(?i)\bOR\b", masked) and "(" not in masked:
+            whole = _fold_or(masked)
+            if whole is not None:
+                masked = whole
         if re.search(
             r"(?i)\bOR\b|\bNOT\b|\bSELECT\b|\bEXISTS\b", masked
         ):

@@ -9,6 +9,8 @@ resolve snapshots, and malformed statements fail loudly.
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -903,3 +905,155 @@ def test_sql_in_list_prune_guards(months_tsql, spark):
     assert n == m.read(spark).filter(
         "d IN (DATE '1995-01-10', DATE '1995-03-05') AND grp = 2"
     ).count()
+
+
+def test_sql_or_of_equalities_folds_to_point_set(
+    months_tsql, tsql, spark, monkeypatch
+):
+    """``c = a OR c = b`` ≡ ``c IN (a, b)`` (r15 follow-up to the
+    IN-list prune): same-column equality disjunctions — bare or
+    parenthesized beside other conjuncts — prune as point sets."""
+    t, m = months_tsql
+    jan, mar = 25 * 12 + 0, 25 * 12 + 2
+    # bare whole-condition disjunction
+    assert t._derive_prune(
+        m, "d = DATE '1995-01-10' OR d = DATE '1995-03-05'"
+    ) == ("d", ["1995-01-10", "1995-03-05"], None)
+    # parenthesized group beside another conjunct; reversed operands
+    assert t._derive_prune(
+        m, "(d = DATE '1995-01-10' OR DATE '1995-03-05' = d) AND grp = 2"
+    ) == ("d", ["1995-01-10", "1995-03-05"], None)
+    df = t.sql(
+        "SELECT COUNT(*) AS n FROM mt "
+        "WHERE d = DATE '1995-01-10' OR d = DATE '1995-03-05'"
+    )
+    assert df.collect()[0]["n"] == m.read(spark).filter(
+        "d = DATE '1995-01-10' OR d = DATE '1995-03-05'"
+    ).count()
+    files = df.inputFiles()
+    assert files and all(
+        f"/bucket={jan}/" in f or f"/bucket={mar}/" in f for f in files
+    )
+    # DML: the planning scan lists only the named partitions
+    before = {r["id"] for r in m.read(spark).collect()}
+    calls = _capture_plan_buckets(monkeypatch, m)
+    r = t.sql(
+        "DELETE FROM mt WHERE (d = DATE '1995-01-10' "
+        "OR d = DATE '1995-03-05') AND grp = 2"
+    )
+    assert calls[0] is not None and set(calls[0]) <= {jan, mar}
+    want_gone = {i for i in before if i % 9 == 2 and (i % 180) in (9, 63)}
+    assert r["rows_deleted"] == len(want_gone)
+    # key equalities on the hash layout union point-hash buckets
+    t2, m2, _ = tsql
+    assert t2._derive_prune(m2, "id = 7 OR id = 123") == (
+        "id", [7, 123], None,
+    )
+
+
+def test_sql_or_fold_guards(months_tsql, spark):
+    """OR shapes that are NOT a same-column equality disjunction still
+    disable derivation — their bounds are not necessary conditions —
+    and the statement stays exact through the unpruned read."""
+    t, m = months_tsql
+    # two different columns
+    assert t._derive_prune(m, "d = DATE '1995-01-10' OR grp = 1") is None
+    # non-equality disjunct
+    assert (
+        t._derive_prune(m, "d = DATE '1995-01-10' OR d > DATE '1995-03-01'")
+        is None
+    )
+    # qualified reference inside the disjunction
+    assert (
+        t._derive_prune(m, "meta.d = DATE '1995-01-10' OR d = DATE '1995-03-05'")
+        is None
+    )
+    # AND inside a disjunct (precedence: the OR is the top level)
+    assert (
+        t._derive_prune(
+            m, "d = DATE '1995-01-10' OR d = DATE '1995-03-05' AND grp = 1"
+        )
+        is None
+    )
+    # a non-literal RHS voids the fold
+    assert t._derive_prune(m, "d = DATE '1995-01-10' OR d = other_col") is None
+    # string literal containing ' or ' is data, not a connective
+    assert t._derive_prune(m, "grp = 'a or b'") is None
+    # NULL/TRUE keywords never become the folded column
+    assert t._derive_prune(m, "TRUE = d OR d = DATE '1995-03-05'") is None
+    # the guarded statement still answers exactly
+    n = t.sql(
+        "SELECT COUNT(*) AS n FROM mt WHERE d = DATE '1995-01-10' "
+        "OR grp = 1"
+    ).collect()[0]["n"]
+    assert n == m.read(spark).filter(
+        "d = DATE '1995-01-10' OR grp = 1"
+    ).count()
+
+
+def test_sql_prune_soundness_property(months_tsql, spark):
+    """Property: whatever prune ``_derive_prune`` does or does not
+    derive, a SELECT through the SQL front-end answers EXACTLY like the
+    unpruned read filtered by the same condition — over hypothesis-
+    generated conjunctions of ranges, equalities, BETWEENs, IN-lists,
+    and OR groups (foldable and not). This is the safety net for the
+    prune parser as it grows: a wrong prune shows up as a dropped
+    partition, i.e. a count mismatch."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t, m = months_tsql
+    full = m.read(spark)
+    full.persist().count()
+
+    def _d(date):
+        return f"DATE '{date.isoformat()}'"
+
+    dates = st.dates(
+        min_value=datetime.date(1994, 11, 1),
+        max_value=datetime.date(1995, 8, 31),
+    )
+    grps = st.integers(min_value=-1, max_value=10)
+    ids = st.integers(min_value=-5, max_value=650)
+
+    date_eq = dates.map(lambda x: f"d = {_d(x)}")
+    date_rng = st.tuples(dates, dates).map(
+        lambda p: f"d >= {_d(min(p))} AND d <= {_d(max(p))}"
+    )
+    date_btw = st.tuples(dates, dates).map(
+        lambda p: f"d BETWEEN {_d(min(p))} AND {_d(max(p))}"
+    )
+    date_in = st.lists(dates, min_size=1, max_size=4, unique=True).map(
+        lambda ds: f"d IN ({', '.join(_d(x) for x in ds)})"
+    )
+    date_or = st.lists(dates, min_size=2, max_size=3, unique=True).map(
+        lambda ds: "(" + " OR ".join(f"d = {_d(x)}" for x in ds) + ")"
+    )
+    grp_eq = grps.map(lambda g: f"grp = {g}")
+    id_in = st.lists(ids, min_size=1, max_size=3, unique=True).map(
+        lambda xs: f"id IN ({', '.join(map(str, xs))})"
+    )
+    mixed_or = st.tuples(dates, grps).map(
+        lambda p: f"(d = {_d(p[0])} OR grp = {p[1]})"
+    )
+    not_grp = grps.map(lambda g: f"NOT (grp = {g})")
+    conjunct = st.one_of(
+        date_eq, date_rng, date_btw, date_in, date_or,
+        grp_eq, id_in, mixed_or, not_grp,
+    )
+    cond = st.lists(conjunct, min_size=1, max_size=3).map(" AND ".join)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(cond)
+    def check(c):
+        got = t.sql(f"SELECT COUNT(*) AS n FROM mt WHERE {c}").collect()
+        assert got[0]["n"] == full.filter(c).count(), c
+
+    try:
+        check()
+    finally:
+        full.unpersist()
