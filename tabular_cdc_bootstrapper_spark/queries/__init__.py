@@ -42,17 +42,19 @@ del _m, _k
 # query <= 3 rounds stale; new entries go in-window the round they land):
 #
 # - IN (flagship, 1): cdc_latest, every round.
-# - IN (r15-new, 2): mirror_regrain_roundtrip (partition-spec evolution
-#   across transform grains, VERDICT r14 #3) and sql_optimize_zorder
-#   (OPTIMIZE ... ZORDER BY through the dialect, VERDICT r14 #7).
+# - IN (r15-new, 3): mirror_regrain_roundtrip (partition-spec evolution
+#   across transform grains, VERDICT r14 #3), sql_optimize_zorder
+#   (OPTIMIZE ... ZORDER BY through the dialect, VERDICT r14 #7), and
+#   sql_refs_changes (branch/tag DDL + tag reads + TABLE_CHANGES + aged
+#   VACUUM through the dialect — the r15 refs/changes SQL surface).
 # - IN (r15-changed, 1): sql_pruned_dml — it gained the IN-list point-set
 #   prune statements (VERDICT r14 #4), so its r14 row no longer covers it.
 # - IN (r11 staleness tail, 9): sequence_packing .. zorder_layout_stats —
 #   4 rounds stale (r14's deliberate ceiling breach); VERDICT r14 #1 says
 #   close them first.
-# - IN (r12 cohort, fills to 50): 37 of the 49 rows last driver-checked in
-#   r12 (alphabetical), at the 3-round ceiling now. The remaining 12
-#   (semantic_dedup_summary .. winsorized_length_stats) HEAD THE TAIL and
+# - IN (r12 cohort, fills to 50): 36 of the 49 rows last driver-checked in
+#   r12 (alphabetical), at the 3-round ceiling now. The remaining 13
+#   (salted_nation_revenue .. winsorized_length_stats) HEAD THE TAIL and
 #   must open the r16 window — the same deliberate one-round breach every
 #   round since r13 has taken (157+ queries / 50 slots makes the steady-
 #   state cycle ~3.2 rounds).
@@ -66,6 +68,7 @@ _DRIVER_CHECK_PRIORITY = [
     "mirror_regrain_roundtrip",
     "sql_optimize_zorder",
     "sql_pruned_dml",
+    "sql_refs_changes",
     "sequence_packing",
     "snapshot_diff_changelog",
     "table_profile_lineitem",
@@ -111,7 +114,7 @@ _DRIVER_CHECK_PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "rolling_30d_revenue",
-    "salted_nation_revenue",
+    "salted_nation_revenue",  # <- r16 tail head (displaced by sql_refs_changes)
     "semantic_dedup_summary",
     "session_stats",
     "set_ops_multiset",

@@ -3548,3 +3548,127 @@ def schema_drift_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_updated"),
     )
+
+
+@query(
+    "sql_refs_changes",
+    oracle="""
+    WITH half AS (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    ), head AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 6 THEN 'Z' ELSE o_orderstatus END
+                   AS st
+        FROM half WHERE o_orderkey % 10 NOT IN (4, 8)
+    )
+    SELECT 'tag_rows' AS item,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM half) AS value
+    UNION ALL SELECT 'head_rows',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM head)
+    UNION ALL SELECT 'head_z',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM head WHERE st = 'Z')
+    UNION ALL SELECT 'changes_d',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM half
+            WHERE o_orderkey % 10 IN (4, 8))
+    UNION ALL SELECT 'changes_u',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM half
+            WHERE o_orderkey % 10 = 6)
+    UNION ALL SELECT 'vacuum_expired', CAST(2 AS BIGINT)
+    UNION ALL SELECT 'tag_after_vacuum_rows',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM half)
+    """,
+)
+def sql_refs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refs + change feeds driven end-to-end through the SQL dialect
+    (r15): the Iceberg branch/tag DDL (``ALTER TABLE .. CREATE
+    TAG/BRANCH``, ``FAST FORWARD``, ``DROP``), tag reads via ``VERSION
+    AS OF '<tag>'``, the Delta-CDF ``TABLE_CHANGES(t, v1, v2)``
+    table-valued read, and age-based ``VACUUM .. OLDER THAN`` — the
+    reference's tables take the same ref/expiry verbs through their
+    Iceberg engine (reference tabular.py:8). Lifecycle on a bucketed
+    mirror CTAS'd from half of `orders`:
+
+    v0 CTAS → TAG genesis → v1 DELETE (keys %10=4) → v2 UPDATE (status
+    'Z' where %10=6) → BRANCH audit forked at v2 → a delete changelog
+    (%10=8) staged ON the branch (invisible to main) → FAST FORWARD →
+    head v3 → DROP BRANCH → VACUUM OLDER THAN far-future.
+
+    Oracle-pinned: the tag still reads the FULL v0 state after head
+    mutations AND after the vacuum (tags shield snapshots from expiry
+    — exactly the two unpinned snapshots v1/v2 expire, v0 tagged and
+    v3 the head); TABLE_CHANGES(0, 3, EXCLUDE (op, ts)) classifies
+    exactly the deleted keys as D and the repriced keys as U — the
+    EXCLUDE keeps the mirror's retained changelog envelope (op
+    normalized to 'I' on merged rows) out of the comparison; head
+    counts match DuckDB's recompute of the same mutations."""
+    import tempfile
+
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+    from tabular_cdc_bootstrapper_spark.sql import TableSql
+
+    _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("refs_src")
+    root = tempfile.mkdtemp(prefix="spark_graft_sqlrefs_")
+    t = TableSql(spark)
+    t.sql(
+        f"CREATE TABLE rt LOCATION '{root}/rt' "
+        "PARTITIONED BY BUCKET(8, o_orderkey) "
+        "AS SELECT * FROM refs_src WHERE o_orderkey % 2 = 0"
+    )
+    t.sql("ALTER TABLE rt CREATE TAG genesis")
+    t.sql("DELETE FROM rt WHERE o_orderkey % 10 = 4")
+    t.sql("UPDATE rt SET o_orderstatus = 'Z' WHERE o_orderkey % 10 = 6")
+    t.sql("ALTER TABLE rt CREATE BRANCH audit")
+    mirror = t._table("rt")
+    staged = t.sql(
+        "SELECT *, CAST(1 AS BIGINT) AS ts, 'D' AS op FROM rt "
+        "WHERE o_orderkey % 10 = 8"
+    )
+    mirror.merge_batch(
+        staged,
+        CdcTarget(
+            source_uri="file:///tmp/x",
+            key_column="o_orderkey",
+            ts_column="ts",
+        ),
+        branch="audit",
+    )
+    t.sql("ALTER TABLE rt FAST FORWARD audit")
+    head_v = mirror.current()["version"]
+    changes = (
+        t.sql(f"SELECT _change_type FROM "
+        f"TABLE_CHANGES(rt, 0, {head_v}, EXCLUDE (op, ts))")
+        .groupBy("_change_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    by_op = {r["_change_type"]: r["n"] for r in changes}
+    t.sql("ALTER TABLE rt DROP BRANCH audit")
+    rec = t.sql("VACUUM rt OLDER THAN TIMESTAMP '2099-01-01'")
+
+    def _n(q: str) -> int:
+        return t.sql(q).collect()[0]["n"]
+
+    flags = spark.createDataFrame(
+        [
+            (
+                "tag_rows",
+                _n("SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'"),
+            ),
+            ("head_rows", _n("SELECT COUNT(*) AS n FROM rt")),
+            (
+                "head_z",
+                _n("SELECT COUNT(*) AS n FROM rt WHERE o_orderstatus = 'Z'"),
+            ),
+            ("changes_d", int(by_op.get("D", 0))),
+            ("changes_u", int(by_op.get("U", 0))),
+            ("vacuum_expired", len(rec["expired_versions"])),
+            (
+                "tag_after_vacuum_rows",
+                _n("SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'"),
+            ),
+        ],
+        "item string, value long",
+    )
+    return flags

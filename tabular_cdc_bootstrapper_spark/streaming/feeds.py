@@ -61,6 +61,7 @@ def table_changes(
     to_version: int,
     key_cols: str | Sequence[str],
     drop_cols: Sequence[str] = (),
+    op_col: str = "op",
 ) -> DataFrame:
     """Change data feed between two snapshots — the Delta CDF / Iceberg
     ``CHANGES BETWEEN`` surface on the engine's versioned tables: the
@@ -162,7 +163,7 @@ def table_changes(
     for f in old.schema.fields:
         if f.name not in new.columns:
             new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return table_diff(old, new, key_cols)
+    return table_diff(old, new, key_cols, op_col=op_col)
 
 
 class ChangeFeedStream:

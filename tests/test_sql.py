@@ -1057,3 +1057,163 @@ def test_sql_prune_soundness_property(months_tsql, spark):
         check()
     finally:
         full.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r15: refs + change feeds through SQL (branch/tag DDL, ref reads,
+# age-based VACUUM, TABLE_CHANGES).
+# ---------------------------------------------------------------------------
+
+
+def _cdc_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, name string, ts long, op string"
+    )
+
+
+def test_sql_ref_lifecycle(spark, tmp_path):
+    """Branch/tag DDL through the dialect: CREATE TAG pins a snapshot
+    readable via VERSION AS OF '<tag>'; CREATE BRANCH forks a writable
+    ref whose staged commits stay invisible to main until FAST FORWARD;
+    DROP releases the ref."""
+    from tabular_cdc_bootstrapper_spark.config import CdcTarget
+
+    m = VersionedBucketMirror(
+        str(tmp_path / "refs"), n_buckets=4, key_col="id", keep_versions=10
+    )
+    m.initialize(_cdc_batch(spark, [(i, f"v0-{i}", 0, "I") for i in range(12)]))
+    t = TableSql(spark, {"m": m})
+    rec = t.sql("ALTER TABLE m CREATE TAG v0")
+    assert rec["name"] == "v0" and rec["version"] == 0
+    t.sql("UPDATE m SET name = 'mut' WHERE id = 5")
+    assert (
+        t.sql("SELECT name FROM m VERSION AS OF 'v0' WHERE id = 5")
+        .collect()[0]["name"]
+        == "v0-5"
+    )
+    assert (
+        t.sql("SELECT name FROM m WHERE id = 5").collect()[0]["name"] == "mut"
+    )
+    # AS OF VERSION pins an explicit old snapshot
+    rec2 = t.sql("ALTER TABLE m CREATE TAG genesis AS OF VERSION 0")
+    assert rec2["version"] == 0
+    # branch: fork, stage a merge invisibly, read through SQL, publish
+    t.sql("ALTER TABLE m CREATE BRANCH audit")
+    tgt = CdcTarget(
+        source_uri="file:///tmp/x", key_column="id", ts_column="ts"
+    )
+    m.merge_batch(
+        _cdc_batch(spark, [(50, "staged", 1, "I")]), tgt, branch="audit"
+    )
+    one = lambda q: t.sql(q).collect()[0]["n"]  # noqa: E731
+    assert one("SELECT COUNT(*) AS n FROM m") == 12
+    assert one("SELECT COUNT(*) AS n FROM m VERSION AS OF 'audit'") == 13
+    t.sql("ALTER TABLE m FAST FORWARD audit")
+    assert one("SELECT COUNT(*) AS n FROM m") == 13
+    assert t.sql("ALTER TABLE m DROP BRANCH audit") == {
+        "dropped_branch": "audit"
+    }
+    assert t.sql("ALTER TABLE m DROP TAG v0") == {"dropped_tag": "v0"}
+    with pytest.raises(Exception):
+        t.sql("SELECT COUNT(*) AS n FROM m VERSION AS OF 'v0'").collect()
+
+
+def test_sql_tag_read_composes_with_pruning(months_tsql, spark, monkeypatch):
+    """VERSION AS OF '<tag>' resolves to the tag's snapshot number and
+    composes with WHERE-derived partition pruning — the pruned read
+    binds to the TAGGED manifest, and the answer is the old state."""
+    t, m = months_tsql
+    mar = 25 * 12 + 2
+    t.sql("ALTER TABLE mt CREATE TAG base")
+    t.sql(
+        "DELETE FROM mt WHERE d >= DATE '1995-03-01' "
+        "AND d <= DATE '1995-03-31'"
+    )
+    seen: list[tuple] = []
+    orig = type(m).read_pruned
+
+    def spy(self, spark_, col, lower=None, upper=None, version=None):
+        seen.append((col, lower, upper, version))
+        return orig(self, spark_, col, lower, upper, version)
+
+    monkeypatch.setattr(type(m), "read_pruned", spy)
+    df = t.sql(
+        "SELECT COUNT(*) AS n FROM mt VERSION AS OF 'base' "
+        "WHERE d >= DATE '1995-03-05' AND d <= DATE '1995-03-25'"
+    )
+    n = df.collect()[0]["n"]
+    assert seen and seen[0][3] == 0  # pruned against the TAG's snapshot
+    monkeypatch.setattr(type(m), "read_pruned", orig)
+    assert n == m.read_version(spark, 0).filter(
+        "d >= DATE '1995-03-05' AND d <= DATE '1995-03-25'"
+    ).count() > 0
+    assert all(f"/bucket={mar}/" in f for f in df.inputFiles())
+    # head read reflects the delete
+    assert (
+        t.sql(
+            "SELECT COUNT(*) AS n FROM mt "
+            "WHERE d >= DATE '1995-03-05' AND d <= DATE '1995-03-25'"
+        ).collect()[0]["n"]
+        == 0
+    )
+
+
+def test_sql_vacuum_older_than(tsql, spark):
+    """Age-based snapshot expiry through SQL — the Iceberg
+    expire_snapshots older_than arm beside the version-count RETAIN."""
+    t, m, _ = tsql
+    t.sql("UPDATE m SET val = 0 WHERE id = 1")
+    t.sql("UPDATE m SET val = 1 WHERE id = 1")  # versions 0, 1, 2
+    # a cutoff in the past expires nothing
+    rec = t.sql("VACUUM m OLDER THAN TIMESTAMP '2000-01-01'")
+    assert rec["expired_versions"] == []
+    # a future cutoff expires everything but the protected head
+    rec = t.sql("VACUUM m OLDER THAN TIMESTAMP '2099-01-01'")
+    assert set(rec["expired_versions"]) == {0, 1}
+    with pytest.raises(ValueError, match="expired"):
+        m.read_version(spark, 0)
+    assert t.sql("SELECT COUNT(*) AS n FROM m").collect()[0]["n"] == 400
+    # RETAIN and OLDER THAN compose in one statement
+    rec = t.sql(
+        "VACUUM m RETAIN 1 VERSIONS OLDER THAN TIMESTAMP '2000-01-01'"
+    )
+    assert rec["expired_versions"] == []
+
+
+def test_sql_table_changes(tsql, spark):
+    """TABLE_CHANGES(t, v1, v2) in FROM — the Delta CDF read as a
+    table-valued reference, composing with the full SELECT surface."""
+    t, m, _ = tsql
+    t.sql("DELETE FROM m WHERE id = 3")
+    t.sql("UPDATE m SET val = -5 WHERE id = 7")
+    v = m.current()["version"]
+    rows = t.sql(
+        f"SELECT _change_type, id FROM TABLE_CHANGES(m, 0, {v}) ORDER BY id"
+    ).collect()
+    assert {(r["_change_type"], r["id"]) for r in rows} == {
+        ("D", 3),
+        ("U", 7),
+    }
+    n = t.sql(
+        f"SELECT COUNT(*) AS n FROM TABLE_CHANGES(m, 0, {v}) "
+        "WHERE _change_type = 'D'"
+    ).collect()[0]["n"]
+    assert n == 1
+    # quoted text is data, never substituted
+    got = t.sql(
+        "SELECT COUNT(*) AS n FROM m WHERE 'TABLE_CHANGES(m, 0, 1)' = 'x'"
+    ).collect()[0]["n"]
+    assert got == 0
+    # EXCLUDE keeps named columns out of the comparison: ignoring the
+    # updated column demotes the repriced row out of the feed
+    rows = t.sql(
+        f"SELECT _change_type, id "
+        f"FROM TABLE_CHANGES(m, 0, {v}, EXCLUDE (val)) ORDER BY id"
+    ).collect()
+    assert {(r["_change_type"], r["id"]) for r in rows} == {("D", 3)}
+    # the key column must never be excluded
+    with pytest.raises(ValueError, match="key column"):
+        t.sql(f"SELECT * FROM TABLE_CHANGES(m, 0, {v}, EXCLUDE (id))")
+    # keyless tables refuse: the changelog diff is keyed
+    with pytest.raises(ValueError, match="no key"):
+        t.sql("SELECT * FROM TABLE_CHANGES(p, 0, 0)")
