@@ -273,9 +273,17 @@ def main() -> None:
         "errors": errors,
         "queries": {k: timings[k] for k in sorted(timings)},
     }
-    # the artifact of record: complete, pretty, immune to stdout truncation
+    # the artifact of record: complete, pretty, immune to stdout truncation.
+    # A SPARK_GRAFT_ONLY run is a probe/re-baseline, NOT the record — it
+    # lands in BENCHFULL_PARTIAL.json so it can never clobber the full
+    # sweep's BENCHFULL.json / per-round copy (r15 review: a 5-query
+    # adjudication run overwrote the round artifact)
     repo = Path(__file__).resolve().parent
-    full_path = repo / "BENCHFULL.json"
+    partial = bool(only_env)
+    full_path = repo / (
+        "BENCHFULL_PARTIAL.json" if partial else "BENCHFULL.json"
+    )
+    result["full_results_file"] = full_path.name
     try:
         full_path.write_text(json.dumps(result, indent=1) + "\n")
     except OSError as exc:
@@ -309,9 +317,10 @@ def main() -> None:
         ]
         round_no = (max(rounds) + 1) if rounds else 0
     try:
-        (repo / f"BENCHFULL_r{round_no:02d}.json").write_text(
-            json.dumps(result, indent=1) + "\n"
-        )
+        if not partial:
+            (repo / f"BENCHFULL_r{round_no:02d}.json").write_text(
+                json.dumps(result, indent=1) + "\n"
+            )
     except OSError as exc:
         print(f"bench: could not write round artifact: {exc}", file=sys.stderr)
     print(json.dumps(result, separators=(",", ":")), flush=True)
