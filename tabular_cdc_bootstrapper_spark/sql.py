@@ -35,7 +35,7 @@ Supported statements (keywords case-insensitive)::
     CREATE TABLE t LOCATION '<p>' [PARTITIONED BY BUCKET(n, key)
         | DAYS(col) | MONTHS(col) | YEARS(col) | TRUNCATE(col, w)
         | IDENTITY(col) [KEY key]] AS SELECT ...
-    SHOW PARTITIONS t
+    SHOW PARTITIONS t | SHOW TAGS t | SHOW BRANCHES t
     SELECT ... FROM t [VERSION AS OF <n> | VERSION AS OF '<tag-or-branch>'
         | TIMESTAMP AS OF <ts>] ...
     SELECT ... FROM TABLE_CHANGES(t, <from_v>, <to_v>) ...
@@ -331,8 +331,30 @@ class TableSql:
                 rows,
                 "partition long, spec string, has_base int, n_deltas int",
             )
+        rm = re.match(r"SHOW\s+(TAGS|BRANCHES)\s+(\w+)$", s, re.I)
+        if rm:
+            # the refs listing beside the r15 CREATE/DROP TAG|BRANCH DDL
+            t = self._table(rm.group(2))
+            if rm.group(1).upper() == "TAGS":
+                rows = [
+                    (r["name"], int(r["version"]), float(r["ts"]))
+                    for r in t.tags()
+                ]
+                return self.spark.createDataFrame(
+                    rows, "name string, version long, created_ts double"
+                )
+            rows = [
+                (r["name"], int(r["base"]), int(r["head"]))
+                for r in t.branches()
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, base long, head long"
+            )
         if not re.match(r"SHOW\s+TABLES$", s, re.I):
-            raise ValueError("expected: SHOW TABLES | SHOW PARTITIONS <t>")
+            raise ValueError(
+                "expected: SHOW TABLES | SHOW PARTITIONS <t> | "
+                "SHOW TAGS <t> | SHOW BRANCHES <t>"
+            )
         rows = [
             (n, type(t).__name__, getattr(t, "root", ""))
             for n, t in sorted(self._tables.items())

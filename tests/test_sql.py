@@ -996,15 +996,24 @@ def test_sql_prune_soundness_property(months_tsql, spark):
     derive, a SELECT through the SQL front-end answers EXACTLY like the
     unpruned read filtered by the same condition — over hypothesis-
     generated conjunctions of ranges, equalities, BETWEENs, IN-lists,
-    and OR groups (foldable and not). This is the safety net for the
-    prune parser as it grows: a wrong prune shows up as a dropped
-    partition, i.e. a count mismatch."""
+    and OR groups (foldable and not) — each also read through VERSION
+    AS OF 0 and through a tag ref (r15), so historical prunes bind to
+    the right manifest. This is the safety net for the prune parser as
+    it grows: a wrong prune shows up as a dropped partition, i.e. a
+    count mismatch."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     t, m = months_tsql
+    t.sql("ALTER TABLE mt CREATE TAG base")
+    t.sql(
+        "DELETE FROM mt WHERE d >= DATE '1995-04-01' "
+        "AND d <= DATE '1995-04-30' AND grp = 5"
+    )
     full = m.read(spark)
     full.persist().count()
+    full0 = m.read_version(spark, 0)
+    full0.persist().count()
 
     def _d(date):
         return f"DATE '{date.isoformat()}'"
@@ -1048,15 +1057,17 @@ def test_sql_prune_soundness_property(months_tsql, spark):
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
-    @given(cond)
-    def check(c):
-        got = t.sql(f"SELECT COUNT(*) AS n FROM mt WHERE {c}").collect()
-        assert got[0]["n"] == full.filter(c).count(), c
+    @given(cond, st.sampled_from(["", " VERSION AS OF 0", " VERSION AS OF 'base'"]))
+    def check(c, tt):
+        got = t.sql(f"SELECT COUNT(*) AS n FROM mt{tt} WHERE {c}").collect()
+        want = (full if tt == "" else full0).filter(c).count()
+        assert got[0]["n"] == want, (c, tt)
 
     try:
         check()
     finally:
         full.unpersist()
+        full0.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1110,12 +1121,22 @@ def test_sql_ref_lifecycle(spark, tmp_path):
     assert one("SELECT COUNT(*) AS n FROM m VERSION AS OF 'audit'") == 13
     t.sql("ALTER TABLE m FAST FORWARD audit")
     assert one("SELECT COUNT(*) AS n FROM m") == 13
+    # SHOW TAGS / SHOW BRANCHES list the live refs
+    tags = {r["name"]: r["version"] for r in t.sql("SHOW TAGS m").collect()}
+    assert tags == {"v0": 0, "genesis": 0}
+    brs = {
+        r["name"]: (r["base"], r["head"])
+        for r in t.sql("SHOW BRANCHES m").collect()
+    }
+    assert brs == {"audit": (1, 2)}
     assert t.sql("ALTER TABLE m DROP BRANCH audit") == {
         "dropped_branch": "audit"
     }
     assert t.sql("ALTER TABLE m DROP TAG v0") == {"dropped_tag": "v0"}
     with pytest.raises(Exception):
         t.sql("SELECT COUNT(*) AS n FROM m VERSION AS OF 'v0'").collect()
+    assert t.sql("SHOW BRANCHES m").count() == 0
+    assert {r["name"] for r in t.sql("SHOW TAGS m").collect()} == {"genesis"}
 
 
 def test_sql_tag_read_composes_with_pruning(months_tsql, spark, monkeypatch):
