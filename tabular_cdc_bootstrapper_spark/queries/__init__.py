@@ -56,7 +56,7 @@ del _m, _k
 #   r12 (alphabetical), at the 3-round ceiling now. The remaining 13
 #   (salted_nation_revenue .. winsorized_length_stats) HEAD THE TAIL and
 #   must open the r16 window — the same deliberate one-round breach every
-#   round since r13 has taken (157+ queries / 50 slots makes the steady-
+#   round since r13 has taken (160 queries / 50 slots makes the steady-
 #   state cycle ~3.2 rounds).
 # - OUT: r13 rows (2 stale), then the r14 window's rows (1 stale, freshest
 #   last). Every out-of-window entry is still re-executed against DuckDB
