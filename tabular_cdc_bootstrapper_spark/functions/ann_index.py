@@ -53,6 +53,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tabular_cdc_bootstrapper_spark.localdf import local_df
+
 from tabular_cdc_bootstrapper_spark.functions.similarity import (
     _adc_over_codes,
     _assign_encode_udf,
@@ -272,8 +274,11 @@ def build_ann_index(
         for s in range(n_subspaces)
         for c in range(cb_sub.shape[1])
     ]
-    model_df = spark.createDataFrame(
-        model_rows, "kind string, i long, j long, vec array<double>"
+    # local_df (r15): an Arrow-backed local frame writes as a pure-JVM
+    # job; the pickled-list form paid ~32 sequential Python-worker
+    # evaluations inside the coalesce(1) write task (~5-7 s per build)
+    model_df = local_df(
+        spark, model_rows, "kind string, i long, j long, vec array<double>"
     ).coalesce(1)
 
     encoded = _encode_with_models(corpus, cids, cmat_n, cb_sub, id_col, vec_col)

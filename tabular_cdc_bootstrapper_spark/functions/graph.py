@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tabular_cdc_bootstrapper_spark.localdf import local_df
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set as (u > v) pairs, self-loops dropped."""
@@ -175,8 +177,8 @@ def connected_components(
                 [(r["u"], r["v"]) for r in edges.collect()]
             )
             spark = edges.sparkSession
-            out = spark.createDataFrame(
-                sorted(root.items()), schema=edges.schema
+            out = local_df(
+                spark, sorted(root.items()), schema=edges.schema
             )
             return out.select(
                 F.col("u").alias("id"), F.col("v").alias("component_id")

@@ -4,11 +4,12 @@ Generalizes the round-6 per-table profiler (VERDICT r7 #8): profiles are
 built from ``df.schema`` — any table, any column subset — with the same
 single-scan plan the hand-written orders profiler proved out:
 
-- ``profile_table``: EXACT null / distinct / min / max per column in one
-  scan. Catalyst plans the multi-column ``countDistinct`` via one Expand
-  (the row stream is multiplied by #distinct-columns map-side) — the
-  documented cost of exactness; the 1-row wide result unpivots
-  driver-free with ``stack()``.
+- ``profile_table``: EXACT null / distinct / min / max per column, one
+  single-distinct two-phase aggregate branch per column (scan pruned to
+  that column, NO Expand — the r15 optimization round retired the
+  single-scan multi-distinct form whose Expand multiplied the row
+  stream by #cols+1 through one scan task); the 1-row wide result
+  unpivots driver-free with ``stack()``.
 - ``profile_table_approx``: the 100 TB twin — ``approx_count_distinct``
   (HLL++) sketches aggregate the UN-expanded stream, so the plan is a
   plain single-pass partial→final agg, no Expand, ≤1 exchange
@@ -101,17 +102,36 @@ _LONG_NAMES = {
 
 def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Exact column profile: (col_name, n_nulls, n_distinct, min_value,
-    max_value), one row per column, ONE scan (multi-distinct via Expand)."""
+    max_value), one row per column.
+
+    Physical strategy (r15 optimization round): one single-distinct
+    aggregate branch PER column — each branch's scan prunes to exactly
+    its one column and plans as a plain two-phase distinct aggregate, so
+    there is NO Expand anywhere. The pre-r15 form was a single scan
+    whose multi-column ``countDistinct`` Catalyst planned via one Expand
+    (row stream × (#cols + 1), all of it funnelled through the
+    scan-parallelism of ONE wide scan): profiling a 6-column slice of
+    lineitem spent 10-14 s of single-task CPU in that fused
+    Expand+partial-aggregate stage at sf0.1. The per-column branches
+    read the same total bytes (columnar scans), skip the row
+    multiplication entirely, and AQE materializes the independent
+    branches concurrently — measured 11.2 s → ~1.5 s on
+    table_profile_lineitem, bit-identical output (same exact
+    aggregates, same render). This is the alternative exact strategy the
+    verified profiler below has always used for its exact half; see
+    OPTIMIZATION_r15.md. The 1-row × 1-row crossJoins are literal
+    broadcasts (house rule)."""
     resolved = _resolve_cols(df, cols)
-    aggs = []
+    wide = None
     for c, dt in resolved:
-        aggs += [
-            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+        branch = df.select(c).agg(
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__nd"),
             _render(F.min(c), dt).alias(f"{c}__min"),
             _render(F.max(c), dt).alias(f"{c}__max"),
-        ]
-    return _stack(df.agg(*aggs), [c for c, _ in resolved], "nulls,nd,min,max")
+        )
+        wide = branch if wide is None else wide.crossJoin(branch)
+    return _stack(wide, [c for c, _ in resolved], "nulls,nd,min,max")
 
 
 def profile_table_approx(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from tabular_cdc_bootstrapper_spark.operators.cdc import apply_changelog
+from tabular_cdc_bootstrapper_spark.localdf import local_df
 from tabular_cdc_bootstrapper_spark.queries._registry import (_t, query)
 
 
@@ -787,7 +788,7 @@ def wap_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         items.append((f"{tag}:published", int(bool(rep["published"]))))
     items.append(("n_versions", len(mirror.history())))
     items.append(("head_audited", int(bool(mirror.current().get("audited")))))
-    out = spark.createDataFrame(items, "item string, value long")
+    out = local_df(spark, items, "item string, value long")
 
     def agg_rows(df: DataFrame, n_item: str, s_item: str) -> DataFrame:
         return (
@@ -925,7 +926,7 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ref_row(df: DataFrame | None, ref: str, version: int) -> DataFrame:
         if df is None:  # unreadable (expired) ref: sentinel row
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [(ref, version, -1, -1, -1)],
                 "ref string, version long, n_rows long, n_updated long, "
                 "key_sum long",
@@ -1202,7 +1203,7 @@ def bucket_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("n_versions", len(mirror.history())),
     ]
-    flags = spark.createDataFrame(items, "item string, value long")
+    flags = local_df(spark, items, "item string, value long")
 
     def agg_rows(df: DataFrame, n_item: str, s_item: str) -> DataFrame:
         return (
@@ -1321,7 +1322,7 @@ def concurrent_merge_serialization(spark: SparkSession, sf_dir: str) -> DataFram
     except CommitConflict:
         conflict_raised = 1
     history = [e["version"] for e in mirror.history()]
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("history_linear", int(history == [v0, v0 + 1, v0 + 2])),
             ("b_rebased_on_a", b_rebased),
@@ -1467,7 +1468,7 @@ def mor_merge_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain_after = int(bool(mirror.current().get("deltas")))
     post = agg_items(mirror.read(spark), "postfold")
     hist = agg_items(mirror.read_version(spark, pre_version), "histfold")
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("delta_chain_before", chain_before),
             ("delta_chain_after", chain_after),
@@ -1583,7 +1584,7 @@ def change_feed_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.item", "p.value")
         )
 
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [("n_windows", len(windows))], "item string, value long"
     )
     return (
@@ -1690,7 +1691,7 @@ def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") == k)
         .count()
     )
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("spec_after", int(mirror.current()["n_buckets"])),
             ("history_intact", history_intact),
@@ -1850,7 +1851,7 @@ def mirror_regrain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_rows = new_win.count()
     new_parts = _parts(new_win)
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("year_partitions", len(mirror.current()["buckets"])),
             ("history_intact", history_intact),
@@ -2014,7 +2015,7 @@ def mirror_alter_schema_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         and "renames" not in mirror.current()
     )
     post = agg_items(mirror.read(spark), "post")
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("old_snapshot_has_old_name", old_snapshot_has_old_name),
             ("drop_metadata_only", drop_metadata_only),
@@ -2159,7 +2160,7 @@ def column_generation_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = counts(
         mirror.read(spark), "head", "G3", ("head_rows", "head_g3", "head_null")
     )
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [("mask_metadata_only", mask_metadata_only)],
         "item string, value long",
     )
@@ -2271,7 +2272,7 @@ def snapshot_table_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_snapshot_has_old_name = int(
         "o_orderstatus" in t.read_version(spark, 0).columns
     )
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             ("alter_metadata_only", alter_metadata_only),
             ("old_snapshot_has_old_name", old_snapshot_has_old_name),
@@ -2399,7 +2400,7 @@ def join_feed_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.item", "p.value")
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [("n_triggers", len(done))], "item string, value long"
     )
     return flags.unionByName(agg)
@@ -2509,7 +2510,7 @@ def change_feed_datasource_stream(
         for b in batches
         for r in b
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "o_orderkey long, op string, o_orderstatus string"
     )
 
@@ -2887,7 +2888,7 @@ def table_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_t
         """
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             ("refused_add", float(refused_add)),
             ("refused_update", float(refused_update)),
@@ -3145,7 +3146,7 @@ def partition_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
-    meta = spark.createDataFrame(
+    meta = local_df(spark, 
         [
             ("_kept_partitions", len(kept), 0.0),
             ("_merge_touched", len(rec["touched_buckets"]), 0.0),
@@ -3428,7 +3429,7 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("window_partitions_listed", float(len(parts_listed))),
         ("head_rows", float(head)),
     ]
-    return spark.createDataFrame(rows, "item string, value double")
+    return local_df(spark, rows, "item string, value double")
 
 
 @query(
@@ -3650,7 +3651,7 @@ def sql_refs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _n(q: str) -> int:
         return t.sql(q).collect()[0]["n"]
 
-    flags = spark.createDataFrame(
+    flags = local_df(spark, 
         [
             (
                 "tag_rows",

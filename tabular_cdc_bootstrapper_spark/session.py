@@ -48,6 +48,18 @@ def get_spark(
         # (queries._t still sets it defensively for driver-owned sessions)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r15: manifest reads pass explicit dir lists (often > 32 for
+        # transform-partitioned mirrors); below this threshold the driver
+        # lists serially (~µs/dir on a filesystem) instead of launching a
+        # distributed listing JOB per read (~0.2-0.5 s of scheduling).
+        # Scale knob, not a constant: on object stores, where each LIST
+        # is a ~30 ms round trip, deployments set SPARK_GRAFT_LIST_PAR
+        # back to Spark's default 32 so big dir sets keep listing in
+        # parallel (OPTIMIZATION_r15.md)
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_PAR", "1024"),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # NOTE: driver.memory (like master) only takes effect when this call

@@ -70,6 +70,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tabular_cdc_bootstrapper_spark.localdf import local_df
+
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses and string literals."""
@@ -298,7 +300,7 @@ class TableSql:
             )
             for e in t.history()
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "version long, ts double, operation string, "
             "readable boolean, is_current boolean",
@@ -327,7 +329,7 @@ class TableSql:
                     set(cur["buckets"]) | set(deltas), key=int
                 )
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows,
                 "partition long, spec string, has_base int, n_deltas int",
             )
@@ -340,14 +342,14 @@ class TableSql:
                     (r["name"], int(r["version"]), float(r["ts"]))
                     for r in t.tags()
                 ]
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     rows, "name string, version long, created_ts double"
                 )
             rows = [
                 (r["name"], int(r["base"]), int(r["head"]))
                 for r in t.branches()
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "name string, base long, head long"
             )
         if not re.match(r"SHOW\s+TABLES$", s, re.I):
@@ -359,7 +361,7 @@ class TableSql:
             (n, type(t).__name__, getattr(t, "root", ""))
             for n, t in sorted(self._tables.items())
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows, "name string, layout string, location string"
         )
 
@@ -1383,7 +1385,7 @@ class TableSql:
                             if e and e.get("schema")
                             else self._table_schema(t, name)
                         )
-                        df = self.spark.createDataFrame([], schema)
+                        df = local_df(self.spark, [], schema)
                     return df
 
                 if ver is not None and ver.isdigit():

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming._stats import footer_bucket_stats
 from tabular_cdc_bootstrapper_spark.operators.cdc import (
     apply_changelog,
     latest_by_key,
@@ -885,21 +886,39 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
         # a re-execution of the upstream merge plan
         staged_stats: dict[str, dict] = {}
         if self.stats_cols:
-            sdf = df.sparkSession.read.parquet(staging)
-            present = [c for c in self.stats_cols if c in sdf.columns]
-            if present:
+            present = [c for c in self.stats_cols if c in df.columns]
+            footer = (
+                footer_bucket_stats(staging, present) if present else None
+            )
+            if footer is not None:
+                # r15 fast path (streaming/_stats.py): fold the bounds
+                # from the parquet footers the write just produced —
+                # no second Spark job over the staged bytes; byte-equal
+                # to the aggregate for the exact-stats types it accepts
+                for bucket, bounds in footer.items():
+                    staged_stats[bucket] = {
+                        c: [
+                            self._json_stat(bounds[c][0]),
+                            self._json_stat(bounds[c][1]),
+                        ]
+                        for c in present
+                    }
+            elif present:
+                sdf = df.sparkSession.read.parquet(staging)
+                present = [c for c in self.stats_cols if c in sdf.columns]
                 aggs = []
                 for c in present:
                     aggs.append(F.min(c).alias(f"__mn_{c}"))
                     aggs.append(F.max(c).alias(f"__mx_{c}"))
-                for r in sdf.groupBy("bucket").agg(*aggs).collect():
-                    staged_stats[str(int(r["bucket"]))] = {
-                        c: [
-                            self._json_stat(r[f"__mn_{c}"]),
-                            self._json_stat(r[f"__mx_{c}"]),
-                        ]
-                        for c in present
-                    }
+                if present:
+                    for r in sdf.groupBy("bucket").agg(*aggs).collect():
+                        staged_stats[str(int(r["bucket"]))] = {
+                            c: [
+                                self._json_stat(r[f"__mn_{c}"]),
+                                self._json_stat(r[f"__mx_{c}"]),
+                            ]
+                            for c in present
+                        }
         # untouched buckets carry forward from wherever this commit lands:
         # the caller-resolved basis manifest when given (the manifest its
         # df was DERIVED from — the CAS basis), else the branch head for
@@ -1291,9 +1310,31 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
             # with matching live rows readable — its tombstones ride in
             # with the bucket read
             if self.stats_cols and kind == "delta":
-                sdf = slice_df.sparkSession.read.parquet(staging)
-                present = [c for c in self.stats_cols if c in sdf.columns]
-                if present:
+                present = [
+                    c for c in self.stats_cols if c in slice_df.columns
+                ]
+                footer = (
+                    footer_bucket_stats(staging, present)
+                    if present
+                    else None
+                )
+                if footer is not None:
+                    # r15 fast path (streaming/_stats.py): bounds from
+                    # the just-written parquet footers — no second
+                    # Spark job over the staged delta
+                    for bucket, bounds in footer.items():
+                        staged_stats[bucket] = {
+                            c: [
+                                self._json_stat(bounds[c][0]),
+                                self._json_stat(bounds[c][1]),
+                            ]
+                            for c in present
+                        }
+                elif present:
+                    sdf = slice_df.sparkSession.read.parquet(staging)
+                    present = [
+                        c for c in self.stats_cols if c in sdf.columns
+                    ]
                     aggs = []
                     for c in present:
                         aggs.append(F.min(c).alias(f"__mn_{c}"))

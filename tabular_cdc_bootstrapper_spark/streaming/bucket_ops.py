@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from tabular_cdc_bootstrapper_spark.config import CdcTarget
+from tabular_cdc_bootstrapper_spark.streaming._purge import purge_dirs_fused
 from tabular_cdc_bootstrapper_spark.operators.cdc import (
     apply_changelog,
     latest_by_key,
@@ -1567,17 +1568,58 @@ class VersionedBucketMirrorOps:
         for _round in range(_PURGE_CATCHUP_ROUNDS):
             catchup_rounds += 1
             entries = _entries()
+            worklist: list[tuple[str, str, int, str]] = []
             for e in entries:
                 for b, d in e["buckets"].items():
                     if b in touched:
-                        _purge_dir(b, d, e["version"], "")
+                        worklist.append((b, d, e["version"], ""))
                 # merge-on-read delta dirs hold the same PII (upserts
                 # AND key-bearing tombstones) — purge them identically
                 for b, specs in (e.get("deltas") or {}).items():
                     if b not in touched:
                         continue
                     for s in specs:
-                        _purge_dir(b, s["dir"], e["version"], "delta-")
+                        worklist.append((b, s["dir"], e["version"], "delta-"))
+            # fused fast path (r15, streaming/_purge.py): ONE semi-join
+            # pass finds every clean dir and ONE partitioned anti-join
+            # write rewrites every hit dir, instead of up to 3 actions
+            # per dir; per-dir fallback keeps the r12 TOCTOU tolerance
+            items: list[tuple[str, str]] = []
+            pending: set[str] = set()
+            for b, d, version, kind in worklist:
+                if (
+                    d in dir_map
+                    or d in clean_dirs
+                    or d in pending
+                    or not os.path.isdir(d)
+                ):
+                    continue
+                pending.add(d)
+                items.append(
+                    (
+                        d,
+                        os.path.join(
+                            self.data_dir,
+                            f"bucket={int(b)}",
+                            f"v-{version:08d}-{kind}purge-"
+                            f"{uuid.uuid4().hex[:8]}",
+                        ),
+                    )
+                )
+            if items:
+                try:
+                    cln, dm = purge_dirs_fused(
+                        spark,
+                        items,
+                        probe,
+                        lambda df: df[key].eqNullSafe(probe["__p_0"]),
+                        self.root,
+                    )
+                    clean_dirs |= cln
+                    dir_map.update(dm)
+                except Exception:
+                    for b, d, version, kind in worklist:
+                        _purge_dir(b, d, version, kind)
             for e in entries:
                 new_bd = _rewrite(e)
                 if new_bd is None:

@@ -76,6 +76,8 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from tabular_cdc_bootstrapper_spark.localdf import local_df
+
 _DEFAULT_DROP = ("op", "ts", "_src_file")
 
 #: the directory that makes `tabular_cdc_bootstrapper_spark` importable —
@@ -142,7 +144,7 @@ def prewarm_stream_sources(spark) -> None:
             f"{work}/src", n_buckets=1, key_col="id", keep_versions=5
         )
         src.initialize(
-            spark.createDataFrame([(0, "g", 1.0)], "id long, g string, v double")
+            local_df(spark, [(0, "g", 1.0)], "id long, g string, v double")
         )
         v0 = src.history()[0]["version"]
         view = VersionedBucketMirror(
@@ -150,7 +152,7 @@ def prewarm_stream_sources(spark) -> None:
             merge_on_read=True,
         )
         view.initialize(
-            spark.createDataFrame([("g", 1, 1.0)], "g string, n long, sv double")
+            local_df(spark, [("g", 1, 1.0)], "g string, n long, sv double")
         )
         src.update_where(spark, "id = 0", {"v": "v + 1"})
         q = (

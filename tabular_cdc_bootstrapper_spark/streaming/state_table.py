@@ -26,6 +26,7 @@ from tabular_cdc_bootstrapper_spark.operators.cdc import (
 )
 from tabular_cdc_bootstrapper_spark.operators.diff import table_diff
 from tabular_cdc_bootstrapper_spark.sources.files import exclude_glob_filter
+from tabular_cdc_bootstrapper_spark.streaming._purge import purge_dirs_fused
 
 from tabular_cdc_bootstrapper_spark.streaming._protocol import (  # noqa: F401
     CommitConflict,
@@ -873,8 +874,55 @@ class ParquetStateTable(BranchOps):
         versions_rewritten = 0
         for _round in range(_PURGE_CATCHUP_ROUNDS):
             entries = _entries()
+            # fused fast path (r15, streaming/_purge.py): one semi-join
+            # pass + one partitioned anti-join write over every unseen
+            # dir, instead of up to 3 actions per dir; per-dir fallback
+            # keeps the r12 TOCTOU tolerance. keep_empty preserves the
+            # state-table contract that a fully-purged snapshot remains
+            # a readable 0-row version dir.
+            items: list[tuple[str, str]] = []
+            pending: set[str] = set()
             for e in entries:
-                _purge_dir(e)
+                d = e["dir"]
+                if (
+                    d in dir_map
+                    or d in clean_dirs
+                    or d in pending
+                    or not os.path.isdir(d)
+                ):
+                    continue
+                pending.add(d)
+                items.append(
+                    (
+                        d,
+                        os.path.join(
+                            self.root,
+                            f"v-{e['version']:08d}-purge-"
+                            f"{uuid.uuid4().hex[:8]}",
+                        ),
+                    )
+                )
+            if items:
+
+                def _cond(df):
+                    return _reduce(
+                        lambda a, b: a & b,
+                        [
+                            df[k].eqNullSafe(probe[f"__p_{i}"])
+                            for i, k in enumerate(keys)
+                        ],
+                    )
+
+                try:
+                    cln, dm = purge_dirs_fused(
+                        spark, items, probe, _cond, self.root,
+                        keep_empty=True,
+                    )
+                    clean_dirs |= cln
+                    dir_map.update(dm)
+                except Exception:
+                    for e in entries:
+                        _purge_dir(e)
             for e in entries:
                 if e["dir"] not in dir_map:
                     continue

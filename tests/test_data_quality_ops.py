@@ -407,9 +407,12 @@ def test_table_profile_counts_planted_nulls(spark, tmp_path):
     assert out["o_orderstatus"]["min_value"] == "F"
 
 
-def test_table_profile_single_scan(spark, sf_dir):
-    """Plan pin: the whole 6-column profile reads the orders table in ONE
-    scan (multi-countDistinct via Expand, not one job per column)."""
+def test_table_profile_branch_scans(spark, sf_dir):
+    """Plan pin (r15 optimization round): the exact profiler runs one
+    single-distinct branch per column — one PRUNED scan per column, no
+    Expand row-multiplication anywhere (the pre-r15 single-scan
+    multi-distinct form funnelled a ×(#cols+1) Expand through one scan
+    task; see functions/profiling.py docstring)."""
     import re
 
     from tabular_cdc_bootstrapper_spark.plans.inspect import physical_plan
@@ -418,8 +421,8 @@ def test_table_profile_single_scan(spark, sf_dir):
     plan = physical_plan(df)
     # formatted mode lists each node once as "(n) Scan parquet" in the
     # detail section — count node headers, not tree echoes
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
-    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 6
+    assert "Expand" not in plan
 
 
 # ---------------------------------------------------------------------------

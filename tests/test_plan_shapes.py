@@ -585,7 +585,9 @@ def test_profile_approx_avoids_expand(spark, sf_dir):
     )
 
     exact_plan = physical_plan(q.QUERIES["table_profile_orders"](spark, sf_dir))
-    assert "Expand" in exact_plan  # the cost the approx family sheds
+    # r15: the exact profiler dropped its Expand too (per-column
+    # single-distinct branches); no profiler form may reintroduce one
+    assert "Expand" not in exact_plan
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cols = [
@@ -609,17 +611,17 @@ def test_profile_approx_avoids_expand(spark, sf_dir):
 
 def test_profile_lineitem_same_plan_shape(spark, sf_dir):
     """The schema-driven generalization must not change the plan: the
-    lineitem profile is the same single-scan Expand multi-distinct +
-    stack() unpivot as the orders one."""
+    lineitem profile is the same per-column single-distinct branch shape
+    (r15) + stack() unpivot as the orders one — one pruned single-column
+    scan per profiled column, Expand-free."""
     df = q.QUERIES["table_profile_lineitem"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "Expand" in plan
-    assert len(scan_read_columns(df)) == 1  # single scan
-    for cols in scan_read_columns(df):
-        assert cols <= {
-            "l_orderkey", "l_linenumber", "l_quantity",
-            "l_extendedprice", "l_returnflag", "l_shipdate",
-        }
+    assert "Expand" not in plan
+    scans = scan_read_columns(df)
+    assert sorted(tuple(sorted(s))[0] for s in scans if len(s) == 1) == [
+        "l_extendedprice", "l_linenumber", "l_orderkey",
+        "l_quantity", "l_returnflag", "l_shipdate",
+    ]
 
 
 def test_update_clusters_relabel_is_broadcast_no_corpus_shuffle(spark):
