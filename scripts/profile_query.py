@@ -89,10 +89,13 @@ def _parse_eventlog(path: Path) -> list[dict]:
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
     runs = 2
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    argv = sys.argv[1:]
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    names = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     EVDIR.mkdir(exist_ok=True)
 

@@ -50,7 +50,7 @@ import time
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tabular_cdc_bootstrapper_spark.localdf import local_df
@@ -60,11 +60,11 @@ from tabular_cdc_bootstrapper_spark.functions.similarity import (
     _assign_encode_udf,
     _codebook_literal,
     _dot,
-    _ivf_centroid_model,
+    _ivf_pq_models,
     _probe_lists_udf,
+    _spread_for_encode,
     _unit,
     auto_n_centroids,
-    train_pq_codebooks,
 )
 
 
@@ -160,11 +160,11 @@ def _encode_with_models(
     )
 
 
-def _quantization_error(encoded: DataFrame, cb_lit, n_subspaces: int, sub_dim: int) -> float:
-    """Mean squared PQ reconstruction error over an encoded frame —
-    distributed fold over the code column against the literal codebook
-    (JVM-side), ONE 1-row agg collect. This is the drift metric: rising
-    error means the standing codebooks no longer fit the data."""
+def _qerr_expr(cb_lit, n_subspaces: int, sub_dim: int):
+    """Per-row squared PQ reconstruction error of (codes, uvec) against
+    the literal codebook — the JVM-side fold behind the drift metric;
+    feed to ``F.avg`` in an aggregate or an ``observe`` (r15: the commit
+    paths observe it on the segment write instead of re-scanning)."""
     idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
     per_sub = F.zip_with(
         F.col("codes"),
@@ -179,7 +179,15 @@ def _quantization_error(encoded: DataFrame, cb_lit, n_subspaces: int, sub_dim: i
             lambda acc, x: acc + x,
         ),
     )
-    err = F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _quantization_error(encoded: DataFrame, cb_lit, n_subspaces: int, sub_dim: int) -> float:
+    """Mean squared PQ reconstruction error over an encoded frame —
+    distributed fold over the code column against the literal codebook
+    (JVM-side), ONE 1-row agg collect. This is the drift metric: rising
+    error means the standing codebooks no longer fit the data."""
+    err = _qerr_expr(cb_lit, n_subspaces, sub_dim)
     row = encoded.select(F.avg(err).alias("qerr")).collect()[0]
     return float(row["qerr"]) if row["qerr"] is not None else 0.0
 
@@ -260,9 +268,11 @@ def build_ann_index(
     if sub_dim * n_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
 
-    cids, cmat, cmat_n = _ivf_centroid_model(corpus, n_centroids, id_col, vec_col)
-    cb_sub = train_pq_codebooks(
-        corpus, n_subspaces, n_codes, dim, id_col, vec_col, codebook_strategy
+    # both standing models from ONE lowest-id pass (r15 — was two
+    # separate orderBy+limit scans of the corpus, bit-identical models)
+    cids, cmat, cmat_n, cb_sub = _ivf_pq_models(
+        corpus, n_centroids, n_subspaces, n_codes, dim,
+        id_col, vec_col, codebook_strategy,
     )
 
     index = AnnIndex(root)
@@ -281,7 +291,18 @@ def build_ann_index(
         spark, model_rows, "kind string, i long, j long, vec array<double>"
     ).coalesce(1)
 
-    encoded = _encode_with_models(corpus, cids, cmat_n, cb_sub, id_col, vec_col)
+    encoded = _encode_with_models(
+        _spread_for_encode(corpus), cids, cmat_n, cb_sub, id_col, vec_col
+    )
+    # base drift reference, observed ON the committing write itself (r15
+    # — was a separate post-commit codes-table scan): CollectMetrics
+    # folds the same JVM-side reconstruction-error aggregate over exactly
+    # the rows the segment write streams out, so the reference describes
+    # the committed codes without a second pass over them
+    obs = Observation()
+    encoded = encoded.observe(
+        obs, F.avg(_qerr_expr(_codebook_literal(cb_sub), n_subspaces, sub_dim)).alias("qerr")
+    )
     # repartition by list so a probe is a partition-local read; at
     # warehouse scale this becomes write-partitioned-by(list_id)
     encoded = encoded.repartition("list_id")
@@ -296,13 +317,10 @@ def build_ann_index(
     }
     index.model.replace(model_df, meta)
     index.codes.replace(encoded, meta)
-    # base drift reference: measured from the COMMITTED codes (one extra
-    # codes-table scan, not a second corpus encode), then folded into the
-    # manifest with a metadata-only swap
-    base_qerr = _quantization_error(
-        index.codes.read(spark), _codebook_literal(cb_sub), n_subspaces, sub_dim
+    qerr = obs.get["qerr"]
+    index.codes.update_meta(
+        {"base_qerr": float(qerr) if qerr is not None else 0.0}
     )
-    index.codes.update_meta({"base_qerr": base_qerr})
     return index
 
 
@@ -370,9 +388,15 @@ def ann_query(
         .select("qid", "vec_id")
     )
     q_only = qv.select("qid", "qv").dropDuplicates(["qid"])
-    cand = shortlisted.join(
-        c_idx.select("vec_id", F.col("uvec").alias("cv")), "vec_id"
-    ).join(q_side(q_only), "qid")
+    # r15: on the interactive (broadcast) path the shortlist is the
+    # provably small side — broadcast it so the codes table STREAMS its
+    # stored uvec column instead of being picked as the broadcast build;
+    # the batch path keeps its pinned broadcast-free shuffle_hash shape
+    cand = (
+        (F.broadcast(shortlisted) if broadcast_queries else shortlisted)
+        .join(c_idx.select("vec_id", F.col("uvec").alias("cv")), "vec_id")
+        .join(q_side(q_only), "qid")
+    )
     w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
@@ -406,12 +430,22 @@ def append_to_index(
     n_subspaces, sub_dim = m["n_subspaces"], m["dim"] // m["n_subspaces"]
     cids, cmat_n, cb_sub = index.load_models(spark)
     encoded = _encode_with_models(
-        new_vectors, cids, cmat_n, cb_sub, id_col, vec_col
-    ).repartition("list_id")
-    encoded = encoded.localCheckpoint(eager=True)  # encode once: qerr + write
-    batch_qerr = _quantization_error(
-        encoded, _codebook_literal(cb_sub), n_subspaces, sub_dim
+        _spread_for_encode(new_vectors), cids, cmat_n, cb_sub, id_col, vec_col
     )
+    # ONE observed segment write (r15): qerr + row count ride the write
+    # as CollectMetrics — was encode→localCheckpoint, a separate qerr
+    # aggregate, the segment write, and a count (4 actions for 1 pass of
+    # work). The manifest still publishes strictly AFTER the segment
+    # bytes land, with the drift verdict computed from the observation.
+    obs = Observation()
+    encoded = encoded.observe(
+        obs,
+        F.avg(_qerr_expr(_codebook_literal(cb_sub), n_subspaces, sub_dim)).alias("qerr"),
+        F.count(F.lit(1)).alias("n"),
+    ).repartition("list_id")
+    seg = index.codes._write_segment(encoded)
+    vals = obs.get
+    batch_qerr = float(vals["qerr"]) if vals["qerr"] is not None else 0.0
     base = m["base_qerr"]
     # ratio vs the build-time base, with an absolute floor so a
     # perfectly-coded base (base_qerr == 0, e.g. codebook ⊇ all distinct
@@ -424,9 +458,10 @@ def append_to_index(
         "needs_retrain": bool(needs_retrain),
         **(extra_meta or {}),
     }
-    out = index.codes.append(encoded, meta)
+    cur = index.codes.current()
+    out = index.codes._commit(cur["segments"] + [seg], meta)
     return {
-        "n_appended": encoded.count(),
+        "n_appended": int(vals["n"]),
         "batch_qerr": batch_qerr,
         "base_qerr": base,
         "needs_retrain": bool(needs_retrain),

@@ -447,6 +447,20 @@ def train_pq_codebooks(
         .collect()
     )
     x = np.array([r["v"] for r in sample], dtype=np.float64)
+    return _codebooks_from_sample(
+        x, n_subspaces, n_codes, sub_dim, strategy, kmeans_iters
+    )
+
+
+def _codebooks_from_sample(
+    x, n_subspaces: int, n_codes: int, sub_dim: int,
+    strategy: str, kmeans_iters: int,
+) -> "np.ndarray":
+    """Codebooks from an already-collected (n, dim) unit-vector sample —
+    the driver-side half of ``train_pq_codebooks``, shared with the fused
+    one-pass trainer ``_ivf_pq_models`` (r15)."""
+    import numpy as np
+
     if strategy == "lowest_id":
         return x.reshape(len(x), n_subspaces, sub_dim).transpose(1, 0, 2)
     if strategy != "kmeans":
@@ -560,7 +574,7 @@ def pq_adc_topk(
             codes[:, s] = np.argmin(d, axis=1)
         return pd.Series(codes.tolist())
 
-    c_codes = corpus.select(
+    c_codes = _spread_for_encode(corpus).select(
         F.col(id_col).alias("vec_id"),
         encode(F.col(vec_col)).alias("codes"),
     )
@@ -593,11 +607,24 @@ def pq_adc_topk(
         .select("qid", "vec_id")
     )
 
-    # exact rerank over the candidate-sized shortlist only
-    cand = shortlisted.join(
-        corpus.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("cv")),
-        "vec_id",
-    ).join(F.broadcast(qv), "qid")
+    # exact rerank over the candidate-sized shortlist only. r15: the
+    # SHORTLIST side broadcasts (qid·shortlist rows, the provably small
+    # side) and the corpus streams — Catalyst's estimates used to pick
+    # the corpus-units subtree as the build side, computing _unit over
+    # the WHOLE corpus single-threaded inside one BroadcastExchange task
+    # (profiled 2.5 s of the 4.7 s query at sf0.1). Normalizing AFTER
+    # the join touches only the surviving candidates.
+    cand = (
+        F.broadcast(shortlisted)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvr")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cv", _unit(F.col("__cvr")))
+    )
     w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
@@ -641,6 +668,67 @@ def _ivf_centroid_model(
     cmat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     return cids, cmat, cmat / np.where(cnorm == 0, 1.0, cnorm)
+
+
+def _ivf_pq_models(
+    corpus: DataFrame,
+    n_centroids: int,
+    n_subspaces: int,
+    n_codes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    strategy: str = "lowest_id",
+    sample_size: int = 2048,
+    kmeans_iters: int = 8,
+):
+    """Both standing models from ONE lowest-id corpus pass (r15
+    optimization round): the separate ``_ivf_centroid_model`` +
+    ``train_pq_codebooks`` calls each ran their own orderBy+limit top-k
+    scan of the corpus — this collects max(n_centroids, codebook sample)
+    lowest-id rows ONCE with both the raw vector (IVF centroids) and the
+    Spark-side unit vector (PQ codebook sample — computed by the same
+    ``_unit`` expression, so the models are bit-identical to the
+    two-pass form). Returns (cids, cmat, cmat_n, cb_sub)."""
+    import numpy as np
+
+    sub_dim = dim // n_subspaces
+    n_rows = n_codes if strategy == "lowest_id" else sample_size
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(max(n_centroids, n_rows))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            _unit(F.col(vec_col)).alias("uv"),
+        )
+        .collect()
+    )
+    cents = rows[:n_centroids]
+    cids = [int(r["cid"]) for r in cents]
+    cmat = np.array([r["cv"] for r in cents], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat_n = cmat / np.where(cnorm == 0, 1.0, cnorm)
+    x = np.array([r["uv"] for r in rows[:n_rows]], dtype=np.float64)
+    cb_sub = _codebooks_from_sample(
+        x, n_subspaces, n_codes, sub_dim, strategy, kmeans_iters
+    )
+    return cids, cmat, cmat_n, cb_sub
+
+
+def _spread_for_encode(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism for the Arrow encode pass when the scan
+    yields fewer partitions than the session's parallelism (a single
+    small parquet file plans as ONE split, so the whole pandas-UDF encode
+    ran in one task). The round-robin repartition only fires under that
+    condition — small input by construction, so the extra exchange is
+    cheap — and is a structural no-op at warehouse scale, where input
+    splits already exceed the core count (guide §2.5 input-skew rule:
+    repartition immediately after a low-split read)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def _assign_encode_udf(cids, cmat_n, cb_sub):
@@ -749,18 +837,18 @@ def ivf_pq_topk(
     if sub_dim * n_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
 
-    # --- IVF model: lowest-id centroids, RAW vectors (ivf_topk contract)
-    cids, _cmat, cmat_n = _ivf_centroid_model(corpus, n_centroids, id_col, vec_col)
-
-    # --- PQ model: lowest-id normalized sample, per-subspace codebooks
-    cb_sub = train_pq_codebooks(
-        corpus, n_subspaces, n_codes, dim, id_col, vec_col, "lowest_id"
+    # --- both standing models from ONE lowest-id pass (r15): IVF
+    # centroids (raw vectors, ivf_topk contract) + PQ codebooks
+    # (lowest-id normalized sample) — bit-identical to the two-scan form
+    cids, _cmat, cmat_n, cb_sub = _ivf_pq_models(
+        corpus, n_centroids, n_subspaces, n_codes, dim,
+        id_col, vec_col, "lowest_id",
     )
     cb_lit = _codebook_literal(cb_sub)
     assign_and_encode = _assign_encode_udf(cids, cmat_n, cb_sub)
     probe_lists = _probe_lists_udf(cids, cmat_n, n_probes)
 
-    c_idx = corpus.select(
+    c_idx = _spread_for_encode(corpus).select(
         F.col(id_col).alias("vec_id"),
         assign_and_encode(F.col(vec_col)).alias("ae"),
     ).select("vec_id", F.col("ae.list_id").alias("list_id"), F.col("ae.codes").alias("codes"))
@@ -782,10 +870,19 @@ def ivf_pq_topk(
         .select("qid", "vec_id")
     )
     q_only = qv.select("qid", "qv").dropDuplicates(["qid"])
-    cand = shortlisted.join(
-        corpus.select(F.col(id_col).alias("vec_id"), _unit(F.col(vec_col)).alias("cv")),
-        "vec_id",
-    ).join(F.broadcast(q_only), "qid")
+    # r15: broadcast the provably-small shortlist, stream the corpus,
+    # normalize only the surviving candidates (see pq_adc_topk note)
+    cand = (
+        F.broadcast(shortlisted)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvr")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(q_only), "qid")
+        .withColumn("cv", _unit(F.col("__cvr")))
+    )
     w_final = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         cand.withColumn("sim", _dot(F.col("qv"), F.col("cv")))
