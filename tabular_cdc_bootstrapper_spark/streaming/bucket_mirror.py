@@ -853,14 +853,22 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
             staged_df = with_zorder_key(
                 staged_df, list(zorder_cols), out_col="__zval"
             )
+        n_write = self._write_parallelism(df, touched)
         if files_per_bucket > 1:
             salt = F.pmod(
                 F.xxhash64(F.col(key), F.lit("fpb-salt")),
                 F.lit(int(files_per_bucket)),
             )
-            staged_df = staged_df.repartition(F.col("bucket"), salt)
+            staged_df = staged_df.repartition(
+                max(n_write, n_write * int(files_per_bucket)),
+                F.col("bucket"),
+                salt,
+            )
         else:
-            staged_df = staged_df.repartition("bucket")
+            # explicit N (r15): see _write_parallelism — a bare
+            # repartition("bucket") lets AQE coalesce the write exchange
+            # by bytes, serializing every partition dir behind one task
+            staged_df = staged_df.repartition(n_write, F.col("bucket"))
         if zorder_cols:
             staged_df = staged_df.sortWithinPartitions(
                 "bucket", "__zval"
@@ -1267,7 +1275,10 @@ class VersionedBucketMirror(VersionedBucketMirrorOps, BranchOps):
             staged_df = slice_df.withColumn(
                 "bucket", self._partition_for(key, slice_df)
             )
-            staged_df = staged_df.repartition("bucket")
+            # explicit N (r15): see _write_parallelism
+            staged_df = staged_df.repartition(
+                self._write_parallelism(slice_df, touched), F.col("bucket")
+            )
             if self.sort_cols and kind == "delta":
                 staged_df = staged_df.sortWithinPartitions(
                     "bucket", *self.sort_cols
