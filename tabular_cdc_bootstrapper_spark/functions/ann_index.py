@@ -58,6 +58,7 @@ from tabular_cdc_bootstrapper_spark.localdf import local_df
 from tabular_cdc_bootstrapper_spark.functions.similarity import (
     _adc_over_codes,
     _assign_encode_udf,
+    _cb_entry,
     _codebook_literal,
     _dot,
     _ivf_pq_models,
@@ -160,7 +161,7 @@ def _encode_with_models(
     )
 
 
-def _qerr_expr(cb_lit, n_subspaces: int, sub_dim: int):
+def _qerr_expr(cb_lit, n_subspaces: int, n_codes: int, sub_dim: int):
     """Per-row squared PQ reconstruction error of (codes, uvec) against
     the literal codebook — the JVM-side fold behind the drift metric;
     feed to ``F.avg`` in an aggregate or an ``observe`` (r15: the commit
@@ -172,7 +173,7 @@ def _qerr_expr(cb_lit, n_subspaces: int, sub_dim: int):
         lambda code, s: F.aggregate(
             F.zip_with(
                 F.slice(F.col("uvec"), s * sub_dim + 1, sub_dim),
-                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+                _cb_entry(cb_lit, s, code, n_codes, sub_dim),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0.0),
@@ -182,12 +183,14 @@ def _qerr_expr(cb_lit, n_subspaces: int, sub_dim: int):
     return F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _quantization_error(encoded: DataFrame, cb_lit, n_subspaces: int, sub_dim: int) -> float:
+def _quantization_error(
+    encoded: DataFrame, cb_lit, n_subspaces: int, n_codes: int, sub_dim: int
+) -> float:
     """Mean squared PQ reconstruction error over an encoded frame —
     distributed fold over the code column against the literal codebook
     (JVM-side), ONE 1-row agg collect. This is the drift metric: rising
     error means the standing codebooks no longer fit the data."""
-    err = _qerr_expr(cb_lit, n_subspaces, sub_dim)
+    err = _qerr_expr(cb_lit, n_subspaces, n_codes, sub_dim)
     row = encoded.select(F.avg(err).alias("qerr")).collect()[0]
     return float(row["qerr"]) if row["qerr"] is not None else 0.0
 
@@ -301,7 +304,15 @@ def build_ann_index(
     # the committed codes without a second pass over them
     obs = Observation()
     encoded = encoded.observe(
-        obs, F.avg(_qerr_expr(_codebook_literal(cb_sub), n_subspaces, sub_dim)).alias("qerr")
+        obs,
+        F.avg(
+            _qerr_expr(
+                _codebook_literal(cb_sub),
+                n_subspaces,
+                int(cb_sub.shape[1]),
+                sub_dim,
+            )
+        ).alias("qerr"),
     )
     # repartition by list so a probe is a partition-local read; at
     # warehouse scale this becomes write-partitioned-by(list_id)
@@ -375,7 +386,7 @@ def ann_query(
     def q_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_queries else df.hint("shuffle_hash")
 
-    adc = _adc_over_codes(cb_lit, n_subspaces, sub_dim)
+    adc = _adc_over_codes(cb_lit, n_subspaces, m["n_codes"], sub_dim)
     w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlisted = (
         c_idx.select("vec_id", "list_id", "codes")
@@ -440,7 +451,14 @@ def append_to_index(
     obs = Observation()
     encoded = encoded.observe(
         obs,
-        F.avg(_qerr_expr(_codebook_literal(cb_sub), n_subspaces, sub_dim)).alias("qerr"),
+        F.avg(
+            _qerr_expr(
+                _codebook_literal(cb_sub),
+                n_subspaces,
+                int(cb_sub.shape[1]),
+                sub_dim,
+            )
+        ).alias("qerr"),
         F.count(F.lit(1)).alias("n"),
     ).repartition("list_id")
     seg = index.codes._write_segment(encoded)

@@ -163,13 +163,20 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket: one bit per hyperplane."""
+    """Sign-random-projection bucket: one bit per hyperplane.
+
+    The planes ride in ONE flat literal (see ``_flat_double_literal``);
+    each plane's static slice constant-folds back to a per-plane array
+    literal, so the executed plan is unchanged while construction drops
+    from n_planes·dim ``F.lit`` py4j calls to one."""
+    dim = len(planes[0])
+    flat = _flat_double_literal(w for plane in planes for w in plane)
     bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(w) for w in plane]),
+                    F.slice(flat, p * dim + 1, dim),
                     lambda x, w: x.cast("double") * w,
                 ),
                 F.lit(0.0),
@@ -178,7 +185,7 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
             >= 0,
             F.lit(1),
         ).otherwise(F.lit(0))
-        for plane in planes
+        for p in range(len(planes))
     ]
     out = F.lit(0)
     for b in bits:
@@ -546,17 +553,7 @@ def pq_adc_topk(
     )
     # (n_subspaces, n_codes, sub_dim) — shipped two ways: in the encode
     # UDF closure (broadcast-the-model) and as a plan literal for ADC
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in code])
-                    for code in cb_sub[s]
-                ]
-            )
-            for s in range(n_subspaces)
-        ]
-    )
+    cb_lit = _codebook_literal(cb_sub)
 
     @SF.pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
@@ -584,19 +581,7 @@ def pq_adc_topk(
 
     # ADC: fold over subspace index; slice the query, index the literal
     # codebook by (subspace, code) — all JVM-side, no Python in the scan
-    idx = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            idx,
-            lambda code, s: _dot(
-                F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
-                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_over_codes(cb_lit, n_subspaces, n_codes, sub_dim)
     w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlisted = (
         c_codes.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
@@ -637,17 +622,34 @@ def pq_adc_topk(
     )
 
 
+def _flat_double_literal(values) -> Column:
+    """An iterable of floats → ONE ``array<double>`` plan literal, built
+    as a single string literal + split + cast, which Catalyst
+    constant-folds into one Literal node (split/cast are foldable over a
+    foldable child). The nested ``F.array(F.lit(...))`` alternative costs
+    one py4j call per element to CONSTRUCT and as many Literal nodes for
+    the analyzer/optimizer to walk — ~1.2k per ANN query at the bench
+    shape, measured as driver-side planning time (OPTIMIZATION_r15.md
+    #8). Bit-exact: ``repr`` of a Python float is shortest-roundtrip and
+    Spark's string→double cast parses correctly rounded, so every double
+    survives unchanged."""
+    flat = ",".join(repr(float(x)) for x in values)
+    return F.split(F.lit(flat), ",").cast("array<double>")
+
+
 def _codebook_literal(cb_sub) -> Column:
-    """(n_subspaces, n_codes, sub_dim) numpy codebooks → nested array
-    literal (KB-scale) so ADC scoring stays JVM-side in the scan."""
-    return F.array(
-        *[
-            F.array(
-                *[F.array(*[F.lit(float(x)) for x in code]) for code in cb_sub[s]]
-            )
-            for s in range(len(cb_sub))
-        ]
+    """(n_subspaces, n_codes, sub_dim) numpy codebooks → ONE flat
+    ``array<double>`` plan literal (KB-scale) so ADC scoring stays
+    JVM-side in the scan; index it with :func:`_cb_entry`."""
+    return _flat_double_literal(
+        x for s in range(len(cb_sub)) for code in cb_sub[s] for x in code
     )
+
+
+def _cb_entry(cb_lit: Column, s, code, n_codes: int, sub_dim: int) -> Column:
+    """``codebook[s][code]`` — a ``sub_dim`` slice of the flat literal;
+    ``s``/``code`` are 0-based ints or int Columns."""
+    return F.slice(cb_lit, (s * n_codes + code) * sub_dim + 1, sub_dim)
 
 
 def _ivf_centroid_model(
@@ -783,7 +785,9 @@ def _probe_lists_udf(cids, cmat_n, n_probes):
     return probe_lists
 
 
-def _adc_over_codes(cb_lit: Column, n_subspaces: int, sub_dim: int) -> Column:
+def _adc_over_codes(
+    cb_lit: Column, n_subspaces: int, n_codes: int, sub_dim: int
+) -> Column:
     """ADC score Σ_s ⟨qv_s, codebook_s[code_s]⟩ over columns ``codes`` and
     ``qv`` — all JVM-side higher-order functions, subspace-ordered fold so
     the float summation order matches the oracle's s-ORDERED list_sum."""
@@ -794,7 +798,7 @@ def _adc_over_codes(cb_lit: Column, n_subspaces: int, sub_dim: int) -> Column:
             idx,
             lambda code, s: _dot(
                 F.slice(F.col("qv"), s * sub_dim + 1, sub_dim),
-                F.element_at(F.element_at(cb_lit, s + 1), code + 1),
+                _cb_entry(cb_lit, s, code, n_codes, sub_dim),
             ),
         ),
         F.lit(0.0),
@@ -858,7 +862,7 @@ def ivf_pq_topk(
         F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
     )
 
-    adc = _adc_over_codes(cb_lit, n_subspaces, sub_dim)
+    adc = _adc_over_codes(cb_lit, n_subspaces, n_codes, sub_dim)
     w_short = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("vec_id"))
     shortlisted = (
         c_idx.join(F.broadcast(qv), "list_id")
