@@ -81,9 +81,14 @@ def _parse_eventlog(path: Path) -> list[dict]:
         tasks = sum(stage_metrics.get(s, {}).get("tasks", 0) for s in j["stages"])
         sr = sum(stage_metrics.get(s, {}).get("sr", 0) for s in j["stages"])
         sw = sum(stage_metrics.get(s, {}).get("sw", 0) for s in j["stages"])
+        names = [
+            stage_metrics.get(s, {}).get("name", "") for s in j["stages"]
+        ]
+        name = names[-1] if names else ""
         out.append(
             {"id": jid, "sec": dur, "tasks": tasks, "sr_mb": sr / 1e6,
-             "sw_mb": sw / 1e6, "desc": (j["desc"] or "")[:110]}
+             "sw_mb": sw / 1e6, "desc": (j["desc"] or "")[:40],
+             "t0": j["t0"], "name": (name or "")[:60]}
         )
     return out
 
@@ -152,10 +157,15 @@ def main() -> None:
         jobs = _parse_eventlog(logf)
     total = sum(j["sec"] for j in jobs)
     print(f"\n--- {len(jobs)} jobs, {total:.2f}s summed job time ---")
+    prev_end = None
     for j in jobs:
-        if j["sec"] >= 0.02:
-            print(f"  job {j['id']:>4} {j['sec']:7.3f}s tasks={j['tasks']:<5} "
-                  f"sr={j['sr_mb']:8.1f}MB sw={j['sw_mb']:8.1f}MB  {j['desc']}")
+        # gap = driver-side time between the previous job's end and this
+        # job's submission (planning, py4j, metadata IO)
+        gap = (j["t0"] - prev_end) / 1000.0 if prev_end is not None else 0.0
+        prev_end = j["t0"] + j["sec"] * 1000.0
+        print(f"  job {j['id']:>4} {j['sec']:7.3f}s gap={gap:6.3f}s "
+              f"tasks={j['tasks']:<4} sr={j['sr_mb']:7.1f}MB "
+              f"sw={j['sw_mb']:7.1f}MB {j['desc']:<42} {j['name']}")
 
 
 if __name__ == "__main__":

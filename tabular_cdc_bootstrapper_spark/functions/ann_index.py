@@ -183,18 +183,6 @@ def _qerr_expr(cb_lit, n_subspaces: int, n_codes: int, sub_dim: int):
     return F.aggregate(per_sub, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _quantization_error(
-    encoded: DataFrame, cb_lit, n_subspaces: int, n_codes: int, sub_dim: int
-) -> float:
-    """Mean squared PQ reconstruction error over an encoded frame —
-    distributed fold over the code column against the literal codebook
-    (JVM-side), ONE 1-row agg collect. This is the drift metric: rising
-    error means the standing codebooks no longer fit the data."""
-    err = _qerr_expr(cb_lit, n_subspaces, n_codes, sub_dim)
-    row = encoded.select(F.avg(err).alias("qerr")).collect()[0]
-    return float(row["qerr"]) if row["qerr"] is not None else 0.0
-
-
 class AnnIndex:
     """Handle over the two on-disk index tables.
 

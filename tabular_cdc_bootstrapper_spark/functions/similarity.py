@@ -170,6 +170,13 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     literal, so the executed plan is unchanged while construction drops
     from n_planes·dim ``F.lit`` py4j calls to one."""
     dim = len(planes[0])
+    # public helper: a ragged planes list would silently mis-slice the
+    # flat literal into wrong per-plane weights (ADVICE r15) — error out
+    if any(len(p) != dim for p in planes):
+        raise ValueError(
+            f"bucket_id: all hyperplanes must have dim {dim}, got lengths "
+            f"{sorted({len(p) for p in planes})}"
+        )
     flat = _flat_double_literal(w for plane in planes for w in plane)
     bits = [
         F.when(

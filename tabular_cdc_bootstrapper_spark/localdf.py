@@ -39,6 +39,14 @@ def local_df(
     if not rows:
         # empty input already builds a JVM-side empty LocalRelation
         return spark.createDataFrame([], schema)
+    # NaN is NOT behavior-preserving through pandas/Arrow (ADVICE r15):
+    # the Arrow path coerces float NaN to null while the classic path
+    # keeps it a real NaN value — any NaN cell takes the classic path.
+    # Bounded rows by contract, so the scan is O(model size).
+    if any(
+        isinstance(v, float) and v != v for row in rows for v in row
+    ):
+        return spark.createDataFrame(rows, schema)
     try:
         import pandas as pd
 

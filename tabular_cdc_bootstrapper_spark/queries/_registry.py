@@ -37,10 +37,27 @@ def query(name: str, oracle: str | None = None):
 
     return deco
 
+#: inferred fixture schemas by path (r16): ``spark.read.parquet`` runs a
+#: schema-inference Spark job (~0.03 s + ~0.06 s of driver planning) on
+#: EVERY call — once per fixture table per query construction across the
+#: whole 160-query surface. The fixture files are immutable for a
+#: process's lifetime, so infer once per path and bind subsequent reads
+#: to the cached schema (the schema-from-catalog rule; a real deployment
+#: reads these through a catalog that pins schemas). Metadata cache
+#: only — never rows.
+_T_SCHEMAS: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, f"{sf_dir}/events.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _T_SCHEMAS.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _T_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """Load an events table whose ``ts`` column may be stored either as a

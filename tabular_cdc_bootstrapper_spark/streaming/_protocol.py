@@ -97,8 +97,33 @@ _RESERVED_META_KEYS = frozenset(
         "deltas", "n_buckets", "renames", "dropped", "altered",
         "audited", "rollback_of",
         "purged_ts", "cloned_from", "readable", "is_current",
+        "data_schema",
     }
 )
+
+
+def _nullable_json(schema: "T.StructType") -> dict:
+    """``schema`` as JSON with EVERY field (nested included) nullable —
+    exactly the shape parquet footer inference returns, so a read bound
+    to it (r16: ``data_schema`` rides each snapshot record, the Iceberg
+    schema-from-metadata rule — no per-read footer-inference job) plans
+    identically to the inferred read it replaces."""
+
+    def _n(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _n(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_n(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(_n(dt.keyType), _n(dt.valueType), True)
+        return dt
+
+    return _n(schema).jsonValue()
 
 
 #: conflict-retry backoff (seconds). Sums past ``conflict_grace_s`` so a

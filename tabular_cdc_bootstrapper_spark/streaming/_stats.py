@@ -38,7 +38,12 @@ _BUCKET_DIR = re.compile(r"bucket=([^/]+)$")
 _SAFE_KINDS = (
     # floats are deliberately absent: NaN poisons parquet float stats
     # (writers omit or mis-order them) while Spark's min/max have their
-    # own NaN ordering — the fallback aggregate stays the float path
+    # own NaN ordering — the fallback aggregate stays the float path.
+    # timestamps are absent too (r16, ADVICE r15): the Spark collect()
+    # fallback this path claims byte-equality with renders TimestampType
+    # in the DRIVER's OS-local timezone, while footer stats are UTC —
+    # on a non-UTC driver the two paths disagree (measured 5 h skew), so
+    # timestamp columns always take the aggregate job
     "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64",
     "bool",
@@ -90,7 +95,7 @@ def footer_bucket_stats(
                     if i < 0:
                         return None
                     t = str(schema.field(i).type)
-                    if not (t in _SAFE_KINDS or t.startswith("timestamp")):
+                    if t not in _SAFE_KINDS:
                         return None
                     idx[c] = i
                 for rg in range(md.num_row_groups):

@@ -45,6 +45,7 @@ from tabular_cdc_bootstrapper_spark.streaming._protocol import (  # noqa: F401
     _check_meta,
     _check_table_constraints,
     _dir_version,
+    _nullable_json,
     _purge_lock,
     _read_logical,
     _vanished_path,
@@ -282,11 +283,30 @@ class ParquetStateTable(BranchOps):
         holds the logical column names, so DDL metadata retires with
         it."""
         if e.get("schema") is None:
-            return spark.read.parquet(e["dir"])
+            return self._read_raw(spark, e)
         return _read_logical(
             spark, [e["dir"]], e["schema"], e.get("renames"),
             e.get("shadowed"),
         )
+
+    @staticmethod
+    def _read_raw(spark: SparkSession, e: dict) -> DataFrame:
+        """Raw (no DDL metadata) snapshot read. When the record carries
+        the physical schema written at commit time (``data_schema``,
+        r16), bind the read to it — the Iceberg schema-from-metadata
+        rule: the dir is immutable, the recorded schema is footer-
+        identical by construction, and the bound read skips the
+        per-read schema-inference Spark job (measured ~0.03 s + ~0.06 s
+        of driver planning EACH across every lifecycle harness)."""
+        ds = e.get("data_schema")
+        if ds:
+            try:
+                return spark.read.schema(
+                    T.StructType.fromJson(ds)
+                ).parquet(e["dir"])
+            except Exception:
+                pass  # unparseable record: fall through to inference
+        return spark.read.parquet(e["dir"])
 
     def read(self, spark: SparkSession, schema: T.StructType | None = None) -> DataFrame | None:
         cur = self.current()
@@ -360,6 +380,10 @@ class ParquetStateTable(BranchOps):
             "operation": "alter_schema",
             "altered": meta["altered"],
         }
+        if cur.get("data_schema"):
+            # the shared dir's PHYSICAL schema is unchanged by DDL —
+            # carry it for the purge paths' schema-bound raw reads
+            record["data_schema"] = cur["data_schema"]
         if meta["dropped"]:
             record["dropped"] = meta["dropped"]
         if meta["renames"]:
@@ -436,6 +460,7 @@ class ParquetStateTable(BranchOps):
             "dropped",
             "shadowed",
             "constraints",
+            "data_schema",
         ):
             if k in cur:
                 record[k] = cur[k]
@@ -597,17 +622,30 @@ class ParquetStateTable(BranchOps):
         version = self._next_version()
         vdir = os.path.join(self.root, f"v-{version:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(vdir)
+        # the written physical schema rides the record (r16): every later
+        # raw read of this immutable dir binds to it instead of paying a
+        # footer-inference job (_read_raw)
+        written = _nullable_json(df.schema)
         if cons:
             # CHECK constraints (r12): validate the WRITTEN bytes before
             # the pointer ever moves — one scan of this commit's state
             try:
                 _check_table_constraints(
-                    df.sparkSession.read.parquet(vdir), cons, self.root
+                    df.sparkSession.read.schema(
+                        T.StructType.fromJson(written)
+                    ).parquet(vdir),
+                    cons,
+                    self.root,
                 )
             except ConstraintViolation:
                 shutil.rmtree(vdir, ignore_errors=True)
                 raise
-        record = {"version": version, "dir": vdir, "ts": time.time()}
+        record = {
+            "version": version,
+            "dir": vdir,
+            "ts": time.time(),
+            "data_schema": written,
+        }
         if cons:
             record["constraints"] = cons  # table property, carries
         if meta:
@@ -636,7 +674,9 @@ class ParquetStateTable(BranchOps):
                 }
                 if extra:
                     _check_table_constraints(
-                        df.sparkSession.read.parquet(rec["dir"]),
+                        df.sparkSession.read.schema(
+                            T.StructType.fromJson(written)
+                        ).parquet(rec["dir"]),
                         extra,
                         self.root,
                     )
@@ -724,7 +764,10 @@ class ParquetStateTable(BranchOps):
         # the restored snapshot's DDL metadata rides along (r12): a
         # rollback to a post-alter version must read under that
         # version's logical schema, folds and generation masks
-        for k in ("schema", "renames", "dropped", "shadowed", "next_fid"):
+        for k in (
+            "schema", "renames", "dropped", "shadowed", "next_fid",
+            "data_schema",
+        ):
             if k in target:
                 record[k] = target[k]
         # constraints are table properties — they survive the restore
@@ -820,6 +863,19 @@ class ParquetStateTable(BranchOps):
         clean_dirs: set[str] = set()
         now = time.time()
 
+        def _schema_read(d: str, e: dict) -> DataFrame:
+            # bind to the recorded physical schema when the record has
+            # one (r16) — skips the per-dir footer-inference job
+            ds = e.get("data_schema")
+            if ds:
+                try:
+                    return spark.read.schema(
+                        T.StructType.fromJson(ds)
+                    ).parquet(d)
+                except Exception:
+                    pass
+            return spark.read.parquet(d)
+
         def _purge_dir(e: dict) -> None:
             d = e["dir"]
             if d in dir_map or d in clean_dirs or not os.path.isdir(d):
@@ -829,7 +885,7 @@ class ParquetStateTable(BranchOps):
                 f"v-{e['version']:08d}-purge-{uuid.uuid4().hex[:8]}",
             )
             try:
-                df = spark.read.parquet(d)
+                df = _schema_read(d, e)
                 cond = _reduce(
                     lambda a, b: a & b,
                     [
@@ -882,6 +938,7 @@ class ParquetStateTable(BranchOps):
             # a readable 0-row version dir.
             items: list[tuple[str, str]] = []
             pending: set[str] = set()
+            schemas: dict[str, dict] = {}
             for e in entries:
                 d = e["dir"]
                 if (
@@ -892,6 +949,8 @@ class ParquetStateTable(BranchOps):
                 ):
                     continue
                 pending.add(d)
+                if e.get("data_schema"):
+                    schemas[d] = e["data_schema"]
                 items.append(
                     (
                         d,
@@ -916,7 +975,7 @@ class ParquetStateTable(BranchOps):
                 try:
                     cln, dm = purge_dirs_fused(
                         spark, items, probe, _cond, self.root,
-                        keep_empty=True,
+                        keep_empty=True, schemas=schemas,
                     )
                     clean_dirs |= cln
                     dir_map.update(dm)
@@ -1076,7 +1135,9 @@ class ParquetStateTable(BranchOps):
         _check_meta(meta)
         wdir = os.path.join(self.root, f"wap-{uuid.uuid4().hex[:8]}")
         df.write.mode("errorifexists").parquet(wdir)
-        staged = spark.read.parquet(wdir)
+        written = _nullable_json(df.schema)
+        _wschema = T.StructType.fromJson(written)
+        staged = spark.read.schema(_wschema).parquet(wdir)
         static_report = []
         if row_rules:
             static_report.extend(
@@ -1130,12 +1191,14 @@ class ParquetStateTable(BranchOps):
                 )
                 os.replace(wdir, vdir)
                 sdir = vdir
-                staged = spark.read.parquet(vdir)  # rebind for re-audits
+                # rebind for re-audits
+                staged = spark.read.schema(_wschema).parquet(vdir)
             record = {
                 "version": version,
                 "dir": sdir,
                 "ts": time.time(),
                 "audited": True,
+                "data_schema": written,
             }
             if meta:
                 record.update(meta)
