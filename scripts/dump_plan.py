@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump ``.explain("formatted")`` for registry queries to plans/r15/.
+"""Dump ``.explain("formatted")`` for registry queries to plans/<round>/.
 
 Usage: python scripts/dump_plan.py <suffix> <query> [<query> ...]
-Writes plans/r15/<query>_<suffix>.txt for each named query.
+Writes plans/$SPARK_GRAFT_PLANS/<query>_<suffix>.txt (default r16).
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ def main() -> None:
     from tabular_cdc_bootstrapper_spark.shipping import ensure_self_on_workers
 
     ensure_self_on_workers(spark)
-    out_dir = REPO / "plans" / "r15"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = q.QUERIES[name](spark, sf_dir)
@@ -39,7 +39,7 @@ def main() -> None:
             )
         )
         (out_dir / f"{name}_{suffix}.txt").write_text(plan)
-        print(f"wrote plans/r15/{name}_{suffix}.txt ({len(plan)} chars)")
+        print(f"wrote {out_dir.relative_to(REPO)}/{name}_{suffix}.txt ({len(plan)} chars)")
         spark.catalog.clearCache()
 
 

@@ -484,18 +484,36 @@ def pagerank(
     )
     num, den = damping
     base = (scale * (den - num)) // den
-    n_nodes = nodes.count() if redistribute_dangling else 0
-    # the dangling SET is static per graph (out-degree never changes
-    # across iterations) — compute it once, checkpointed like ``ed``,
-    # so each round runs a semi-join against a static frame instead of
-    # re-running the deg aggregate + anti-join (VERDICT r9 item 1)
-    dangling = (
-        nodes.join(deg, nodes["v"] == deg["src"], "left_anti")
-        .select("v")
-        .localCheckpoint(eager=True)
-        if redistribute_dangling
-        else None
-    )
+    n_nodes = 0
+    dang_total = 0
+    if redistribute_dangling:
+        # the dangling SET is static per graph (out-degree never changes
+        # across iterations): carry it as a boolean flag ON the node
+        # frame, so each round's dangling-mass sum is a conditional
+        # aggregate over ranks — observable on the round's own job —
+        # instead of a semi-join against a separate frame (r16; the r15
+        # crossJoin(share) form re-executed the previous round's ranks
+        # subtree inside the share branch, doubling per-round work
+        # between checkpoints)
+        nodes = (
+            nodes.join(
+                deg.select(
+                    F.col("src").alias("v"), F.lit(True).alias("__out")
+                ),
+                "v",
+                "left",
+            )
+            .select("v", F.col("__out").isNull().alias("__dang"))
+            .localCheckpoint(eager=True)
+        )
+        counts = nodes.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("__dang"), 1).otherwise(0)).alias("nd"),
+        ).collect()[0]
+        n_nodes = int(counts["n"])
+        # r0 = scale everywhere, so the first round's dangling mass is
+        # closed-form — no extra pass
+        dang_total = scale * int(counts["nd"] or 0)
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for it in range(iters):
         contrib = ed.join(ranks, ed["src"] == ranks["v"]).select(
@@ -504,28 +522,15 @@ def pagerank(
         )
         sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
         incoming = F.coalesce("s", F.lit(0))
-        joined = nodes.join(sums, "v", "left")
         if redistribute_dangling:
-            # Σ rank over out-degree-0 nodes, split n ways (trunc): one
-            # 1-row aggregate, broadcast back as a literal cross join —
-            # the bounded-collect-free pattern every model join here uses
-            share = (
-                ranks.join(dangling, "v", "left_semi")
-                .agg(
-                    F.coalesce(F.sum("r"), F.lit(0))
-                    .cast("long")
-                    .alias("__dt")
-                )
-                .select(
-                    _trunc_div(
-                        F.col("__dt"), F.lit(n_nodes).cast("long")
-                    ).alias("__share")
-                )
+            # Σ dangling rank // n, exact int64 (both operands are
+            # non-negative Python ints — same trunc-div as _trunc_div)
+            incoming = incoming + F.lit(dang_total // n_nodes).cast(
+                "long"
             )
-            joined = joined.crossJoin(F.broadcast(share))
-            incoming = incoming + F.col("__share")
+        joined = nodes.join(sums, "v", "left")
         ranks = joined.select(
-            "v",
+            *nodes.columns,
             (
                 F.lit(base).cast("long")
                 + _trunc_div(
@@ -542,6 +547,25 @@ def pagerank(
         # results, only scheduling). Interval 2 is the default because
         # unbounded fusion re-expands lineage exponentially-deep plans
         # on LONG iteration runs — the CC rounds lesson.
-        if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
+        if redistribute_dangling and it + 1 < iters:
+            # the next round needs THIS round's dangling mass: observe
+            # it on the round's checkpoint job (guide §2.4 — fold the
+            # driver-bound aggregate into the job that materializes the
+            # round anyway; jobs/round 2 → 1)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            ranks = ranks.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("__dang"), F.col("r")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("dt"),
+            ).localCheckpoint(eager=True)
+            dang_total = int(obs.get["dt"] or 0)
+        elif (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("v").alias("node_id"), F.col("r").alias("rank_scaled"))

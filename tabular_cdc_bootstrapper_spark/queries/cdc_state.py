@@ -220,17 +220,21 @@ def cdc_mirror_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = ParquetStateTable(
         tempfile.mkdtemp(prefix="spark_graft_timetravel_"), keep_versions=10
     )
-    recs = []
-    for upto in (0, 1, 2):
-        state = apply_changelog(
-            ch.filter(F.col("ts") <= upto),
-            key_cols="o_orderkey",
-            ts_cols="ts",
-            op_col="op",
-            delete_op="D",
-            drop_envelope=["op", "ts"],
-        )
-        recs.append(mirror.commit(state, meta={"upto": upto}))
+    # all three prefix states land in ONE staged write job (r16, §2.4)
+    recs = mirror.commit_many(
+        [
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+            for upto in (0, 1, 2)
+        ],
+        metas=[{"upto": upto} for upto in (0, 1, 2)],
+    )
 
     def snap_agg(df: DataFrame, snap: int) -> DataFrame:
         return df.agg(
@@ -319,8 +323,9 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = ParquetStateTable(
         tempfile.mkdtemp(prefix="spark_graft_cdf_"), keep_versions=10
     )
-    for upto in (0, 2):
-        mirror.commit(
+    # both snapshots land in ONE staged write job (r16, guide §2.4)
+    mirror.commit_many(
+        [
             apply_changelog(
                 ch.filter(F.col("ts") <= upto),
                 key_cols="o_orderkey",
@@ -329,7 +334,9 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 delete_op="D",
                 drop_envelope=["op", "ts"],
             )
-        )
+            for upto in (0, 2)
+        ]
+    )
     return table_changes(spark, mirror, 0, 1, key_cols="o_orderkey")
 
 
@@ -375,8 +382,9 @@ def cdc_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = ParquetStateTable(
         tempfile.mkdtemp(prefix="spark_graft_purge_"), keep_versions=10
     )
-    for upto in (0, 2):
-        mirror.commit(
+    # both snapshots land in ONE staged write job (r16, guide §2.4)
+    mirror.commit_many(
+        [
             apply_changelog(
                 ch.filter(F.col("ts") <= upto),
                 key_cols="o_orderkey",
@@ -385,7 +393,9 @@ def cdc_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 delete_op="D",
                 drop_envelope=["op", "ts"],
             )
-        )
+            for upto in (0, 2)
+        ]
+    )
     purge = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 97 == 0)
@@ -898,8 +908,10 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = ParquetStateTable(
         tempfile.mkdtemp(prefix="spark_graft_refs_"), keep_versions=10
     )
-    for upto in (0, 1, 2):
-        mirror.commit(
+    # all three changelog folds land in ONE staged write job (r16,
+    # guide §2.4 — this was three serial write actions)
+    mirror.commit_many(
+        [
             apply_changelog(
                 ch.filter(F.col("ts") <= upto),
                 key_cols="o_orderkey",
@@ -908,7 +920,9 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 delete_op="D",
                 drop_envelope=["op", "ts"],
             )
-        )
+            for upto in (0, 1, 2)
+        ]
+    )
     mirror.tag("t0", 0)
     mirror.expire_snapshots(keep_last=1)  # reclaims v1; tag keeps v0
     clone = mirror.clone_to(
@@ -916,13 +930,45 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="shallow",
         version=mirror._tagset.resolve("t0"),
     )
-    clone.purge_keys(
-        spark,
+    # the snapshot-clone purge and the whole bucketed-layout branch
+    # (init from v0 → shallow clone → purge) touch disjoint tables and
+    # dirs: overlap them from a 2-thread pool (r16, guide §2.6) so the
+    # second chain's jobs back-fill the first's scheduling gaps
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        VersionedBucketMirror,
+    )
+
+    purge_probe = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 97 == 0)
-        .select("o_orderkey"),
-        "o_orderkey",
+        .select("o_orderkey")
     )
+    bmirror = VersionedBucketMirror(
+        tempfile.mkdtemp(prefix="spark_graft_refs_b_"),
+        n_buckets=8,
+        key_col="o_orderkey",
+        keep_versions=10,
+        stats_cols=["o_orderkey"],
+    )
+
+    def _bucket_branch() -> "object":
+        bmirror.initialize(mirror.read_version(spark, 0))
+        bc = bmirror.clone_to(
+            tempfile.mkdtemp(prefix="spark_graft_refs_bclone_"),
+            mode="shallow",
+        )
+        bc.purge_keys(spark, purge_probe, "o_orderkey")
+        return bc
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_purge = pool.submit(
+            clone.purge_keys, spark, purge_probe, "o_orderkey"
+        )
+        f_bucket = pool.submit(_bucket_branch)
+        f_purge.result()
+        bclone = f_bucket.result()
 
     def ref_row(df: DataFrame | None, ref: str, version: int) -> DataFrame:
         if df is None:  # unreadable (expired) ref: sentinel row
@@ -969,30 +1015,9 @@ def snapshot_refs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     # same ownership-isolation law on the bucketed 100 TB layout (r10):
-    # shallow-clone the bucketed mirror, purge the CLONE — every source
-    # bucket dir must stay byte-intact (the purge's _owns guard)
-    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
-        VersionedBucketMirror,
-    )
-
-    bmirror = VersionedBucketMirror(
-        tempfile.mkdtemp(prefix="spark_graft_refs_b_"),
-        n_buckets=8,
-        key_col="o_orderkey",
-        keep_versions=10,
-        stats_cols=["o_orderkey"],
-    )
-    bmirror.initialize(mirror.read_version(spark, 0))
-    bclone = bmirror.clone_to(
-        tempfile.mkdtemp(prefix="spark_graft_refs_bclone_"), mode="shallow"
-    )
-    bclone.purge_keys(
-        spark,
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select("o_orderkey"),
-        "o_orderkey",
-    )
+    # the bucketed branch (bmirror/bclone) already ran above, overlapped
+    # with the snapshot-clone purge — every source bucket dir must stay
+    # byte-intact (the purge's _owns guard)
     parts.append(ref_row(bmirror.read(spark), "bsrc:main", 0))
     parts.append(ref_row(bclone.read(spark), "bclone:main", 0))
     # manifest-stats data skipping (r10): the range read lists only the
@@ -1072,34 +1097,6 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = derived_orders_changelog(spark, sf_dir).select(
         "o_orderkey", "o_orderstatus", "op", "ts"
     )
-    table = ParquetStateTable(
-        tempfile.mkdtemp(prefix="spark_graft_branchpub_"), keep_versions=10
-    )
-    table.commit(
-        apply_changelog(
-            ch.filter(F.col("ts") <= 0),
-            key_cols="o_orderkey",
-            ts_cols="ts",
-            op_col="op",
-            delete_op="D",
-            drop_envelope=["op", "ts"],
-        )
-    )
-    table.branch("etl")
-    staged_state = apply_changelog(
-        ch,
-        key_cols="o_orderkey",
-        ts_cols="ts",
-        op_col="op",
-        delete_op="D",
-        drop_envelope=["op", "ts"],
-    )
-    table.write_audit_publish(
-        spark,
-        staged_state,
-        [not_null("o_orderkey"), row_count_within(20, 100)],
-        branch="etl",
-    )
 
     def agg_row(df: DataFrame, ref: str) -> DataFrame:
         return df.agg(
@@ -1110,11 +1107,47 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         ).select(F.lit(ref).alias("ref"), "n_rows", "n_updated", "key_sum")
 
-    before = agg_row(table.read(spark), "main_before_ff")
-    branch_head = agg_row(table.read_branch(spark, "etl"), "branch_head")
-    table.fast_forward("etl")
-    after = agg_row(table.read(spark), "main_after_ff")
-    out = before.unionByName(branch_head).unionByName(after)
+    # the snapshot-table WAP chain and the bucketed-mirror branch chain
+    # share nothing (separate roots; both only READ ch): overlap them
+    # from a 2-thread pool (r16, guide §2.6). Each chain returns its
+    # three aggregate frames, every one bound to its snapshot dirs at
+    # call time, so the union below keeps the exact pre-r16 row set.
+    def _snapshot_chain() -> list[DataFrame]:
+        table = ParquetStateTable(
+            tempfile.mkdtemp(prefix="spark_graft_branchpub_"),
+            keep_versions=10,
+        )
+        table.commit(
+            apply_changelog(
+                ch.filter(F.col("ts") <= 0),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+        )
+        table.branch("etl")
+        staged_state = apply_changelog(
+            ch,
+            key_cols="o_orderkey",
+            ts_cols="ts",
+            op_col="op",
+            delete_op="D",
+            drop_envelope=["op", "ts"],
+        )
+        table.write_audit_publish(
+            spark,
+            staged_state,
+            [not_null("o_orderkey"), row_count_within(20, 100)],
+            branch="etl",
+        )
+        before = agg_row(table.read(spark), "main_before_ff")
+        branch_head = agg_row(
+            table.read_branch(spark, "etl"), "branch_head"
+        )
+        table.fast_forward("etl")
+        return [before, branch_head, agg_row(table.read(spark), "main_after_ff")]
 
     # same laws on the bucketed 100 TB layout (shared BranchOps, r10):
     # the update+delete batch stages as a branch CDC MERGE — touched
@@ -1124,32 +1157,41 @@ def snapshot_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         VersionedBucketMirror,
     )
 
-    mirror = VersionedBucketMirror(
-        tempfile.mkdtemp(prefix="spark_graft_branchpub_b_"),
-        n_buckets=8,
-        key_col="o_orderkey",
-        keep_versions=10,
-    )
-    mirror.initialize(ch.filter(F.col("ts") <= 0))
-    mirror.branch("etl")
-    mirror.merge_batch(
-        ch.filter(F.col("ts") >= 1),
-        CdcTarget(
-            source_uri="file:///dev/null",
-            key_column="o_orderkey",
-            ts_column="ts",
-        ),
-        branch="etl",
-    )
-    out = out.unionByName(
-        agg_row(mirror.read(spark), "bucket:main_before_ff")
-    ).unionByName(
-        agg_row(mirror.read_branch(spark, "etl"), "bucket:branch_head")
-    )
-    mirror.fast_forward("etl")
-    return out.unionByName(
-        agg_row(mirror.read(spark), "bucket:main_after_ff")
-    )
+    def _bucket_chain() -> list[DataFrame]:
+        mirror = VersionedBucketMirror(
+            tempfile.mkdtemp(prefix="spark_graft_branchpub_b_"),
+            n_buckets=8,
+            key_col="o_orderkey",
+            keep_versions=10,
+        )
+        mirror.initialize(ch.filter(F.col("ts") <= 0))
+        mirror.branch("etl")
+        mirror.merge_batch(
+            ch.filter(F.col("ts") >= 1),
+            CdcTarget(
+                source_uri="file:///dev/null",
+                key_column="o_orderkey",
+                ts_column="ts",
+            ),
+            branch="etl",
+        )
+        b_before = agg_row(mirror.read(spark), "bucket:main_before_ff")
+        b_head = agg_row(
+            mirror.read_branch(spark, "etl"), "bucket:branch_head"
+        )
+        mirror.fast_forward("etl")
+        return [b_before, b_head, agg_row(mirror.read(spark), "bucket:main_after_ff")]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_snap = pool.submit(_snapshot_chain)
+        f_bucket = pool.submit(_bucket_chain)
+        parts = f_snap.result() + f_bucket.result()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(
@@ -1522,15 +1564,14 @@ def change_feed_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     work = tempfile.mkdtemp(prefix="spark_graft_cfs_")
     t = ParquetStateTable(f"{work}/t", keep_versions=10)
-    t.commit(o)
     v1 = o.withColumn(
         "o_orderstatus",
         F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
             F.col("o_orderstatus")
         ),
     )
-    t.commit(v1)
-    t.commit(v1.filter(F.col("o_orderkey") % 13 != 0))
+    # one staged write job for all three versions (r16, guide §2.4)
+    t.commit_many([o, v1, v1.filter(F.col("o_orderkey") % 13 != 0)])
     feed = ChangeFeedStream(
         t, key_cols="o_orderkey", checkpoint_path=f"{work}/ckpt.json"
     )
@@ -1809,10 +1850,14 @@ def mirror_regrain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         target,
     )
     pre_version = mirror.current()["version"]
-    pre_agg = mirror.read(spark).agg(
+    # frames bind to their snapshot dirs at call time, so ALL the probe
+    # aggregates (pre/hist intactness pair + both pruned-window counts)
+    # evaluate in ONE action at the end instead of four mid-chain
+    # collect()/count() round-trips (r16, guide §2.4)
+    pre_agg_f = mirror.read(spark).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
-    ).collect()[0]
+    )
     mirror.regrain(spark, ("years", "o_orderdate"))
     mirror.merge_batch(
         o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
@@ -1820,12 +1865,9 @@ def mirror_regrain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         target,
     )
-    hist_agg = mirror.read_version(spark, pre_version).agg(
+    hist_agg_f = mirror.read_version(spark, pre_version).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
-    ).collect()[0]
-    history_intact = int(
-        (hist_agg["n"], hist_agg["s"]) == (pre_agg["n"], pre_agg["s"])
     )
 
     def _parts(df) -> set[str]:
@@ -1844,13 +1886,32 @@ def mirror_regrain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dt.date(1995, 3, 31),
         version=pre_version,
     )
-    old_rows = old_win.count()
     old_parts = _parts(old_win)
     new_win = mirror.read_pruned(
         spark, "o_orderdate", _dt.date(1996, 1, 1), _dt.date(1996, 12, 31)
     )
-    new_rows = new_win.count()
     new_parts = _parts(new_win)
+
+    def _cnt(df, tag):
+        return df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.lit(-1).cast("long").alias("s"),
+        ).select(F.lit(tag).alias("t"), "n", "s")
+
+    probe_rows = {
+        r["t"]: r
+        for r in pre_agg_f.select(F.lit("pre").alias("t"), "n", "s")
+        .unionByName(hist_agg_f.select(F.lit("hist").alias("t"), "n", "s"))
+        .unionByName(_cnt(old_win, "old"))
+        .unionByName(_cnt(new_win, "new"))
+        .collect()
+    }
+    history_intact = int(
+        (probe_rows["hist"]["n"], probe_rows["hist"]["s"])
+        == (probe_rows["pre"]["n"], probe_rows["pre"]["s"])
+    )
+    old_rows = probe_rows["old"]["n"]
+    new_rows = probe_rows["new"]["n"]
     flags = local_df(spark, 
         [
             ("year_partitions", len(mirror.current()["buckets"])),
@@ -1957,9 +2018,26 @@ def mirror_alter_schema_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror.alter_schema(drop=["o_custkey"], rename={"o_orderstatus": "status"})
 
     def raw_cols() -> set:
+        # physical column check from parquet FOOTERS, driver-side (r16,
+        # guide §6 — metadata, not data): this was one schema-inference
+        # Spark job per bucket dir, twice; O(KB) footer reads answer the
+        # same question. Falls back to inference on any surprise.
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
         cols: set = set()
         for d in mirror.current()["buckets"].values():
-            cols.update(spark.read.parquet(d).columns)
+            names = [
+                n for n in _os.listdir(d) if n.endswith(".parquet")
+            ]
+            if not names:
+                cols.update(spark.read.parquet(d).columns)
+                continue
+            for n in names:
+                cols.update(
+                    _pq.ParquetFile(_os.path.join(d, n)).schema_arrow.names
+                )
         return cols
 
     drop_metadata_only = int(
@@ -2344,24 +2422,36 @@ def join_feed_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     fact = ParquetStateTable(f"{work}/fact", keep_versions=10)
     dim = ParquetStateTable(f"{work}/dim", keep_versions=10)
-    fact.commit(o)  # v0
     v1 = o.withColumn(
         "o_totalprice",
         F.when(
             F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
         ).otherwise(F.col("o_totalprice")),
     )
-    fact.commit(v1)  # v1
-    fact.commit(v1.filter(F.col("o_orderkey") % 13 != 0))  # v2
-    dim.commit(c)  # v0
-    dim.commit(
-        c.withColumn(
-            "c_mktsegment",
-            F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED")).otherwise(
-                F.col("c_mktsegment")
-            ),
-        )
-    )  # v1
+    # two independent tables, one staged write job each (r16, guide
+    # §2.4), and the two jobs overlap from a 2-thread pool (guide §2.6 —
+    # fact and dim histories share nothing)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fact = pool.submit(
+            fact.commit_many,
+            [o, v1, v1.filter(F.col("o_orderkey") % 13 != 0)],
+        )  # v0..v2
+        f_dim = pool.submit(
+            dim.commit_many,
+            [
+                c,
+                c.withColumn(
+                    "c_mktsegment",
+                    F.when(
+                        F.col("c_custkey") % 10 == 0, F.lit("MOVED")
+                    ).otherwise(F.col("c_mktsegment")),
+                ),
+            ],
+        )  # v0..v1
+        f_fact.result()
+        f_dim.result()
     view = MaintainedJoinView(
         f"{work}/view",
         fact_keys="o_orderkey",
@@ -3028,13 +3118,20 @@ def auto_discovered_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
         if loc:
             point_table_to(spark, f"{db}.{target.table_name}", loc)
 
-    # phase 1: two folders exist at first poll
+    # phase 1: two folders exist at first poll; their pipelines share
+    # nothing (separate source dirs, work dirs, mirrors, catalog
+    # tables), so the two CDC replays overlap from a 2-thread pool
+    # (r16, guide §2.6 — the poll loop's folders are the canonical
+    # "independent jobs" case)
     write_folder("auto_nation")
     write_folder("auto_region")
     bootstrap_discovered(spark, cfg, src_root)
     phase1 = discover_targets(spark, src_root)
-    for t in phase1:
-        run_pipe(t)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(run_pipe, t) for t in phase1]:
+            f.result()
 
     # phase 2: a NEW folder path is detected by the next poll; only the
     # newcomer is loaded (the first two pairs are untouched)
@@ -3208,8 +3305,6 @@ def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = VersionedBucketMirror(
         f"{work}/src", n_buckets=16, key_col="o_orderkey", keep_versions=10
     )
-    a.initialize(o)
-    v0 = a.history()[0]["version"]
     view = VersionedBucketMirror(
         f"{work}/view",
         n_buckets=16,
@@ -3217,12 +3312,22 @@ def declarative_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_versions=10,
         merge_on_read=True,
     )
-    view.initialize(
-        o.groupBy("o_orderstatus").agg(
-            F.count("*").cast("long").alias("n_orders"),
-            F.sum("o_totalprice").cast("double").alias("total_price"),
+    # the source mirror and the view baseline are independent tables:
+    # overlap their bulk loads from a 2-thread pool (r16, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_a = pool.submit(a.initialize, o)
+        f_v = pool.submit(
+            view.initialize,
+            o.groupBy("o_orderstatus").agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("o_totalprice").cast("double").alias("total_price"),
+            ),
         )
-    )
+        f_a.result()
+        f_v.result()
+    v0 = a.history()[0]["version"]
     a.delete_where(spark, "o_orderkey % 13 = 0")
     a.update_where(
         spark, "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice + 5"}

@@ -618,6 +618,8 @@ def price_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
+    # (r16 note: the weighted-histogram form was tried and refuted here
+    # too — 149.7k distinct cents over 150k rows; see mad_price_outliers)
     q = o.agg(
         F.percentile("cents", F.lit(0.25)).alias("q1"),
         F.percentile("cents", F.lit(0.50)).alias("q2"),
@@ -697,7 +699,12 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", (F.col("cents") * 20).alias("cents")
         )
     ).localCheckpoint(eager=True)  # 2 median passes + flag pass read the
-    # 2-column frame from storage instead of re-scanning lineitem 6×
+    # 2-column frame from storage instead of re-scanning lineitem 6×.
+    # (r16 note: a weighted-histogram form — groupBy(flag, cents).count()
+    # + frequency-weighted percentiles — was tried per guide §2.3 and
+    # REFUTED on this data: 583k distinct cents over 600k rows, so the
+    # histogram compresses nothing and its extra full-width exchange is
+    # pure cost. See OPTIMIZATION_r16.md.)
     med = li.groupBy("l_returnflag").agg(
         F.percentile("cents", F.lit(0.5)).alias("med")
     )
@@ -915,16 +922,20 @@ def cdc_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = ParquetStateTable(
         tempfile.mkdtemp(prefix="spark_graft_anom_"), keep_versions=10
     )
-    for upto in (0, 1, 2):
-        state = apply_changelog(
-            ch.filter(F.col("ts") <= upto),
-            key_cols="o_orderkey",
-            ts_cols="ts",
-            op_col="op",
-            delete_op="D",
-            drop_envelope=["op", "ts"],
-        )
-        mirror.commit(state)
+    # all three prefix states land in ONE staged write job (r16, §2.4)
+    mirror.commit_many(
+        [
+            apply_changelog(
+                ch.filter(F.col("ts") <= upto),
+                key_cols="o_orderkey",
+                ts_cols="ts",
+                op_col="op",
+                delete_op="D",
+                drop_envelope=["op", "ts"],
+            )
+            for upto in (0, 1, 2)
+        ]
+    )
     r01 = check_anomalies(
         mirror.read_version(spark, 0),
         mirror.read_version(spark, 1),

@@ -692,6 +692,115 @@ class ParquetStateTable(BranchOps):
             shutil.rmtree(vdir, ignore_errors=True)
             raise
 
+    def commit_many(
+        self, dfs: "Sequence[DataFrame]", metas: "Sequence[dict | None] | None" = None
+    ) -> list[dict]:
+        """Commit several consecutive FULL-STATE versions with ONE Spark
+        write job (r16, guide §2.4 — every commit used to be its own
+        action, so an N-version harness step paid N scheduling/planning
+        round-trips): the same-schema frames are unioned under a ``__v``
+        partition id, written ``partitionBy("__v")`` into a staging dir
+        in one job, and a driver-side rename installs each partition as
+        its immutable version dir before the log records publish oldest-
+        first (same per-record CAS/retry as :meth:`commit`). History,
+        pointer, retention, and the recorded ``data_schema`` are
+        byte-identical to N serial commits — only the job count changes.
+
+        Falls back to serial :meth:`commit` when the fast path cannot
+        apply: mismatched schemas (the union would coerce), active CHECK
+        constraints (validated per-version against written bytes), or a
+        single frame."""
+        dfs = list(dfs)
+        metas = list(metas) if metas is not None else [None] * len(dfs)
+        if len(metas) != len(dfs):
+            raise ValueError("commit_many: metas length != dfs length")
+        for m in metas:
+            _check_meta(m)
+        cons = (self.current() or {}).get("constraints") or {}
+        schema_keys = {d.schema.json() for d in dfs}
+        if len(dfs) <= 1 or cons or len(schema_keys) != 1:
+            return [
+                self.commit(d, meta=m) for d, m in zip(dfs, metas)
+            ]
+        base_version = self._next_version()
+        stg = os.path.join(
+            self.root, f"commit-stg-{uuid.uuid4().hex[:8]}"
+        )
+        tagged = dfs[0].withColumn("__v", F.lit(0))
+        for i, d in enumerate(dfs[1:], start=1):
+            tagged = tagged.unionByName(d.withColumn("__v", F.lit(i)))
+        written = _nullable_json(dfs[0].schema)
+        records: list[dict] = []
+        try:
+            tagged.write.partitionBy("__v").mode(
+                "errorifexists"
+            ).parquet(stg)
+            for i, d in enumerate(dfs):
+                version = base_version + i
+                vdir = os.path.join(
+                    self.root,
+                    f"v-{version:08d}-{uuid.uuid4().hex[:8]}",
+                )
+                part = os.path.join(stg, f"__v={i}")
+                if os.path.isdir(part):
+                    os.rename(part, vdir)
+                else:  # empty frame: stays a readable 0-row version
+                    d.sparkSession.createDataFrame(
+                        [], dfs[0].schema
+                    ).write.mode("errorifexists").parquet(vdir)
+                rec = {
+                    "version": version,
+                    "dir": vdir,
+                    "ts": time.time(),
+                    "data_schema": written,
+                }
+                if metas[i]:
+                    rec.update(metas[i])
+                records.append(rec)
+        except Exception:
+            for rec in records:
+                shutil.rmtree(rec["dir"], ignore_errors=True)
+            raise
+        finally:
+            shutil.rmtree(stg, ignore_errors=True)
+
+        def _reconcile(rec: dict, head: dict | None) -> None:
+            # same concurrent-constraint guarantee as commit(): validate
+            # the already-written bytes against a newer set and carry it
+            nonlocal cons
+            new_cons = (head or {}).get("constraints") or {}
+            if new_cons != cons:
+                extra = {
+                    k: v for k, v in new_cons.items() if cons.get(k) != v
+                }
+                if extra:
+                    _check_table_constraints(
+                        dfs[0]
+                        .sparkSession.read.schema(
+                            T.StructType.fromJson(written)
+                        )
+                        .parquet(rec["dir"]),
+                        extra,
+                        self.root,
+                    )
+                cons = new_cons
+            if cons:
+                rec["constraints"] = cons
+            else:
+                rec.pop("constraints", None)
+
+        out: list[dict] = []
+        try:
+            for rec in records:
+                out.append(
+                    self._publish_retry(rec, on_retry=_reconcile)
+                )
+        except ConstraintViolation:
+            for rec in records[len(out):]:
+                shutil.rmtree(rec["dir"], ignore_errors=True)
+            raise
+        return out
+
     def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
         """Read the branch head (its latest staged commit, or the fork
         point if nothing is staged yet)."""

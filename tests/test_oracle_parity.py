@@ -51,7 +51,15 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
+    """Every registry query not already executed by the parametrized
+    oracle sweep above must still RUN. Since r8 every entry carries an
+    oracle, so this normally covers nothing — it exists as the net for
+    any future rows-only entry (r16: it used to re-run all 160 queries
+    the oracle sweep had just run, ~6 min of pure duplication in the
+    driver's budgeted pytest pass)."""
     for name, fn in q.QUERIES.items():
+        if name in q.ORACLE_SQL:
+            continue  # executed (and value-checked) by the oracle sweep
         n = fn(spark, sf_dir).count()
         assert n >= 0, name
 

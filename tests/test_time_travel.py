@@ -672,3 +672,65 @@ def test_table_changes_is_bucket_pruned_on_manifests(spark, tmp_path):
     v = m.current()["version"]
     empty = table_changes(spark, m, v - 1, v, key_cols="id", drop_cols=drop)
     assert empty.count() == 0 and "label" in empty.columns
+
+
+# --- commit_many (r16: one staged write job for N consecutive versions) ---
+
+
+def test_commit_many_equals_serial_commits(spark, tmp_path):
+    """History, data, pointer, and recorded schema must be byte-
+    equivalent to N serial commit() calls — only the job count differs."""
+    a = ParquetStateTable(str(tmp_path / "a"), keep_versions=10)
+    b = ParquetStateTable(str(tmp_path / "b"), keep_versions=10)
+    frames = [_df(spark, f"v{i}", n=i + 1) for i in range(3)]
+    recs = a.commit_many(frames, metas=[None, {"note": "x"}, None])
+    for f, m in zip(frames, [None, {"note": "x"}, None]):
+        b.commit(f, meta=m)
+    assert [r["version"] for r in recs] == [0, 1, 2]
+    assert [e["version"] for e in a.history()] == [0, 1, 2]
+    assert a.history()[1].get("note") == "x"
+    assert a.current()["version"] == 2
+    for v in range(3):
+        assert _tags(spark, a, v) == _tags(spark, b, v)
+        ea, eb = a.history()[v], b.history()[v]
+        assert ea["data_schema"] == eb["data_schema"]
+    # no staging residue under the root
+    assert not [d for d in os.listdir(a.root) if d.startswith("commit-stg")]
+
+
+def test_commit_many_empty_frame_stays_readable(spark, tmp_path):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    frames = [_df(spark, "v0"), _df(spark, "v1").filter("id < 0")]
+    t.commit_many(frames)
+    assert _tags(spark, t, 0) == [(i, "v0") for i in range(3)]
+    assert t.read_version(spark, 1).count() == 0
+    assert t.read_version(spark, 1).columns == ["id", "tag"]
+
+
+def test_commit_many_falls_back_on_mixed_schemas_and_constraints(
+    spark, tmp_path
+):
+    t = ParquetStateTable(str(tmp_path / "t"), keep_versions=10)
+    # mixed schemas: serial path, both versions still commit correctly
+    t.commit_many(
+        [_df(spark, "v0"), _df(spark, "v1").selectExpr("id", "tag", "1 AS z")]
+    )
+    assert t.read_version(spark, 1).columns == ["id", "tag", "z"]
+    # an active CHECK constraint routes through commit() (per-version
+    # validation of written bytes) and still rejects violations
+    t2 = ParquetStateTable(str(tmp_path / "t2"), keep_versions=10)
+    t2.commit(_df(spark, "v0"))
+    t2.add_constraint(spark, "ids_small", "id < 100")
+    from tabular_cdc_bootstrapper_spark.streaming.pipeline import (
+        ConstraintViolation,
+    )
+
+    ok = spark.range(2).selectExpr("id", "'v1' AS tag")
+    bad = spark.range(200).selectExpr("id", "'v2' AS tag")
+    t2.commit_many([ok])
+    head_before = t2.current()["version"]
+    with pytest.raises(ConstraintViolation):
+        t2.commit_many([ok, bad])
+    # the serial fallback landed the ok frame; the bad one never published
+    assert t2.current()["version"] == head_before + 1
+    assert t2.read(spark).count() == 2
