@@ -3753,27 +3753,42 @@ def sql_refs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.sql("ALTER TABLE rt DROP BRANCH audit")
     rec = t.sql("VACUUM rt OLDER THAN TIMESTAMP '2099-01-01'")
 
-    def _n(q: str) -> int:
-        return t.sql(q).collect()[0]["n"]
+    # the four post-vacuum counts evaluate in ONE action (r16, guide
+    # §2.4 — they were four serial collect() round-trips); each frame
+    # still resolves its own ref (tag twice, head twice) post-vacuum,
+    # exactly as before. The TABLE_CHANGES collect above stays
+    # pre-vacuum: it reads versions the vacuum expires.
+    def _nf(q: str, tag: str) -> DataFrame:
+        return t.sql(q).select(
+            F.lit(tag).alias("t"), F.col("n").cast("long").alias("n")
+        )
 
-    flags = local_df(spark, 
-        [
-            (
-                "tag_rows",
-                _n("SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'"),
-            ),
-            ("head_rows", _n("SELECT COUNT(*) AS n FROM rt")),
-            (
+    probes = (
+        _nf("SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'", "tag")
+        .unionByName(_nf("SELECT COUNT(*) AS n FROM rt", "head"))
+        .unionByName(
+            _nf(
+                "SELECT COUNT(*) AS n FROM rt WHERE o_orderstatus = 'Z'",
                 "head_z",
-                _n("SELECT COUNT(*) AS n FROM rt WHERE o_orderstatus = 'Z'"),
-            ),
+            )
+        )
+        .unionByName(
+            _nf(
+                "SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'",
+                "tag2",
+            )
+        )
+    )
+    got = {r["t"]: int(r["n"]) for r in probes.collect()}
+    flags = local_df(spark,
+        [
+            ("tag_rows", got["tag"]),
+            ("head_rows", got["head"]),
+            ("head_z", got["head_z"]),
             ("changes_d", int(by_op.get("D", 0))),
             ("changes_u", int(by_op.get("U", 0))),
             ("vacuum_expired", len(rec["expired_versions"])),
-            (
-                "tag_after_vacuum_rows",
-                _n("SELECT COUNT(*) AS n FROM rt VERSION AS OF 'genesis'"),
-            ),
+            ("tag_after_vacuum_rows", got["tag2"]),
         ],
         "item string, value long",
     )

@@ -15,7 +15,22 @@ SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from tabular_cdc_bootstrapper_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    # AQE off for the TEST session only (r16): at fixture scale every
+    # exchange otherwise becomes its own stage-job submission + replan,
+    # and the suite is thousands of sub-second actions — pure scheduling
+    # overhead with zero semantic effect (results are AQE-invariant).
+    # Production/bench sessions keep session.py's AQE-on defaults; the
+    # one test that PINS AQE behavior (test_aqe_skew_join_rewrite...)
+    # re-enables it via spark.conf for its own scope.
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_TEST_AQE", "false"
+            )
+        },
+    )
     yield spark
 
 

@@ -123,6 +123,7 @@ def test_aqe_skew_join_rewrite_fires_on_planted_skew(spark):
     saved = {
         k: conf.get(k)
         for k in (
+            "spark.sql.adaptive.enabled",
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -130,6 +131,9 @@ def test_aqe_skew_join_rewrite_fires_on_planted_skew(spark):
         )
     }
     try:
+        # the test session runs AQE-off (conftest, r16) — this test pins
+        # AQE's skew rewrite, so enable it for this scope explicitly
+        conf.set("spark.sql.adaptive.enabled", "true")
         # force SMJ (skew handling only applies to shuffle joins) and
         # scale the byte thresholds down to fixture size
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
