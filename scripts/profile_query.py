@@ -30,11 +30,19 @@ EVDIR = Path("/tmp/spark_graft_events")
 
 def _read_log_text(path: Path) -> str:
     if path.name.endswith(".zstd"):
-        import subprocess
+        import shutil
 
-        return subprocess.run(
-            ["zstd", "-dc", str(path)], capture_output=True, check=True
-        ).stdout.decode()
+        if shutil.which("zstd"):
+            import subprocess
+
+            return subprocess.run(
+                ["zstd", "-dc", str(path)], capture_output=True, check=True
+            ).stdout.decode()
+        # no zstd binary on this box: pyarrow ships a streaming decoder
+        import pyarrow as pa
+
+        with pa.CompressedInputStream(pa.OSFile(str(path)), "zstd") as f:
+            return f.read().decode()
     return path.read_text()
 
 

@@ -48,6 +48,20 @@ def query(name: str, oracle: str | None = None):
 _T_SCHEMAS: dict = {}
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from its parquet FOOTERS —
+    driver-side metadata, not a scan job (r16, guide §6: metadata, not
+    data). Equals ``_t(spark, sf_dir, name).count()`` by the parquet
+    contract (``metadata.num_rows`` is exact, never an estimate)."""
+    from pathlib import Path as _P
+
+    import pyarrow.parquet as _pq
+
+    p = _P(f"{sf_dir}/{name}.parquet")
+    parts = [p] if p.is_file() else sorted(p.rglob("*.parquet"))
+    return sum(_pq.ParquetFile(str(f)).metadata.num_rows for f in parts)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, f"{sf_dir}/events.parquet")

@@ -1233,8 +1233,13 @@ def bucket_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="o_orderkey",
         keep_versions=10,
     )
+    # the file-sizing knob needs only the input ROW COUNT, which is
+    # parquet-footer metadata — read it driver-side instead of paying a
+    # full count() scan action (r16, guide §6: metadata, not data)
+    from tabular_cdc_bootstrapper_spark.queries._registry import _parquet_rows
+
     mirror.initialize(
-        orders, max_records_per_file=max(1, orders.count() // 32)
+        orders, max_records_per_file=max(1, _parquet_rows(sf_dir, "orders") // 32)
     )
     out = mirror.rewrite_data_files(spark)
     items = [
@@ -1697,10 +1702,14 @@ def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         target,
     )
     pre_version = mirror.current()["version"]
-    pre_agg = mirror.read(spark).agg(
+    # frames bind to their snapshot dirs at call time, so the pre/hist
+    # intactness pair and the lookup key+bucket all evaluate in ONE
+    # action after the chain instead of four mid-chain collect() round
+    # trips (r16, guide §2.4 — the mirror_regrain_roundtrip treatment)
+    pre_agg_f = mirror.read(spark).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
-    ).collect()[0]
+    )
     mirror.rebucket(spark, 32)
     mirror.merge_batch(
         o.filter(F.col("o_orderkey") % 13 == 0).withColumns(
@@ -1708,39 +1717,49 @@ def mirror_rebucket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         target,
     )
-    hist_agg = mirror.read_version(spark, pre_version).agg(
+    hist_agg_f = mirror.read_version(spark, pre_version).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("o_orderkey").cast("long").alias("s"),
-    ).collect()[0]
-    history_intact = int(
-        (hist_agg["n"], hist_agg["s"]) == (pre_agg["n"], pre_agg["s"])
     )
-    # point lookup of the minimum SURVIVING key (%13 keys were deleted),
-    # pruned to ONE bucket of the new spec
-    k = (
+    # minimum SURVIVING key (%13 keys were deleted) and its bucket under
+    # the NEW spec (_bucket reads n_buckets=32 now, post-rebucket)
+    kb_f = (
         o.filter(F.col("o_orderkey") % 13 != 0)
-        .agg(F.min("o_orderkey").alias("k"))
-        .collect()[0]["k"]
+        .agg(F.min("o_orderkey").cast("long").alias("n"))
+        .select("n", mirror._bucket(F.col("n")).cast("long").alias("s"))
     )
-    b = (
-        spark.range(1)
-        .select(mirror._bucket(F.lit(k).cast("long")).alias("b"))
-        .collect()[0]["b"]
+    probe_rows = {
+        r["t"]: r
+        for r in pre_agg_f.select(F.lit("pre").alias("t"), "n", "s")
+        .unionByName(hist_agg_f.select(F.lit("hist").alias("t"), "n", "s"))
+        .unionByName(kb_f.select(F.lit("kb").alias("t"), "n", "s"))
+        .collect()
+    }
+    history_intact = int(
+        (probe_rows["hist"]["n"], probe_rows["hist"]["s"])
+        == (probe_rows["pre"]["n"], probe_rows["pre"]["s"])
     )
-    hit = (
+    k = probe_rows["kb"]["n"]
+    b = int(probe_rows["kb"]["s"])
+    # the point lookup itself rides the FINAL action: read_buckets binds
+    # to the head manifest's dirs here, and `limit(2)` keeps the
+    # hit==1 check exact (0, 1, or >1 all distinguish)
+    lookup_f = (
         mirror.read_buckets(spark, [b])
         .filter(F.col("o_orderkey") == k)
-        .count()
+        .limit(2)
+        .agg((F.count("*") == 1).cast("long").alias("value"))
+        .select(F.lit("lookup_found").alias("item"), "value")
     )
-    flags = local_df(spark, 
+    flags = local_df(spark,
         [
             ("spec_after", int(mirror.current()["n_buckets"])),
             ("history_intact", history_intact),
             ("lookup_key", int(k)),
-            ("lookup_found", int(hit == 1)),
         ],
         "item string, value long",
     )
+    flags = flags.unionByName(lookup_f)
     final = mirror.read(spark)
     aggs = final.agg(
         F.count("*").cast("long").alias("__n"),
@@ -2185,10 +2204,16 @@ def column_generation_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         target,
     )  # v6: head
     # the DDL commits never rewrote the initial dirs: gen-1 bytes are
-    # physically intact there even though two generations masked them
+    # physically intact there even though two generations masked them.
+    # The probe binds to gen-1's physical dirs (no later commit touches
+    # them), so it rides the SAME final action as the generation counts
+    # instead of a mid-chain limit/count round trip (r16, guide §2.4).
     raw_gen1 = spark.read.parquet(*gen1_dirs)
-    mask_metadata_only = int(
-        raw_gen1.filter(F.col("flag").isNotNull()).limit(1).count() == 1
+    mask_probe = (
+        raw_gen1.filter(F.col("flag").isNotNull())
+        .limit(1)
+        .agg(F.count("*").cast("long").alias("value"))
+        .select(F.lit("mask_metadata_only").alias("item"), "value")
     )
 
     def counts(df: DataFrame, prefix: str, val: str, items) -> DataFrame:
@@ -2238,11 +2263,7 @@ def column_generation_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = counts(
         mirror.read(spark), "head", "G3", ("head_rows", "head_g3", "head_null")
     )
-    flags = local_df(spark, 
-        [("mask_metadata_only", mask_metadata_only)],
-        "item string, value long",
-    )
-    return flags.unionByName(gen1).unionByName(gen2).unionByName(head)
+    return mask_probe.unionByName(gen1).unionByName(gen2).unionByName(head)
 
 
 @query(
@@ -2969,26 +2990,47 @@ def table_constraints_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UPDATE orders_t SET o_totalprice = o_totalprice + 1 "
         "WHERE o_orderstatus = 'O'"
     )
-    agg = t.sql(
-        """
-        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               ROUND(SUM(o_totalprice), 2) AS total,
-               CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END)
-                    AS DOUBLE) AS neg
-        FROM orders_t
-        """
-    ).collect()[0]
-    return local_df(spark, 
+    # the head aggregate rides the FINAL action instead of a mid-chain
+    # collect (r16, guide §2.4): the frame binds to the head manifest's
+    # dirs here, and nothing commits after it
+    agg_f = (
+        t.sql(
+            """
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total,
+                   CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END)
+                        AS DOUBLE) AS neg
+            FROM orders_t
+            """
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("neg_rows").alias("item"),
+                        F.col("neg").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("head_rows").alias("item"),
+                        F.col("n").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("head_total").alias("item"),
+                        F.col("total").alias("value"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.item", "p.value")
+    )
+    return local_df(spark,
         [
             ("refused_add", float(refused_add)),
             ("refused_update", float(refused_update)),
             ("head_unmoved_by_refusals", float(head_unmoved)),
-            ("neg_rows", float(agg["neg"])),
-            ("head_rows", float(agg["n"])),
-            ("head_total", float(agg["total"])),
         ],
         "item string, value double",
-    )
+    ).unionByName(agg_f)
 
 
 @query(
@@ -3488,7 +3530,6 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in insel.inputFiles()
         if (m2 := _re.search(r"/bucket=(\d+)/", f))
     }
-    inlist_sel_rows = insel.count()
     del2_rec = t.sql(
         "DELETE FROM ords WHERE o_orderdate IN "
         "(DATE '1996-01-15', DATE '1997-07-15')"
@@ -3503,14 +3544,42 @@ def sql_pruned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in win.inputFiles()
         if (m := _re.search(r"/bucket=(\d+)/", f))
     }
-    wagg = win.agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("s"),
-    ).collect()[0]
-    head = t.sql("SELECT COUNT(*) AS n FROM ords").collect()[0]["n"]
-    upd_price = t.sql(
-        f"SELECT o_totalprice FROM ords WHERE o_orderkey = {k}"
-    ).collect()[0][0]
+    # all four tail probes in ONE action (r16, guide §2.4): each frame
+    # binds to its snapshot's dirs at call time — insel's pre-DELETE
+    # version stays within keep_versions=2 retention across the one
+    # commit (del2) that follows it, so deferring its count is safe
+    probe = {
+        r["t"]: r
+        for r in insel.agg(F.count("*").cast("double").alias("n"))
+        .select(F.lit("insel").alias("t"), "n", F.lit(0.0).alias("s"))
+        .unionByName(
+            win.agg(
+                F.count("*").cast("double").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("s"),
+            ).select(F.lit("win").alias("t"), "n", "s")
+        )
+        .unionByName(
+            t.sql("SELECT COUNT(*) AS n FROM ords").select(
+                F.lit("head").alias("t"),
+                F.col("n").cast("double").alias("n"),
+                F.lit(0.0).alias("s"),
+            )
+        )
+        .unionByName(
+            t.sql(
+                f"SELECT o_totalprice FROM ords WHERE o_orderkey = {k}"
+            ).select(
+                F.lit("price").alias("t"),
+                F.col("o_totalprice").cast("double").alias("n"),
+                F.lit(0.0).alias("s"),
+            )
+        )
+        .collect()
+    }
+    inlist_sel_rows = probe["insel"]["n"]
+    wagg = probe["win"]
+    head = probe["head"]["n"]
+    upd_price = probe["price"]["n"]
     rows = [
         ("deleted_rows", float(del_rec["rows_deleted"])),
         (

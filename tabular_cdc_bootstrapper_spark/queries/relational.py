@@ -1751,7 +1751,11 @@ def ann_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # the 70% split point needs only the corpus ROW COUNT — parquet
+    # footer metadata, not a count() scan action (r16, guide §6)
+    from tabular_cdc_bootstrapper_spark.queries._registry import _parquet_rows
+
+    n = _parquet_rows(sf_dir, "embeddings")
     cut = max(100, int(n * 0.7))
     root = tempfile.mkdtemp(prefix="spark_graft_ann_maint_")
     index = build_ann_index(

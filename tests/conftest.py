@@ -22,6 +22,21 @@ def spark():
     # Production/bench sessions keep session.py's AQE-on defaults; the
     # one test that PINS AQE behavior (test_aqe_skew_join_rewrite...)
     # re-enables it via spark.conf for its own scope.
+    #
+    # Likewise the TEST master runs 8 cores, not the host's 32 (r16):
+    # at sf0.001 every stage otherwise schedules up to 32 near-empty
+    # tasks, and task-launch overhead dominates — measured 2.2× on the
+    # two heaviest modules (test_data_quality_ops 174→80 s,
+    # test_alter_schema 60.7→30.2 s), results identical (no test pins a
+    # partition/core count, and the engine must be correct at ANY core
+    # count — the driver itself benches at several). Override via
+    # SPARK_GRAFT_TEST_CPUS; an explicit SPARK_MASTER always wins.
+    # bench.py is untouched: it keeps master=local[$SPARK_GRAFT_CPUS]
+    # per the driver contract.
+    os.environ.setdefault(
+        "SPARK_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '8')}]",
+    )
     spark = get_spark(
         "tests",
         shuffle_partitions=8,

@@ -322,3 +322,29 @@ def test_events_loader_empty_dataset_defaults_native(spark, tmp_path):
     )
     pq.write_table(empty, str(d / "part-0.parquet"))
     assert _load_events(spark, str(d)).count() == 0
+
+
+def test_parquet_rows_matches_scan_count(spark, sf_dir, tmp_path):
+    """_parquet_rows (r16: the footer-metadata row count behind
+    bucket_compaction_roundtrip's file sizing and
+    ann_index_maintained_topk's 70% split) equals a real count() scan —
+    on a single-file fixture table AND on a multi-file directory (the
+    rglob branch), including an empty part file."""
+    from tabular_cdc_bootstrapper_spark.queries._registry import (
+        _parquet_rows,
+        _t,
+    )
+
+    for name in ("orders", "embeddings"):
+        assert _parquet_rows(sf_dir, name) == _t(spark, sf_dir, name).count()
+
+    d = tmp_path / "multi.parquet"
+    d.mkdir()
+    t1 = pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"id": pa.array([4, 5], pa.int64())})
+    empty = pa.table({"id": pa.array([], pa.int64())})
+    pq.write_table(t1, str(d / "part-0.parquet"))
+    pq.write_table(t2, str(d / "sub.parquet"))
+    pq.write_table(empty, str(d / "part-1.parquet"))
+    assert _parquet_rows(str(tmp_path), "multi") == 5
+    assert spark.read.parquet(str(d)).count() == 5
